@@ -1,0 +1,309 @@
+"""Core scans, projections, filters, and basic aggregations.
+
+SURVEY.md §2.1 Q01-Q02, §2.2 Q03-Q07, §2.4 Q19-Q21. The reference repo has
+no code (SURVEY.md §0); these implement the scan/filter/project/aggregate
+surface an EPrints->Hyku ETL needs, Spark-first.
+
+Scale posture: every query here is a single scan (+ one shuffle for the
+group-bys). Filters and projections are expressed declaratively so Catalyst
+pushes them into the parquet reader (PushedFilters / ReadSchema — asserted
+in tests/test_plans.py); aggregations get map-side partial aggregation
+automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def dec_sum(col: Column | str, alias: str, typ: str = "decimal(18,2)") -> Column:
+    """SUM computed in decimal (exact, partitioning-order independent) and
+    cast to double — both Spark and the DuckDB oracle then yield
+    bit-identical doubles. The standard money-aggregate idiom here."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(typ)).cast("double").alias(alias)
+
+
+# --------------------------------------------------------------------------
+# Q01 — full parquet scan + count/checksum
+# --------------------------------------------------------------------------
+@register(
+    "q01_scan_count",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_checksum
+    FROM lineitem
+    """,
+    doc="Full table scan with count and checksums (SURVEY §2.1 Q01).",
+)
+def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("key_checksum"),
+        dec_sum("l_quantity", "qty_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q02 — projected + filtered scan (pushdown showcase)
+# --------------------------------------------------------------------------
+@register(
+    "q02_scan_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+    doc="Projection+filter pushed to the parquet scan (SURVEY §2.1 Q02).",
+)
+def q02_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q03 — compute + alias projection (ETL field mapping)
+# --------------------------------------------------------------------------
+@register(
+    "q03_project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged_price
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    doc="Computed projection; row-level IEEE arithmetic is deterministic "
+    "on both engines so no rounding is needed (SURVEY §2.2 Q03).",
+)
+def q03_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net.alias("net_price"),
+        (net * (F.lit(1) + F.col("l_tax"))).alias("charged_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q04 — compound predicate + global agg (TPC-H Q6 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q04_compound_predicate",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="AND-of-ranges predicate + global aggregate (SURVEY §2.2 Q04).",
+)
+def q04_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(8,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q05 — IN / LIKE / NULL-check predicates (vocabulary filtering)
+# --------------------------------------------------------------------------
+@register(
+    "q05_in_like_null",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type
+    FROM part
+    WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND p_type LIKE 'PROMO%'
+      AND p_name IS NOT NULL
+    """,
+    doc="IN-list, LIKE prefix, and null-check predicates (SURVEY §2.2 Q05).",
+)
+def q05_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+            & F.col("p_type").like("PROMO%")
+            & F.col("p_name").isNotNull()
+        )
+        .select("p_partkey", "p_name", "p_brand", "p_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q06 — distinct projection
+# --------------------------------------------------------------------------
+@register(
+    "q06_distinct",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+    doc="Distinct pair projection; planner uses hash aggregate (SURVEY §2.2 Q06).",
+)
+def q06_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# --------------------------------------------------------------------------
+# Q07 — conditional projection (CASE WHEN vocabulary mapping)
+# --------------------------------------------------------------------------
+@register(
+    "q07_case_when",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                ELSE 'low' END AS urgency,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY urgency
+    """,
+    doc="In-expression vocabulary mapping — the ETL 'controlled vocabulary' "
+    "pattern (SURVEY §1.1) as CASE WHEN (SURVEY §2.2 Q07).",
+)
+def q07_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgency = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+        .alias("urgency")
+    )
+    return orders.groupBy(urgency).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — TPC-H Q1-shaped multi-aggregate group-by (the flagship query)
+# --------------------------------------------------------------------------
+@register(
+    "q19_groupby_multi_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM((CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(8,2))))
+                    * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Hash group-by with 8 aggregates (partial+final combine is automatic"
+    " in Spark). Averages are exact-decimal sums divided by count so both "
+    "engines produce bit-identical doubles (SURVEY §2.4 Q19).",
+)
+def q19_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    tax = F.col("l_tax").cast("decimal(8,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum((price * (F.lit(1) - disc)) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — global (no-key) aggregate
+# --------------------------------------------------------------------------
+@register(
+    "q20_global_agg",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           CAST(MIN(l_shipdate) AS DATE) AS min_shipdate,
+           CAST(MAX(l_shipdate) AS DATE) AS max_shipdate,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) / COUNT(*) AS avg_discount
+    FROM lineitem
+    """,
+    doc="Global aggregate, no grouping key (SURVEY §2.4 Q20).",
+)
+def q20_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cnt = F.count(F.lit(1))
+    return li.agg(
+        cnt.alias("n_rows"),
+        dec_sum("l_quantity", "total_qty"),
+        F.min("l_shipdate").cast("date").alias("min_shipdate"),
+        F.max("l_shipdate").cast("date").alias("max_shipdate"),
+        (F.sum(F.col("l_discount").cast("decimal(8,2)")).cast("double") / cnt).alias(
+            "avg_discount"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — exact count-distinct per group
+# --------------------------------------------------------------------------
+@register(
+    "q21_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact distinct aggregation (Spark plans an Expand + two-phase "
+    "aggregate) (SURVEY §2.4 Q21).",
+)
+def q21_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Query registry: every operator from SURVEY.md §2 is a QuerySpec pairing
+a Spark callable (spark, sf_dir) -> DataFrame with its DuckDB oracle SQL.
+
+Hash-matching discipline (SURVEY.md §5) enforced by convention here:
+- money/quantity aggregates are computed in DECIMAL (exact, summation-order
+  independent) and cast to DOUBLE at the end — both engines then produce
+  bit-identical doubles regardless of partitioning;
+- every computed column is aliased identically on both sides;
+- timestamps are output as DATE or second-truncated values (events.ts is
+  ns-precision in parquet, microseconds in both engines after read);
+- any collected list is sorted before joining to a string.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => driver records rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    """Decorator: add a (query, oracle) pair to the global registry."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return wrap
+
+
+def _load_all() -> None:
+    # Import query modules for their registration side effects.
+    from . import q_core  # noqa: F401
+
+    for mod in (
+        "q_joins",
+        "q_aggs",
+        "q_windows",
+        "q_scalar",
+        "q_setops_sort",
+        "q_north",
+        "q_streaming",
+    ):
+        try:
+            __import__(f"{__package__}.{mod}")
+        except ImportError:
+            pass  # module not written yet (incremental build)
+
+
+def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {name: spec.fn for name, spec in sorted(REGISTRY.items())}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    _load_all()
+    return {
+        name: spec.oracle
+        for name, spec in sorted(REGISTRY.items())
+        if spec.oracle is not None
+    }

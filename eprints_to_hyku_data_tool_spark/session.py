@@ -1,0 +1,67 @@
+"""SparkSession factory pinning the configs the engine's correctness and
+scale posture depend on (SURVEY.md §4 config block).
+
+- UTC session timezone: oracle hash-matching of timestamps requires it
+  (DuckDB timestamps are UTC-naive).
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  broadcast-join demotion/promotion — the 100 TB posture is "declare the
+  plan, let AQE re-plan at shuffle boundaries".
+- Arrow on: vectorized pandas-UDF and toPandas transfer.
+- shuffle.partitions sized to cores for local mode; on a real cluster this
+  would be ~2-3x total cores and AQE coalesces down per-stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "eprints-to-hyku-spark",
+    cpus: int | str | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local-mode only in this environment; every config below is equally
+    valid on a multi-executor cluster except ``driver.memory`` which
+    would move to ``executor.memory``.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of our config to an externally
+    created session (the driver passes us its own SparkSession).
+
+    Timezone is the critical one: timestamp-valued query outputs are
+    hash-compared against a UTC-naive DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    except Exception:
+        pass
+    return spark
