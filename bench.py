@@ -32,23 +32,29 @@ def main() -> None:
     spark = get_spark(app_name="bench", driver_memory="48g")
     _load_all()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # engine, not cold-start fixed costs.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM + parquet footers of EVERY table once so per-query numbers
+    # measure the engine, not first-touch footer reads.
+    from eprints_to_hyku_data_tool_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name, spec in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
             if df.isStreaming:
                 timings[name] = -1.0
+                failed.append(name)
                 continue
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # pragma: no cover
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
+            failed.append(name)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
@@ -60,9 +66,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                # A query that errors must not make the suite look faster:
+                # consumers see the failure list explicitly.
+                "errors": failed,
             }
         )
     )
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -35,7 +35,7 @@ def dec_sum(col: Column | str, alias: str, typ: str = "decimal(18,2)") -> Column
     "q01_scan_count",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+           CAST(SUM(CAST(l_orderkey AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS key_checksum,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_checksum
     FROM lineitem
     """,
@@ -45,7 +45,12 @@ def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("l_orderkey").alias("key_checksum"),
+        # decimal(38,0), not BIGINT: Spark's non-ANSI long SUM silently wraps
+        # at 100x scale while DuckDB widens to HUGEINT — the checksums would
+        # diverge exactly when the data gets big.
+        F.sum(F.col("l_orderkey").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("key_checksum"),
         dec_sum("l_quantity", "qty_checksum"),
     )
 

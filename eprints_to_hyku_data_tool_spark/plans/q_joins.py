@@ -1,0 +1,407 @@
+"""Join operators: SURVEY.md §2.3 Q08-Q18.
+
+The reference repo has no code (SURVEY.md §0); this is the join surface an
+EPrints->Hyku ETL needs — child<->parent joins, broadcast vocabulary lookups,
+semi/anti referential-integrity checks, reconciliation outer joins — plus the
+north-star temporal (as-of) and vector-similarity joins.
+
+Scale posture per query:
+- Q08/Q15: large<->large equi joins -> planner picks sort-merge; AQE handles
+  skew. One shuffle per side on the join key; the residual range predicate in
+  Q15 stays a post-join filter on the SMJ output, never a nested loop.
+- Q09: dims (nation 25 rows, region 5 rows) are broadcast explicitly —
+  zero shuffle of the fact side.
+- Q10-Q13: outer/semi/anti equi joins — all shuffle-partitioned hash/SMJ;
+  semi/anti never materialize the probe side's payload.
+- Q14: deliberate small-dim cartesian (125 rows); the ONLY crossJoin in the
+  engine besides Q18's fixture-scale exact similarity baseline.
+- Q16: as-of implemented as union + running last_value window — ONE shuffle
+  on user_id, no pairwise blowup (the naive range-join + row_number would be
+  O(views x purchases) per user at 100 TB).
+- Q18: exact cosine all-pairs is the fixture-scale correctness baseline; the
+  100 TB path is the LSH-bucketed variant in q_north.py (same semantics,
+  equi-join on bucket keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+from .q_core import dec_sum
+
+
+# --------------------------------------------------------------------------
+# Q08 — inner equi join (large <-> large, sort-merge)
+# --------------------------------------------------------------------------
+@register(
+    "q08_inner_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(8,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderkey, o_custkey, order_date
+    """,
+    doc="Child->parent inner equi join (lineitem x orders); planner/AQE "
+    "chooses sort-merge at scale (SURVEY §2.3 Q08).",
+)
+def q08_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .groupBy("o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q09 — broadcast hash join (vocabulary lookup chain)
+# --------------------------------------------------------------------------
+@register(
+    "q09_broadcast_join",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    doc="Two chained broadcast hash joins onto tiny dims (nation 25 rows, "
+    "region 5): the fact side never shuffles for the join (SURVEY §2.3 Q09).",
+)
+def q09_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — left outer join (records without children survive)
+# --------------------------------------------------------------------------
+@register(
+    "q10_left_outer_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    doc="Left outer join: every customer survives, zero-order customers get "
+    "count 0 and NULL total (SURVEY §2.3 Q10).",
+)
+def q10_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum("o_totalprice", "total_spent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — full outer join (migration reconciliation of two id universes)
+# --------------------------------------------------------------------------
+@register(
+    "q11_full_outer_join",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY o_custkey),
+         e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY user_id)
+    SELECT COALESCE(o.k, e.k) AS entity_key, n_orders, n_events
+    FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+    doc="Full outer join reconciling two id sets (order-holders vs "
+    "event-producers) — the 'which records exist on which side' migration "
+    "report (SURVEY §2.3 Q11).",
+)
+def q11_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return o.join(e, o.k == e.k, "full").select(
+        F.coalesce(o.k, e.k).alias("entity_key"),
+        "n_orders",
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — left semi join (EXISTS)
+# --------------------------------------------------------------------------
+@register(
+    "q12_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    doc="Left semi join = EXISTS: customers having at least one finished "
+    "order. The build side carries only the key (SURVEY §2.3 Q12).",
+)
+def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Q13 — left anti join (NOT EXISTS: the "unmapped records" report)
+# --------------------------------------------------------------------------
+@register(
+    "q13_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left anti join = NOT EXISTS: customers with no orders — the "
+    "referential-integrity / not-yet-migrated report (SURVEY §2.3 Q13).",
+)
+def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — cross join (small-dim cartesian + post-filter)
+# --------------------------------------------------------------------------
+@register(
+    "q14_cross_join",
+    oracle="""
+    SELECT r_name, n_name
+    FROM region CROSS JOIN nation
+    WHERE r_regionkey <> n_regionkey
+    """,
+    doc="Deliberate cartesian over two tiny dims with a post-filter (all "
+    "cross-region pairs). Cartesians are banned on large inputs; this is "
+    "the pair-generation pattern on dims only (SURVEY §2.3 Q14).",
+)
+def q14_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        region.crossJoin(nation)
+        .filter(F.col("r_regionkey") != F.col("n_regionkey"))
+        .select("r_name", "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — theta / range join (equi key + date-window residual)
+# --------------------------------------------------------------------------
+@register(
+    "q15_range_join",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_shipped_in_90d,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_shipped
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+    GROUP BY order_month
+    """,
+    doc="Equi join with a non-equi date-window residual: Catalyst extracts "
+    "the equi part (SMJ on orderkey) and evaluates the range predicate as "
+    "a post-join filter — never a nested loop (SURVEY §2.3 Q15).",
+)
+def q15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(orders, cond, "inner")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped_in_90d"),
+            dec_sum("l_quantity", "qty_shipped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — as-of join (latest 'view' at-or-before each 'purchase', per user)
+# --------------------------------------------------------------------------
+@register(
+    "q16_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id AS purchase_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS purchase_ts
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT event_id AS view_id, user_id,
+                      CAST(ts AS TIMESTAMP) AS view_ts
+               FROM events WHERE event_type = 'view'),
+         j AS (SELECT p.purchase_id, p.user_id, p.purchase_ts, v.view_id, v.view_ts,
+                      ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                         ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+               FROM p LEFT JOIN v
+                 ON p.user_id = v.user_id AND v.view_ts <= p.purchase_ts)
+    SELECT purchase_id, user_id, purchase_ts, view_id AS asof_view_id,
+           view_ts AS asof_view_ts
+    FROM j WHERE rn = 1
+    """,
+    doc="As-of join: for each purchase, the same user's latest view event "
+    "at-or-before it. Spark plan: union both event slices, ONE shuffle on "
+    "user_id, running last_value(ignorenulls) window — no pairwise blowup, "
+    "unlike the oracle's range-join+row_number formulation which is "
+    "O(views x purchases) per user (SURVEY §2.3 Q16).",
+)
+def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        # ties: a view at the exact same ts as a purchase counts (<=), so
+        # views sort BEFORE purchases at equal ts
+        F.lit(0).alias("tag"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", F.coalesce("view_id", "purchase_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).withColumn(
+        "asof_view_id", F.last("view_id", ignorenulls=True).over(w)
+    ).withColumn("asof_view_ts", F.last(F.when(F.col("view_id").isNotNull(), F.col("ts")), ignorenulls=True).over(w))
+    return merged.filter(F.col("purchase_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "asof_view_id",
+        "asof_view_ts",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — self join / consecutive-event pairs (lag formulation)
+# --------------------------------------------------------------------------
+@register(
+    "q17_self_join_pairs",
+    oracle="""
+    SELECT user_id, event_id, prev_event_id, prev_type, event_type,
+           date_diff('microsecond', prev_ts, ts) AS gap_us
+    FROM (SELECT user_id, event_id, event_type, ts,
+                 LAG(event_id)   OVER w AS prev_event_id,
+                 LAG(event_type) OVER w AS prev_type,
+                 LAG(ts)         OVER w AS prev_ts
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE prev_event_id IS NOT NULL
+    """,
+    doc="Consecutive-event pairing per user — the sessionization building "
+    "block. Expressed as lag() (one shuffle on user_id) rather than a "
+    "literal self-join, which would shuffle twice (SURVEY §2.3 Q17).",
+)
+def q17_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            F.lag("event_id").over(w).alias("prev_event_id"),
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(F.col("prev_event_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "prev_event_id",
+            "prev_type",
+            "event_type",
+            (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — similarity join (vector cosine >= tau) — exact fixture-scale form
+# --------------------------------------------------------------------------
+@register(
+    "q18_similarity_join",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.label AS label_a, b.label AS label_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= 0.4
+    """,
+    doc="Exact all-pairs cosine similarity join: broadcast the normalized "
+    "matrix once, stream the probe side through mapInPandas with one "
+    "numpy matmul per Arrow batch — each vector crosses the wire once "
+    "(O(n d) transfer), vs O(n^2 d) for a pairwise-join formulation. "
+    "Output is id/label pairs only, and the fixture's minimum |cos-0.4| "
+    "margin is >=1e-4 (verified offline), so summation-order ulp noise "
+    "cannot flip the tau decision vs the oracle. At 100 TB the broadcast "
+    "side must fit in memory; beyond that the LSH-bucketed path "
+    "(q_north.q60/q61) replaces all-pairs (SURVEY §2.3 Q18, §4).",
+)
+def q18_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import similarity_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity_pairs_blocked(emb, tau=0.4, spark=spark)

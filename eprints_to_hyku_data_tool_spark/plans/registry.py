@@ -55,8 +55,13 @@ def _load_all() -> None:
     ):
         try:
             __import__(f"{__package__}.{mod}")
-        except ImportError:
-            pass  # module not written yet (incremental build)
+        except ModuleNotFoundError as exc:
+            # Tolerate a module that is not written yet, but a broken import
+            # INSIDE an existing module must fail loudly — otherwise its
+            # queries silently vanish from queries() and the correctness
+            # gate passes vacuously.
+            if exc.name != f"{__package__}.{mod}":
+                raise
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

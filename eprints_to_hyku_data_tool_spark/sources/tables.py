@@ -27,7 +27,17 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan with Catalyst pushdown: filters/projections applied by
     callers reach the parquet reader (verified in tests via explain())."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is INT64 TIMESTAMP(NANOS) in the footer; Spark reads it as long
+        # (legacy.parquet.nanosAsLong) — convert ns -> microsecond timestamp.
+        # The fixture is us-precision (verified: no sub-us components), so
+        # the div-1000 truncation is exact and matches DuckDB's
+        # TIMESTAMP_NS -> TIMESTAMP cast.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -32,12 +32,20 @@ def canon_value(v) -> str:
     if isinstance(v, (int, np.integer)):
         return str(int(v))
     if isinstance(v, Decimal):
-        return canon_value(float(v))
+        # Exact, not via float: above 2^53 two different decimals would
+        # otherwise canonicalize identically. Trailing zeros are stripped so
+        # Decimal('1.10') == Decimal('1.1') canonicalize the same.
+        d = v.normalize()
+        return format(d, "f")
     if isinstance(v, pd.Timestamp):
         if pd.isna(v):
             return "NULL"
         return v.isoformat()
     if isinstance(v, _dt.datetime):
+        # pd.NaT subclasses datetime — a null surfaced as NaT by one engine
+        # must canonicalize like a None from the other.
+        if pd.isna(v):
+            return "NULL"
         return pd.Timestamp(v).isoformat()
     if isinstance(v, _dt.date):
         return v.isoformat()
@@ -47,8 +55,6 @@ def canon_value(v) -> str:
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{canon_value(x)}" for k, x in sorted(v.items())) + "}"
-    if v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
-        return "NULL"
     return str(v)
 
 
