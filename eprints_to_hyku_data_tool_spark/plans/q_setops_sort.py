@@ -1,0 +1,184 @@
+"""Sorts, limits, top-k, and set operations: SURVEY.md §2.6 Q37-Q39, §2.7 Q40-Q42.
+
+The reference repo has no code (SURVEY.md §0); these are the ordering and
+set-reconciliation operators of the migration domain — stable output files,
+QA pagination, merged batches, and the "not yet migrated" delta report.
+
+Scale posture: Q38/Q39 compile to TakeOrderedAndProject (per-partition
+top-k, then a single small merge — no global sort materialization). Q37
+materializes a global position on purpose (verification needs the order
+inside an order-insensitive hash) and is the one deliberate global sort.
+Set ops are key-only projections before the shuffle, so the exchanged
+payload is minimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# Q37 — multi-key sort with null ordering
+# --------------------------------------------------------------------------
+@register(
+    "q37_multikey_sort",
+    oracle="""
+    SELECT o_orderkey, order_date, price_or_null,
+           ROW_NUMBER() OVER (ORDER BY order_date DESC,
+                              price_or_null ASC NULLS LAST,
+                              o_orderkey) AS position
+    FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+                 CASE WHEN o_orderstatus = 'P' THEN NULL
+                      ELSE o_totalprice END AS price_or_null
+          FROM orders)
+    """,
+    doc="Multi-key sort (DESC date, ASC-nulls-last price, key tie-break) "
+    "with the total order materialized as a position column — the "
+    "order-insensitive hash can't see bare sort order otherwise. The "
+    "global row_number is deliberate here and verification-only; plain "
+    "sorted output would use orderBy + sortWithinPartitions at scale "
+    "(SURVEY §2.6 Q37).",
+)
+def q37_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_or_null"),
+    )
+    w = Window.orderBy(
+        F.desc("order_date"), F.asc_nulls_last("price_or_null"), F.asc("o_orderkey")
+    )
+    return orders.withColumn("position", F.row_number().over(w))
+
+
+# --------------------------------------------------------------------------
+# Q38 — global top-k (TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+@register(
+    "q38_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-10 by price (orderkey tie-break). Spark plans "
+    "TakeOrderedAndProject: per-partition heaps then one tiny merge — "
+    "no global sort at any scale (SURVEY §2.6 Q38).",
+)
+def q38_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q39 — limit / offset pagination
+# --------------------------------------------------------------------------
+@register(
+    "q39_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 25 OFFSET 100
+    """,
+    doc="Keyset-deterministic pagination: page 5 of 25 over the unique "
+    "order key (SURVEY §2.6 Q39).",
+)
+def q39_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q40 — UNION ALL + dedupe (merging export batches)
+# --------------------------------------------------------------------------
+@register(
+    "q40_union",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    GROUP BY o_custkey
+    """,
+    doc="UNION ALL of two export slices, then a group-collapse — covers "
+    "both the all and distinct union semantics in one checkable result "
+    "(a customer in both slices counts its multiplicity) "
+    "(SURVEY §2.7 Q40).",
+)
+def q40_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        urgent.unionByName(finished)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q41 — INTERSECT (reconciliation)
+# --------------------------------------------------------------------------
+@register(
+    "q41_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT of two id sets (BUILDING-segment customers that also "
+    "have a finished order) — distinct semantics on both engines "
+    "(SURVEY §2.7 Q41).",
+)
+def q41_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    f_holders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(f_holders)
+
+
+# --------------------------------------------------------------------------
+# Q42 — EXCEPT (the "not yet migrated" delta report)
+# --------------------------------------------------------------------------
+@register(
+    "q42_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+    doc="EXCEPT: source ids minus loaded ids = the migration delta report "
+    "(SURVEY §2.7 Q42). Same result set as the Q13 anti join, via the "
+    "set-operator plan (left-anti under the hood after distinct).",
+)
+def q42_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    all_cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    with_orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return all_cust.subtract(with_orders)
