@@ -1,0 +1,450 @@
+"""North-star LLM-pipeline operators: SURVEY.md §2.11 Q59-Q62, X15 + the
+distributed MinHash-LSH near-dup path.
+
+The reference repo has no code (SURVEY.md §0); these are the
+training-data-pipeline macro-operators mandated by BASELINE.json: exact
+dedup, near-dup detection, top-k similarity search, text statistics,
+TF-IDF.
+
+Numeric discipline:
+- Jaccard thresholds are integer cross-multiplications (5*inter >= 4*union
+  for tau=0.8) — the fixture has pairs EXACTLY on rational thresholds, so
+  float division is forbidden on both engines.
+- Cosine ranks are float-safe: measured min top-8 neighbor gap is 1.9e-5,
+  ~10 orders above summation-order noise.
+
+Scale posture per query is documented on each docstring; the common theme:
+dedupe keys are hashes (small shuffle payload), near-dup candidates come
+from LSH band buckets (equi-join, no all-pairs), similarity search does
+partition-local top-k before the global one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+# MinHash parameters: 128 hashes = 32 bands x 4 rows. At the corpus'
+# near-dup tau (shingle-Jaccard 0.8, real pairs >=0.89) the per-pair miss
+# probability is (1 - J^4)^32 <= 2e-14 — the LSH candidate set provably
+# contains every true pair at fixture scale, so the banded pipeline is
+# exact-equal to brute force (asserted in tests and by the shared oracle).
+N_HASHES = 128
+N_BANDS = 32
+ROWS_PER_BAND = 4
+SHINGLE_K = 3
+# tau = 0.8 as the integer ratio test: 5*inter >= 4*union
+TAU_NUM, TAU_DEN = 4, 5
+
+
+def shingle_expr(text_col: str, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles of a space-tokenized text column.
+
+    Word-set Jaccard is degenerate on a small vocabulary (95% of fixture
+    pairs share >=30% of words); k-shingles of the token SEQUENCE separate
+    true near-dups (J >= 0.89) from noise (J <= 0.15) bimodally.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]
+    )
+    return F.array_distinct(
+        F.when(n >= k, F.transform(F.sequence(F.lit(0), n - k), mk)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+# Shared DuckDB oracle for both near-dup forms: brute-force shingle
+# Jaccard with the integer threshold test.
+_NEARDUP_ORACLE = """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                              i -> string_split(text,' ')[i] || ' ' ||
+                                   string_split(text,' ')[i+1] || ' ' ||
+                                   string_split(text,' ')[i+2])) AS sh
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS inter_size,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS union_size
+      FROM t a JOIN t b ON a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(inter_size AS INT) AS inter_size,
+           CAST(union_size AS INT) AS union_size
+    FROM pairs
+    WHERE 5 * inter_size >= 4 * union_size
+"""
+
+
+# --------------------------------------------------------------------------
+# Q59 — exact dedupe (normalized-text hash, keep-first)
+# --------------------------------------------------------------------------
+@register(
+    "q59_exact_dedupe",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, source,
+                      md5(lower(trim(text))) AS text_key
+               FROM documents),
+         r AS (SELECT doc_id, lang, source, text_key,
+                      ROW_NUMBER() OVER (PARTITION BY text_key
+                                         ORDER BY doc_id) AS rn,
+                      CAST(COUNT(*) OVER (PARTITION BY text_key) AS BIGINT)
+                        AS n_copies
+               FROM d)
+    SELECT doc_id, lang, source, text_key, n_copies FROM r WHERE rn = 1
+    """,
+    doc="Exact dedupe: keep the lowest doc_id per md5(normalized text), "
+    "reporting the duplicate count. The shuffle key is the 16-byte hash, "
+    "not the document body — at 100 TB the exchange carries hashes + ids "
+    "only (SURVEY §2.11 Q59, composition of Q31).",
+)
+def q59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "lang", "source", F.md5(F.lower(F.trim("text"))).alias("text_key")
+    )
+    w = Window.partitionBy("text_key")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w.orderBy("doc_id")))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "text_key", "n_copies")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q60 — near-dup detection, brute-force reference form
+# --------------------------------------------------------------------------
+@register(
+    "q60_neardup_jaccard",
+    oracle=_NEARDUP_ORACLE,
+    doc="Near-dup pairs at shingle-Jaccard >= 0.8 (integer ratio test; the "
+    "fixture has pairs exactly ON rational thresholds). Brute-force "
+    "reference: shingle sets are broadcast once, mapInPandas computes "
+    "python set intersections per pair — fixture-tier only; the scale "
+    "path is q60_minhash_lsh (SURVEY §2.11 Q60).",
+)
+def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingle_expr("text").alias("sh")
+    )
+    rows = docs.collect()
+    bc = spark.sparkContext.broadcast(
+        sorted((r["doc_id"], frozenset(r["sh"])) for r in rows)
+    )
+
+    schema = "id_a bigint, id_b bigint, inter_size int, union_size int"
+
+    def gen(batches):
+        all_docs = bc.value
+        for pdf in batches:
+            out = {"id_a": [], "id_b": [], "inter_size": [], "union_size": []}
+            for id_a, sh_a in zip(pdf["doc_id"], pdf["sh"]):
+                set_a = frozenset(sh_a)
+                for id_b, set_b in all_docs:
+                    if id_b <= id_a:
+                        continue
+                    inter = len(set_a & set_b)
+                    union = len(set_a) + len(set_b) - inter
+                    if TAU_DEN * inter >= TAU_NUM * union:
+                        out["id_a"].append(id_a)
+                        out["id_b"].append(id_b)
+                        out["inter_size"].append(inter)
+                        out["union_size"].append(union)
+            yield pd.DataFrame(out).astype(
+                {"id_a": "int64", "id_b": "int64",
+                 "inter_size": "int32", "union_size": "int32"}
+            )
+
+    return docs.mapInPandas(gen, schema)
+
+
+# --------------------------------------------------------------------------
+# Q60b — near-dup detection, distributed MinHash-LSH pipeline (scale path)
+# --------------------------------------------------------------------------
+@register(
+    "q60_minhash_lsh",
+    oracle=_NEARDUP_ORACLE,
+    doc="The 100 TB near-dup pipeline, fully distributed (no collect): "
+    "shingle -> 128 seeded xxhash64 minhashes (one shuffle: min per "
+    "doc) -> 32 band hashes -> explode -> self-equi-join on "
+    "(band, band_hash) buckets -> distinct candidate pairs -> exact "
+    "Jaccard verify on candidates only. All-pairs never materializes; "
+    "candidates are an equi-join Catalyst optimizes like any other. "
+    "With 32 bands x 4 rows the miss probability per true pair "
+    "(J >= 0.89) is <= 2e-14, so the result is exact-equal to the "
+    "brute-force oracle (SURVEY §2.11 Q60, §4 similarity-join row).",
+)
+def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", shingle_expr("text").alias("sh")
+    )
+    # (doc_id, shingle) exploded — the only row-multiplying step, bounded
+    # by shingles-per-doc (~tokens-per-doc).
+    sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
+
+    # 128 seeded hashes per shingle; min per (doc, seed) in ONE aggregation
+    # (128 min columns, map-side partial).
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.xxhash64("shingle", F.lit(seed)).alias(f"h{seed}")
+            for seed in range(N_HASHES)
+        ],
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(N_HASHES)]
+    )
+
+    # Band hashes: xxhash64 over each band's 4 signature values.
+    bands = sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.xxhash64(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                    F.lit(b),
+                )
+                for b in range(N_BANDS)
+            ]
+        ).alias("band_hashes"),
+    ).select("doc_id", F.posexplode("band_hashes").alias("band", "band_hash"))
+
+    # Bucket self-join -> distinct candidate pairs (equi-join on band key).
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "band", F.col("band_hash").alias("bh_a")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), "band", F.col("band_hash").alias("bh_b")
+    )
+    candidates = (
+        a.join(b, ["band"])
+        .filter((F.col("bh_a") == F.col("bh_b")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Exact verify on candidates only: join shingle sets back, integer test.
+    sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("inter_size", inter)
+        .withColumn("union_size", union)
+        .filter(TAU_DEN * F.col("inter_size") >= TAU_NUM * F.col("union_size"))
+        .select("id_a", "id_b", "inter_size", "union_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q61 — top-k similarity search (probe set over embeddings)
+# --------------------------------------------------------------------------
+@register(
+    "q61_topk_similarity",
+    oracle="""
+    WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         sims AS (SELECT probe_id, e.vec_id AS neighbor_id,
+                         list_dot_product(CAST(pe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(pe AS DOUBLE[]),
+                                                  CAST(pe AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                    CAST(e.embedding AS DOUBLE[]))))
+                           AS cos
+                  FROM probes JOIN embeddings e ON e.vec_id <> probe_id),
+         ranked AS (SELECT probe_id, neighbor_id, cos,
+                           ROW_NUMBER() OVER (PARTITION BY probe_id
+                                              ORDER BY cos DESC, neighbor_id)
+                             AS rank
+                    FROM sims)
+    SELECT probe_id, neighbor_id, CAST(rank AS INT) AS rank,
+           round(cos, 6) AS cos_sim
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Top-5 cosine neighbors for each probe (vec_id % 100 = 0). The "
+    "probe matrix is broadcast (tiny); mapInPandas computes one matmul "
+    "per Arrow batch and emits only the per-partition top-5 per probe, "
+    "then a window takes the global top-5 — rows after the map stage "
+    "are partitions x probes x 5, independent of corpus size. Rank "
+    "order is float-safe: measured min top-8 gap 1.9e-5 >> ulp noise "
+    "(SURVEY §2.11 Q61).",
+)
+def q61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import normalized_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe_rows = emb.filter(F.col("vec_id") % 100 == 0).select(
+        "vec_id", "embedding"
+    ).collect()
+    probe_ids, probe_mat = normalized_matrix(probe_rows, "vec_id", "embedding")
+    bc = spark.sparkContext.broadcast((probe_ids, probe_mat))
+    k = 5
+
+    schema = "probe_id bigint, neighbor_id bigint, cos double"
+
+    def gen(batches):
+        p_ids, p_mat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["embedding"].values).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            m /= norms
+            sims = m @ p_mat.T  # (batch, n_probes)
+            n_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = []
+            for pi, pid in enumerate(p_ids):
+                col = sims[:, pi]
+                mask = n_ids != pid  # exclude self
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                top = idx[np.argsort(-col[idx], kind="stable")[:k]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "probe_id": pid,
+                            "neighbor_id": n_ids[top],
+                            "cos": col[top],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(gen, schema)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q62 — text statistics / language slice
+# --------------------------------------------------------------------------
+@register(
+    "q62_text_stats",
+    oracle="""
+    WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+         tc AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tok GROUP BY lang, token),
+         top AS (SELECT lang, token AS top_token, n AS top_token_n,
+                        ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY n DESC, token) AS rn
+                 FROM tc),
+         base AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                         CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+                  FROM documents GROUP BY lang)
+    SELECT base.lang, n_docs, total_chars, avg_chars, top_token, top_token_n
+    FROM base JOIN top ON base.lang = top.lang
+    WHERE rn = 1
+    """,
+    doc="Per-language profile: doc count, char totals, and the most "
+    "frequent token (explode -> count -> rank-1, token tie-break). "
+    "Integer sums divided at the end keep avg exact "
+    "(SURVEY §2.11 Q62).",
+)
+def q62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+    tc = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    top = (
+        tc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("token").alias("top_token"), F.col("n").alias("top_token_n"))
+    )
+    return base.join(top, "lang")
+
+
+# --------------------------------------------------------------------------
+# X15 — TF-IDF (explode + aggregate arithmetic)
+# --------------------------------------------------------------------------
+@register(
+    "x15_tfidf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+         tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM tok GROUP BY doc_id, token),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_len
+                FROM tok GROUP BY doc_id),
+         df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+                FROM tok GROUP BY token),
+         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, cnt, doc_freq,
+           round((CAST(cnt AS DOUBLE) / doc_len) * ln(n_docs / doc_freq), 6)
+             AS tfidf
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN df ON tf.token = df.token
+    CROSS JOIN n
+    WHERE tf.doc_id < 50
+    """,
+    doc="TF-IDF as pure relational algebra: term freq / doc length x "
+    "ln(N / doc freq). The doc-frequency table is corpus-wide but "
+    "vocabulary-sized (broadcast); N is a one-row aggregate cross-joined "
+    "in (no driver-side count). Output sliced to doc_id < 50; tfidf "
+    "rounded 6dp (ln is not bit-portable) (SURVEY §2.11 X15).",
+)
+def x15_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    df_tbl = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_tbl), "token")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            "token",
+            "cnt",
+            "doc_freq",
+            F.round(
+                (F.col("cnt").cast("double") / F.col("doc_len"))
+                * F.log(F.col("n_docs") / F.col("doc_freq")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
