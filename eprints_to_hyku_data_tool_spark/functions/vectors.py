@@ -40,21 +40,33 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (F.sqrt(dot_expr(a, a)) * F.sqrt(dot_expr(b, b)))
 
 
-@F.pandas_udf("array<double>")
-def l2_normalize_udf(v: pd.Series) -> pd.Series:
-    """L2-normalize an array column (Arrow batch -> one numpy matrix op)."""
-    m = np.stack(v.values).astype(np.float64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    return pd.Series(list(m / norms))
+def l2_normalize_udf() -> "F.UserDefinedFunction":
+    """L2-normalize an array column (Arrow batch -> one numpy matrix op).
+
+    Built lazily: pandas_udf creation needs an active SparkSession, and
+    this module must import without one.
+    """
+
+    @F.pandas_udf("array<double>")
+    def _norm(v: pd.Series) -> pd.Series:
+        m = np.stack(v.values).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return pd.Series(list(m / norms))
+
+    return _norm
 
 
-@F.pandas_udf("double")
-def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Row-wise dot product of two array columns, vectorized over the batch."""
-    ma = np.stack(a.values).astype(np.float64)
-    mb = np.stack(b.values).astype(np.float64)
-    return pd.Series(np.einsum("ij,ij->i", ma, mb))
+def dot_udf() -> "F.UserDefinedFunction":
+    """Row-wise dot product of two array columns, vectorized per batch."""
+
+    @F.pandas_udf("double")
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.values).astype(np.float64)
+        mb = np.stack(b.values).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return _dot
 
 
 def normalized_matrix(rows: list, id_col: str, vec_col: str, label_col: str | None = None):

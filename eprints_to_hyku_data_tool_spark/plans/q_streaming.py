@@ -1,0 +1,143 @@
+"""Event-time window operators, batch form: SURVEY.md §2.9 Q54-Q56.
+
+The reference repo has no code (SURVEY.md §0); these are the event-time
+aggregations of the streaming surface, expressed over the static `events`
+table so they are oracle-checkable. The SAME logical shapes run as true
+Structured Streaming queries in ..streaming.ops (file-source replay,
+watermarks, state) — asserted equal to these batch forms in
+tests/test_streaming.py (SURVEY §5 item 4).
+
+Scale posture: window() and session_window() are grouping expressions —
+partial aggregation applies, one shuffle on (window x key). Session
+windows shuffle on user_id then sort-merge sessions per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# Q54 — tumbling window aggregate
+# --------------------------------------------------------------------------
+@register(
+    "q54_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    doc="6-hour tumbling windows per event type. Spark window() starts "
+    "align to the epoch; DuckDB time_bucket's default origin "
+    "(2000-01-03) is an exact multiple of 6h from the epoch, so bucket "
+    "boundaries coincide (SURVEY §2.9 Q54).",
+)
+def q54_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q55 — sliding window aggregate
+# --------------------------------------------------------------------------
+@register(
+    "q55_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+             - k * INTERVAL '1 hour' AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events, (SELECT unnest(range(0, 6)) AS k)
+    GROUP BY window_start
+    """,
+    doc="6-hour windows sliding every hour: each event lands in 6 "
+    "overlapping windows (Spark's window() replicates rows exactly like "
+    "the oracle's unnest(range(0,6)) offset join) (SURVEY §2.9 Q55).",
+)
+def q55_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q56 — session window (30-minute gap)
+# --------------------------------------------------------------------------
+@register(
+    "q56_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged)
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) + INTERVAL '30 minutes' AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    doc="Per-user session windows with a 30-minute gap. Spark "
+    "session_window(end = last event + gap, half-open: an event at "
+    "exactly last+gap starts a NEW session) == the oracle's "
+    "lag >= 30min flag + running-sum session ids (SURVEY §2.9 Q56, "
+    "§7 hard-item 2).",
+)
+def q56_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,142 @@
+"""Structured Streaming operators: SURVEY.md §2.9 X07-X11.
+
+The reference repo has no code (SURVEY.md §0). The driver's oracle cannot
+check streams, so these are library functions over an unbounded events
+DataFrame; tests/test_streaming.py replays the static events fixture
+through a file source in chunks and asserts each stream's final state
+equals its batch-equivalent query (Q54's shape etc.).
+
+Scale posture: all stateful operators carry watermarks so state is
+bounded and evictable; state lives in the executor-local state store
+(RocksDB on a real cluster) keyed by the grouping key — the same
+partitioning as the equivalent batch shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Schema of the replayed events stream (ts already converted to
+# TimestampType by the replay writer — the ns->us conversion happens when
+# the replay chunks are written, mirroring sources.tables.load_table).
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """X07: file-source stream over a directory of parquet chunks.
+
+    One chunk per micro-batch (maxFilesPerTrigger=1) so event-time
+    progresses deterministically through the replay.
+    """
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(replay_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Q54's shape as a stream: watermarked 6-hour tumbling windows.
+
+    Watermark bounds state: windows older than (max event time - watermark)
+    are finalized and evicted.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedupe(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """X09: drop duplicate event_ids arriving within the watermark horizon.
+
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    window — bounded, unlike a plain dropDuplicates on a stream.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_static_join(stream: DataFrame, static_dim: DataFrame) -> DataFrame:
+    """X10: enrich a stream against a static dimension (broadcast per
+    micro-batch; no state needed for stream-static inner joins)."""
+    return stream.join(
+        F.broadcast(static_dim),
+        stream.user_id == static_dim.c_custkey,
+        "inner",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+def windowed_with_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """X08: append-mode windowed counts — a window is emitted only once its
+    end has passed the watermark; events later than the watermark horizon
+    are DROPPED (tested with a crafted late chunk)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def stateful_user_counter(stream: DataFrame) -> DataFrame:
+    """X11: custom stateful processing — running per-user event counters
+    via applyInPandasWithState (state: one (count, total_value) pair per
+    user). NoTimeout here: processing-time timeouts stall availableNow
+    replays (the trigger would have to wait out the wall-clock timeout);
+    production eviction would key the timeout off the event-time watermark
+    (EventTimeTimeout) instead."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, tv double"
+
+    def update(key, pdfs, state: GroupState):
+        n, tv = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            tv += float(pdf["value"].sum())
+        state.update((n, tv))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tv]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,173 @@
+"""Streaming replay tests (SURVEY.md §5 item 4): feed the static events
+fixture through a file-source stream in time-ordered chunks and assert the
+final streaming state equals the batch-equivalent query."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from eprints_to_hyku_data_tool_spark.plans.registry import REGISTRY, _load_all
+from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+from eprints_to_hyku_data_tool_spark.streaming import ops
+
+_load_all()
+
+N_CHUNKS = 4
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, sf_dir):
+    """events (sf fixture) written as N_CHUNKS time-ordered parquet files."""
+    tmp = tempfile.mkdtemp(prefix="events_replay_")
+    ev = load_table(spark, sf_dir, "events").orderBy("ts", "event_id")
+    rows = ev.count()
+    per = rows // N_CHUNKS + 1
+    pdf = ev.toPandas()
+    for i in range(N_CHUNKS):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if len(chunk):
+            spark.createDataFrame(
+                chunk, schema=ops.EVENTS_STREAM_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/chunk={i}")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_to_memory(df, name: str, mode: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def _chunks_glob(replay_dir: str) -> str:
+    return f"{replay_dir}/chunk=*"
+
+
+def test_x07_tumbling_stream_equals_batch(spark, sf_dir, replay_dir):
+    """X07+Q54: streamed watermarked tumbling agg == batch Q54 (in-order
+    replay drops nothing)."""
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, _chunks_glob(replay_dir))
+    _run_to_memory(ops.tumbling_counts(stream), name, "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in REGISTRY["q54_tumbling_window"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_x09_streaming_dedupe(spark, sf_dir, replay_dir, tmp_path):
+    """X09: duplicated chunk replayed twice -> dropDuplicatesWithinWatermark
+    emits each event_id once."""
+    dup_dir = str(tmp_path / "dup")
+    src = spark.read.parquet(_chunks_glob(replay_dir))
+    src.coalesce(1).write.mode("overwrite").parquet(f"{dup_dir}/a")
+    src.coalesce(1).write.mode("overwrite").parquet(f"{dup_dir}/b")
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, f"{dup_dir}/*", max_files_per_trigger=1)
+    _run_to_memory(ops.streaming_dedupe(stream), name, "append")
+    out = spark.table(name)
+    n_distinct_ids = out.select("event_id").distinct().count()
+    assert out.count() == n_distinct_ids == src.select("event_id").distinct().count()
+
+
+def test_x10_stream_static_join(spark, sf_dir, replay_dir):
+    """X10: stream-static join row count == batch join row count."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    name = f"j_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, _chunks_glob(replay_dir))
+    _run_to_memory(ops.stream_static_join(stream, cust), name, "append")
+    got = spark.table(name).count()
+    ev = load_table(spark, sf_dir, "events")
+    want = ev.join(cust, ev.user_id == cust.c_custkey, "inner").count()
+    assert got == want > 0
+
+
+def test_x08_watermark_drops_late(spark, replay_dir, tmp_path):
+    """X08: an event arriving >1h behind the observed max event time, in a
+    later micro-batch, is dropped from append-mode windowed counts."""
+    import pandas as pd
+
+    import time
+
+    late_dir = str(tmp_path / "late")
+    src = spark.read.parquet(_chunks_glob(replay_dir)).orderBy("ts", "event_id")
+    pdf = src.toPandas()
+    third = len(pdf) // 3
+    c0, c1, c2 = pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :].copy()
+    # Craft one late row whose whole 6-hour WINDOW ended long before the
+    # watermark (rows are dropped once window.end < watermark): 30h before
+    # the max ts of chunk 0, arriving two micro-batches later (the engine
+    # applies an updated watermark with one batch of lag).
+    late_row = c0.iloc[[0]].copy()
+    late_row["ts"] = c0["ts"].max() - pd.Timedelta(hours=30)
+    late_row["event_id"] = 10_000_000
+    c2 = pd.concat([late_row, c2], ignore_index=True)
+    for i, chunk in enumerate((c0, c1, c2)):
+        spark.createDataFrame(chunk, schema=ops.EVENTS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.parquet(f"{late_dir}/c={i}")
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, f"{late_dir}/*", max_files_per_trigger=1)
+    _run_to_memory(ops.windowed_with_watermark(stream, "1 hour"), name, "append")
+    streamed = {
+        r["window_start"]: r["n_events"] for r in spark.table(name).collect()
+    }
+
+    # Batch totals WITHOUT the late row = what the stream should emit for
+    # the late row's window (late row dropped).
+    batch = (
+        spark.read.parquet(f"{late_dir}/*")
+        .filter(F.col("event_id") != 10_000_000)
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    late_window = [
+        r["ws"]
+        for r in batch.collect()
+        if r["ws"] <= late_row["ts"].iloc[0].to_pydatetime()
+        and late_row["ts"].iloc[0].to_pydatetime() - r["ws"] <
+        __import__("datetime").timedelta(hours=6)
+    ][0]
+    want_n = {r["ws"]: r["n"] for r in batch.collect()}[late_window]
+    # Append mode only emits finalized windows; the late window must have
+    # been finalized with the no-late-row count.
+    assert streamed.get(late_window) == want_n
+
+
+def test_x11_stateful_counter(spark, sf_dir, replay_dir):
+    """X11: applyInPandasWithState running per-user counters — final state
+    equals batch per-user counts."""
+    name = f"s_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, _chunks_glob(replay_dir))
+    _run_to_memory(ops.stateful_user_counter(stream), name, "update")
+    out = spark.table(name).toPandas()
+    # update mode re-emits rows per batch: keep the LAST emission per user
+    final = out.groupby("user_id").last()
+    ev = load_table(spark, sf_dir, "events")
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .set_index("user_id")["n_events"]
+    )
+    assert final["n_events"].to_dict() == want.to_dict()
