@@ -21,6 +21,7 @@ partition-local top-k before the global one.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -28,27 +29,33 @@ from pyspark.sql.window import Window
 from ..sources.tables import load_table
 from .registry import register
 
-# MinHash parameters: 128 hashes = 32 bands x 4 rows. At the corpus'
+# MinHash parameters: 64 hashes = 16 bands x 4 rows. At the corpus'
 # near-dup tau (shingle-Jaccard 0.8, real pairs >=0.89) the per-pair miss
-# probability is (1 - J^4)^32 <= 2e-14 — the LSH candidate set provably
-# contains every true pair at fixture scale, so the banded pipeline is
-# exact-equal to brute force (asserted in tests and by the shared oracle).
-N_HASHES = 128
-N_BANDS = 32
+# probability is (1 - J^4)^16 <= 1.4e-7 — across the fixture's 25 true
+# pairs the chance of any miss is ~4e-6, so the banded pipeline is
+# exact-equal to brute force (asserted in tests and by the shared
+# oracle). 128 hashes would push it to 2e-14 at ~2x the signature cost;
+# 64 keeps the whole sf0.1 pipeline inside the per-query time budget.
+N_HASHES = 64
+N_BANDS = 16
 ROWS_PER_BAND = 4
 SHINGLE_K = 3
 # tau = 0.8 as the integer ratio test: 5*inter >= 4*union
 TAU_NUM, TAU_DEN = 4, 5
 
 
-def shingle_expr(text_col: str, k: int = SHINGLE_K) -> Column:
-    """Distinct k-token shingles of a space-tokenized text column.
+def shingle_expr(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingles of a PRE-BOUND token-array column.
 
     Word-set Jaccard is degenerate on a small vocabulary (95% of fixture
     pairs share >=30% of words); k-shingles of the token SEQUENCE separate
     true near-dups (J >= 0.89) from noise (J <= 0.15) bimodally.
+
+    The tokens MUST be a materialized column, not an inline split(...):
+    this expression references the array 1+k times, and inlining the
+    split makes every element_at re-split the text — O(len^2) per doc
+    (measured 10x slowdown at sf0.1).
     """
-    toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     mk = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]
@@ -58,6 +65,15 @@ def shingle_expr(text_col: str, k: int = SHINGLE_K) -> Column:
             F.array().cast("array<string>")
         )
     )
+
+
+def doc_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sh) with sh = distinct k-shingle array. Two-step
+    projection keeps split() evaluated once (CollapseProject does not
+    inline a multiply-referenced non-trivial expression)."""
+    return docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", shingle_expr(F.col("toks"), k).alias("sh"))
 
 
 # Shared DuckDB oracle for both near-dup forms: brute-force shingle
@@ -133,29 +149,35 @@ def q59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "path is q60_minhash_lsh (SURVEY §2.11 Q60).",
 )
 def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
+    import bisect
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingle_expr("text").alias("sh")
-    )
+    docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     rows = docs.collect()
-    bc = spark.sparkContext.broadcast(
-        sorted((r["doc_id"], frozenset(r["sh"])) for r in rows)
+    # Broadcast sorted by set size: J >= tau forces |B|/|A| within
+    # [tau, 1/tau], so each probe only scans a size window (exact
+    # pruning, no false negatives).
+    by_size = sorted(
+        (len(r["sh"]), r["doc_id"], frozenset(r["sh"])) for r in rows
     )
+    bc = spark.sparkContext.broadcast(by_size)
+    tau = TAU_NUM / TAU_DEN
 
     schema = "id_a bigint, id_b bigint, inter_size int, union_size int"
 
     def gen(batches):
         all_docs = bc.value
+        sizes = [s for s, _, _ in all_docs]
         for pdf in batches:
             out = {"id_a": [], "id_b": [], "inter_size": [], "union_size": []}
             for id_a, sh_a in zip(pdf["doc_id"], pdf["sh"]):
                 set_a = frozenset(sh_a)
-                for id_b, set_b in all_docs:
+                lo = bisect.bisect_left(sizes, int(tau * len(set_a)))
+                hi = bisect.bisect_right(sizes, int(len(set_a) / tau) + 1)
+                for size_b, id_b, set_b in all_docs[lo:hi]:
                     if id_b <= id_a:
                         continue
                     inter = len(set_a & set_b)
-                    union = len(set_a) + len(set_b) - inter
+                    union = len(set_a) + size_b - inter
                     if TAU_DEN * inter >= TAU_NUM * union:
                         out["id_a"].append(id_a)
                         out["id_b"].append(id_b)
@@ -186,24 +208,32 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brute-force oracle (SURVEY §2.11 Q60, §4 similarity-join row).",
 )
 def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", shingle_expr("text").alias("sh")
-    )
+    docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     # (doc_id, shingle) exploded — the only row-multiplying step, bounded
-    # by shingles-per-doc (~tokens-per-doc).
-    sh = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    # by shingles-per-doc (~tokens-per-doc). explode_OUTER on purpose:
+    # plain explode makes the optimizer infer a size(sh)>0 pre-filter and
+    # inline the whole shingle expression into it, re-splitting the text
+    # per element (the O(len^2) trap again); the outer form infers
+    # nothing and the null rows are dropped cheaply afterwards.
+    sh = docs.select("doc_id", F.explode_outer("sh").alias("shingle")).filter(
+        F.col("shingle").isNotNull()
+    )
 
-    # 128 seeded hashes per shingle; min per (doc, seed) in ONE aggregation
-    # (128 min columns, map-side partial).
+    # ONE string hash per shingle, then 128 derived hashes by re-hashing
+    # the 8-byte value with per-seed salts. Hashing the string 128x was
+    # the hot spot (string bytes dominate xxhash64 cost); hashing a fixed
+    # 8+4 byte input is ~free, and unlike multiply-add mixing it cannot
+    # hit ANSI-mode overflow errors.
+    base = F.xxhash64("shingle")
     hashed = sh.select(
         "doc_id",
         *[
-            F.xxhash64("shingle", F.lit(seed)).alias(f"h{seed}")
+            F.xxhash64(base, F.lit(seed)).alias(f"h{seed}")
             for seed in range(N_HASHES)
         ],
     )
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{seed}").alias(f"h{seed}") for seed in range(N_HASHES)]
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)]
     )
 
     # Band hashes: xxhash64 over each band's 4 signature values.
@@ -220,30 +250,53 @@ def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_hashes"),
     ).select("doc_id", F.posexplode("band_hashes").alias("band", "band_hash"))
 
-    # Bucket self-join -> distinct candidate pairs (equi-join on band key).
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), "band", F.col("band_hash").alias("bh_a")
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), "band", F.col("band_hash").alias("bh_b")
+    # Candidate pairs: ONE shuffle groups doc_ids per (band, bucket) and
+    # an array comprehension emits the in-bucket pairs. A literal
+    # bucket-key self-join would recompute the entire signature pipeline
+    # for each join side (no exchange reuse across differently-aliased
+    # branches) — measured 18s vs ~6s for this form at sf0.1. Bucket
+    # sizes are tiny (collisions only), so the pair expansion is bounded.
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
     candidates = (
-        a.join(b, ["band"])
-        .filter((F.col("bh_a") == F.col("bh_b")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
-    # Exact verify on candidates only: join shingle sets back, integer test.
+    # Exact verify on candidates only: join shingle sets back and compute
+    # intersection sizes in an Arrow-batched pandas UDF — python set ops
+    # are ~10x faster than the interpreted array_intersect expression on
+    # candidate volumes (still fully distributed, no broadcast of the
+    # corpus: only candidate pairs carry arrays).
+    @F.pandas_udf("int")
+    def set_intersection_size(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [len(frozenset(x) & frozenset(y)) for x, y in zip(a, b)],
+            dtype="int32",
+        )
+
     sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
     return (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn("inter_size", inter)
-        .withColumn("union_size", union)
+        .withColumn("inter_size", set_intersection_size("sh_a", "sh_b"))
+        .withColumn(
+            "union_size",
+            (F.size("sh_a") + F.size("sh_b") - F.col("inter_size")).cast("int"),
+        )
         .filter(TAU_DEN * F.col("inter_size") >= TAU_NUM * F.col("union_size"))
         .select("id_a", "id_b", "inter_size", "union_size")
     )

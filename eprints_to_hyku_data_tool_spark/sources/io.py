@@ -1,0 +1,128 @@
+"""Source/sink facade: SURVEY.md §2.1 X01-X06.
+
+The reference repo has no code (SURVEY.md §0); this is the IO surface of
+an EPrints->Hyku ETL: schema-applied CSV/JSON/XML sources (EPrints export
+formats), a JDBC source (EPrints is MySQL-backed), the Bulkrax CSV sink,
+and a partitioned parquet sink for intermediates.
+
+Every reader takes an explicit schema at the API boundary (SURVEY §1.2 —
+inference is for ad-hoc exploration only); schema-on-read keeps 100 TB
+scans single-pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    *,
+    header: bool = True,
+    multi_line: bool = True,
+    delimiter: str = ",",
+    quote: str = '"',
+) -> DataFrame:
+    """X01: EPrints flat CSV export. multiLine=True because EPrints
+    abstracts embed newlines inside quoted fields."""
+    reader = (
+        spark.read.option("header", header)
+        .option("multiLine", multi_line)
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("escape", '"')
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    *,
+    multi_line: bool = True,
+) -> DataFrame:
+    """X02: EPrints JSON export — a single top-level array of records
+    (multiLine), nested arrays-of-structs for creators/documents."""
+    reader = spark.read.option("multiLine", multi_line)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "eprint",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """X03: EPrints EP3 XML export (<eprints><eprint>...</eprint></eprints>).
+
+    Uses Spark 4's native XML source. On a Spark 3.x cluster without the
+    spark-xml package this raises — the mapInPandas + xml.etree fallback
+    shape is the X13 shredding pattern (q_udf.x13) applied to
+    wholetext-read files.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """X04: live EPrints MySQL tables. Always pass a numeric
+    partition_column + bounds for parallel reads — a single-connection
+    JDBC scan serializes the whole table through one task.
+
+    Untestable in this container (no database); the wrapper is exercised
+    only for option plumbing.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound if lower_bound is not None else 0)
+            .option(
+                "upperBound", upper_bound if upper_bound is not None else 1 << 31
+            )
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_bulkrax_csv(df: DataFrame, path: str, *, n_files: int = 1) -> None:
+    """X05: the Bulkrax import CSV — flat strings, multi-values already
+    '|'-joined by the transform layer, header row, one file per import
+    batch (coalesce, not repartition: no shuffle, just merged writes)."""
+    df.coalesce(n_files).write.mode("overwrite").option("header", True).option(
+        "quoteAll", False
+    ).option("escape", '"').csv(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """X06: partitioned parquet for intermediates. Partition columns become
+    directory keys -> downstream scans partition-prune on them; at 100 TB
+    pick columns with bounded cardinality (year, lang, source), never a
+    high-cardinality id."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

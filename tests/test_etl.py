@@ -1,0 +1,132 @@
+"""Golden end-to-end ETL test (SURVEY.md §5 item 3): EPrints-shaped JSON ->
+eprints_to_bulkrax -> Bulkrax CSV, byte-compared (as parsed CSV rows)
+against a golden file authored by an independent pure-python
+implementation of the same mapping rules. Plus IO facade coverage
+(X01-X03, X05-X06)."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eprints_to_hyku_data_tool_spark import etl
+from eprints_to_hyku_data_tool_spark.sources import io as eio
+from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def eprints_df(spark):
+    return eio.read_json(
+        spark, f"{FIXTURES}/eprints.json", schema=etl.EPRINTS_SCHEMA
+    )
+
+
+@pytest.fixture(scope="module")
+def subject_map_df(spark):
+    return eio.read_csv(
+        spark, f"{FIXTURES}/subject_map.csv", schema="code string, label string"
+    )
+
+
+def test_golden_bulkrax_csv(spark, eprints_df, subject_map_df, tmp_path):
+    """X02 source + the domain transform + X05 sink == the golden file."""
+    out_dir = str(tmp_path / "bulkrax")
+    result = etl.eprints_to_bulkrax(eprints_df, subject_map_df).orderBy(
+        "source_identifier"
+    )
+    eio.write_bulkrax_csv(result, out_dir)
+
+    (csv_file,) = glob.glob(f"{out_dir}/part-*.csv")
+    with open(csv_file, newline="") as f:
+        got = list(csv.reader(f))
+    with open(f"{FIXTURES}/bulkrax_expected.csv", newline="") as f:
+        want = list(csv.reader(f))
+    assert got[0] == want[0], "header mismatch"
+    assert sorted(map(tuple, got[1:])) == sorted(map(tuple, want[1:]))
+
+
+def test_creator_order_preserved(eprints_df, subject_map_df):
+    """SURVEY §1.1: creator order is bibliographically meaningful."""
+    row = (
+        etl.eprints_to_bulkrax(eprints_df, subject_map_df)
+        .filter(F.col("title") == "A Study of Metadata Migration")
+        .collect()[0]
+    )
+    assert row["creator"] == "Zeta, Zoe|Alpha, Ann"
+    # subject label order follows the original subjects array order too
+    assert row["subject"] == "Social Sciences|Computer Science"
+
+
+def test_unmapped_subjects_report(eprints_df, subject_map_df):
+    """The referential-integrity anti-join: XX9 on eprint 102 is the only
+    unmapped code."""
+    report = etl.unmapped_subjects_report(eprints_df, subject_map_df).collect()
+    assert [(r["eprintid"], r["code"]) for r in report] == [(102, "XX9")]
+
+
+def test_x01_csv_source(subject_map_df):
+    rows = {r["code"]: r["label"] for r in subject_map_df.collect()}
+    assert rows["QA76"] == "Computer Science"
+    assert len(rows) == 5
+
+
+def test_x03_xml_source(spark, eprints_df):
+    """EP3-shaped XML parses to rows matching the JSON export's records."""
+    xml = eio.read_xml(spark, f"{FIXTURES}/eprints.xml", row_tag="eprint")
+    rows = {r["eprintid"]: r for r in xml.collect()}
+    assert set(rows) == {101, 102}
+    assert rows[101]["title"] == "A  Study of   Metadata Migration"
+    # nested repeated <item> children arrive as arrays, order intact
+    assert list(rows[101]["subjects"]["item"]) == ["H5", "QA76"]
+    assert [c["family"] for c in rows[101]["creators"]["item"]] == [
+        "Zeta",
+        "Alpha",
+    ]
+
+
+def test_x06_partitioned_parquet_sink(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "part_orders")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    eio.write_partitioned_parquet(orders, out, ["order_year"])
+    # directory keys exist and partition pruning sees only one year
+    years = sorted(
+        int(p.split("=")[1])
+        for p in os.listdir(out)
+        if p.startswith("order_year=")
+    )
+    assert len(years) >= 3
+    one_year = spark.read.parquet(out).filter(F.col("order_year") == years[0])
+    assert 0 < one_year.count() < orders.count()
+    # the year filter is partition pruning, not a data filter
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one_year.explain()
+    assert "PartitionFilters: [isnotnull(order_year" in buf.getvalue()
+
+
+def test_x04_jdbc_reader_is_configured(spark):
+    """No database in this container: assert the wrapper builds a jdbc
+    reader (load() would need a live endpoint)."""
+    with pytest.raises(Exception) as exc_info:
+        eio.read_jdbc(
+            spark,
+            "jdbc:mysql://localhost:1/none",
+            "eprints",
+            partition_column="eprintid",
+            properties={"driver": "org.example.NoDriver"},
+        )
+    # failure must be the missing driver/endpoint, not our option plumbing
+    assert "NoDriver" in str(exc_info.value) or "No suitable driver" in str(
+        exc_info.value
+    )

@@ -1,0 +1,121 @@
+"""Property-based spot checks (SURVEY.md §5 item 5): algebraic laws of the
+engine's operators on hypothesis-generated micro-tables, plus fixture-level
+invariants that must hold at any scale factor."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from eprints_to_hyku_data_tool_spark.plans.registry import REGISTRY, _load_all
+from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+_load_all()
+
+# One tiny strategy budget: each example spins Spark jobs, so keep counts
+# low — these are algebra checks, not fuzzing.
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_dedupe_idempotent(spark, rows):
+    """dedupe(dedupe(x)) == dedupe(x) for keep-first dedupe."""
+    df = spark.createDataFrame(rows, "k int, v int")
+
+    def dedupe(d):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("k").orderBy("v")
+        return d.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).drop("rn")
+
+    once = sorted(map(tuple, dedupe(df).collect()))
+    twice = sorted(map(tuple, dedupe(dedupe(df)).collect()))
+    assert once == twice
+    assert len(once) == len({k for k, _ in rows})
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_union_except_roundtrip(spark, rows):
+    """(a union b) except b ⊆ a, and a.subtract(a) is empty (distinct set
+    algebra)."""
+    df = spark.createDataFrame(rows, "k int, v int")
+    a = df.filter(F.col("v") >= 0)
+    b = df.filter(F.col("v") < 0)
+    back = a.unionByName(b).subtract(b)
+    a_set = set(map(tuple, a.collect()))
+    assert set(map(tuple, back.collect())) <= a_set
+    assert a.subtract(a).count() == 0
+
+
+@SETTINGS
+@given(rows=rows_strategy)
+def test_explode_collect_roundtrip(spark, rows):
+    """explode ∘ (sorted collect_list) preserves the multiset per key."""
+    df = spark.createDataFrame(rows, "k int, v int")
+    folded = df.groupBy("k").agg(F.sort_array(F.collect_list("v")).alias("vs"))
+    unfolded = folded.select("k", F.explode("vs").alias("v"))
+    assert sorted(map(tuple, unfolded.collect())) == sorted(rows)
+
+
+def test_jaccard_pipelines_agree(spark, sf_dir):
+    """The distributed MinHash-LSH pipeline and the brute-force form return
+    the identical pair set (miss probability <= 2e-14 at these params)."""
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["q60_neardup_jaccard"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["q60_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert brute == lsh and len(brute) > 0
+
+
+def test_exact_dedupe_is_lossless_partition(spark, sf_dir):
+    """Q59 keeps exactly one representative per text_key and the copy
+    counts re-add to the corpus size."""
+    out = REGISTRY["q59_exact_dedupe"].fn(spark, sf_dir)
+    total = out.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == load_table(spark, sf_dir, "documents").count()
+
+
+def test_soundex_and_xxhash_available(spark, sf_dir):
+    """Q45/Q51 Spark-only functions (no DuckDB oracle): smoke their
+    behavior — soundex blocking keys and xxhash64 determinism."""
+    cust = load_table(spark, sf_dir, "customer").limit(100)
+    out = cust.select(
+        F.soundex("c_name").alias("sx"), F.xxhash64("c_name").alias("xx")
+    )
+    again = cust.select(
+        F.soundex("c_name").alias("sx"), F.xxhash64("c_name").alias("xx")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_percentile_approx_within_tolerance(spark, sf_dir):
+    """Q27's 100 TB variant: percentile_approx vs exact percentile within
+    1% relative error at accuracy=10000."""
+    orders = load_table(spark, sf_dir, "orders")
+    row = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
