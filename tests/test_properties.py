@@ -110,6 +110,21 @@ def test_soundex_and_xxhash_available(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
 
 
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """q61_ivf_topk (approximate, nprobe=8/16) must keep recall@5 >= 0.8
+    against the exact q61 top-k (measured 0.88 at sf0.01; the fixture's
+    embeddings are near-uniform, a worst case for IVF)."""
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in REGISTRY["q61_topk_similarity"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in REGISTRY["q61_ivf_topk"].fn(spark, sf_dir).collect()
+    }
+    assert len(exact & ivf) / len(exact) >= 0.8
+
+
 def test_percentile_approx_within_tolerance(spark, sf_dir):
     """Q27's 100 TB variant: percentile_approx vs exact percentile within
     1% relative error at accuracy=10000."""

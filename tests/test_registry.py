@@ -1,0 +1,56 @@
+"""Registry loader behavior (VERDICT r1 item 7): a missing plan module is
+tolerated (incremental build), but a BROKEN module must fail loudly — a
+silently-skipped module would shrink queries() and let the correctness
+gate pass vacuously."""
+
+from __future__ import annotations
+
+import builtins
+import sys
+
+import pytest
+
+from eprints_to_hyku_data_tool_spark.plans import registry
+
+
+def _run_load_with_fake_import(monkeypatch, effect):
+    """Route the import of one phantom plan module through `effect`."""
+    phantom = f"{registry.__package__}.q_joins"
+    real_import = builtins.__import__
+
+    def fake_import(name, *args, **kwargs):
+        if name == phantom:
+            return effect(name)
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", fake_import)
+    monkeypatch.delitem(sys.modules, phantom, raising=False)
+    registry._load_all()
+
+
+def test_missing_module_tolerated(monkeypatch):
+    def missing(name):
+        raise ModuleNotFoundError(f"No module named '{name}'", name=name)
+
+    _run_load_with_fake_import(monkeypatch, missing)  # no raise
+
+
+def test_broken_internal_import_propagates(monkeypatch):
+    def broken(name):
+        # the module EXISTS but an import inside it is broken
+        raise ModuleNotFoundError(
+            "No module named 'numpyy'", name="numpyy"
+        )
+
+    with pytest.raises(ModuleNotFoundError, match="numpyy"):
+        _run_load_with_fake_import(monkeypatch, broken)
+
+
+def test_every_query_has_unique_registration():
+    registry._load_all()
+    names = list(registry.REGISTRY)
+    assert len(names) == len(set(names))
+    # every oracle-paired entry has non-empty SQL
+    for name, spec in registry.REGISTRY.items():
+        if spec.oracle is not None:
+            assert "SELECT" in spec.oracle.upper(), name
