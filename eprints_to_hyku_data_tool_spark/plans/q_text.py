@@ -1,0 +1,287 @@
+"""Text-analysis operators for the training-data pipeline (assignment
+mandate, extending SURVEY.md §2.11): corpus-trained language ID, quality
+scoring, token counting, and winnowing document fingerprints — each an
+oracle-paired query over the documents table.
+
+Numeric discipline: every score is built from integer counts (exact) or a
+single integer/integer division (IEEE-exact on both engines); fingerprint
+hashes are md5 hex strings compared lexicographically — no
+engine-specific numerics anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+# corpus words used as the "stopword" list (the fixture vocabulary is
+# synthetic; these play the role 'the/of/and' play in natural text)
+STOPWORDS = ("data", "table", "row", "value", "key")
+PROFILE_TOP_K = 50
+
+
+# --------------------------------------------------------------------------
+# Q63 — language identification (corpus-trained token profiles)
+# --------------------------------------------------------------------------
+@register(
+    "q63_language_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
+                 FROM documents),
+         profile AS (
+           SELECT lang, token, cnt FROM (
+             SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt,
+                    ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY COUNT(*) DESC, token) AS rn
+             FROM tok GROUP BY lang, token)
+           WHERE rn <= {PROFILE_TOP_K}),
+         scores AS (
+           SELECT t.doc_id, p.lang AS cand_lang,
+                  CAST(SUM(p.cnt) AS BIGINT) AS score
+           FROM tok t JOIN profile p ON t.token = p.token
+           GROUP BY t.doc_id, p.lang),
+         best AS (
+           SELECT doc_id, cand_lang AS predicted_lang, score,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand_lang) AS rn
+           FROM scores)
+    SELECT d.doc_id, d.lang AS actual_lang,
+           COALESCE(b.predicted_lang, 'unknown') AS predicted_lang,
+           COALESCE(b.score, 0) AS score,
+           COALESCE(b.predicted_lang, 'unknown') = d.lang AS is_correct
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+    doc="N-gram(1) language ID: per-language top-50 token profiles are "
+    "trained FROM the corpus (one pass), each document scores every "
+    "language by summed profile counts of its tokens, argmax wins "
+    "(integer scores, lang tie-break -> fully deterministic). The "
+    "profile is vocabulary-sized -> broadcast; the only big shuffle is "
+    "the (doc, lang) score aggregation. On this synthetic corpus text "
+    "does not actually encode lang, so is_correct hovers at chance — "
+    "the machinery, not the accuracy, is the operator.",
+)
+def q63_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    profile = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_prof))
+        .filter(F.col("rn") <= PROFILE_TOP_K)
+        .select(F.col("lang").alias("cand_lang"), "token", "cnt")
+    )
+    scores = (
+        tok.join(F.broadcast(profile), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.sum("cnt").alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand_lang")
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("predicted_lang"), "score")
+    )
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "actual_lang",
+            F.coalesce("predicted_lang", F.lit("unknown")).alias(
+                "predicted_lang"
+            ),
+            F.coalesce("score", F.lit(0)).alias("score"),
+            (
+                F.coalesce("predicted_lang", F.lit("unknown"))
+                == F.col("actual_lang")
+            ).alias("is_correct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q64 — document quality scoring
+# --------------------------------------------------------------------------
+@register(
+    "q64_quality_score",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             CAST(length(replace(text,' ','')) AS BIGINT) AS n_letters,
+             CAST(len(list_filter(string_split(text,' '),
+                  t -> t IN {str(tuple(STOPWORDS))})) AS BIGINT) AS n_stop,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                  AS BIGINT) AS n_punct
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           CAST(n_letters AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CASE WHEN n_tokens BETWEEN 10 AND 1000
+                     AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+                THEN 'ok' ELSE 'low' END AS quality_flag
+    FROM base
+    """,
+    doc="Quality scoring for corpus filtering: token count, average token "
+    "length, stopword ratio, punctuation ratio, and a keep/drop flag. "
+    "All ratios are one integer/integer division (IEEE-exact both "
+    "engines). Pure row-level expressions — embarrassingly parallel.",
+)
+def q64_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("long")
+    n_letters = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(
+        "long"
+    )
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    ).cast("long")
+    n_punct = F.length(
+        F.regexp_replace("text", r"[^.,;:!?]", "")
+    ).cast("long")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        (n_letters.cast("double") / n_tokens).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (n_punct.cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        F.when(
+            n_tokens.between(10, 1000) & (stop_ratio < 0.5), "ok"
+        )
+        .otherwise("low")
+        .alias("quality_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q65 — token counting (whitespace + BPE-ish regex + LLM estimate)
+# --------------------------------------------------------------------------
+@register(
+    "q65_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS bpe_tokens,
+           CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS est_llm_tokens,
+           CAST(n_chars AS DOUBLE) / len(string_split(text,' '))
+             AS chars_per_ws_token
+    FROM documents
+    """,
+    doc="Token counting three ways: whitespace split, a BPE-ish regex "
+    "(letter runs | digit runs | single symbols — the pre-tokenizer "
+    "shape real BPE vocabularies assume), and the chars/4 LLM estimate. "
+    "Row-level only.",
+)
+def q65_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.ceil(F.col("n_chars").cast("double") / 4).cast("long").alias(
+            "est_llm_tokens"
+        ),
+        (F.col("n_chars").cast("double") / ws).alias("chars_per_ws_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q66 — document fingerprinting (winnowing over k-gram hashes)
+# --------------------------------------------------------------------------
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # hashes per winnowing window
+
+
+@register(
+    "q66_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+         kg AS (SELECT doc_id,
+                       list_transform(range(1, greatest(len(toks) - {WINNOW_K - 2}, 1)),
+                                      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' ||
+                                               toks[i+2])) AS h
+                FROM t),
+         fp AS (SELECT doc_id, len(h) AS n_kgrams,
+                       list_distinct(
+                         list_transform(range(1, greatest(len(h) - {WINNOW_W - 2}, 1)),
+                                        i -> list_aggregate(
+                                               list_slice(h, i, i + {WINNOW_W - 1}),
+                                               'min'))) AS fps
+                FROM kg)
+    SELECT doc_id,
+           CAST(n_kgrams AS INT) AS n_kgrams,
+           CAST(len(fps) AS INT) AS n_fingerprints,
+           list_aggregate(fps, 'min') AS min_fp,
+           list_aggregate(fps, 'max') AS max_fp
+    FROM fp
+    """,
+    doc="Winnowing fingerprints (the MOSS scheme): md5 over positional "
+    "3-gram token windows, then the lexicographic minimum of every 4 "
+    "consecutive hashes; the distinct minima are the document's "
+    "fingerprint set (guaranteed shared fingerprints for sufficiently "
+    "long shared substrings). Hashes stay hex STRINGS — lexicographic "
+    "min is engine-portable where numeric hex parsing is not. Pure "
+    "row-level array work; fingerprint sets are the join key for "
+    "plagiarism-style matching at scale.",
+)
+def q66_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # three bound projections: toks -> kgram hashes -> window minima; each
+    # stage's array is referenced multiple times by the next (the
+    # inline-split O(len^2) trap — see q_north.doc_shingles)
+    with_toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    kgram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ",
+            *[F.element_at(toks, i + F.lit(j + 1)) for j in range(WINNOW_K)],
+        )
+    )
+    with_hashes = with_toks.select(
+        "doc_id",
+        F.when(
+            n >= WINNOW_K,
+            F.transform(F.sequence(F.lit(0), n - WINNOW_K), kgram),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("h"),
+    )
+    h = F.col("h")
+    m = F.size(h)
+    win_min = lambda i: F.array_min(F.slice(h, i + F.lit(1), WINNOW_W))  # noqa: E731
+    with_fps = with_hashes.select(
+        "doc_id",
+        m.cast("int").alias("n_kgrams"),
+        F.array_distinct(
+            F.when(
+                m >= WINNOW_W,
+                F.transform(F.sequence(F.lit(0), m - WINNOW_W), win_min),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("fps"),
+    )
+    return with_fps.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("fps").cast("int").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )

@@ -51,6 +51,7 @@ def _load_all() -> None:
         "q_scalar",
         "q_setops_sort",
         "q_north",
+        "q_text",
         "q_udf",
         "q_streaming",
     ):
