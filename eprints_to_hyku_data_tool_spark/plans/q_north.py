@@ -568,7 +568,10 @@ def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=NLIST, seed=42, maxIter=10).fit(feats)
+    # maxIter=4: the quantizer only needs rough cells (recall is governed
+    # by nprobe); extra Lloyd iterations cost ~0.5s each for no recall
+    # gain on this corpus (re-measured: 0.85-0.88 recall unchanged)
+    model = KMeans(k=NLIST, seed=42, maxIter=4).fit(feats)
     assigned = model.transform(feats).select(
         "vec_id", "embedding", F.col("prediction").alias("cell")
     )
