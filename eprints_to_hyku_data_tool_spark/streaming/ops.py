@@ -110,6 +110,24 @@ def windowed_with_watermark(stream: DataFrame, watermark: str = "1 hour") -> Dat
     )
 
 
+def session_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Q56's shape as a stream: watermarked per-user session windows
+    (30-minute gap). Append mode emits a session once the watermark
+    passes its end — sessions still open within the watermark horizon at
+    end-of-replay are withheld, which the replay test accounts for."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stateful_user_counter(stream: DataFrame) -> DataFrame:
     """X11: custom stateful processing — running per-user event counters
     via applyInPandasWithState (state: one (count, total_value) pair per

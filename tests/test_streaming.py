@@ -154,6 +154,34 @@ def test_x08_watermark_drops_late(spark, replay_dir, tmp_path):
     assert streamed.get(late_window) == want_n
 
 
+def test_q56_session_stream_matches_batch(spark, sf_dir, replay_dir):
+    """Streamed session windows == batch q56 for every session the
+    watermark finalized (append mode withholds sessions still open within
+    the horizon at end-of-replay)."""
+    import datetime
+
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, _chunks_glob(replay_dir))
+    _run_to_memory(ops.session_counts(stream, "1 hour"), name, "append")
+    streamed = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in REGISTRY["q56_session_window"].fn(spark, sf_dir).collect()
+    }
+    assert set(streamed) <= set(batch)
+    for key, val in streamed.items():
+        assert batch[key] == val
+    # everything the watermark could finalize was emitted: sessions ending
+    # more than (watermark + one batch of lag) before max event time
+    max_ts = max(end for end, _ in batch.values())
+    horizon = max_ts - datetime.timedelta(hours=2)
+    finalized = {k for k, (end, _) in batch.items() if end < horizon}
+    assert finalized <= set(streamed)
+
+
 def test_x11_stateful_counter(spark, sf_dir, replay_dir):
     """X11: applyInPandasWithState running per-user counters — final state
     equals batch per-user counts."""
