@@ -631,6 +631,50 @@ def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q67 — embedding-cosine near-dup DEDUPE (greedy keep-lowest-id)
+# --------------------------------------------------------------------------
+@register(
+    "q67_embedding_dedupe",
+    oracle="""
+    WITH dropped AS (
+      SELECT DISTINCT b.vec_id AS vid
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+            >= 0.4)
+    SELECT e.vec_id, e.label, EXISTS(SELECT 1 FROM dropped d WHERE d.vid = e.vec_id)
+             AS is_dropped
+    FROM embeddings e
+    """,
+    doc="Embedding-cosine near-dup dedupe (the fifth dedup family): any "
+    "vector with cosine >= tau to a LOWER-id vector is marked dropped — "
+    "greedy single-pass dedup, the standard corpus-dedup policy when "
+    "full connected components are not needed. Pair generation reuses "
+    "the q18 blocked broadcast-matmul kernel (O(n d) transfer); the "
+    "drop set is a tiny semi-join side. tau margin 1e-4 (see q18) "
+    "(assignment dedup mandate).",
+)
+def q67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import similarity_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity_pairs_blocked(emb, tau=0.4, spark=spark)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return (
+        emb.select("vec_id", "label")
+        .join(
+            dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Q62 — text statistics / language slice
 # --------------------------------------------------------------------------
 @register(
