@@ -126,3 +126,24 @@ def write_partitioned_parquet(
     pick columns with bounded cardinality (year, lang, source), never a
     high-cardinality id."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """X06b: bucketed managed table — the co-located-join primitive. Two
+    tables bucketed (and sorted) on the same join key with the same
+    bucket count join with NO exchange and no sort: at 100 TB this
+    removes the dominant shuffle from every fact-to-fact join that
+    repeats across a pipeline (asserted plan-level in
+    tests/test_bucketing.py)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
