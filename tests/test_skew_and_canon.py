@@ -1,0 +1,66 @@
+"""Salted-join equivalence + parity-canonicalizer edge cases (the ADVICE
+r1 defects stay fixed)."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from eprints_to_hyku_data_tool_spark.functions.skew import salted_join, top_heavy_keys
+from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+from .parity import canon_value
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_key"), "c_mktsegment")
+    )
+    plain = events.join(
+        dim, events.user_id == dim.user_key, "inner"
+    ).select("event_id", "c_mktsegment")
+    salted = salted_join(events, dim, "user_id", "user_key", n_salts=8).select(
+        "event_id", "c_mktsegment"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_top_heavy_keys_shape(spark, sf_dir):
+    out = top_heavy_keys(load_table(spark, sf_dir, "events"), "user_id", 3)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert rows[0]["n_rows"] >= rows[1]["n_rows"] >= rows[2]["n_rows"]
+    assert 0 < rows[0]["share"] < 1
+
+
+# ---- canon_value edge cases (ADVICE r1 items must stay fixed) ----
+
+
+def test_canon_decimal_exact_above_2_53():
+    a, b = Decimal(2**60), Decimal(2**60 + 1)
+    assert canon_value(a) != canon_value(b)  # float folding would collapse
+
+
+def test_canon_decimal_trailing_zeros():
+    assert canon_value(Decimal("1.10")) == canon_value(Decimal("1.1"))
+    assert canon_value(Decimal("100")) == "100"
+
+
+def test_canon_nat_and_none_agree():
+    assert canon_value(pd.NaT) == canon_value(None) == "NULL"
+
+
+def test_canon_negative_zero_folds():
+    assert canon_value(-0.0) == canon_value(0.0) == "0.0"
+
+
+def test_canon_datetime_vs_timestamp_agree():
+    d = datetime.datetime(2024, 1, 1, 0, 0, 7, 179575)
+    assert canon_value(d) == canon_value(pd.Timestamp(d))
