@@ -112,3 +112,31 @@ def test_q57_udf_is_arrow_batched(plans):
     p = plans("q57_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p  # row-at-a-time python UDF forbidden
+
+
+# Nested-loop joins that are deliberate and bounded to tiny sides:
+# q14 is the small-dim cartesian operator itself; x15 cross-joins a
+# ONE-ROW corpus-size aggregate.
+NESTED_LOOP_WHITELIST = {"q14_cross_join", "x15_tfidf"}
+
+
+def test_fleet_wide_plan_lint(spark, sf_dir):
+    """Every registered query's physical plan is free of scale
+    anti-patterns: no cartesian products, no nested-loop joins outside
+    the whitelist, no row-at-a-time python UDFs."""
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        p = plan_text(spec.fn(spark, sf_dir))
+        problems = []
+        if "CartesianProduct" in p:
+            problems.append("CartesianProduct")
+        if (
+            "BroadcastNestedLoopJoin" in p
+            and name not in NESTED_LOOP_WHITELIST
+        ):
+            problems.append("BroadcastNestedLoopJoin")
+        if "BatchEvalPython" in p:
+            problems.append("BatchEvalPython")
+        if problems:
+            offenders[name] = problems
+    assert not offenders, offenders
