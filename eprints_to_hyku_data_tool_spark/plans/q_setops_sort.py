@@ -6,17 +6,16 @@ QA pagination, merged batches, and the "not yet migrated" delta report.
 
 Scale posture: Q38/Q39 compile to TakeOrderedAndProject (per-partition
 top-k, then a single small merge — no global sort materialization). Q37
-materializes a global position on purpose (verification needs the order
-inside an order-insensitive hash) and is the one deliberate global sort.
-Set ops are key-only projections before the shuffle, so the exchanged
-payload is minimal.
+materializes a global position via the distributed two-phase scheme in
+functions/ordering.py (range partition -> local ranks -> broadcast
+offsets), never a single-partition window. Set ops are key-only
+projections before the shuffle, so the exchanged payload is minimal.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
 from .registry import register
@@ -39,12 +38,15 @@ from .registry import register
     """,
     doc="Multi-key sort (DESC date, ASC-nulls-last price, key tie-break) "
     "with the total order materialized as a position column — the "
-    "order-insensitive hash can't see bare sort order otherwise. The "
-    "global row_number is deliberate here and verification-only; plain "
-    "sorted output would use orderBy + sortWithinPartitions at scale "
+    "order-insensitive hash can't see bare sort order otherwise. "
+    "Positions come from the distributed two-phase scheme "
+    "(functions.ordering.with_global_position: range partition -> local "
+    "ranks -> broadcast offsets), NOT a single-partition global window "
     "(SURVEY §2.6 Q37).",
 )
 def q37_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ordering import with_global_position
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("order_date"),
@@ -52,10 +54,14 @@ def q37_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("price_or_null"),
     )
-    w = Window.orderBy(
-        F.desc("order_date"), F.asc_nulls_last("price_or_null"), F.asc("o_orderkey")
+    return with_global_position(
+        orders,
+        [
+            F.desc("order_date"),
+            F.asc_nulls_last("price_or_null"),
+            F.asc("o_orderkey"),
+        ],
     )
-    return orders.withColumn("position", F.row_number().over(w))
 
 
 # --------------------------------------------------------------------------

@@ -108,6 +108,14 @@ def test_q19_partial_aggregation(plans):
     assert p.count("HashAggregate") >= 2, p
 
 
+def test_q37_global_position_is_distributed(plans):
+    p = plans("q37_multikey_sort")
+    # the data flows through a range partitioner + per-partition ranks,
+    # not a single-partition global window
+    assert "rangepartitioning" in p, p
+    assert "hashpartitioning(__pid" in p, p
+
+
 def test_q57_udf_is_arrow_batched(plans):
     p = plans("q57_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
