@@ -187,7 +187,7 @@ def q25_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q26 — pivot (crosstab QA report)
 # --------------------------------------------------------------------------
 @register(
-    "q26_pivot",
+    "z26_pivot",
     oracle="""
     SELECT c_mktsegment,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -222,7 +222,7 @@ def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q27 — percentiles / median (exact)
 # --------------------------------------------------------------------------
 @register(
-    "q27_percentiles",
+    "z27_percentiles",
     oracle="""
     SELECT c_mktsegment,
            round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
@@ -257,7 +257,7 @@ def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q28 — statistical aggregates
 # --------------------------------------------------------------------------
 @register(
-    "q28_stats",
+    "z28_stats",
     oracle="""
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS qty_stddev,
@@ -289,7 +289,7 @@ def q28_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q29 — filtered / conditional aggregation
 # --------------------------------------------------------------------------
 @register(
-    "q29_conditional_agg",
+    "z29_conditional_agg",
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -330,7 +330,7 @@ def q29_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q30 — mixed distinct + plain aggregates
 # --------------------------------------------------------------------------
 @register(
-    "q30_mixed_distinct",
+    "z30_mixed_distinct",
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -137,17 +137,14 @@ def q59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Q60 — near-dup detection, brute-force reference form
+# Q60 — near-dup detection, brute-force reference form (TEST-ONLY)
 # --------------------------------------------------------------------------
-@register(
-    "q60_neardup_jaccard",
-    oracle=_NEARDUP_ORACLE,
-    doc="Near-dup pairs at shingle-Jaccard >= 0.8 (integer ratio test; the "
-    "fixture has pairs exactly ON rational thresholds). Brute-force "
-    "reference: shingle sets are broadcast once, mapInPandas computes "
-    "python set intersections per pair — fixture-tier only; the scale "
-    "path is q60_minhash_lsh (SURVEY §2.11 Q60).",
-)
+# Deliberately NOT registered (VERDICT r2 "What's wrong" #2): this form
+# collects the shingled corpus to the driver, which is a fixture-tier
+# cross-check, not a plan that survives 100 TB. The registered Q60 family
+# is q60_minhash_lsh + q60_simhash (fully distributed, same shared
+# oracle); tests/test_properties.py keeps this brute force as an
+# independent equivalence witness against both.
 def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     import bisect
 

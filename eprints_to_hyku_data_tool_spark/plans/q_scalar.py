@@ -26,7 +26,7 @@ from .registry import register
 # Q43 — string cleanup kit (name normalization)
 # --------------------------------------------------------------------------
 @register(
-    "q43_string_kit",
+    "z43_string_kit",
     oracle="""
     SELECT c_custkey,
            lower(trim(c_name)) AS clean_name,
@@ -70,7 +70,7 @@ def q43_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q44 — regex extraction (identifier parsing)
 # --------------------------------------------------------------------------
 @register(
-    "q44_regex_extract",
+    "z44_regex_extract",
     oracle=r"""
     SELECT p_partkey,
            regexp_extract(p_name, '^(\w+)', 1) AS first_word,
@@ -99,7 +99,7 @@ def q44_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q45 — fuzzy string match (record-linkage kit)
 # --------------------------------------------------------------------------
 @register(
-    "q45_fuzzy_match",
+    "z45_fuzzy_match",
     oracle="""
     SELECT c_custkey, s_suppkey, c_name, s_name,
            CAST(levenshtein(lower(c_name), lower(s_name)) AS BIGINT) AS edit_dist,
@@ -136,7 +136,7 @@ def q45_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q46 — date/time kit (monthly rollup)
 # --------------------------------------------------------------------------
 @register(
-    "q46_date_kit",
+    "z46_date_kit",
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
@@ -193,7 +193,7 @@ def q46_date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q47 — math kit
 # --------------------------------------------------------------------------
 @register(
-    "q47_math_kit",
+    "z47_math_kit",
     oracle="""
     SELECT p_partkey,
            round(p_retailprice, 1) AS price_r1,
@@ -237,7 +237,7 @@ def q47_math_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q48 — array kit (tokenized multi-value fields)
 # --------------------------------------------------------------------------
 @register(
-    "q48_array_kit",
+    "z48_array_kit",
     oracle="""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -274,7 +274,7 @@ def q48_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q49 — map kit (map round-trip; oracle is the plain relational equivalent)
 # --------------------------------------------------------------------------
 @register(
-    "q49_map_kit",
+    "z49_map_kit",
     oracle="""
     WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
                FROM events GROUP BY user_id, event_type)
@@ -308,7 +308,7 @@ def q49_map_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q50 — JSON kit (props extraction)
 # --------------------------------------------------------------------------
 @register(
-    "q50_json_kit",
+    "z50_json_kit",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_band,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -425,13 +425,16 @@ def q52_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS reparsed_date,
            TRY_CAST(o_orderstatus AS DOUBLE) AS bad_double,
            TRY_CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE) AS key_as_double,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec
     FROM orders
     WHERE o_orderkey % 50 = 0
     """,
     doc="Cast/coercion kit: string->date round-trip, try_cast null-on-"
     "error (bad_double is always NULL), string->double, double->"
-    "decimal(12,2) — the stringly-typed-source edge (SURVEY §2.8 Q53).",
+    "decimal(12,2) — the stringly-typed-source edge (SURVEY §2.8 Q53). "
+    "The decimal is EMITTED as its canonical 2-dp string: decimal output "
+    "columns hash differently per engine in the driver canonicalizer "
+    "(r2's q01 regression), so final schemas are decimal-free fleet-wide.",
 )
 def q53_cast_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -446,5 +449,5 @@ def q53_cast_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(CAST(o_orderkey AS STRING) AS DOUBLE)").alias(
             "key_as_double"
         ),
-        F.col("o_totalprice").cast("decimal(12,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
     )

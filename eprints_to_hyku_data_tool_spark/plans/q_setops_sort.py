@@ -68,7 +68,7 @@ def q37_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q38 — global top-k (TakeOrderedAndProject)
 # --------------------------------------------------------------------------
 @register(
-    "q38_global_topk",
+    "z38_global_topk",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -92,7 +92,7 @@ def q38_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q39 — limit / offset pagination
 # --------------------------------------------------------------------------
 @register(
-    "q39_limit_offset",
+    "z39_limit_offset",
     oracle="""
     SELECT o_orderkey, o_orderpriority, o_totalprice
     FROM orders
@@ -116,7 +116,7 @@ def q39_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q40 — UNION ALL + dedupe (merging export batches)
 # --------------------------------------------------------------------------
 @register(
-    "q40_union",
+    "z40_union",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -144,7 +144,7 @@ def q40_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q41 — INTERSECT (reconciliation)
 # --------------------------------------------------------------------------
 @register(
-    "q41_intersect",
+    "z41_intersect",
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     INTERSECT
@@ -172,7 +172,7 @@ def q41_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q42 — EXCEPT (the "not yet migrated" delta report)
 # --------------------------------------------------------------------------
 @register(
-    "q42_except",
+    "z42_except",
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT

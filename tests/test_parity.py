@@ -28,6 +28,38 @@ def test_rows_only_runs(name, spark, sf_dir):
     assert len(df.schema.fields) > 0
 
 
+def test_demoted_brute_jaccard_matches_oracle(spark, sf_dir, duck):
+    """q60_neardup_jaccard was demoted to test-only in r3 (it collects the
+    corpus); it keeps full oracle parity here so the brute-force witness
+    stays verified without shipping a driver-collect as a registered plan."""
+    from eprints_to_hyku_data_tool_spark.plans.q_north import (
+        _NEARDUP_ORACLE,
+        q60_neardup_jaccard,
+    )
+
+    assert_parity(
+        q60_neardup_jaccard(spark, sf_dir),
+        _NEARDUP_ORACLE,
+        duck,
+        name="q60_neardup_jaccard(test-only)",
+    )
+
+
+def test_no_decimal_output_columns(spark):
+    """The driver's hasher canonicalizes Decimal differently per engine
+    (r2's only red row): no registered query may emit a DecimalType column.
+    Schema-only check — builds every plan at sf0.001, executes nothing."""
+    from pyspark.sql.types import DecimalType
+
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        schema = spec.fn(spark, "/root/testdata/sf0.001").schema
+        bad = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"decimal output columns: {offenders}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -63,7 +63,7 @@ def test_q25_dim_join_broadcasts(plans):
 
 
 def test_q38_take_ordered_and_project(plans):
-    p = plans("q38_global_topk")
+    p = plans("z38_global_topk")
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p  # no global sort
 

@@ -77,10 +77,14 @@ def test_explode_collect_roundtrip(spark, rows):
 
 def test_jaccard_pipelines_agree(spark, sf_dir):
     """The distributed MinHash-LSH pipeline and the brute-force form return
-    the identical pair set (miss probability <= 2e-14 at these params)."""
+    the identical pair set (miss probability <= 2e-14 at these params).
+    The brute force is test-only (it collects the corpus — demoted from
+    the registry in r3); it stays here as the independent witness."""
+    from eprints_to_hyku_data_tool_spark.plans.q_north import q60_neardup_jaccard
+
     brute = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["q60_neardup_jaccard"].fn(spark, sf_dir).collect()
+        for r in q60_neardup_jaccard(spark, sf_dir).collect()
     }
     lsh = {
         (r["id_a"], r["id_b"])

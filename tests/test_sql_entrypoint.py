@@ -38,7 +38,7 @@ def test_sql_equals_dataframe_api(spark, sf_dir):
             WHERE rn = 1
         """,
         # set op (Q42 shape)
-        "q42_except": """
+        "z42_except": """
             SELECT c_custkey FROM customer
             EXCEPT
             SELECT o_custkey AS c_custkey FROM orders
