@@ -390,18 +390,19 @@ def q17_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
           >= 0.4
     """,
-    doc="Exact all-pairs cosine similarity join: broadcast the normalized "
-    "matrix once, stream the probe side through mapInPandas with one "
-    "numpy matmul per Arrow batch — each vector crosses the wire once "
-    "(O(n d) transfer), vs O(n^2 d) for a pairwise-join formulation. "
-    "Output is id/label pairs only, and the fixture's minimum |cos-0.4| "
-    "margin is >=1e-4 (verified offline), so summation-order ulp noise "
-    "cannot flip the tau decision vs the oracle. At 100 TB the broadcast "
-    "side must fit in memory; beyond that the LSH-bucketed path "
-    "(q_north.q60/q61) replaces all-pairs (SURVEY §2.3 Q18, §4).",
+    doc="Exact all-pairs cosine similarity join via the distributed "
+    "chunk-pair kernel (functions/vectors.py): vectors hash into C "
+    "chunks, a broadcast membership table fans each chunk into its "
+    "C(C+1)/2 chunk-pairs, and one applyInPandas task matmuls each pair "
+    "— no driver collect anywhere, task memory bounded by 2n/C vectors, "
+    "shuffle O(n*C*d). The fixture's minimum |cos-0.4| margin is >=1e-4 "
+    "(verified offline), so summation-order ulp noise cannot flip the "
+    "tau decision vs the oracle. Exact all-pairs is O(n^2) compute by "
+    "definition; the sub-quadratic scale paths are the LSH/IVF families "
+    "(q_north.q60/q61) (SURVEY §2.3 Q18, §4).",
 )
 def q18_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import similarity_pairs_blocked
+    from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity_pairs_blocked(emb, tau=0.4, spark=spark)
+    return similarity_pairs_chunked(emb, tau=0.4, spark=spark)

@@ -42,6 +42,9 @@ ROWS_PER_BAND = 4
 SHINGLE_K = 3
 # tau = 0.8 as the integer ratio test: 5*inter >= 4*union
 TAU_NUM, TAU_DEN = 4, 5
+# Similarity-search probe budget: a FIXED count (not a modulus of the
+# corpus), so the broadcast probe matrix is O(N_PROBES * dim) at any scale.
+N_PROBES = 50
 
 
 def shingle_expr(toks: Column, k: int = SHINGLE_K) -> Column:
@@ -441,7 +444,7 @@ def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q61_topk_similarity",
     oracle="""
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
-                    FROM embeddings WHERE vec_id % 100 = 0),
+                    FROM embeddings ORDER BY vec_id LIMIT 50),
          sims AS (SELECT probe_id, e.vec_id AS neighbor_id,
                          list_dot_product(CAST(pe AS DOUBLE[]),
                                           CAST(e.embedding AS DOUBLE[]))
@@ -460,13 +463,16 @@ def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cos, 6) AS cos_sim
     FROM ranked WHERE rank <= 5
     """,
-    doc="Top-5 cosine neighbors for each probe (vec_id % 100 = 0). The "
-    "probe matrix is broadcast (tiny); mapInPandas computes one matmul "
-    "per Arrow batch and emits only the per-partition top-5 per probe, "
-    "then a window takes the global top-5 — rows after the map stage "
-    "are partitions x probes x 5, independent of corpus size. Rank "
-    "order is float-safe: measured min top-8 gap 1.9e-5 >> ulp noise "
-    "(SURVEY §2.11 Q61).",
+    doc="Top-5 cosine neighbors for each of a FIXED-SIZE probe set (the "
+    "50 lowest vec_ids — r2 verdict item 5: a modulus-defined probe set "
+    "grows with the corpus, making the broadcast O(n/100); a LIMIT-"
+    "defined set keeps the broadcast at 50 x dim doubles = ~26 KB "
+    "forever). The probe matrix is broadcast; mapInPandas computes one "
+    "matmul per Arrow batch and emits only the per-partition top-5 per "
+    "probe, then a window takes the global top-5 — rows after the map "
+    "stage are partitions x probes x 5, independent of corpus size. "
+    "Rank order is float-safe: measured min top-8 gap 1.9e-5 >> ulp "
+    "noise (SURVEY §2.11 Q61).",
 )
 def q61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -475,9 +481,10 @@ def q61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import normalized_matrix
 
     emb = load_table(spark, sf_dir, "embeddings")
-    probe_rows = emb.filter(F.col("vec_id") % 100 == 0).select(
-        "vec_id", "embedding"
-    ).collect()
+    # bounded collect: exactly N_PROBES rows regardless of corpus size
+    probe_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(N_PROBES).collect()
+    )
     probe_ids, probe_mat = normalized_matrix(probe_rows, "vec_id", "embedding")
     bc = spark.sparkContext.broadcast((probe_ids, probe_mat))
     k = 5
@@ -579,9 +586,9 @@ def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids /= np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
-    probe_rows = emb.filter(F.col("vec_id") % 100 == 0).select(
-        "vec_id", "embedding"
-    ).collect()
+    probe_rows = (
+        emb.select("vec_id", "embedding").orderBy("vec_id").limit(N_PROBES).collect()
+    )
     probe_ids, probe_mat = normalized_matrix(probe_rows, "vec_id", "embedding")
     cell_rank = np.argsort(-(probe_mat @ centroids.T), axis=1)[:, :NPROBE]
     probe_cells = spark.createDataFrame(
@@ -647,16 +654,17 @@ def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding-cosine near-dup dedupe (the fifth dedup family): any "
     "vector with cosine >= tau to a LOWER-id vector is marked dropped — "
     "greedy single-pass dedup, the standard corpus-dedup policy when "
-    "full connected components are not needed. Pair generation reuses "
-    "the q18 blocked broadcast-matmul kernel (O(n d) transfer); the "
-    "drop set is a tiny semi-join side. tau margin 1e-4 (see q18) "
+    "full connected components are not needed. Pair generation uses the "
+    "distributed chunk-pair kernel (functions/vectors.py: no driver "
+    "collect, task memory 2n/C vectors, shuffle O(n*C*d)); the drop set "
+    "is a tiny semi-join side. tau margin 1e-4 (see q18) "
     "(assignment dedup mandate).",
 )
 def q67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import similarity_pairs_blocked
+    from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity_pairs_blocked(emb, tau=0.4, spark=spark)
+    pairs = similarity_pairs_chunked(emb, tau=0.4, spark=spark)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return (
         emb.select("vec_id", "label")

@@ -128,6 +128,35 @@ def test_q57_udf_is_arrow_batched(plans):
 NESTED_LOOP_WHITELIST = {"q14_cross_join", "x15_tfidf"}
 
 
+# Registered queries may only collect BOUNDED driver-side data while
+# building their plan (probe sets, kmeans centroids) — never a table that
+# grows with the corpus (r2 verdict items 2-4). 256 rows is far above any
+# legitimate probe/dim collect and far below any table.
+COLLECT_BUDGET_ROWS = 256
+
+
+def test_no_unbounded_construction_collects(spark, sf_dir, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    calls: list[int] = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        rows = real_collect(self)
+        calls.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        calls.clear()
+        spec.fn(spark, sf_dir)  # plan construction only — nothing executed
+        too_big = [c for c in calls if c > COLLECT_BUDGET_ROWS]
+        if too_big:
+            offenders[name] = too_big
+    assert not offenders, f"unbounded construction-time collects: {offenders}"
+
+
 def test_fleet_wide_plan_lint(spark, sf_dir):
     """Every registered query's physical plan is free of scale
     anti-patterns: no cartesian products, no nested-loop joins outside
