@@ -1,12 +1,13 @@
 """Multimodal (image/audio/video) column plumbing (assignment mandate).
 
-Real decoders (PIL/ffmpeg/soundfile) are NOT in this container, so the
-DECODE KERNELS are stubbed: `_decode_raster` derives a deterministic fake
-raster from the payload bytes, and the library-backed paths raise
-NotImplementedError behind an import-try. Everything AROUND the kernel is
-real and tested — binary columns with typed metadata, Arrow batch shapes,
-mapInPandas one-to-many frame expansion, partition-preserving execution —
-so swapping in a real decoder is a one-function change.
+Decode kernels (round 3 — now REAL for uncompressed formats): pure-numpy
+parsers for PPM/PGM (P6/P5 binary), 24-bit uncompressed BMP, and PCM16
+RIFF/WAVE audio — dependency-free, format-sniffed from magic bytes.
+Compressed formats (JPEG/PNG/MP3/...) dispatch to PIL / soundfile behind
+try-imports and raise NotImplementedError when the library is absent
+(those codecs are not reimplementable here and faking them would be
+misleading). Payloads with no recognizable magic fall back to the
+raw-raster interpretation used by the synthesized fixture media.
 
 Design for 100 TB:
 - media is an opaque `binary` column + a typed `meta` struct; filters and
@@ -18,6 +19,8 @@ Design for 100 TB:
 """
 
 from __future__ import annotations
+
+import sys
 
 import numpy as np
 import pandas as pd
@@ -56,13 +59,117 @@ def synthesize_media(docs: DataFrame, mime: str = "image/fake") -> DataFrame:
     )
 
 
+def _parse_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) decoder, pure numpy. Handles the full
+    header grammar: whitespace-separated tokens with '#' comments, one
+    whitespace byte after maxval, then the raw raster. Returns (h, w) for
+    PGM, (h, w, 3) for PPM; maxval must fit uint8."""
+    idx = 0
+
+    def token() -> bytes:
+        nonlocal idx
+        while idx < len(payload):
+            c = payload[idx : idx + 1]
+            if c.isspace():
+                idx += 1
+            elif c == b"#":
+                while idx < len(payload) and payload[idx : idx + 1] not in (b"\n", b"\r"):
+                    idx += 1
+            else:
+                break
+        start = idx
+        while idx < len(payload) and not payload[idx : idx + 1].isspace():
+            idx += 1
+        return payload[start:idx]
+
+    magic = token()
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PNM: {magic!r}")
+    w, h, maxval = int(token()), int(token()), int(token())
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    idx += 1  # exactly one whitespace byte separates header and raster
+    ch = 3 if magic == b"P6" else 1
+    a = np.frombuffer(payload, np.uint8, count=w * h * ch, offset=idx)
+    return a.reshape(h, w, 3) if ch == 3 else a.reshape(h, w)
+
+
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP decoder, pure numpy: BITMAPFILEHEADER +
+    BITMAPINFOHEADER, BGR triples, 4-byte-aligned rows, bottom-up unless
+    height is negative. Returns (h, w, 3) RGB uint8."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    a = np.frombuffer(payload, np.uint8, count=row_bytes * h, offset=data_off)
+    a = a.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
+    return a[::-1] if bottom_up else a
+
+
+def _parse_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 decoder, pure numpy: walks the chunk list (word-
+    aligned), reads 'fmt ' and 'data'. Returns ((n_samples, n_channels)
+    int16 array, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    idx, fmt, data = 12, None, None
+    while idx + 8 <= len(payload):
+        cid = payload[idx : idx + 4]
+        size = struct.unpack_from("<I", payload, idx + 4)[0]
+        body = payload[idx + 8 : idx + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        idx += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+    samples = np.frombuffer(data, "<i2")
+    return samples.reshape(-1, n_ch), rate
+
+
 def _decode_raster(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB DECODE KERNEL — deterministic fake: interpret payload bytes as
-    a row-major uint8 grayscale raster, zero-padded/truncated to
-    (height, width). A real implementation would be:
-        from PIL import Image; np.asarray(Image.open(io.BytesIO(payload)))
-    (PIL is not installed in this container).
+    """Decode a payload to a uint8 raster (grayscale (h, w) or RGB
+    (h, w, 3)). Dispatch by magic bytes:
+
+    - ``P5``/``P6``  -> real PNM decode (dims come from the file header);
+    - ``BM``         -> real 24-bit BMP decode;
+    - JPEG/PNG magic -> PIL behind a try-import (absent here -> raises);
+    - anything else  -> raw-raster fallback: row-major uint8 grayscale
+      padded/truncated to (height, width) from the meta struct — the
+      deterministic path for the synthesized fixture media.
     """
+    if payload[:2] in (b"P5", b"P6"):
+        return _parse_pnm(payload)
+    if payload[:2] == b"BM":
+        return _parse_bmp(payload)
+    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "JPEG/PNG decode needs PIL (not available in this "
+                "environment); PPM/PGM/BMP decode natively"
+            ) from exc
+        return np.asarray(Image.open(io.BytesIO(payload)))
     buf = np.frombuffer(payload, dtype=np.uint8)
     need = width * height
     if len(buf) < need:
@@ -161,16 +268,79 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     return media.mapInPandas(gen, FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, n_samples bigint, "
+    "duration_s double, rms double, peak int, zero_crossing_rate double"
+)
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
-    """Audio feature extraction requires a real codec — NOT stubbed with a
-    fake because fake spectral features would be misleading. Raises unless
-    soundfile is installed (it is not, in this container)."""
-    try:
-        import soundfile  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "audio decode needs the 'soundfile' package (not available in "
-            "this environment); image-style plumbing in decode_images shows "
-            "the intended mapInPandas shape"
-        ) from exc
-    raise NotImplementedError("real audio path not implemented yet")
+    """Audio feature extraction over PCM16 WAV payloads — REAL decode via
+    the pure-numpy RIFF parser (_parse_wav_pcm): per clip sample counts,
+    RMS, peak, and zero-crossing rate, one Arrow batch -> one numpy pass.
+    Non-WAV payloads (MP3/OGG/...) need a real codec: they dispatch to
+    soundfile behind a try-import and raise NotImplementedError when it
+    is absent — compressed audio is NOT faked."""
+
+    def decode_one(payload: bytes):
+        if payload[:4] == b"RIFF":
+            return _parse_wav_pcm(payload)
+        try:
+            import io
+
+            import soundfile
+        except ImportError as exc:
+            raise NotImplementedError(
+                "non-WAV audio decode needs the 'soundfile' package (not "
+                "available in this environment); PCM16 WAV decodes natively"
+            ) from exc
+        data, rate = soundfile.read(io.BytesIO(payload), dtype="int16")
+        return np.atleast_2d(data.T).T, rate
+
+    def gen(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "n_samples",
+                "duration_s", "rms", "peak", "zero_crossing_rate",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_one(payload)
+                mono = samples.astype(np.float64).mean(axis=1)
+                n = len(mono)
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(samples.shape[1])
+                out["n_samples"].append(n)
+                out["duration_s"].append(n / rate if rate else 0.0)
+                out["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
+                out["peak"].append(int(np.abs(samples).max()) if n else 0)
+                out["zero_crossing_rate"].append(
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+            yield pd.DataFrame(out).astype(
+                {
+                    "doc_id": "int64",
+                    "sample_rate": "int32",
+                    "n_channels": "int32",
+                    "n_samples": "int64",
+                    "peak": "int32",
+                }
+            )
+
+    return media.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+# The mapInPandas closures above reference this module's parser functions;
+# cloudpickle serializes module-level functions BY REFERENCE, which would
+# require the package on every executor's sys.path. Registering the module
+# for by-value pickling ships the (dependency-free) kernels inside the
+# task closure instead — decode works from any driver cwd / deployment
+# without --py-files.
+try:
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - older pickle layouts
+    pass
