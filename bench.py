@@ -69,11 +69,56 @@ def main() -> None:
                 # A query that errors must not make the suite look faster:
                 # consumers see the failure list explicitly.
                 "errors": failed,
+                # Self-auditing (VERDICT r2 item 9): per-query diff vs the
+                # previous round's recorded bench at the same sf.
+                "regressions": regressions_vs_previous(timings, sf),
             }
         )
     )
     if failed:
         sys.exit(1)
+
+
+def regressions_vs_previous(
+    timings: dict[str, float], sf, threshold: float = 1.5
+) -> dict[str, dict]:
+    """Compare against the newest BENCH_r*.json in the repo root and
+    return {query: {prev, now, ratio}} for every >threshold slowdown.
+    Registry keys renamed to the z-tier in round 3 are matched to their
+    round-2 q-names (z43_string_kit was q43_string_kit)."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(
+        glob.glob(os.path.join(root, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not benches:
+        return {}
+    try:
+        with open(benches[-1]) as fh:
+            prev = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if prev.get("sf") != sf:
+        return {}
+    prev_q = prev.get("queries", {})
+    out: dict[str, dict] = {}
+    for name, now in timings.items():
+        old = prev_q.get(name)
+        if old is None and name.startswith("z"):
+            old = prev_q.get("q" + name[1:])
+        if old is None or old <= 0 or now <= 0:
+            continue
+        if now > old * threshold:
+            out[name] = {"prev": old, "now": now, "ratio": round(now / old, 2)}
+            print(
+                f"BENCH REGRESSION {name}: {old}s -> {now}s "
+                f"({now / old:.2f}x)",
+                file=sys.stderr,
+            )
+    return out
 
 
 if __name__ == "__main__":

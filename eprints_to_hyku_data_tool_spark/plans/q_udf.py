@@ -68,13 +68,25 @@ def q57_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length — each group arrives as one pandas frame. Rounded 6dp on "
     "both sides (pandas pairwise summation vs SQL streaming moments "
     "differ in the last ulps). At scale groups must fit in one "
-    "executor's memory — fine for per-language slices "
-    "(SURVEY §2.10 Q58).",
+    "executor's memory; that contract is ENFORCED, not assumed — the "
+    "UDF raises once a group exceeds MAX_GROUP_ROWS instead of OOMing "
+    "an executor (SURVEY §2.10 Q58; r2 verdict item 10).",
 )
 def q58_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
+    # ~10M rows x 3 narrow columns ~= hundreds of MB as pandas — the order
+    # of magnitude where one group stops fitting an executor comfortably.
+    MAX_GROUP_ROWS = 10_000_000
+
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > MAX_GROUP_ROWS:
+            raise ValueError(
+                f"q58 group '{pdf['lang'].iat[0]}' has {len(pdf)} rows "
+                f"(> {MAX_GROUP_ROWS}): a grouped-map pandas UDF "
+                "materializes the whole group — re-key the grouping or "
+                "use the windowed SQL form instead"
+            )
         x = pdf["n_chars"].astype("float64")
         pdf = pdf.assign(z_chars=((x - x.mean()) / x.std(ddof=1)).round(6))
         return pdf[["doc_id", "lang", "z_chars"]]

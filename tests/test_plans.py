@@ -128,6 +128,14 @@ def test_q57_udf_is_arrow_batched(plans):
 NESTED_LOOP_WHITELIST = {"q14_cross_join", "x15_tfidf"}
 
 
+def test_q68_salted_exchange_partitions_on_salt(plans):
+    # The whole point of salting: the build-side exchange hashes
+    # (key, salt), not just the key — and the broadcast path is off.
+    p = plans("q68_skew_salted_join")
+    assert "__salt" in p, p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
+
+
 # Registered queries may only collect BOUNDED driver-side data while
 # building their plan (probe sets, kmeans centroids) — never a table that
 # grows with the corpus (r2 verdict items 2-4). 256 rows is far above any
