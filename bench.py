@@ -79,6 +79,36 @@ def main() -> None:
         sys.exit(1)
 
 
+def _extract_queries(obj: dict) -> dict[str, float]:
+    """Per-query timings from a recorded bench file. Handles three
+    layouts: this script's raw JSON line ({"queries": ...}), the driver's
+    wrapper ({"parsed": {...}, "tail": "..."}), and a wrapper whose
+    "tail" holds only the truncated end of stdout — there the queries
+    object is recovered by bracket-matching from the first query key
+    (q01_scan_count sorts first and is always present)."""
+    if isinstance(obj.get("queries"), dict):
+        return obj["queries"]
+    parsed = obj.get("parsed")
+    if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+        return parsed["queries"]
+    tail = obj.get("tail", "")
+    start = tail.find('{"q01_scan_count"')
+    if start < 0:
+        return {}
+    depth = 0
+    for j in range(start, len(tail)):
+        if tail[j] == "{":
+            depth += 1
+        elif tail[j] == "}":
+            depth -= 1
+            if depth == 0:
+                try:
+                    return json.loads(tail[start : j + 1])
+                except json.JSONDecodeError:
+                    return {}
+    return {}
+
+
 def regressions_vs_previous(
     timings: dict[str, float], sf, threshold: float = 1.5
 ) -> dict[str, dict]:
@@ -103,7 +133,7 @@ def regressions_vs_previous(
         return {}
     if prev.get("sf") != sf:
         return {}
-    prev_q = prev.get("queries", {})
+    prev_q = _extract_queries(prev)
     out: dict[str, dict] = {}
     for name, now in timings.items():
         old = prev_q.get(name)
