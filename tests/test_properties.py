@@ -115,9 +115,10 @@ def test_soundex_and_xxhash_available(spark, sf_dir):
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
-    """q61_ivf_topk (approximate, nprobe=8/16) must keep recall@5 >= 0.8
-    against the exact q61 top-k (measured 0.88 at sf0.01; the fixture's
-    embeddings are near-uniform, a worst case for IVF)."""
+    """q61_ivf_topk (approximate, nprobe=10/16, sample-trained
+    quantizer) must keep recall@5 >= 0.8 against the exact q61 top-k
+    (measured 0.85 at sf0.01; the fixture's embeddings are near-uniform,
+    a worst case for IVF)."""
     exact = {
         (r["probe_id"], r["neighbor_id"])
         for r in REGISTRY["q61_topk_similarity"].fn(spark, sf_dir).collect()
