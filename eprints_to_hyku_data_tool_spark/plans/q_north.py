@@ -615,7 +615,7 @@ def _nearest_cells_udf(spark, centroids, n_assign: int):
     oracle=None,  # approximate: recall vs exact q61 asserted in tests
     doc="IVF (inverted-file) approximate top-k: a sample-trained Lloyd "
     "quantizer (256-row hash sample, fixed seed) partitions the corpus "
-    "into nlist=16 cells; each probe searches only its nprobe=8 nearest "
+    "into nlist=16 cells; each probe searches only its nprobe=10 nearest "
     "cells — exact cosine within ~nprobe/nlist of the data instead of a "
     "full scan. This is the 100 TB path: assignments are a (cell, vec) "
     "table bucketed by cell, probes fan out as a tiny broadcast join on "

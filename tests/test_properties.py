@@ -93,6 +93,53 @@ def test_jaccard_pipelines_agree(spark, sf_dir):
     assert brute == lsh and len(brute) > 0
 
 
+def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
+    """q60_simhash extracts signature bits via conv'd hex chunks + shifts
+    (fast path); the reference formulation — and the DuckDB oracle — uses
+    substr(md5, j, 1) IN ('8'..'f'). Both must produce identical +-1
+    contributions for every (doc, shingle, bit)."""
+    from eprints_to_hyku_data_tool_spark.plans.q_north import (
+        SIMHASH_BITS,
+        doc_shingles,
+    )
+
+    docs = doc_shingles(load_table(spark, sf_dir, "documents").limit(50))
+    feats = docs.select(
+        "doc_id", F.explode_outer("sh").alias("s")
+    ).filter(F.col("s").isNotNull())
+    md5c = F.md5("s")
+    hexhigh = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    ref = feats.select(
+        "s",
+        *[
+            F.when(F.substring(md5c, j, 1).isin(hexhigh), 1)
+            .otherwise(-1)
+            .alias(f"b{j}")
+            for j in range(1, SIMHASH_BITS + 1)
+        ],
+    )
+    chunks = [
+        F.conv(F.substring(md5c, 1 + 8 * k, 8), 16, 10).cast("long")
+        for k in range(SIMHASH_BITS // 8)
+    ]
+    fast = feats.select(
+        "s",
+        *[
+            (
+                F.shiftright(
+                    chunks[(j - 1) // 8], 4 * (7 - ((j - 1) % 8)) + 3
+                ).bitwiseAND(F.lit(1))
+                * 2
+                - 1
+            ).alias(f"b{j}")
+            for j in range(1, SIMHASH_BITS + 1)
+        ],
+    )
+    a = sorted(map(tuple, ref.collect()))
+    b = sorted(map(tuple, fast.collect()))
+    assert a == b and len(a) > 0
+
+
 def test_exact_dedupe_is_lossless_partition(spark, sf_dir):
     """Q59 keeps exactly one representative per text_key and the copy
     counts re-add to the corpus size."""
@@ -147,6 +194,27 @@ def test_ivf_dedupe_subset_and_recall(spark, sf_dir):
     }
     assert ivf <= exact, f"false drops: {sorted(ivf - exact)[:10]}"
     assert len(ivf) / len(exact) >= 0.8, (len(ivf), len(exact))
+
+
+def test_hll_is_partition_invariant_and_bounded(spark, sf_dir):
+    """Q22's 100 TB primitive: HLL++ register merge is commutative and
+    associative, so approx_count_distinct must return the IDENTICAL
+    estimate under any partitioning (4 vs 32 partitions) and stay within
+    the configured rsd of exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (
+        li.repartition(4)
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("n"))
+        .collect()[0]["n"]
+    )
+    b = (
+        li.repartition(32)
+        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = li.select("l_partkey").distinct().count()
+    assert a == b
+    assert abs(a - exact) / exact < 0.05
 
 
 def test_percentile_approx_within_tolerance(spark, sf_dir):
