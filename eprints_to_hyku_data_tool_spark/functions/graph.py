@@ -1,0 +1,137 @@
+"""Distributed connected components over near-dup pair graphs.
+
+Greedy keep-lowest-id dedup (q67/q69) drops any row similar to a lower
+id; full CLUSTER-level dedup needs the transitive closure — the
+connected components of the pair graph — so each near-dup cluster keeps
+exactly one canonical representative even when similarity is not
+transitive (a~b, b~c, a!~c).
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14), expressed as
+DataFrame aggregations:
+
+- large-star: for every node u (over BIDIRECTIONAL edges) let
+  m = min({u} N(u)); re-point every strictly-larger neighbor at m.
+- small-star: orient edges (u, v) with v <= u; let m = min({u} N(u));
+  re-point u and every smaller neighbor at m.
+
+Each round is two shuffles keyed on node id; no per-node neighbor lists
+are ever materialized (the min is an aggregate, the re-pointing a join),
+so a 100 TB-scale high-degree hub costs an aggregation, not a
+collect_list. Converges in O(log n) rounds even on path graphs — unlike
+naive min-label propagation, which needs O(diameter) rounds. The driver
+sees two scalars per round (edge count + order-insensitive checksum) for
+the convergence test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bidir = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = bidir.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        bidir.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient: u is the larger endpoint
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    joined = oriented.join(m, "u")
+    repointed = joined.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edge = joined.select("u", F.col("m").alias("v"))
+    return repointed.union(self_edge).distinct()
+
+
+def _edge_fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # bit_xor: order-insensitive and overflow-free under ANSI mode (a
+    # SUM of 64-bit hashes would overflow long)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id_a, id_b) pair rows -> (node, component) with component = the
+    smallest node id reachable from `node`. Only nodes that appear in at
+    least one pair are returned (isolated rows are their own component
+    by definition — callers left-join and coalesce to the row id).
+
+    ``max_rounds`` bounds the alternation; convergence (edge set stable
+    under both stars) is checked per round via count + order-insensitive
+    checksum and is reached in O(log n) rounds.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+
+    fp = _edge_fingerprint(edges)
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).filter(F.col("u") != F.col("v"))
+        # Materialize per round: each star rebuilds on the previous
+        # round's output, and without a checkpoint the lineage doubles
+        # every round (2^rounds plan growth). localCheckpoint keeps the
+        # per-round plan flat; at cluster scale use checkpoint() on a
+        # fault-tolerant store instead.
+        edges = edges.localCheckpoint(eager=True)
+        new_fp = _edge_fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # Fixpoint edges form stars (u -> component min). Component minima
+    # point to themselves implicitly; add them explicitly.
+    comp = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comp.union(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )
+
+
+def cluster_dedupe(docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id") -> DataFrame:
+    """Cluster-level dedup policy: one canonical row (the component min)
+    survives per near-dup CLUSTER; every other member is marked dropped.
+    Contrast with the greedy pairwise policy (q67): with a~b, b~c but
+    a!~c, greedy keeps {a, c} while cluster dedup keeps only {a}."""
+    comp = connected_components(pairs)
+    return (
+        docs.join(comp, docs[doc_id] == comp["node"], "left")
+        .withColumn(
+            "is_dropped",
+            F.when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col(doc_id)),
+                F.lit(True),
+            ).otherwise(F.lit(False)),
+        )
+        .drop("node", "component")
+    )
