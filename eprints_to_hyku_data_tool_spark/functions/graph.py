@@ -87,6 +87,10 @@ def connected_components(
     edges = pairs.select(
         F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
+    # Materialize the input ONCE: the fingerprint action below and the
+    # first round's checkpoint would otherwise each re-evaluate the
+    # (possibly expensive) upstream pair pipeline.
+    edges = edges.localCheckpoint(eager=True)
 
     fp = _edge_fingerprint(edges)
     for _ in range(max_rounds):

@@ -275,11 +275,17 @@ def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Exact verify on candidates only: join shingle sets back and compute
-    # intersection sizes in an Arrow-batched pandas UDF — python set ops
-    # are ~10x faster than the interpreted array_intersect expression on
-    # candidate volumes (still fully distributed, no broadcast of the
-    # corpus: only candidate pairs carry arrays).
+    return verify_jaccard_candidates(docs, candidates)
+
+
+def verify_jaccard_candidates(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact Jaccard verify on (id_a, id_b) candidate pairs only: join the
+    shingle sets back and compute intersection sizes in an Arrow-batched
+    pandas UDF — python set ops are ~10x faster than the interpreted
+    array_intersect expression on candidate volumes (still fully
+    distributed, no broadcast of the corpus: only candidate pairs carry
+    arrays). Shared by the MinHash-LSH and prefix-filtered exact paths."""
+
     @F.pandas_udf("int")
     def set_intersection_size(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(
@@ -290,7 +296,8 @@ def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        candidates.join(sh_a, "id_a")
+        candidates.select("id_a", "id_b")
+        .join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("inter_size", set_intersection_size("sh_a", "sh_b"))
         .withColumn(
@@ -908,5 +915,163 @@ def q69_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X17 — exact n-gram Jaccard join, DISTRIBUTED (prefix-filtered inverted
+# index) — re-adds the brute-force family q60_neardup_jaccard was demoted
+# from (r2 verdict wrong-item 2), this time in a shape that survives 100 TB.
+# --------------------------------------------------------------------------
+def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """All pairs with shingle-Jaccard >= tau, EXACTLY, with no collect and
+    no all-pairs join: prefix filtering over a global rarity order
+    (SSJoin/PPJoin scheme, public literature).
+
+    Under any single global total order on shingles, if J(A,B) >= tau then
+    |A ∩ B| >= ceil(tau*|A|), so A and B must share an element inside each
+    one's first |X| - ceil(tau*|X|) + 1 shingles of that order (else all
+    common elements sit in the last ceil(tau*|X|)-1 positions — too few).
+    Ordering by ASCENDING document frequency makes the indexed 20% (at
+    tau=0.8) the RAREST shingles, so inverted-index buckets stay small:
+    a stop-shingle with df=10^6 only enters the index for docs where even
+    their rarest shingles are ubiquitous.
+
+    Shuffle accounting: df count (by shingle) -> per-doc rank (window by
+    doc_id) -> prefix self-equi-join (by shingle, rare keys) -> exact
+    verify joins (by doc_id). Four keyed shuffles, candidates only ever
+    carry (id, id); arrays travel only to verify actual candidates.
+    Size pruning (tau*|A| <= |B| <= |A|/tau) cuts candidates before the
+    array join; integer cross-multiplication avoids float thresholds.
+    """
+    sized = docs.select("doc_id", "sh", F.size("sh").alias("sz"))
+    toks = sized.select(
+        "doc_id", "sz", F.explode_outer("sh").alias("shingle")
+    ).filter(F.col("shingle").isNotNull())
+
+    df_tbl = toks.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    # prefix length = sz - ceil(tau*sz) + 1; ceil in exact integer math
+    ceil_tau_sz = (TAU_NUM * F.col("sz") + F.lit(TAU_DEN - 1)).cast("long") / F.lit(
+        TAU_DEN
+    )
+    prefix = (
+        toks.join(df_tbl, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(
+            F.col("pos")
+            <= F.col("sz") - F.floor(ceil_tau_sz).cast("int") + F.lit(1)
+        )
+        .select("doc_id", "sz", "shingle")
+    )
+
+    pa = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "shingle"
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "shingle"
+    )
+    return (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size pruning: J >= tau forces tau <= |B|/|A| <= 1/tau
+            & (TAU_DEN * F.col("sz_b") >= TAU_NUM * F.col("sz_a"))
+            & (TAU_DEN * F.col("sz_a") >= TAU_NUM * F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+@register(
+    "x17_ngram_jaccard",
+    oracle=_NEARDUP_ORACLE,
+    doc="EXACT n-gram Jaccard similarity join (fourth registered near-dup "
+    "family), fully distributed: prefix-filtered inverted index over a "
+    "global rarity order generates candidates (no all-pairs, no "
+    "collect), then the shared candidate-verify stage computes exact "
+    "intersection sizes. Same oracle as q60_minhash_lsh/q60_simhash but "
+    "with zero miss probability — this is what replaces the demoted "
+    "collect-based q60_neardup_jaccard at scale (SURVEY §2.11 Q60).",
+)
+def x17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = doc_shingles(load_table(spark, sf_dir, "documents"))
+    return verify_jaccard_candidates(docs, exact_jaccard_pairs(docs))
+
+
+# --------------------------------------------------------------------------
+# X16 — cluster-level dedupe: transitive closure of the near-dup graph
+# (distributed connected components), one canonical survivor per CLUSTER
+# --------------------------------------------------------------------------
+_CLUSTER_ORACLE = """
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                              i -> string_split(text,' ')[i] || ' ' ||
+                                   string_split(text,' ')[i+1] || ' ' ||
+                                   string_split(text,' ')[i+2])) AS sh
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+      WHERE 5 * len(list_intersect(a.sh, b.sh))
+            >= 4 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    -- min-label propagation; (node,label) pairs are finite and UNION
+    -- dedups, so the recursion terminates. label <= v prunes pairs that
+    -- can never be a minimum (the component min is <= every member, so
+    -- the min's propagation path is never pruned).
+    cc(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+      UNION
+      SELECT e.v, c.label FROM cc c JOIN edges e ON e.u = c.node
+      WHERE c.label <= e.v),
+    comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+           CAST(CASE WHEN c.component IS NOT NULL AND c.component <> d.doc_id
+                THEN 1 ELSE 0 END AS INT) AS is_dropped
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+"""
+
+
+@register(
+    "x16_cluster_dedupe",
+    oracle=_CLUSTER_ORACLE,
+    doc="Cluster-level dedupe: exact near-dup pairs (x17's prefix-filtered "
+    "join) -> distributed connected components (alternating large-star/"
+    "small-star, functions/graph.py — O(log n) rounds, two keyed "
+    "shuffles each, no neighbor lists) -> keep the component-min doc "
+    "per CLUSTER. Unlike the greedy pairwise policy (q67/q69), the "
+    "transitive closure drops b AND c for a~b, b~c even when a!~c. "
+    "Oracle: DuckDB recursive-CTE min-label propagation over the same "
+    "pair graph (LLM-pipeline mandate; r3 graph-dedup milestone).",
+)
+def x16_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import connected_components
+
+    docs_raw = load_table(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(doc_shingles(docs_raw))
+    comp = connected_components(pairs)
+    return (
+        docs_raw.join(comp, docs_raw["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+            F.when(
+                F.col("component").isNotNull()
+                & (F.col("component") != F.col("doc_id")),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dropped"),
         )
     )

@@ -92,6 +92,52 @@ def test_jaccard_pipelines_agree(spark, sf_dir):
     }
     assert brute == lsh and len(brute) > 0
 
+    # x17 is the EXACT distributed replacement (prefix-filtered inverted
+    # index): it must agree pair-for-pair including the verified sizes.
+    brute_full = {
+        (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
+        for r in q60_neardup_jaccard(spark, sf_dir).collect()
+    }
+    x17 = {
+        (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
+        for r in REGISTRY["x17_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert brute_full == x17
+
+
+def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
+    """x16's drop set must be exactly 'every node that is not its
+    component minimum' over the exact pair graph, and a SUPERSET of the
+    greedy policy's reachable-from-lower rule on each edge."""
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["x17_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    # reference union-find on the driver (fixture-sized)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {
+        (n, find(n)) for n in list(parent)
+    }
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in REGISTRY["x16_cluster_dedupe"].fn(spark, sf_dir).collect()
+        if r["is_dropped"] == 1 or r["canonical_id"] != r["doc_id"]
+    }
+    # every non-root member maps to its component min
+    assert {(n, c) for n, c in expected if n != c} == got
+
 
 def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
     """q60_simhash extracts signature bits via conv'd hex chunks + shifts
