@@ -102,7 +102,7 @@ def q09_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q10 — left outer join (records without children survive)
 # --------------------------------------------------------------------------
 @register(
-    "q10_left_outer_join",
+    "z10_left_outer_join",
     oracle="""
     SELECT c_custkey, c_mktsegment,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
@@ -130,7 +130,7 @@ def q10_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q11 — full outer join (migration reconciliation of two id universes)
 # --------------------------------------------------------------------------
 @register(
-    "q11_full_outer_join",
+    "z11_full_outer_join",
     oracle="""
     WITH o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
                FROM orders GROUP BY o_custkey),
@@ -165,7 +165,7 @@ def q11_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q12 — left semi join (EXISTS)
 # --------------------------------------------------------------------------
 @register(
-    "q12_semi_join",
+    "z12_semi_join",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
@@ -189,7 +189,7 @@ def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q13 — left anti join (NOT EXISTS: the "unmapped records" report)
 # --------------------------------------------------------------------------
 @register(
-    "q13_anti_join",
+    "z13_anti_join",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey
     FROM customer
@@ -210,7 +210,7 @@ def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q14 — cross join (small-dim cartesian + post-filter)
 # --------------------------------------------------------------------------
 @register(
-    "q14_cross_join",
+    "z14_cross_join",
     oracle="""
     SELECT r_name, n_name
     FROM region CROSS JOIN nation

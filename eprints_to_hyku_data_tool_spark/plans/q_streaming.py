@@ -141,3 +141,61 @@ def q56_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X20 — time-interval join (stream-stream join shape, batch form)
+# --------------------------------------------------------------------------
+@register(
+    "x20_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    """,
+    doc="Attribution-style time-interval join: every (purchase, click) "
+    "pair from the same user with the click in the 2 hours before the "
+    "purchase. An equi-join on user_id with a range residual — one "
+    "shuffle, no nested loop. The SAME shape runs as a true "
+    "stream-stream inner join with two watermarks in streaming/ops.py "
+    "(purchase_click_join), where the interval condition is what lets "
+    "Spark evict both sides' state; replay == this batch form is "
+    "asserted in tests/test_streaming.py. lag_us is an exact integer "
+    "microsecond difference on both engines (SURVEY §2.9/X07-X11 "
+    "extension).",
+)
+def x20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            "purchase_ts",
+            "click_ts",
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+                "lag_us"
+            ),
+        )
+    )

@@ -285,3 +285,151 @@ def q66_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# X18 — PII scrubbing (emails / phone numbers / IPs -> typed placeholders)
+# --------------------------------------------------------------------------
+# The fixture corpus is synthetic and contains no organic PII, so the
+# query first INJECTS deterministic PII derived from doc_id (one email,
+# one phone, one IPv4 per row), then scrubs it — the redaction regexes
+# and counts are what the oracle verifies. Patterns are written in the
+# common subset of Java regex (Spark) and RE2 (DuckDB).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+
+
+@register(
+    "x18_pii_scrub",
+    oracle=f"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user-' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or call 555-' ||
+             lpad(CAST((doc_id*7)%10000 AS VARCHAR),4,'0') ||
+             ' from 10.' || CAST(doc_id%256 AS VARCHAR) || '.0.' ||
+             CAST((doc_id*3)%256 AS VARCHAR) AS t
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t,'{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t,'{_PII_PHONE}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(t,'{_PII_IP}')) AS BIGINT) AS n_ips,
+      regexp_replace(regexp_replace(regexp_replace(t,
+        '{_PII_EMAIL}','<EMAIL>','g'),
+        '{_PII_IP}','<IP>','g'),
+        '{_PII_PHONE}','<PHONE>','g') AS scrubbed
+    FROM pii
+    """,
+    doc="PII scrubbing for training-data hygiene: redact emails, phone "
+    "numbers, and IPv4 addresses to typed placeholders and count each "
+    "family. Pure row-level regexp_replace/regexp_count — "
+    "embarrassingly parallel, no shuffle at any scale. Scrub order "
+    "(email, ip, phone) is fixed so the families cannot capture each "
+    "other's remnants (LLM-pipeline mandate).",
+)
+def x18_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user-"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 3) % 256).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IP),
+            F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X19 — repetition filter (Gopher-style within-document repetition signals)
+# --------------------------------------------------------------------------
+@register(
+    "x19_repetition_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+    m AS (SELECT doc_id,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(list_max(list_transform(list_distinct(toks),
+           w -> len(list_filter(toks, x -> x = w)))) AS BIGINT) AS max_word_c,
+      CAST(len(toks) - 1 AS BIGINT) AS total_2g,
+      CAST(len(list_distinct(list_transform(range(1, len(toks)),
+           i -> toks[i] || ' ' || toks[i+1]))) AS BIGINT) AS distinct_2g
+    FROM t)
+    SELECT doc_id, n_tokens,
+      CAST(max_word_c AS DOUBLE)/n_tokens AS top_word_frac,
+      CAST(total_2g - distinct_2g AS DOUBLE)/greatest(total_2g,1)
+        AS dup_2gram_frac,
+      CASE WHEN CAST(max_word_c AS DOUBLE)/n_tokens > 0.12
+                OR CAST(total_2g - distinct_2g AS DOUBLE)
+                   /greatest(total_2g,1) > 0.08
+           THEN 'drop' ELSE 'keep' END AS rep_flag
+    FROM m
+    """,
+    doc="Within-document repetition signals (the Gopher/MassiveText "
+    "quality-rule family, public literature): most-frequent-word "
+    "fraction and duplicate-2gram fraction, with a keep/drop flag. "
+    "Everything is doc-local array HOFs — zero shuffles at any scale; "
+    "the per-row cost is O(distinct_words * tokens), bounded by "
+    "document length. Ratios are one integer/integer division "
+    "(IEEE-exact both engines). For corpora with per-doc vocabularies "
+    "large enough to make the quadratic HOF hurt, the explode + "
+    "two-level groupBy form trades it for one shuffle keyed on doc_id.",
+)
+def x19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # two-step select: toks referenced many times below — inlining the
+    # split would re-split per reference (same trap as doc_shingles)
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    max_word_c = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    ).cast("long")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    m = t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        max_word_c.alias("max_word_c"),
+        (n - 1).cast("long").alias("total_2g"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("distinct_2g"),
+    )
+    top_word_frac = F.col("max_word_c").cast("double") / F.col("n_tokens")
+    dup_2gram_frac = (F.col("total_2g") - F.col("distinct_2g")).cast(
+        "double"
+    ) / F.greatest(F.col("total_2g"), F.lit(1))
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        top_word_frac.alias("top_word_frac"),
+        dup_2gram_frac.alias("dup_2gram_frac"),
+        F.when((top_word_frac > 0.12) | (dup_2gram_frac > 0.08), "drop")
+        .otherwise("keep")
+        .alias("rep_flag"),
+    )

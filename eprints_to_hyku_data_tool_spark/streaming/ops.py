@@ -158,3 +158,47 @@ def stateful_user_counter(stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def purchase_click_join(stream: DataFrame, watermark: str = "3 hours") -> DataFrame:
+    """X20 as a true stream-stream inner join: purchases matched to the
+    same user's clicks in the preceding 2 hours.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict buffered rows once the watermark passes
+    the interval: click state older than (purchase watermark - 2h) and
+    purchase state older than the click watermark can never match again.
+    Without the time-range condition the state store would grow without
+    bound — this is the canonical stream-stream join discipline.
+    """
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return p.join(
+        c,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        "purchase_ts",
+        "click_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )

@@ -125,7 +125,7 @@ def test_q57_udf_is_arrow_batched(plans):
 # Nested-loop joins that are deliberate and bounded to tiny sides:
 # q14 is the small-dim cartesian operator itself; x15 cross-joins a
 # ONE-ROW corpus-size aggregate.
-NESTED_LOOP_WHITELIST = {"q14_cross_join", "x15_tfidf"}
+NESTED_LOOP_WHITELIST = {"z14_cross_join", "x15_tfidf"}
 
 
 def test_q68_salted_exchange_partitions_on_salt(plans):

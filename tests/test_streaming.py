@@ -199,3 +199,20 @@ def test_x11_stateful_counter(spark, sf_dir, replay_dir):
         .set_index("user_id")["n_events"]
     )
     assert final["n_events"].to_dict() == want.to_dict()
+
+
+def test_x20_stream_stream_join_equals_batch(spark, sf_dir, replay_dir):
+    """X20: stream-stream interval join (two watermarks, bounded state)
+    replayed in-order == the batch interval join."""
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, _chunks_glob(replay_dir))
+    _run_to_memory(ops.purchase_click_join(stream), name, "append")
+    got = {
+        (r["purchase_id"], r["click_id"], r["lag_us"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["purchase_id"], r["click_id"], r["lag_us"])
+        for r in REGISTRY["x20_interval_join"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
