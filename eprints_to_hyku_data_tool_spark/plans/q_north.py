@@ -1058,7 +1058,13 @@ def x16_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.graph import connected_components
 
     docs_raw = load_table(spark, sf_dir, "documents")
-    pairs = exact_jaccard_pairs(doc_shingles(docs_raw))
+    docs_sh = doc_shingles(docs_raw)
+    # exact_jaccard_pairs emits CANDIDATES (prefix-filtered superset);
+    # the graph must be built from exact-VERIFIED pairs only — at sf0.1
+    # candidates are ~170x the true pair set and would over-merge
+    # clusters (caught by profiling, not by the sf0.01 oracle, where the
+    # candidate set happens to coincide with the true pairs).
+    pairs = verify_jaccard_candidates(docs_sh, exact_jaccard_pairs(docs_sh))
     comp = connected_components(pairs)
     return (
         docs_raw.join(comp, docs_raw["doc_id"] == comp["node"], "left")

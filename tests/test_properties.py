@@ -272,3 +272,36 @@ def test_percentile_approx_within_tolerance(spark, sf_dir):
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+def test_cluster_dedupe_uses_verified_pairs_at_sf01(spark):
+    """Regression guard (r3): x16 must build its graph from exact-VERIFIED
+    pairs, not prefix-join candidates. At sf0.1 the candidate set is
+    ~170x the true pair set, so an unverified graph over-merges clusters
+    — invisible at the sf0.01 oracle scale, so this check pins sf0.1."""
+    sf = "/root/testdata/sf0.1"
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["x17_ngram_jaccard"].fn(spark, sf).collect()
+    }
+    members = {n for p in pairs for n in p}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_dropped = {n for n in members if find(n) != n}
+    got_dropped = {
+        r["doc_id"]
+        for r in REGISTRY["x16_cluster_dedupe"].fn(spark, sf).collect()
+        if r["is_dropped"] == 1
+    }
+    assert got_dropped == want_dropped and len(want_dropped) > 0
