@@ -234,7 +234,7 @@ def q14_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q15 — theta / range join (equi key + date-window residual)
 # --------------------------------------------------------------------------
 @register(
-    "q15_range_join",
+    "z15_range_join",
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            CAST(COUNT(*) AS BIGINT) AS n_shipped_in_90d,

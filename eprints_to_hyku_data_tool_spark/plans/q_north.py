@@ -1081,3 +1081,95 @@ def x16_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X21 — end-to-end training-corpus pipeline (the composition a user of
+# this engine actually runs): quality filter -> exact dedupe -> near-dup
+# dedupe, each stage the registered operator's exact logic
+# --------------------------------------------------------------------------
+@register(
+    "x21_corpus_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source, text,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(string_split(text,' '),
+                  t -> t IN ('data','table','row','value','key'))) AS BIGINT)
+               AS n_stop
+      FROM documents),
+    quality AS (
+      SELECT * FROM base
+      WHERE n_tokens BETWEEN 10 AND 1000
+        AND CAST(n_stop AS DOUBLE)/n_tokens < 0.5),
+    keyed AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                   ORDER BY doc_id) AS rn
+      FROM quality),
+    exact_surv AS (
+      SELECT doc_id, lang, source, text, n_tokens FROM keyed WHERE rn = 1),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(string_split(text,' ')) - 1, 1)),
+                              i -> string_split(text,' ')[i] || ' ' ||
+                                   string_split(text,' ')[i+1] || ' ' ||
+                                   string_split(text,' ')[i+2])) AS s
+      FROM exact_surv),
+    neardup_b AS (
+      SELECT DISTINCT b.doc_id AS doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE 5 * len(list_intersect(a.s, b.s))
+            >= 4 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))))
+    SELECT e.doc_id, e.lang, e.source, e.n_tokens
+    FROM exact_surv e ANTI JOIN neardup_b n ON e.doc_id = n.doc_id
+    """,
+    doc="The macro-pipeline a training-data user runs end-to-end, as ONE "
+    "declarative plan Catalyst optimizes whole: (1) Gopher-style "
+    "quality gate (q64's keep rule), (2) exact dedupe keep-first on "
+    "md5(normalized text) (q59), (3) near-dup dedupe dropping the "
+    "higher id of every exact-verified Jaccard pair (x17's "
+    "prefix-filtered distributed join — no collect, no all-pairs), "
+    "stages pipelined with no materialization boundaries between them. "
+    "Shuffle keys: hash, shingle, doc_id — never the document body "
+    "except to shingle survivors (LLM-pipeline mandate capstone).",
+)
+def x21_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .q_text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.split("text", " ").alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    quality = base.filter(
+        F.col("n_tokens").between(10, 1000)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") < 0.5)
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    exact_surv = (
+        quality.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "text", "n_tokens")
+    )
+    sh = doc_shingles(exact_surv.select("doc_id", "text"))
+    dropped = (
+        verify_jaccard_candidates(sh, exact_jaccard_pairs(sh))
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return exact_surv.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_tokens"
+    )

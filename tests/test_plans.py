@@ -77,7 +77,7 @@ def test_q08_large_join_is_not_broadcast_nested_loop(plans):
 def test_q15_range_join_keeps_equi_key(plans):
     # The equi part (orderkey) must drive the join; the date range is a
     # residual condition, not a nested loop.
-    p = plans("q15_range_join")
+    p = plans("z15_range_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
