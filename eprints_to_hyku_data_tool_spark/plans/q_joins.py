@@ -335,7 +335,7 @@ def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q17 — self join / consecutive-event pairs (lag formulation)
 # --------------------------------------------------------------------------
 @register(
-    "q17_self_join_pairs",
+    "z17_self_join_pairs",
     oracle="""
     SELECT user_id, event_id, prev_event_id, prev_type, event_type,
            date_diff('microsecond', prev_ts, ts) AS gap_us

@@ -195,3 +195,40 @@ def x14_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, word_count(text) AS n_words FROM x14_documents_v"
     )
+
+
+# --------------------------------------------------------------------------
+# X22 — real Python UDTF (table function): one input row -> N output rows
+# via the @udtf class API, consumed with a SQL LATERAL join
+# --------------------------------------------------------------------------
+@register(
+    "x22_udtf_ngrams",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
+    SELECT doc_id, CAST(x.i AS INT) AS pos,
+           toks[CAST(x.i AS INT)+1] || ' ' || toks[CAST(x.i AS INT)+2] AS ngram
+    FROM t, LATERAL (SELECT unnest(range(0, len(toks)-1)) AS i) x
+    """,
+    doc="Bigram shredding as a REAL Python UDTF (the @udtf class API, "
+    "distinct from x13's mapInPandas shredding): eval() yields (pos, "
+    "bigram) rows, the query consumes it with SQL LATERAL. useArrow=True "
+    "keeps the exchange Arrow-batched (plan shows ArrowEvalPythonUDTF, "
+    "not the row-serialized BatchEvalPythonUDTF the fleet lint bans). "
+    "Row-multiplying but shuffle-free: the UDTF runs where the data "
+    "lives (SURVEY §2.10 extension).",
+)
+def x22_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, ngram string", useArrow=True)
+    class Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("x22_bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("x22_docs")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.ngram FROM x22_docs, LATERAL x22_bigrams(text) t"
+    )
