@@ -72,7 +72,7 @@ def q22_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q23 — ROLLUP (hierarchical subtotals)
 # --------------------------------------------------------------------------
 @register(
-    "q23_rollup",
+    "z23_rollup",
     oracle="""
     SELECT COALESCE(r_name, '(all)') AS region_name,
            COALESCE(n_name, '(all)') AS nation_name,

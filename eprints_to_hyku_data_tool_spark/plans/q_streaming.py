@@ -199,3 +199,71 @@ def x20_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# X23 — time-series gap-fill + forward fill (missing-bucket densification)
+# --------------------------------------------------------------------------
+@register(
+    "x23_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS observed
+      FROM events GROUP BY event_type, h),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b),
+    grid AS (
+      SELECT et.event_type, gs.h
+      FROM (SELECT DISTINCT event_type FROM events) et
+      CROSS JOIN (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                                (SELECT h1 FROM bounds),
+                                                INTERVAL 1 HOUR)) AS h) gs),
+    j AS (SELECT g.event_type, g.h, b.observed
+          FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.h = b.h)
+    SELECT event_type, h AS bucket, observed,
+           last_value(observed IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM j
+    """,
+    doc="Time-series densification, an operator Spark has no primitive "
+    "for: hourly buckets per event type, the missing buckets "
+    "materialized from an exploded sequence over the observed bound "
+    "(a ONE-ROW aggregate cross-joined with the 5-row type dim — the "
+    "only whitelisted nested-loop shape, same class as x15), then "
+    "forward-filled with last(ignorenulls) over an ordered window. "
+    "Grid size is O(types x buckets), independent of event volume; the "
+    "observed aggregation is the only data-sized shuffle. Decimal-exact "
+    "sums as in q54 (time-series mandate extension).",
+)
+def x23_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("observed")
+    )
+    bounds = b.agg(F.min("bucket").alias("h0"), F.max("bucket").alias("h1"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(hours)
+    j = grid.join(b, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        "bucket",
+        "observed",
+        F.last("observed", ignorenulls=True).over(w).alias("filled"),
+    )

@@ -202,3 +202,137 @@ def purchase_click_join(stream: DataFrame, watermark: str = "3 hours") -> DataFr
         "click_ts",
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+# Schema of a replayed documents stream (matches the documents fixture).
+DOCS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def docs_stream(spark: SparkSession, replay_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a directory of documents parquet chunks."""
+    return (
+        spark.readStream.schema(DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(replay_dir)
+    )
+
+
+def streaming_neardup(stream: DataFrame) -> DataFrame:
+    """Streaming near-duplicate detection: the q60/x17 MinHash-LSH family
+    as an INCREMENTAL operator — every arriving document is checked
+    against all previously seen documents, emitting each qualifying
+    (id_a, id_b, inter_size, union_size) pair exactly when its second
+    member arrives. The emitted pair set over a full replay equals the
+    batch x17/q60 result, independent of arrival order (asserted in
+    tests/test_streaming.py).
+
+    Shape: signatures and band hashes are computed ROW-LOCALLY (array
+    HOFs over the shingle set — no shuffle), then one explode per band
+    and a groupBy (band, band_hash) feeds applyInPandasWithState whose
+    state is this bucket's (doc_id, shingle-set) history. Exact Jaccard
+    verification happens in-state; a pair colliding in k bands is
+    emitted once per band — consumers dedupe on the pair key (set
+    semantics or a downstream dropDuplicates; chaining the state-store
+    dedupe directly after applyInPandasWithState trips a
+    ColumnarBatchRow->UnsafeRow cast defect in Spark 4.1, so the
+    operator does not bake it in).
+
+    State discipline: bucket state grows with the corpus — the
+    streaming analogue of the batch join needing both sides. Production
+    deployments bound it the same way the batch path bounds work: evict
+    by event-time watermark (GroupStateTimeout.EventTimeTimeout) when
+    near-dups are only sought within a time horizon. NoTimeout is used
+    here because availableNow replays stall on processing-time
+    timeouts (same rationale as stateful_user_counter)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..plans.q_north import (
+        N_BANDS,
+        N_HASHES,
+        ROWS_PER_BAND,
+        TAU_DEN,
+        TAU_NUM,
+        shingle_expr,
+    )
+
+    toks = stream.select("doc_id", F.split("text", " ").alias("toks"))
+    sh = toks.select("doc_id", shingle_expr(F.col("toks")).alias("sh"))
+    # Row-local minhash: min over the shingle array per seed (the batch
+    # path explodes + groupBys for shuffle locality; a stream avoids the
+    # shuffle entirely).
+    sig = sh.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(
+                F.transform(
+                    "sh", lambda s: F.xxhash64(F.xxhash64(s), F.lit(seed))
+                )
+            ).alias(f"h{seed}")
+            for seed in range(N_HASHES)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"h{b * ROWS_PER_BAND + r}")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                        F.lit(b),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+    out_schema = "id_a bigint, id_b bigint, inter_size int, union_size int"
+    state_schema = "ids array<bigint>, shs array<array<string>>"
+
+    def update(key, pdfs, state: GroupState):
+        ids, shs = state.get if state.exists else ([], [])
+        ids, shs = list(ids), [frozenset(s) for s in shs]
+        out = {"id_a": [], "id_b": [], "inter_size": [], "union_size": []}
+        for pdf in pdfs:
+            for doc_id, sh_arr in zip(pdf["doc_id"], pdf["sh"]):
+                cur = frozenset(sh_arr)
+                for prev_id, prev_sh in zip(ids, shs):
+                    if prev_id == doc_id:
+                        continue
+                    inter = len(cur & prev_sh)
+                    union = len(cur) + len(prev_sh) - inter
+                    if TAU_DEN * inter >= TAU_NUM * union:
+                        a, b = sorted((int(prev_id), int(doc_id)))
+                        out["id_a"].append(a)
+                        out["id_b"].append(b)
+                        out["inter_size"].append(inter)
+                        out["union_size"].append(union)
+                ids.append(int(doc_id))
+                shs.append(cur)
+        state.update((ids, [list(s) for s in shs]))
+        yield pd.DataFrame(out).astype(
+            {"id_a": "int64", "id_b": "int64",
+             "inter_size": "int32", "union_size": "int32"}
+        )
+
+    return bands.groupBy("band", "band_hash").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

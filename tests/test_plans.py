@@ -125,7 +125,9 @@ def test_q57_udf_is_arrow_batched(plans):
 # Nested-loop joins that are deliberate and bounded to tiny sides:
 # q14 is the small-dim cartesian operator itself; x15 cross-joins a
 # ONE-ROW corpus-size aggregate.
-NESTED_LOOP_WHITELIST = {"z14_cross_join", "x15_tfidf"}
+# x23 cross-joins a one-row bounds aggregate with a 5-row type dim to
+# build the gap-fill grid — tiny-by-construction, like x15.
+NESTED_LOOP_WHITELIST = {"z14_cross_join", "x15_tfidf", "x23_gapfill"}
 
 
 def test_q68_salted_exchange_partitions_on_salt(plans):

@@ -216,3 +216,38 @@ def test_x20_stream_stream_join_equals_batch(spark, sf_dir, replay_dir):
         for r in REGISTRY["x20_interval_join"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+@pytest.fixture(scope="module")
+def docs_replay_dir(spark, sf_dir):
+    """documents fixture written as N_CHUNKS parquet files (id order — the
+    operator's result must be arrival-order independent anyway)."""
+    tmp = tempfile.mkdtemp(prefix="docs_replay_")
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id")
+    pdf = docs.toPandas()
+    per = len(pdf) // N_CHUNKS + 1
+    for i in range(N_CHUNKS):
+        chunk = pdf.iloc[i * per : (i + 1) * per]
+        if len(chunk):
+            spark.createDataFrame(
+                chunk, schema=ops.DOCS_STREAM_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/chunk={i}")
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_neardup_equals_batch(spark, sf_dir, docs_replay_dir):
+    """Streaming MinHash-LSH near-dup (stateful, incremental) over a full
+    replay emits exactly the batch x17/q60 pair set with exact sizes."""
+    name = f"nd_{uuid.uuid4().hex[:8]}"
+    stream = ops.docs_stream(spark, _chunks_glob(docs_replay_dir))
+    _run_to_memory(ops.streaming_neardup(stream), name, "append")
+    got = {
+        (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
+        for r in REGISTRY["x17_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
