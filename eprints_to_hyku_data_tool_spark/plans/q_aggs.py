@@ -119,7 +119,7 @@ def q23_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q24 — CUBE (all grouping combinations)
 # --------------------------------------------------------------------------
 @register(
-    "q24_cube",
+    "z24_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, '(all)') AS status,
            COALESCE(o_orderpriority, '(all)') AS priority,

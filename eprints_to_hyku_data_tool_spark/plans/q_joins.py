@@ -38,7 +38,7 @@ from .q_core import dec_sum
 # Q08 — inner equi join (large <-> large, sort-merge)
 # --------------------------------------------------------------------------
 @register(
-    "q08_inner_join",
+    "z08_inner_join",
     oracle="""
     SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -448,4 +448,83 @@ def q68_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"),
         dec_sum(F.col("value"), "total_value", "decimal(18,6)"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X25 — MERGE / upsert semantics (CDC apply) as one declarative plan
+# --------------------------------------------------------------------------
+@register(
+    "x25_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey AS key,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend,
+             MAX(o_orderdate) AS last_order
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+      GROUP BY o_custkey),
+    cdc AS (
+      SELECT * FROM changes
+      UNION ALL
+      SELECT key + 10000000, n_orders, total_spend, last_order
+      FROM changes WHERE key % 50 = 0)
+    SELECT COALESCE(b.c_custkey, c.key) AS key,
+           b.c_name AS name,
+           c.n_orders, c.total_spend, c.last_order,
+           CASE WHEN b.c_custkey IS NOT NULL AND c.key IS NOT NULL
+                  THEN 'update'
+                WHEN b.c_custkey IS NULL THEN 'insert'
+                ELSE 'keep' END AS action
+    FROM customer b FULL OUTER JOIN cdc c ON b.c_custkey = c.key
+    """,
+    doc="MERGE INTO semantics (the Delta/Iceberg upsert trio) as plain "
+    "Spark: a CDC batch (recent-order aggregates, plus deterministic "
+    "synthetic keys so WHEN NOT MATCHED fires) full-outer-joined with "
+    "the customer dimension; WHEN MATCHED -> update, WHEN NOT MATCHED "
+    "-> insert, WHEN NOT MATCHED BY SOURCE -> keep. One shuffle keyed "
+    "on the merge key; at table-format scale the same plan feeds a "
+    "partition-overwrite writer (exercises all three action branches: "
+    "1497/30/3 at sf0.01). Decimal-exact spend sums as in q54.",
+)
+def x25_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    changes = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+    cdc = changes.unionAll(
+        changes.filter(F.col("key") % 50 == 0).select(
+            (F.col("key") + 10000000).alias("key"),
+            "n_orders",
+            "total_spend",
+            "last_order",
+        )
+    )
+    b = cust.select("c_custkey", "c_name")
+    return (
+        b.join(cdc, b["c_custkey"] == cdc["key"], "full_outer")
+        .select(
+            F.coalesce("c_custkey", "key").alias("key"),
+            F.col("c_name").alias("name"),
+            "n_orders",
+            "total_spend",
+            "last_order",
+            F.when(
+                F.col("c_custkey").isNotNull() & F.col("key").isNotNull(),
+                "update",
+            )
+            .when(F.col("c_custkey").isNull(), "insert")
+            .otherwise("keep")
+            .alias("action"),
+        )
     )

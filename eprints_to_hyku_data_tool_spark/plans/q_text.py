@@ -433,3 +433,57 @@ def x19_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("rep_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# X24 — deterministic corpus split + reproducible sampling
+# --------------------------------------------------------------------------
+# Split/sample membership must be a pure function of the stable row id so
+# any engine, any partitioning, and any rerun produce the same corpus:
+# md5(id) is uniform, and comparing its first hex bytes against fixed
+# thresholds gives rates in multiples of 1/256 with plain string
+# comparison semantics identical across engines (no hex parsing, no
+# engine-specific hash).
+_TRAIN_LT = "e6"  # 230/256 ~ 89.8%
+_VAL_LT = "f3"    # +13/256 ~  5.1%; remainder test ~ 5.1%
+_SAMPLE_LT = "1a"  # 26/256 ~ 10.2%
+
+
+@register(
+    "x24_deterministic_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hs,
+             substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN hs < '{_TRAIN_LT}' THEN 'train'
+                WHEN hs < '{_VAL_LT}' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(CASE WHEN hx < '{_SAMPLE_LT}' THEN 1 ELSE 0 END AS INT)
+             AS in_10pct_sample
+    FROM h
+    """,
+    doc="Deterministic train/val/test assignment (~90/5/5) and a "
+    "reproducible ~10% sample flag, both pure functions of doc_id via "
+    "md5 prefix ranges — identical membership on any engine, any "
+    "partitioning, any rerun (the property TABLESAMPLE/rand() cannot "
+    "give). Row-level, zero shuffle; the salt prefix decorrelates the "
+    "sample from the split (training-data pipeline mandate).",
+)
+def x24_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hs = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    hx = F.substring(
+        F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(hs < _TRAIN_LT, "train")
+        .when(hs < _VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.when(hx < _SAMPLE_LT, 1).otherwise(0).cast("int").alias("in_10pct_sample"),
+    )

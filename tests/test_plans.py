@@ -69,7 +69,7 @@ def test_q38_take_ordered_and_project(plans):
 
 
 def test_q08_large_join_is_not_broadcast_nested_loop(plans):
-    p = plans("q08_inner_join")
+    p = plans("z08_inner_join")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
