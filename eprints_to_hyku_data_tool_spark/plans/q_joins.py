@@ -70,7 +70,7 @@ def q08_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q09 — broadcast hash join (vocabulary lookup chain)
 # --------------------------------------------------------------------------
 @register(
-    "q09_broadcast_join",
+    "z09_broadcast_join",
     oracle="""
     SELECT r_name, n_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,

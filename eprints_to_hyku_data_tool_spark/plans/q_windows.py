@@ -25,7 +25,7 @@ from .registry import register
 # Q31 — row_number keep-first dedupe (the canonical ETL dedupe)
 # --------------------------------------------------------------------------
 @register(
-    "q31_keepfirst_dedupe",
+    "z31_keepfirst_dedupe",
     oracle="""
     SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
     FROM (SELECT user_id, event_type, event_id, ts,

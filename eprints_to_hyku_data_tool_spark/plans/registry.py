@@ -70,6 +70,7 @@ def _load_all() -> None:
         "q_text",
         "q_udf",
         "q_streaming",
+        "q_analytics",
     ):
         try:
             __import__(f"{__package__}.{mod}")

@@ -51,7 +51,7 @@ def test_q04_compound_predicate_pushdown(plans):
 def test_q09_broadcast_hash_join(plans):
     import re
 
-    p = plans("q09_broadcast_join")
+    p = plans("z09_broadcast_join")
     # Two BHJ nodes in the tree (each also appears in the detail section).
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2, p
     assert "SortMergeJoin" not in p
@@ -93,7 +93,7 @@ def test_q60_minhash_no_cartesian(plans):
 def test_q31_single_shuffle_on_dedupe_key(plans):
     import re
 
-    p = plans("q31_keepfirst_dedupe")
+    p = plans("z31_keepfirst_dedupe")
     # Exactly one shuffle: the window's hashpartitioning on the dedupe key
     # (plain Exchange nodes; BroadcastExchange would not match).
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
@@ -120,6 +120,17 @@ def test_q57_udf_is_arrow_batched(plans):
     p = plans("q57_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p  # row-at-a-time python UDF forbidden
+
+
+def test_x26_funnel_single_shuffle(plans):
+    """The three-step funnel must stack its conditional window minima and
+    the final per-user aggregate on ONE user_id exchange — the whole
+    point of the window form vs the oracle's three-join chain."""
+    import re
+
+    p = plans("x26_funnel")
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Window", p)) == 3, p
 
 
 # Nested-loop joins that are deliberate and bounded to tiny sides:

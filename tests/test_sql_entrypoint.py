@@ -18,7 +18,7 @@ def test_sql_equals_dataframe_api(spark, sf_dir):
     register_views(spark, sf_dir)
     cases = {
         # join + agg (Q09 shape)
-        "q09_broadcast_join": """
+        "z09_broadcast_join": """
             SELECT r_name, n_name,
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
                    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
@@ -29,7 +29,7 @@ def test_sql_equals_dataframe_api(spark, sf_dir):
             GROUP BY r_name, n_name
         """,
         # window (Q31 shape)
-        "q31_keepfirst_dedupe": """
+        "z31_keepfirst_dedupe": """
             SELECT user_id, event_type, event_id, ts
             FROM (SELECT user_id, event_type, event_id, ts,
                          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
