@@ -140,3 +140,120 @@ def x27_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# X28 — sessionization: assign session IDs to EVENTS (gap rule)
+# --------------------------------------------------------------------------
+@register(
+    "x28_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT)
+             AS session_id
+    FROM g
+    """,
+    doc="Per-event session assignment (30-min gap rule): lag + cumulative "
+    "sum over the same user_id window — the event-level complement of "
+    "q56's session_window AGGREGATES (you get the session id ON each "
+    "row, which session_window cannot give). Both windows share one "
+    "user_id exchange; ties broken by event_id for determinism "
+    "(sessionization mandate).",
+)
+def x28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X29 — histogram / binning (fixed-width buckets, identical arithmetic)
+# --------------------------------------------------------------------------
+@register(
+    "x29_histogram",
+    oracle="""
+    SELECT CAST(LEAST(GREATEST(CAST(FLOOR(value / 25) AS INT), 0), 19) AS INT)
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bucket_sum
+    FROM events GROUP BY 1
+    """,
+    doc="Value histogram: 20 fixed-width buckets over [0, 500), clamped "
+    "tails. DuckDB has no width_bucket, so BOTH engines compute the "
+    "identical floor(value/25) IEEE expression — no boundary "
+    "divergence by construction. One partial-agg shuffle on a 20-value "
+    "key; decimal-exact per-bucket sums as in q54.",
+)
+def x29_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 25).cast("int"), F.lit(0)),
+        F.lit(19),
+    ).cast("int")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("bucket_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X30 — training-mix reweighting (per-stratum sampling weights)
+# --------------------------------------------------------------------------
+@register(
+    "x30_mix_reweight",
+    oracle="""
+    WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY lang, source),
+    t AS (SELECT SUM(n) AS total, COUNT(*) AS n_groups FROM c)
+    SELECT c.lang, c.source, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS current_share,
+           1.0 / t.n_groups AS target_share,
+           (CAST(t.total AS DOUBLE) / t.n_groups) / c.n AS weight
+    FROM c, t
+    """,
+    doc="Per-(lang, source) resampling weights to hit a uniform target "
+    "mix — the knob an LLM data pipeline turns to rebalance corpus "
+    "strata. The totals side is a ONE-ROW aggregate cross-joined back "
+    "(broadcast, same whitelisted shape as x15); share/weight are "
+    "fixed-order IEEE division chains mirrored exactly. Output is "
+    "O(strata), independent of corpus size (data-mixing mandate).",
+)
+def x30_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_groups")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "source",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("current_share"),
+        (F.lit(1.0) / F.col("n_groups")).alias("target_share"),
+        (
+            (F.col("total").cast("double") / F.col("n_groups")) / F.col("n")
+        ).alias("weight"),
+    )

@@ -273,7 +273,7 @@ def q15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q16 — as-of join (latest 'view' at-or-before each 'purchase', per user)
 # --------------------------------------------------------------------------
 @register(
-    "q16_asof_join",
+    "z16_asof_join",
     oracle="""
     WITH p AS (SELECT event_id AS purchase_id, user_id,
                       CAST(ts AS TIMESTAMP) AS purchase_ts

@@ -25,7 +25,7 @@ from .registry import register
 # Q37 — multi-key sort with null ordering
 # --------------------------------------------------------------------------
 @register(
-    "q37_multikey_sort",
+    "z37_multikey_sort",
     oracle="""
     SELECT o_orderkey, order_date, price_or_null,
            ROW_NUMBER() OVER (ORDER BY order_date DESC,

@@ -52,7 +52,7 @@ def q31_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q32 — rank / dense_rank top-k per group
 # --------------------------------------------------------------------------
 @register(
-    "q32_topk_per_group",
+    "z32_topk_per_group",
     oracle="""
     SELECT c_mktsegment, o_orderkey, o_totalprice, price_rank
     FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -109,7 +109,7 @@ def test_q19_partial_aggregation(plans):
 
 
 def test_q37_global_position_is_distributed(plans):
-    p = plans("q37_multikey_sort")
+    p = plans("z37_multikey_sort")
     # the data flows through a range partitioner + per-partition ranks,
     # not a single-partition global window
     assert "rangepartitioning" in p, p
@@ -138,7 +138,14 @@ def test_x26_funnel_single_shuffle(plans):
 # ONE-ROW corpus-size aggregate.
 # x23 cross-joins a one-row bounds aggregate with a 5-row type dim to
 # build the gap-fill grid — tiny-by-construction, like x15.
-NESTED_LOOP_WHITELIST = {"z14_cross_join", "x15_tfidf", "x23_gapfill"}
+NESTED_LOOP_WHITELIST = {
+    "z14_cross_join",
+    "x15_tfidf",
+    "x23_gapfill",
+    # x30 cross-joins a one-row totals aggregate back onto the strata
+    # counts — broadcast, tiny by construction.
+    "x30_mix_reweight",
+}
 
 
 def test_q68_salted_exchange_partitions_on_salt(plans):
