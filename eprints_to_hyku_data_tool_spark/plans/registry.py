@@ -19,6 +19,10 @@ the entire LLM-pipeline surface — unverified). Names sort q* < x* < z*, so:
   relational coverage plus everything that had no driver row in round 2
   (scalar kits 51-53, streaming 54-56, UDFs 57-58, the whole dedup /
   similarity / text surface 59-68, x12-x15).
+- y??_*          — work added AFTER the priority window filled (corpus
+  batch 2: decontamination, chunking, stratified sampling, BM25, vocab
+  profile). Locally oracle-verified like everything else; rotation
+  candidates for a future round's driver window.
 - z??_*          — queries driver-verified GREEN in round 2 (see
   CORRECTNESS_r02.json under their former q-names; z05 was q05, etc.).
   They remain registered, bench-timed, and oracle-checked by the local
@@ -71,6 +75,7 @@ def _load_all() -> None:
         "q_udf",
         "q_streaming",
         "q_analytics",
+        "q_corpus",
     ):
         try:
             __import__(f"{__package__}.{mod}")

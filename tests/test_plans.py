@@ -145,7 +145,20 @@ NESTED_LOOP_WHITELIST = {
     # x30 cross-joins a one-row totals aggregate back onto the strata
     # counts — broadcast, tiny by construction.
     "x30_mix_reweight",
+    # y34/y35 cross-join one-row corpus-stats/total aggregates (same
+    # broadcast shape as x30).
+    "y34_bm25",
+    "y35_vocab_zipf",
 }
+
+
+def test_y31_eval_grams_broadcast(plans):
+    """Decontamination's scale contract: the eval n-gram side is broadcast
+    (benchmark-sized), so the corpus side streams map-side — the gram
+    match must be a BroadcastHashJoin, never a shuffled join on grams."""
+    p = plans("y31_decontaminate")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
 
 
 def test_q68_salted_exchange_partitions_on_salt(plans):
