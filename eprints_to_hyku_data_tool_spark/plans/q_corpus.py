@@ -1,9 +1,10 @@
 """Corpus-preparation macro-operators (round-3 breadth batch 2): the
 remaining steps a training-data pipeline runs between raw documents and
 a training mix — benchmark decontamination, chunking, per-stratum
-sampling, BM25 relevance, and a vocabulary/Zipf profile.
+sampling, BM25 relevance, a vocabulary/Zipf profile, k-per-stratum
+downsampling, length-outlier fences, and per-label embedding centroids.
 
-All five are oracle-paired. Their y-tier registry names sort OUTSIDE
+All eight are oracle-paired. Their y-tier registry names sort OUTSIDE
 the driver's 50-entry verification window (which is full); they are
 verified by the local sf0.01 parity mirror on every pytest run, like the
 z tier.
@@ -366,4 +367,151 @@ def y35_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("total")
             ).alias("cum_share"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Y36 — deterministic k-per-stratum sample (uniform downsampling)
+# --------------------------------------------------------------------------
+_GROUP_K = 5
+
+
+@register(
+    "y36_group_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
+    FROM (SELECT doc_id, lang, source,
+                 row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    WHERE rn <= {_GROUP_K}
+    """,
+    doc="Uniform k-per-stratum downsampling: exactly 5 documents per "
+    "(lang, source) stratum, chosen by ranking on md5(doc_id) — a "
+    "deterministic stand-in for ORDER BY random() that every engine, "
+    "partitioning, and rerun agrees on (same md5-membership idea as "
+    "x24/y33, but with an exact per-group COUNT guarantee instead of "
+    "a rate). Physically identical to the z31 keep-first engine: one "
+    "hash-partition shuffle on the stratum key, and Spark 4's "
+    "WindowGroupLimit cuts each group to k BEFORE and after the "
+    "exchange, so only candidate rows move (plan-asserted).",
+)
+def y36_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= _GROUP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Y37 — per-stratum length-band outlier filter (p05/p95 fences)
+# --------------------------------------------------------------------------
+@register(
+    "y37_length_band",
+    oracle="""
+    WITH b AS (SELECT lang,
+                      round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 4)
+                        AS lo,
+                      round(quantile_cont(CAST(n_chars AS DOUBLE), 0.95), 4)
+                        AS hi
+               FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang, d.n_chars, b.lo, b.hi,
+           CAST(CASE WHEN d.n_chars >= b.lo AND d.n_chars <= b.hi
+                THEN 1 ELSE 0 END AS INT) AS in_band
+    FROM documents d JOIN b ON d.lang = b.lang
+    """,
+    doc="Length-outlier filter: per-language p05/p95 fences on document "
+    "length, each document flagged in/out of band — the 'drop the "
+    "truncated and the concatenated' heuristic of corpus cleaning. "
+    "Exact interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont, q27 rule, rounded 4dp); the fence table is "
+    "O(languages) and broadcast back onto the corpus scan, so the "
+    "corpus moves only once (the percentile agg's partial pass). At "
+    "100 TB swap percentile -> percentile_approx(..., 10000): same "
+    "plan shape, sketch-mergeable, documented trade.",
+)
+def y37_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy("lang").agg(
+        F.round(
+            F.expr("percentile(CAST(n_chars AS DOUBLE), 0.05)"), 4
+        ).alias("lo"),
+        F.round(
+            F.expr("percentile(CAST(n_chars AS DOUBLE), 0.95)"), 4
+        ).alias("hi"),
+    )
+    return docs.join(F.broadcast(b), "lang").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "lo",
+        "hi",
+        F.when(
+            (F.col("n_chars") >= F.col("lo"))
+            & (F.col("n_chars") <= F.col("hi")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("in_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y38 — per-label embedding centroids (elementwise mean, order-exact)
+# --------------------------------------------------------------------------
+@register(
+    "y38_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                         AS DECIMAL(18,6)))) AS val
+      FROM embeddings)
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(val) AS DOUBLE) / COUNT(*) AS centroid
+    FROM e GROUP BY label, dim
+    """,
+    doc="Per-label embedding centroids: the elementwise mean vector of "
+    "each label's embeddings (the building block of IVF coarse "
+    "training, nearest-class classification, and cluster drift "
+    "monitoring). Floats are quantized to 6dp decimals BEFORE "
+    "summation (round-then-cast recovers the intended 6dp decimal "
+    "exactly on both engines), so the per-(label, dim) sums are exact "
+    "decimal arithmetic — summation ORDER cannot change the result, "
+    "which is what makes a distributed partial-agg mean hashable at "
+    "all. One partial-agg shuffle keyed (label, dim): dims x labels "
+    "output cells regardless of corpus size. The final mean is a "
+    "single double division per cell.",
+)
+def y38_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "fval"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.round(F.col("fval").cast("double"), 6)
+        .cast("decimal(18,6)")
+        .alias("val"),
+    )
+    return e.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("centroid"),
     )

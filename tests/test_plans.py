@@ -161,6 +161,17 @@ def test_y31_eval_grams_broadcast(plans):
     assert "SortMergeJoin" not in p, p
 
 
+def test_y36_group_sample_window_group_limit(plans):
+    """k-per-stratum sampling must ride the z31 keep-first engine: one
+    stratum-keyed exchange, with WindowGroupLimit cutting each group to
+    k before rows move."""
+    import re
+
+    p = plans("y36_group_sample")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "WindowGroupLimit" in p, p
+
+
 def test_q68_salted_exchange_partitions_on_salt(plans):
     # The whole point of salting: the build-side exchange hashes
     # (key, salt), not just the key — and the broadcast path is off.
