@@ -109,6 +109,29 @@ def read_jdbc(
     return reader.load()
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """X01b: ORC source (Spark-native, vectorized reader). Same
+    predicate-pushdown and column-pruning behavior as parquet — ORC
+    carries min/max stride indexes, so pushed filters skip stripes.
+    Useful when upstream Hive/Hadoop infrastructure hands over ORC
+    instead of parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, compression: str = "zstd") -> None:
+    """X01b sink: ORC with zstd (Spark 4 default codec family); columnar,
+    splittable, stripe-indexed — interchangeable with the parquet sink
+    where the consumer is Hive/Trino-side."""
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
 def write_bulkrax_csv(df: DataFrame, path: str, *, n_files: int = 1) -> None:
     """X05: the Bulkrax import CSV — flat strings, multi-values already
     '|'-joined by the transform layer, header row, one file per import

@@ -130,3 +130,26 @@ def test_x04_jdbc_reader_is_configured(spark):
     assert "NoDriver" in str(exc_info.value) or "No suitable driver" in str(
         exc_info.value
     )
+
+
+def test_x01b_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/source round-trips exactly, and a filtered re-read pushes
+    the predicate into the ORC scan (stripe-skipping at scale)."""
+    out = str(tmp_path / "orders_orc")
+    orders = load_table(spark, sf_dir, "orders")
+    eio.write_orc(orders, out)
+    back = eio.read_orc(spark, out, schema=orders.schema)
+    assert back.count() == orders.count()
+    a = sorted(map(tuple, orders.select("o_orderkey", "o_totalprice").collect()))
+    b = sorted(map(tuple, back.select("o_orderkey", "o_totalprice").collect()))
+    assert a == b
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.filter(F.col("o_orderstatus") == "O").select(
+            "o_orderkey"
+        ).explain("formatted")
+    p = buf.getvalue()
+    assert "PushedFilters" in p and "o_orderstatus" in p.split("PushedFilters")[1].splitlines()[0], p
