@@ -59,3 +59,60 @@ def with_global_position(
         )
         .drop("__pid", "__rank", "__offset")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_col: str,
+    cumsum_col: str = "cumsum",
+) -> DataFrame:
+    """Add an EXCLUSIVE running sum of ``value_col`` under a total order
+    (each row sees the sum of all strictly-earlier rows; the first row
+    gets 0) without funneling the data through one task.
+
+    Same two-phase scheme as :func:`with_global_position`: range-partition
+    on the (unique) order keys, local exclusive cumsum per physical
+    partition, then broadcast per-partition totals as offsets. The only
+    full-data movement is the range shuffle a global sort needs anyway;
+    the offsets table is #partitions rows.
+
+    ``value_col`` must be integral — the per-partition offsets are summed
+    as longs, which keeps the result exact and order-independent.
+    """
+    ranged = df.repartitionByRange(*order_exprs).sortWithinPartitions(
+        *order_exprs
+    )
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_pid.withColumn(
+        "__lcum",
+        F.coalesce(F.sum(value_col).over(w_local), F.lit(0)).cast("long"),
+    )
+    totals = (
+        local.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("__n"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        local.join(F.broadcast(totals), "__pid")
+        .withColumn(
+            cumsum_col, (F.col("__offset") + F.col("__lcum")).cast("long")
+        )
+        .drop("__pid", "__lcum", "__offset")
+    )

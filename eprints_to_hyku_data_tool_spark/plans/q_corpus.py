@@ -2,9 +2,11 @@
 remaining steps a training-data pipeline runs between raw documents and
 a training mix — benchmark decontamination, chunking, per-stratum
 sampling, BM25 relevance, a vocabulary/Zipf profile, k-per-stratum
-downsampling, length-outlier fences, and per-label embedding centroids.
+downsampling, length-outlier fences, per-label embedding centroids,
+sequence packing, unigram-LM perplexity-proxy scoring, and CCNet-style
+cross-document boilerplate line removal.
 
-All eight are oracle-paired. Their y-tier registry names sort OUTSIDE
+All eleven are oracle-paired. Their y-tier registry names sort OUTSIDE
 the driver's 50-entry verification window (which is full); they are
 verified by the local sf0.01 parity mirror on every pytest run, like the
 z tier.
@@ -22,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.ordering import with_global_cumsum
 from ..sources.tables import load_table
 from .registry import register
 
@@ -514,4 +517,212 @@ def y38_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label", "dim").agg(
         F.count(F.lit(1)).alias("n"),
         (F.sum("val").cast("double") / F.count(F.lit(1))).alias("centroid"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y39 — sequence packing (concat-and-chunk into fixed context windows)
+# --------------------------------------------------------------------------
+_CTX = 64  # tokens per packed training sequence
+
+
+@register(
+    "y39_sequence_pack",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start_tok
+          FROM d)
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(start_tok // {_CTX} AS BIGINT) AS first_seq,
+           CAST((start_tok + n_tokens - 1) // {_CTX} AS BIGINT) AS last_seq,
+           CAST((start_tok + n_tokens - 1) // {_CTX}
+                - start_tok // {_CTX} + 1 AS INT) AS n_seqs
+    FROM c
+    """,
+    doc="Sequence packing, GPT-style concat-and-chunk: documents are laid "
+    "end-to-end in deterministic doc_id order and the token stream is "
+    "cut every 64 tokens; each document reports its global token "
+    "offset and the [first_seq, last_seq] range of training sequences "
+    "it lands in. The global running sum is NOT a bare "
+    "Window.orderBy (that is the single-partition trap the WindowExec "
+    "warning flags) — it is the distributed two-phase cumsum of "
+    "functions/ordering.py: range-shuffle on doc_id, local exclusive "
+    "cumsum per partition, #partitions-row offset table broadcast "
+    "back. One range shuffle total, so the plan survives a corpus "
+    "that is 1000 partitions wide. Token counts sum as longs -> "
+    "exact at any scale (packing mandate).",
+)
+def y39_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    c = with_global_cumsum(
+        d, [F.col("doc_id")], "n_tokens", cumsum_col="start_tok"
+    )
+    last_tok = F.col("start_tok") + F.col("n_tokens") - 1
+    first_seq = F.floor(F.col("start_tok") / _CTX).cast("long")
+    last_seq = F.floor(last_tok / _CTX).cast("long")
+    return c.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).cast("int").alias("n_seqs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y40 — unigram log-probability scoring (perplexity-proxy quality filter)
+# --------------------------------------------------------------------------
+@register(
+    "y40_unigram_logprob",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents),
+    v AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY token),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+    s AS (SELECT tok.doc_id,
+                 CAST(round(ln(CAST(t.total AS DOUBLE) / v.cnt), 6)
+                      AS DECIMAL(18,6)) AS nlp
+          FROM tok JOIN v USING (token) CROSS JOIN t)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(nlp) AS DOUBLE) AS sum_neg_logp,
+           round(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+    FROM s GROUP BY doc_id
+    """,
+    doc="Perplexity-proxy quality scoring: train a corpus unigram LM "
+    "(token -> MLE probability) and score every document by its mean "
+    "negative log-likelihood — the KenLM-style 'surprising documents "
+    "are low quality' filter, done relationally. Vocabulary is one "
+    "partial-agg shuffle and is vocabulary-sized, so it broadcast-"
+    "joins back onto the exploded token stream (corpus rows never "
+    "shuffle for the lookup); the corpus total is a 1-row cross join "
+    "(whitelisted). Each token's -ln p is rounded to 6dp and summed "
+    "as DECIMAL(18,6) -> the per-doc sums are exact and summation-"
+    "order independent (the y38 rule), which is what makes a "
+    "transcendental aggregate hash-stable across engines.",
+)
+def y40_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    v = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = v.agg(F.sum("cnt").cast("long").alias("total"))
+    s = (
+        tok.join(F.broadcast(v), "token")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("total").cast("double") / F.col("cnt")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("nlp"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("nlp").cast("double").alias("sum_neg_logp"),
+        F.round(
+            F.sum("nlp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_neg_logp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y41 — boilerplate line removal (CCNet-style cross-document line dedupe)
+# --------------------------------------------------------------------------
+_LINE = 10  # tokens per pseudo-line
+_LINE_DF = 5  # a line present in >= this many docs is boilerplate
+
+
+@register(
+    "y41_boilerplate_lines",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    l AS (SELECT doc_id,
+                 unnest(range(1, len(tk) + 1, {_LINE})) AS pos,
+                 unnest(list_transform(
+                   range(1, len(tk) + 1, {_LINE}),
+                   i -> array_to_string(tk[i:i+{_LINE - 1}], ' '))) AS line
+          FROM d),
+    f AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM l GROUP BY line),
+    k AS (SELECT l.doc_id, l.pos, l.line
+          FROM l JOIN f USING (line) WHERE f.df < {_LINE_DF}),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+                   string_agg(line, ' ' ORDER BY pos) AS cleaned_text
+            FROM k GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST((len(d.tk) + {_LINE - 1}) // {_LINE} AS INT) AS n_lines,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.cleaned_text, '') AS cleaned_text
+    FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+    doc="Cross-document boilerplate removal, CCNet-style: split every "
+    "document into 10-token pseudo-lines, count each line's document "
+    "frequency across the corpus, drop lines that appear in >= 5 "
+    "documents (headers, footers, navigation chrome), and re-fold the "
+    "survivors IN ORIGINAL ORDER into a cleaned text. Order "
+    "preservation is the EPrints multi-value rule (SURVEY §1.1): the "
+    "refold sorts struct(pos, line) before joining, never a bare "
+    "collect_list. Two content shuffles — the line-frequency partial "
+    "agg and the line equi-join back — both keyed on the line string; "
+    "the frequency table scales with DISTINCT lines, not documents, "
+    "and the join is the same candidate-verify shape as the dedup "
+    "family. A doc whose every line is boilerplate survives as an "
+    "empty string via the left join (deletion is a row-filter "
+    "decision downstream, not silent loss).",
+)
+def y41_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _tokens().alias("tk"))
+    starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_LINE))
+    lines = F.transform(
+        starts, lambda i: F.array_join(F.slice("tk", i, _LINE), " ")
+    )
+    l = d.select(
+        "doc_id",
+        F.explode(F.arrays_zip(starts.alias("pos"), lines.alias("line"))).alias(
+            "z"
+        ),
+    ).select("doc_id", F.col("z.pos").alias("pos"), F.col("z.line").alias("line"))
+    f = l.groupBy("line").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    k = l.join(f.filter(F.col("df") < _LINE_DF), "line")
+    agg = k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.floor((F.size("tk") + (_LINE - 1)) / _LINE)
+            .cast("int")
+            .alias("n_lines"),
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
     )

@@ -149,6 +149,8 @@ NESTED_LOOP_WHITELIST = {
     # broadcast shape as x30).
     "y34_bm25",
     "y35_vocab_zipf",
+    # y40 cross-joins the one-row corpus token total (same shape).
+    "y40_unigram_logprob",
 }
 
 
