@@ -1,0 +1,226 @@
+"""Embedding-column operators (round-3 breadth batch 3): int8 scalar
+quantization and random-hyperplane (sign) LSH near-dup — the two
+embedding-side tools a training pipeline needs besides the IVF/top-k
+family in q_north.
+
+Cross-engine discipline: every quantity that is summed is INTEGER by
+construction (floats are quantized to micro-units with an explicit
+``floor(x*1e6 + 0.5)`` before any aggregate), so sums are exact and
+summation-order independent on both engines — no decimal casts, no
+rounding of transcendentals, no tie-breaking ambiguity (``floor(x+0.5)``
+is the same IEEE operation everywhere, unlike ROUND's per-engine
+half-up/half-even variance on exact .5 ties). The only float outputs are
+6dp-rounded cosines, under the q18 rule (fixture margin >= 1e-4 to the
+tau threshold, verified offline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# Y42 — int8 scalar quantization (per-vector absmax scale)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "y42_int8_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id, v,
+                 greatest(list_max(list_transform(v, x -> abs(x))), 1e-12)
+                   AS amax
+          FROM e),
+    qq AS (SELECT vec_id, amax,
+                  list_transform(
+                    v, x -> CAST(floor(x * 127 / amax + 0.5) AS INT)) AS qv,
+                  list_transform(
+                    v, x -> CAST(floor(
+                      abs(x - floor(x * 127 / amax + 0.5) * amax / 127) * 1e6
+                      + 0.5) AS BIGINT)) AS ev
+           FROM q)
+    SELECT vec_id,
+           round(amax, 6) AS amax,
+           qv AS q_vec,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(list_aggregate(ev, 'sum') AS BIGINT) AS recon_err_e6
+    FROM qq
+    """,
+    doc="Int8 scalar quantization of the embedding column (absmax per "
+    "vector, the llama.cpp/FAISS SQ8 scheme): q_i = floor(x_i * 127 / "
+    "absmax + 0.5), 4x smaller vectors for ANN candidate generation "
+    "with the original floats kept only for final re-ranking. Pure "
+    "row-level array math — zero shuffles, embarrassingly parallel at "
+    "any scale. The reconstruction-error checksum is summed in integer "
+    "micro-units (floor(err*1e6+0.5)) so the audit column is exact and "
+    "order-independent; floor(x+0.5) rounding (not ROUND) removes the "
+    "half-up/half-even cross-engine tie hazard (quantization mandate).",
+)
+def y42_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    d = emb.select("vec_id", v.alias("v")).withColumn(
+        "amax",
+        F.greatest(
+            F.array_max(F.transform("v", lambda x: F.abs(x))), F.lit(1e-12)
+        ),
+    )
+    qi = lambda x: F.floor(x * 127 / F.col("amax") + 0.5)  # noqa: E731
+    qq = d.select(
+        "vec_id",
+        "amax",
+        F.transform("v", lambda x: qi(x).cast("int")).alias("qv"),
+        F.transform(
+            "v",
+            lambda x: F.floor(
+                F.abs(x - qi(x) * F.col("amax") / 127) * 1e6 + 0.5
+            ).cast("long"),
+        ).alias("ev"),
+    )
+    zero = F.lit(0).cast("long")
+    return qq.select(
+        "vec_id",
+        F.round("amax", 6).alias("amax"),
+        F.col("qv").alias("q_vec"),
+        F.aggregate("qv", zero, lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").cast("int").alias("q_min"),
+        F.array_max("qv").cast("int").alias("q_max"),
+        F.aggregate("ev", zero, lambda a, x: a + x).alias("recon_err_e6"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y43 — random-hyperplane LSH near-dup (banded sign signatures)
+# --------------------------------------------------------------------------
+_N_PLANES = 16
+_N_BANDS = 4  # 4 bands x 4 bits
+_RP_TAU = 0.4  # same tau + 1e-4 fixture margin as q18/q67
+
+
+def _plane_weights(p: int) -> list[int]:
+    """Deterministic integer 'hyperplane' p: w_d = ((p*73 + d*151) % 97) - 48.
+
+    A fixed pseudo-random projection both engines can regenerate exactly —
+    integer weights in [-48, 48] play the role of N(0,1) Gaussians (sign
+    LSH only needs directional diversity, not true Gaussianity)."""
+    return [((p * 73 + d * 151) % 97) - 48 for d in range(64)]
+
+
+def _band_sigs(vq: Column) -> Column:
+    """Array of 4 band signatures (4 sign bits each) for a micro-quantized
+    vector column. Dot products are exact BIGINT sums, so the signature is
+    bit-identical on any engine or partitioning."""
+    zero = F.lit(0).cast("long")
+    bits = []
+    for p in range(_N_PLANES):
+        w = F.array(*[F.lit(x).cast("long") for x in _plane_weights(p)])
+        dot = F.aggregate(
+            F.zip_with(vq, w, lambda x, y: x * y), zero, lambda a, x: a + x
+        )
+        bits.append(F.when(dot >= 0, 1).otherwise(0))
+    bands = []
+    for b in range(_N_BANDS):
+        j = b * (_N_PLANES // _N_BANDS)
+        sig = sum(
+            (bits[j + k] * (1 << k) for k in range(_N_PLANES // _N_BANDS)),
+            start=F.lit(0),
+        )
+        bands.append(sig.cast("int"))
+    return F.array(*bands)
+
+
+@register(
+    "y43_rplsh_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id, v,
+                 list_transform(
+                   v, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS vq
+          FROM e),
+    bits AS (SELECT q.vec_id, p.range AS p,
+               CASE WHEN CAST(list_sum(list_transform(range(1, 65),
+                 d -> q.vq[d] * (((p.range * 73 + (d - 1) * 151) % 97) - 48)))
+                 AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
+             FROM q CROSS JOIN range(0, {_N_PLANES}) p),
+    bands AS (SELECT vec_id, CAST(p // 4 AS INT) AS band,
+                     CAST(SUM(bit * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
+                                     WHEN 2 THEN 4 ELSE 8 END)) AS INT) AS sig
+              FROM bits GROUP BY vec_id, p // 4),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+    cs AS (SELECT c.id_a, c.id_b,
+             list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+                * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+           FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                       JOIN e eb ON eb.vec_id = c.id_b)
+    SELECT id_a, id_b, round(cos, 6) AS cos_sim
+    FROM cs WHERE cos >= {_RP_TAU}
+    """,
+    doc="Random-hyperplane (sign) LSH near-dup over embeddings — the "
+    "sixth dedup family, and the sub-quadratic EMBEDDING sibling of "
+    "q60_minhash_lsh: 16 fixed integer hyperplanes give 16 sign bits, "
+    "banded 4x4; vectors sharing any band signature become candidates "
+    "via a (band, sig) equi-join; only candidates get the exact cosine "
+    "verify (tau=0.4, q18 margin rule). Every dot against a hyperplane "
+    "is an exact BIGINT sum over micro-quantized components, so "
+    "signatures are engine- and partitioning-independent — the whole "
+    "candidate set is deterministic, which is what makes an LSH "
+    "pipeline SQL-oracle-checkable at all. Scale shape: signatures are "
+    "row-level (zero shuffle), the bucket join shuffles O(4n) "
+    "signature rows + candidates, never O(n^2); collisions "
+    "concentrate by construction, so AQE skew-split handles hot "
+    "buckets (SURVEY §4).",
+)
+def y43_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v")).withColumn(
+        "vq",
+        F.transform("v", lambda x: F.floor(x * 1e6 + 0.5).cast("long")),
+    )
+    sigs = base.select(
+        "vec_id", F.posexplode(_band_sigs(F.col("vq"))).alias("band", "sig")
+    )
+    cand = (
+        sigs.alias("a")
+        .join(
+            sigs.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    e = base.select("vec_id", "v")
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, z: a + z,
+    )
+    pairs = (
+        cand.join(e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn(
+            "cos",
+            dot(F.col("va"), F.col("vb"))
+            / (
+                F.sqrt(dot(F.col("va"), F.col("va")))
+                * F.sqrt(dot(F.col("vb"), F.col("vb")))
+            ),
+        )
+    )
+    return pairs.filter(F.col("cos") >= _RP_TAU).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_sim")
+    )

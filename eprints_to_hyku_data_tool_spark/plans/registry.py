@@ -76,6 +76,7 @@ def _load_all() -> None:
         "q_streaming",
         "q_analytics",
         "q_corpus",
+        "q_embed",
     ):
         try:
             __import__(f"{__package__}.{mod}")
