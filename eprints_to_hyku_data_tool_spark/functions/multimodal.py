@@ -59,6 +59,44 @@ def synthesize_media(docs: DataFrame, mime: str = "image/fake") -> DataFrame:
     )
 
 
+_EXT_MIME = {
+    "ppm": "image/x-ppm",
+    "pgm": "image/x-pgm",
+    "bmp": "image/bmp",
+    "wav": "audio/wav",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "png": "image/png",
+    "mp3": "audio/mpeg",
+}
+
+
+def media_from_files(files: DataFrame) -> DataFrame:
+    """Map X31 ``binaryFile`` rows (path, modificationTime, length,
+    content) into MEDIA_SCHEMA. doc_id is a stable 64-bit hash of the
+    file path (deterministic across reruns and listing order); mime is
+    sniffed from the extension; width/height/sample_rate are left 0 —
+    the decode kernels read the authoritative values from each file's
+    own header, so ingestion never parses payload bytes (the metadata-
+    only pruning contract holds: a filter on length/mime/path prunes
+    before any byte is touched)."""
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    mime = F.lit("application/octet-stream")
+    for e, m in _EXT_MIME.items():
+        mime = F.when(ext == e, m).otherwise(mime)
+    return files.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            mime.alias("mime"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+            F.lit(0).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
 def _parse_pnm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6) / PGM (P5) decoder, pure numpy. Handles the full
     header grammar: whitespace-separated tokens with '#' comments, one

@@ -1,4 +1,5 @@
-"""Source/sink facade: SURVEY.md §2.1 X01-X06.
+"""Source/sink facade: SURVEY.md §2.1 X01-X06, plus ORC (X01b),
+binaryFile media ingestion (X31), and plain-text corpus ingestion (X32).
 
 The reference repo has no code (SURVEY.md §0); this is the IO surface of
 an EPrints->Hyku ETL: schema-applied CSV/JSON/XML sources (EPrints export
@@ -130,6 +131,49 @@ def write_orc(df: DataFrame, path: str, *, compression: str = "zstd") -> None:
     splittable, stripe-indexed — interchangeable with the parquet sink
     where the consumer is Hive/Trino-side."""
     df.write.mode("overwrite").option("compression", compression).orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """X31: Spark ``binaryFile`` source — one row per file with columns
+    (path, modificationTime, length, content binary). The ingestion edge
+    of the multimodal pipeline: raw media shards land here, then
+    ``functions.multimodal.media_from_files`` maps them into the typed
+    binary-column schema.
+
+    Scale notes: listing parallelizes across executors; each file is one
+    row, so keep individual media files under Spark's 2 GiB byte-array
+    ceiling (bigger blobs should be pre-sharded). Filters on `path` /
+    `length` / `modificationTime` push down to the file index and prune
+    without reading bytes."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    *,
+    whole_text: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """X32: plain-text source — one row per line (or per file with
+    whole_text=True, the raw-corpus ingestion shape), one `value` string
+    column. Pair with ``F.input_file_name()`` for provenance. Splittable
+    by line at any scale; whole-file mode is bounded by the 2 GiB
+    single-value ceiling like X31."""
+    # NB: wholetext/lineSep must go through the .text() kwargs — the
+    # generic reader .option() path silently ignores them for this format.
+    return spark.read.text(path, wholetext=whole_text, lineSep=line_sep)
 
 
 def write_bulkrax_csv(df: DataFrame, path: str, *, n_files: int = 1) -> None:

@@ -1,7 +1,8 @@
 """Multimodal plumbing tests: binary columns + typed metadata, Arrow
-batch shapes, one-to-many frame expansion, partition preservation. The
-decode kernel is a documented stub (no image libs in this container); the
-Spark-side machinery under test is real."""
+batch shapes, one-to-many frame expansion, partition preservation, and
+the REAL pure-numpy decode kernels (PPM/BMP/WAV) — including the full
+disk -> binaryFile source -> media schema -> decode path. Compressed
+codecs (JPEG/MP3) remain behind try-imports and are tested to raise."""
 
 from __future__ import annotations
 
@@ -189,3 +190,63 @@ def test_audio_features_real_wav_through_spark(spark):
     assert row["rms"] == pytest.approx(1000.0)
     assert row["peak"] == 1000
     assert row["zero_crossing_rate"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# X31 binaryFile ingestion: disk files -> media schema -> real decoders
+# ---------------------------------------------------------------------------
+
+def test_binaryfile_source_to_decode(spark, tmp_path):
+    """End-to-end media ingestion: write real PPM/BMP/WAV files to disk,
+    read them with the Spark binaryFile source, bridge into MEDIA_SCHEMA,
+    and run the real decode kernels — the full disk-to-features path."""
+    from eprints_to_hyku_data_tool_spark.sources.io import read_binary_files
+
+    (tmp_path / "a.ppm").write_bytes(_ppm_bytes())
+    (tmp_path / "b.bmp").write_bytes(_bmp_bytes())
+    (tmp_path / "c.wav").write_bytes(_wav_bytes())
+    (tmp_path / "notes.txt").write_text("not media")
+
+    files = read_binary_files(spark, str(tmp_path), glob="*.{ppm,bmp,wav}")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in files.collect()}
+    assert set(rows) == {"a.ppm", "b.bmp", "c.wav"}
+    assert rows["a.ppm"]["length"] == len(_ppm_bytes())
+    assert bytes(rows["c.wav"]["content"]) == _wav_bytes()
+
+    media = mm.media_from_files(files)
+    assert media.schema.simpleString() == (
+        "struct<doc_id:bigint,payload:binary,"
+        "meta:struct<mime:string,width:int,height:int,n_frames:int,"
+        "sample_rate:int>>"
+    )
+    by_mime = {r["meta"]["mime"]: r["doc_id"] for r in media.collect()}
+    assert set(by_mime) == {"image/x-ppm", "image/bmp", "audio/wav"}
+    # doc_id is a stable function of path: re-reading yields the same ids
+    again = {r["meta"]["mime"]: r["doc_id"] for r in mm.media_from_files(
+        read_binary_files(spark, str(tmp_path), glob="*.{ppm,bmp,wav}")
+    ).collect()}
+    assert again == by_mime
+
+    imgs = mm.decode_images(
+        media.filter(F.col("meta.mime").startswith("image/"))
+    ).collect()
+    stats = {(r["width"], r["height"]): r["mean_pixel"] for r in imgs}
+    assert stats[(4, 2)] == pytest.approx(11.5)  # the PPM gradient
+    assert (3, 2) in stats  # the BMP
+
+    wav = mm.extract_audio_features(
+        media.filter(F.col("meta.mime") == "audio/wav")
+    ).collect()[0]
+    assert wav["sample_rate"] == 8000 and wav["n_samples"] == 200
+
+
+def test_text_source(spark, tmp_path):
+    from eprints_to_hyku_data_tool_spark.sources.io import read_text
+
+    (tmp_path / "x.txt").write_text("alpha\nbeta\n")
+    (tmp_path / "y.txt").write_text("gamma\n")
+    lines = read_text(spark, str(tmp_path / "*.txt"))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "alpha", "beta", "gamma"]
+    whole = read_text(spark, str(tmp_path / "x.txt"), whole_text=True)
+    assert whole.collect()[0]["value"] == "alpha\nbeta\n"
