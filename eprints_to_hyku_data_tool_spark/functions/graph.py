@@ -121,6 +121,72 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank over directed (src, dst) edges; returns
+    (node, rank) for every node incident to an edge, ranks summing to 1.
+
+    Plan shape per iteration: one join of ranks onto edges keyed src
+    (ranks is nodes-sized — broadcast when it fits, shuffle-hash
+    otherwise) and one partial-agg shuffle keyed dst for the contribution
+    sums — the same two-shuffle round as the CC stars, constant in
+    iteration count because every round is cut from its lineage with a
+    localCheckpoint (2^n plan growth otherwise; use checkpoint() on a
+    fault-tolerant store at cluster scale). Dangling mass (nodes with no
+    out-edges) is a one-scalar driver action per round, redistributed
+    uniformly per the standard formulation."""
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(
+                deg.select(F.col("src").alias("node")), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dangling / n)
+                )
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def cluster_dedupe(docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id") -> DataFrame:
     """Cluster-level dedup policy: one canonical row (the component min)
     survives per near-dup CLUSTER; every other member is marked dropped.

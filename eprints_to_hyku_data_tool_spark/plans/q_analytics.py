@@ -257,3 +257,43 @@ def x30_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("total").cast("double") / F.col("n_groups")) / F.col("n")
         ).alias("weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# Y45 — PageRank over the part co-purchase graph (iterative, rows-only)
+# --------------------------------------------------------------------------
+@register(
+    "y45_pagerank",
+    oracle=None,  # iterative float fixpoint: verified vs a numpy power
+    # iteration on the same edge set in tests/test_graph.py
+    doc="PageRank (damping 0.85, 10 fixed iterations) over the part "
+    "co-purchase graph: parts appearing in the same order are linked "
+    "both ways (lineitem self-joined on l_orderkey, distinct directed "
+    "pairs). The canonical iterative-DataFrame algorithm: two shuffles "
+    "per round (ranks->edges join keyed src, contribution partial-agg "
+    "keyed dst), each round localCheckpoint-ed so the plan stays flat "
+    "instead of doubling (functions/graph.py). Per-order line counts "
+    "bound the self-join fan-out, so edge count is O(orders * "
+    "lines_per_order^2) at any scale. Not SQL-oracle-expressible "
+    "(driver records rows-only); tests/test_graph.py checks the result "
+    "against an independent numpy power iteration on the identical "
+    "edge set and asserts rank-mass conservation.",
+)
+def y45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, damping=0.85, n_iter=10)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
