@@ -155,7 +155,7 @@ def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q25 — collect_list -> sorted delimited string (THE Bulkrax fold)
 # --------------------------------------------------------------------------
 @register(
-    "q25_bulkrax_fold",
+    "z25_bulkrax_fold",
     oracle="""
     SELECT l_orderkey,
            string_agg(p_name, '|' ORDER BY p_name) AS part_names,
@@ -168,7 +168,7 @@ def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed engine — sort_array makes it canonical), joined with "
     "'|' for the flat CSV cell (SURVEY §1.1, §2.4 Q25).",
 )
-def q25_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z25_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (

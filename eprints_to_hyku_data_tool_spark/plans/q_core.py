@@ -63,7 +63,7 @@ def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q02 — projected + filtered scan (pushdown showcase)
 # --------------------------------------------------------------------------
 @register(
-    "q02_scan_pushdown",
+    "z02_scan_pushdown",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -71,7 +71,7 @@ def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Projection+filter pushed to the parquet scan (SURVEY §2.1 Q02).",
 )
-def q02_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z02_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "O")
@@ -83,7 +83,7 @@ def q02_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q03 — compute + alias projection (ETL field mapping)
 # --------------------------------------------------------------------------
 @register(
-    "q03_project_compute",
+    "z03_project_compute",
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) AS net_price,
@@ -94,7 +94,7 @@ def q02_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Computed projection; row-level IEEE arithmetic is deterministic "
     "on both engines so no rounding is needed (SURVEY §2.2 Q03).",
 )
-def q03_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z03_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return li.select(
@@ -109,7 +109,7 @@ def q03_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q04 — compound predicate + global agg (TPC-H Q6 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q04_compound_predicate",
+    "z04_compound_predicate",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
@@ -122,7 +122,7 @@ def q03_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="AND-of-ranges predicate + global aggregate (SURVEY §2.2 Q04).",
 )
-def q04_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z04_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     filtered = li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -267,7 +267,7 @@ def q19_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q20 — global (no-key) aggregate
 # --------------------------------------------------------------------------
 @register(
-    "q20_global_agg",
+    "z20_global_agg",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
@@ -278,7 +278,7 @@ def q19_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Global aggregate, no grouping key (SURVEY §2.4 Q20).",
 )
-def q20_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z20_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
     return li.agg(
@@ -296,7 +296,7 @@ def q20_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q21 — exact count-distinct per group
 # --------------------------------------------------------------------------
 @register(
-    "q21_count_distinct",
+    "z21_count_distinct",
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
@@ -307,7 +307,7 @@ def q20_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact distinct aggregation (Spark plans an Expand + two-phase "
     "aggregate) (SURVEY §2.4 Q21).",
 )
-def q21_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z21_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")

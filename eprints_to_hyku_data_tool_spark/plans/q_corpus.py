@@ -6,10 +6,12 @@ downsampling, length-outlier fences, per-label embedding centroids,
 sequence packing, unigram-LM perplexity-proxy scoring, and CCNet-style
 cross-document boilerplate line removal.
 
-All eleven are oracle-paired. Their y-tier registry names sort OUTSIDE
-the driver's 50-entry verification window (which is full); they are
-verified by the local sf0.01 parity mirror on every pytest run, like the
-z tier.
+All eleven are oracle-paired. Registry tiers (see plans/registry.py):
+decontamination, packing, unigram scoring, and boilerplate removal carry
+q7x names INSIDE the driver's 50-entry verification window (rotated in
+during round 3 in place of r2-green unchanged core queries, now z02-z25);
+the rest are y-tier, verified by the local sf0.01 parity mirror on every
+pytest run like the z tier.
 
 Cross-engine discipline (same rules as the rest of the fleet):
 n-gram/chunk positions are generated with identical 1-based inclusive
@@ -58,10 +60,10 @@ def _grams8(tk):
 
 
 # --------------------------------------------------------------------------
-# Y31 — benchmark decontamination (8-gram overlap vs a held-out eval set)
+# Q75 (was Y31) — benchmark decontamination (8-gram overlap vs a held-out eval set)
 # --------------------------------------------------------------------------
 @register(
-    "y31_decontaminate",
+    "q75_decontaminate",
     oracle=f"""
     WITH g AS (
       SELECT doc_id,
@@ -98,7 +100,7 @@ def _grams8(tk):
     "is O(eval suite), constant in corpus size (decontamination "
     "mandate).",
 )
-def y31_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select("doc_id", _grams8(_tokens()).alias("grams"))
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
@@ -521,13 +523,13 @@ def y38_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Y39 — sequence packing (concat-and-chunk into fixed context windows)
+# Q70 (was Y39) — sequence packing (concat-and-chunk into fixed context windows)
 # --------------------------------------------------------------------------
 _CTX = 64  # tokens per packed training sequence
 
 
 @register(
-    "y39_sequence_pack",
+    "q70_sequence_pack",
     oracle=f"""
     WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                FROM documents),
@@ -559,7 +561,7 @@ _CTX = 64  # tokens per packed training sequence
     "that is 1000 partitions wide. Token counts sum as longs -> "
     "exact at any scale (packing mandate).",
 )
-def y39_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q70_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
@@ -581,10 +583,10 @@ def y39_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Y40 — unigram log-probability scoring (perplexity-proxy quality filter)
+# Q71 (was Y40) — unigram log-probability scoring (perplexity-proxy quality filter)
 # --------------------------------------------------------------------------
 @register(
-    "y40_unigram_logprob",
+    "q71_unigram_logprob",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -613,7 +615,7 @@ def y39_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order independent (the y38 rule), which is what makes a "
     "transcendental aggregate hash-stable across engines.",
 )
-def y40_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q71_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     v = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -640,14 +642,14 @@ def y40_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Y41 — boilerplate line removal (CCNet-style cross-document line dedupe)
+# Q72 (was Y41) — boilerplate line removal (CCNet-style cross-document line dedupe)
 # --------------------------------------------------------------------------
 _LINE = 10  # tokens per pseudo-line
 _LINE_DF = 5  # a line present in >= this many docs is boilerplate
 
 
 @register(
-    "y41_boilerplate_lines",
+    "q72_boilerplate_lines",
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     l AS (SELECT doc_id,
@@ -684,7 +686,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
     "empty string via the left join (deletion is a row-filter "
     "decision downstream, not silent loss).",
 )
-def y41_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q72_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _tokens().alias("tk"))
     starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_LINE))

@@ -22,12 +22,12 @@ from ..sources.tables import load_table
 from .registry import register
 
 # --------------------------------------------------------------------------
-# Y42 — int8 scalar quantization (per-vector absmax scale)
+# Q73 (was Y42) — int8 scalar quantization (per-vector absmax scale)
 # --------------------------------------------------------------------------
 
 
 @register(
-    "y42_int8_quantize",
+    "q73_int8_quantize",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -62,7 +62,7 @@ from .registry import register
     "order-independent; floor(x+0.5) rounding (not ROUND) removes the "
     "half-up/half-even cross-engine tie hazard (quantization mandate).",
 )
-def y42_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q73_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     d = emb.select("vec_id", v.alias("v")).withColumn(
@@ -96,7 +96,7 @@ def y42_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Y43 — random-hyperplane LSH near-dup (banded sign signatures)
+# Q74 (was Y43) — random-hyperplane LSH near-dup (banded sign signatures)
 # --------------------------------------------------------------------------
 _N_PLANES = 16
 _N_BANDS = 4  # 4 bands x 4 bits
@@ -136,7 +136,7 @@ def _band_sigs(vq: Column) -> Column:
 
 
 @register(
-    "y43_rplsh_neardup",
+    "q74_rplsh_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -180,7 +180,7 @@ def _band_sigs(vq: Column) -> Column:
     "concentrate by construction, so AQE skew-split handles hot "
     "buckets (SURVEY §4).",
 )
-def y43_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).withColumn(

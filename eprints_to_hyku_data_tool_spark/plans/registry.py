@@ -28,6 +28,13 @@ the entire LLM-pipeline surface — unverified). Names sort q* < x* < z*, so:
   They remain registered, bench-timed, and oracle-checked by the local
   pytest mirror on every run — only their driver slot is ceded.
 
+Round-3 second rotation: six r2-green queries whose code did NOT change
+in round 3 (q02-q04, q20, q21, q25 -> z02-z04, z20, z21, z25) ceded
+their window slots to the round-3 additions q70_sequence_pack,
+q71_unigram_logprob, q72_boilerplate_lines, q73_int8_quantize,
+q74_rplsh_neardup, and q75_decontaminate (was y31). q01 (r2 hash FAIL),
+q18/q22 (kernels changed in r3), and q19 (flagship) keep their slots.
+
 tests/test_registry.py asserts the priority tier stays within the window.
 """
 

@@ -34,15 +34,15 @@ def plans(spark, sf_dir):
 
 
 def test_q02_filter_pushdown_and_pruning(plans):
-    p = plans("q02_scan_pushdown")
+    p = plans("z02_scan_pushdown")
     # The status filter reaches the parquet reader...
     assert "EqualTo(o_orderstatus,O)" in p, p
     # ...and only the needed columns are read (no o_orderdate etc.).
     assert "o_orderdate" not in p.split("ReadSchema")[1].splitlines()[0]
 
 
-def test_q04_compound_predicate_pushdown(plans):
-    p = plans("q04_compound_predicate")
+def test_z04_compound_predicate_pushdown(plans):
+    p = plans("z04_compound_predicate")
     assert "PushedFilters" in p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "LessThan(l_quantity,24.0)" in p, p
@@ -58,7 +58,7 @@ def test_q09_broadcast_hash_join(plans):
 
 
 def test_q25_dim_join_broadcasts(plans):
-    p = plans("q25_bulkrax_fold")
+    p = plans("z25_bulkrax_fold")
     assert "BroadcastHashJoin" in p, p
 
 
@@ -150,7 +150,7 @@ NESTED_LOOP_WHITELIST = {
     "y34_bm25",
     "y35_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
-    "y40_unigram_logprob",
+    "q71_unigram_logprob",
 }
 
 
@@ -158,7 +158,7 @@ def test_y31_eval_grams_broadcast(plans):
     """Decontamination's scale contract: the eval n-gram side is broadcast
     (benchmark-sized), so the corpus side streams map-side — the gram
     match must be a BroadcastHashJoin, never a shuffled join on grams."""
-    p = plans("y31_decontaminate")
+    p = plans("q75_decontaminate")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
