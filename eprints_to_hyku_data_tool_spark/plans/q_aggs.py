@@ -352,3 +352,48 @@ def q30_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# --------------------------------------------------------------------------
+# Y46 — GROUPING SETS via the SQL entry point
+# --------------------------------------------------------------------------
+@register(
+    "y46_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+    doc="Explicit GROUPING SETS (the general form of z23's ROLLUP / "
+    "z24's CUBE: an arbitrary subset of grouping combinations), issued "
+    "through the SQL ENTRY POINT (SURVEY §3 entry point 2): the query "
+    "text goes to spark.sql() against a registered temp view, and "
+    "Catalyst compiles it to the same Expand + partial-agg plan the "
+    "DataFrame API produces — one shuffle regardless of how many sets "
+    "are requested, sets-count x map-side expansion before it. Sums in "
+    "DECIMAL then cast (fleet rule), grouping() markers distinguish "
+    "subtotal NULLs from data NULLs.",
+)
+def y46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("y46_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+               COALESCE(l_linestatus, '(all)') AS linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM y46_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )

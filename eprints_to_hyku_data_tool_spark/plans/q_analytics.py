@@ -297,3 +297,74 @@ def y45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, damping=0.85, n_iter=10)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+# --------------------------------------------------------------------------
+# Y44 — per-user z-score anomaly flags (exact-moment discipline)
+# --------------------------------------------------------------------------
+@register(
+    "y44_anomaly_zscore",
+    oracle="""
+    WITH s AS (SELECT user_id,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                      CAST(SUM(CAST(value AS DECIMAL(18,6))
+                               * CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                        AS svv
+               FROM events GROUP BY user_id),
+    m AS (SELECT user_id, n, sv / n AS mean,
+                 sqrt((svv - sv * sv / n) / (n - 1)) AS sd
+          FROM s WHERE n >= 2)
+    SELECT e.event_id, e.user_id, e.value,
+           round((e.value - m.mean) / m.sd, 4) AS z,
+           CAST(CASE WHEN abs((e.value - m.mean) / m.sd) > 2
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM events e JOIN m ON e.user_id = m.user_id
+    WHERE m.sd > 0
+    """,
+    doc="Per-user z-score anomaly detection over event values: events "
+    "more than 2 sigma from their user's mean are flagged — the "
+    "standard metric-monitoring primitive. Unlike q28 (which rounds "
+    "Spark's single-pass moment aggregates because their low bits are "
+    "partition-order dependent), the moments here are derived from "
+    "EXACT decimal sums (sum(v), sum(v*v) as DECIMAL -> identical "
+    "doubles on any engine/partitioning), so mean, sd, every z value, "
+    "and the >2-sigma decision are all bit-deterministic — no rounding "
+    "needed for correctness, 4dp only for display. One partial-agg "
+    "shuffle for the per-user moments (user-count-sized -> broadcast "
+    "join-back onto the event stream); degenerate users (n<2 or zero "
+    "variance) are excluded on both sides.",
+)
+def y44_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,6)")
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).cast("double").alias("sv"),
+        F.sum(dec * dec).cast("double").alias("svv"),
+    )
+    m = (
+        s.filter(F.col("n") >= 2)
+        .select(
+            "user_id",
+            (F.col("sv") / F.col("n")).alias("mean"),
+            F.sqrt(
+                (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sd"),
+        )
+        .filter(F.col("sd") > 0)
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(m), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) > 2, 1).otherwise(0).cast("int").alias(
+                "is_anomaly"
+            ),
+        )
+    )
