@@ -316,3 +316,177 @@ def z21_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Y47 — single-pass column profiler (data-quality summary)
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "y47_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_non_null,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS mean_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_extendedprice) AS BIGINT),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT),
+           MIN(l_extendedprice), MAX(l_extendedprice),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_discount) AS BIGINT),
+           CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+           MIN(l_discount), MAX(l_discount),
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(l_tax) AS BIGINT),
+           CAST(COUNT(DISTINCT l_tax) AS BIGINT),
+           MIN(l_tax), MAX(l_tax),
+           CAST(SUM(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_tax)
+    FROM lineitem
+    """,
+    doc="Column profiler: per-column row/non-null/distinct counts, "
+    "min/max, and a decimal-exact mean for every numeric lineitem "
+    "measure — the data-quality summary an ETL tool prints before a "
+    "migration (EPrints exports are stringly-typed; profiling is how "
+    "coercion rules get chosen, SURVEY §1.1). The oracle scans once "
+    "per column (4 scans); the Spark plan computes ALL columns' "
+    "aggregates in ONE pass over the table (a single 24-aggregate "
+    "global agg), then unpivots the 1-row result with stack() — at "
+    "100 TB the profile costs one scan regardless of column count. "
+    "Distinct counts ride Spark's Expand path; swap to "
+    "approx_count_distinct at scale for a sketch-mergeable one-pass "
+    "variant (q22 trade).",
+)
+def y47_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            F.count(c).cast("long").alias(f"{c}__nn"),
+            F.countDistinct(c).cast("long").alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            (
+                F.sum(F.col(c).cast("decimal(18,6)")).cast("double")
+                / F.count(c)
+            ).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col, n_rows, n_non_null, n_distinct, min_val, max_val, mean_val)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Y48 — referential-integrity audit (FK orphan counts)
+# --------------------------------------------------------------------------
+@register(
+    "y48_ri_audit",
+    oracle="""
+    SELECT 'orders.o_custkey->customer' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    """,
+    doc="Referential-integrity audit: orphan counts for every child->parent "
+    "FK edge in the star schema — the 'every subject code resolves' "
+    "check of the EPrints->Hyku domain (SURVEY §1.1) generalized. Each "
+    "edge is one left ANTI join (parent key sides are dim-sized -> "
+    "broadcast; lineitem->orders anti-joins against a key projection), "
+    "aggregated to a single (fk, n_child, n_orphans) row and unioned. "
+    "Anti joins prune to the parent's KEY column only (ReadSchema "
+    "verified by the pushdown lint), so the audit reads each parent "
+    "table's key bytes, not its payload.",
+)
+def y48_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def edge(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            F.broadcast(parent.select(parent_key)),
+            child[child_key] == F.col(parent_key),
+            "left_anti",
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("fk"), "n_child", "n_orphans")
+        )
+
+    return (
+        edge(
+            "orders.o_custkey->customer",
+            orders,
+            "o_custkey",
+            load_table(spark, sf_dir, "customer"),
+            "c_custkey",
+        )
+        .unionAll(
+            edge(
+                "lineitem.l_orderkey->orders",
+                li,
+                "l_orderkey",
+                orders.select("o_orderkey"),
+                "o_orderkey",
+            )
+        )
+        .unionAll(
+            edge(
+                "lineitem.l_partkey->part",
+                li,
+                "l_partkey",
+                load_table(spark, sf_dir, "part"),
+                "p_partkey",
+            )
+        )
+        .unionAll(
+            edge(
+                "lineitem.l_suppkey->supplier",
+                li,
+                "l_suppkey",
+                load_table(spark, sf_dir, "supplier"),
+                "s_suppkey",
+            )
+        )
+    )

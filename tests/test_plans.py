@@ -151,6 +151,8 @@ NESTED_LOOP_WHITELIST = {
     "y35_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
     "q71_unigram_logprob",
+    # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
+    "y48_ri_audit",
 }
 
 
