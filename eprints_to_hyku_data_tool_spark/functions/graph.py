@@ -151,13 +151,28 @@ def pagerank(
     )
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Carry the out-degree ON the edge rows, once — the per-iteration
+    # loop then touches only (edges_d x ranks), not a 3-way join.
+    edges_d = edges.join(deg, "src").localCheckpoint(eager=True)
+    # Dangling nodes (no out-edges) are a property of the static graph:
+    # decide ONCE whether the per-iteration mass collection is needed at
+    # all (symmetric graphs — every near-dup/co-occurrence graph — have
+    # none, saving one driver action per round).
+    dangling_nodes = nodes.join(
+        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    has_dangling = bool(dangling_nodes.head(1))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
+        # ranks is node-sized: broadcast it so the (large) edge table
+        # never re-shuffles — the only exchange per round is the
+        # map-side-combined contribution agg keyed dst. At billion-node
+        # scale replace the broadcast with src-bucketed co-location.
         contribs = (
-            edges.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            edges_d.join(
+                F.broadcast(ranks.select(F.col("node").alias("src"), "rank")),
+                "src",
             )
-            .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("rank") / F.col("deg")).alias("c"),
@@ -166,13 +181,13 @@ def pagerank(
             .agg(F.sum("c").alias("contrib"))
         )
         dangling = (
-            ranks.join(
-                deg.select(F.col("src").alias("node")), "node", "left_anti"
-            )
+            dangling_nodes.join(ranks, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .collect()[0][0]
+            if has_dangling
+            else 0.0
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        ranks = nodes.join(F.broadcast(contribs), "node", "left").select(
             "node",
             (
                 F.lit((1.0 - damping) / n)

@@ -233,3 +233,31 @@ def test_fleet_wide_plan_lint(spark, sf_dir):
         if problems:
             offenders[name] = problems
     assert not offenders, offenders
+
+
+def test_q70_cumsum_is_distributed(plans):
+    """Sequence packing's global running sum must ride the two-phase
+    range-partition scheme (z37 rule), never a single-partition window
+    over the whole corpus."""
+    p = plans("q70_sequence_pack")
+    assert "rangepartitioning" in p, p
+    assert "hashpartitioning(__pid" in p, p
+
+
+def test_y47_profile_is_single_scan(plans):
+    """The profiler's contract: ALL columns' aggregates come from ONE
+    pass over lineitem (the oracle scans per column; the Spark plan
+    must not)."""
+    p = plans("y47_column_profile")
+    # one scan NODE: each scan contributes exactly one Location line in
+    # the formatted detail section ("Scan parquet" itself prints twice
+    # per node — tree + detail)
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+
+
+def test_y44_stats_broadcast_back(plans):
+    """Per-user moment table is user-count-sized and must broadcast back
+    onto the event stream, not shuffle the events for the join."""
+    p = plans("y44_anomaly_zscore")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p

@@ -305,3 +305,73 @@ def test_cluster_dedupe_uses_verified_pairs_at_sf01(spark):
         if r["is_dropped"] == 1
     }
     assert got_dropped == want_dropped and len(want_dropped) > 0
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    """with_global_cumsum (two-phase distributed) must equal the naive
+    single-partition exclusive running sum for any data distribution,
+    including duplicates in the value column and skewed key ranges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.functions.ordering import (
+        with_global_cumsum,
+    )
+
+    rows = [(i, (i * 7919) % 13) for i in range(501)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+    got = {
+        r["k"]: r["c"]
+        for r in with_global_cumsum(df, [F.col("k")], "v", "c").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["c"]
+        for r in df.withColumn(
+            "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_int8_quantize_reconstruction_bound(spark, sf_dir):
+    """SQ8 invariants: q in [-127, 127], and per-element reconstruction
+    error <= amax/254 + micro-unit rounding slack (the absmax scheme's
+    theoretical bound)."""
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import (
+        q73_int8_quantize,
+    )
+
+    for r in q73_int8_quantize(spark, sf_dir).collect():
+        assert r["q_min"] >= -127 and r["q_max"] <= 127, r["vec_id"]
+        n_dims = len(r["q_vec"])
+        # recon_err_e6 sums per-element |err| in 1e-6 units
+        worst_total = n_dims * (r["amax"] / 254 + 1e-6) * 1e6
+        assert r["recon_err_e6"] <= worst_total, (
+            r["vec_id"], r["recon_err_e6"], worst_total)
+
+
+def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
+    """Every RP-LSH pair must be a TRUE pair (cos >= tau; the verify step
+    guarantees precision = 1.0 by construction), and candidate recall on
+    the fixture must be non-trivial (sign-LSH with 4x4 bands finds a
+    reasonable share of the exact tau=0.4 pairs)."""
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import (
+        q74_rplsh_neardup,
+    )
+    from eprints_to_hyku_data_tool_spark.plans.q_joins import (
+        q18_similarity_join,
+    )
+
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in q74_rplsh_neardup(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in q18_similarity_join(spark, sf_dir).collect()
+    }
+    assert lsh <= exact, sorted(lsh - exact)[:5]
+    assert len(lsh) > 0
+    recall = len(lsh) / max(len(exact), 1)
+    assert recall >= 0.2, recall
