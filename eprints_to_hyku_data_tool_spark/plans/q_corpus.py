@@ -141,7 +141,7 @@ def q75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y32 — token-window chunking (overlapping training chunks)
 # --------------------------------------------------------------------------
 @register(
-    "y32_chunk",
+    "q76_chunk",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {_STRIDE})) AS start
@@ -161,7 +161,7 @@ def q75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles; output size is a fixed ~n_tokens/24 multiple of the "
     "input, independent of partitioning (chunking mandate).",
 )
-def y32_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q76_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     s = t.select(
@@ -188,7 +188,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
 
 
 @register(
-    "y33_stratified_sample",
+    "q77_stratified_sample",
     oracle=f"""
     SELECT doc_id, lang, source,
            CASE WHEN lang = 'en' THEN '{_EN_LT}' ELSE '{_OTHER_LT}' END
@@ -208,7 +208,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
     "rerun-stable on any engine and partitioning (data-mixing "
     "mandate).",
 )
-def y33_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     thr = F.when(F.col("lang") == "en", _EN_LT).otherwise(_OTHER_LT)
     hx = F.substring(
@@ -396,7 +396,7 @@ _GROUP_K = 5
     "(lang, source) stratum, chosen by ranking on md5(doc_id) — a "
     "deterministic stand-in for ORDER BY random() that every engine, "
     "partitioning, and rerun agrees on (same md5-membership idea as "
-    "x24/y33, but with an exact per-group COUNT guarantee instead of "
+    "x24/q77, but with an exact per-group COUNT guarantee instead of "
     "a rate). Physically identical to the z31 keep-first engine: one "
     "hash-partition shuffle on the stratum key, and Spark 4's "
     "WindowGroupLimit cuts each group to k BEFORE and after the "

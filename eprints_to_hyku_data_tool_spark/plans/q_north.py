@@ -555,7 +555,7 @@ def q61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF coarse quantizer, shared by q61_ivf_topk and q69_ivf_embedding_dedupe
+# IVF coarse quantizer, shared by y39_ivf_topk and y40_ivf_embedding_dedupe
 # --------------------------------------------------------------------------
 IVF_SAMPLE = 256
 
@@ -618,7 +618,7 @@ def _nearest_cells_udf(spark, centroids, n_assign: int):
 # Q61b — IVF-partitioned ANN (the similarity-search scale path)
 # --------------------------------------------------------------------------
 @register(
-    "q61_ivf_topk",
+    "y39_ivf_topk",
     oracle=None,  # approximate: recall vs exact q61 asserted in tests
     doc="IVF (inverted-file) approximate top-k: a sample-trained Lloyd "
     "quantizer (256-row hash sample, fixed seed) partitions the corpus "
@@ -630,7 +630,7 @@ def _nearest_cells_udf(spark, centroids, n_assign: int):
     "by construction (no SQL oracle); recall@5 vs exact q61 is asserted "
     "in tests/test_properties.py (SURVEY §2.11 Q61 scale variant).",
 )
-def q61_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def y39_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..functions.vectors import normalized_matrix
@@ -861,11 +861,11 @@ def x15_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q69 — IVF-bucketed embedding dedupe (sub-quadratic scale path for Q67)
 # --------------------------------------------------------------------------
 @register(
-    "q69_ivf_embedding_dedupe",
+    "y40_ivf_embedding_dedupe",
     oracle=None,  # approximate candidate generation: recall vs exact q67
     # asserted in tests/test_properties.py (drops are a verified SUBSET)
     doc="Sub-quadratic sibling of q67: the IVF coarse quantizer (same "
-    "sample-trained Lloyd cells as q61_ivf, fixed seed) buckets vectors "
+    "sample-trained Lloyd cells as y39_ivf, fixed seed) buckets vectors "
     "into nlist cells "
     "with MULTI-ASSIGNMENT (each vector joins its 3 nearest cells); one "
     "applyInPandas task per cell matmuls only that cell's members; "
@@ -879,7 +879,7 @@ def x15_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nlist; no driver collect (centroids are nlist x dim) "
     "(assignment dedup mandate; r2 verdict missing-item 3).",
 )
-def q69_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def y40_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     NLIST, N_ASSIGN, TAU = 16, 3, 0.4
 
     emb = load_table(spark, sf_dir, "embeddings")

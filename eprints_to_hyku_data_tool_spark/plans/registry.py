@@ -35,6 +35,12 @@ q71_unigram_logprob, q72_boilerplate_lines, q73_int8_quantize,
 q74_rplsh_neardup, and q75_decontaminate (was y31). q01 (r2 hash FAIL),
 q18/q22 (kernels changed in r3), and q19 (flagship) keep their slots.
 
+Round-3 third rotation: the two no-oracle ANN queries (q61_ivf_topk,
+q69_ivf_embedding_dedupe -> y39/y40) ceded their window slots to the
+oracle-paired corpus ops y32_chunk/y33_stratified_sample (-> q76/q77), so
+every one of the 50 driver-window names now carries a full value-hash
+check; the ANN pair keeps its local recall>=0.8 / subset tests.
+
 tests/test_registry.py asserts the priority tier stays within the window.
 """
 

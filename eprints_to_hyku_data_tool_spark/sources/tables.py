@@ -29,14 +29,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     callers reach the parquet reader (verified in tests via explain())."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts is INT64 TIMESTAMP(NANOS) in the footer; Spark reads it as long
-        # (legacy.parquet.nanosAsLong) — convert ns -> microsecond timestamp.
-        # The fixture is us-precision (verified: no sub-us components), so
-        # the div-1000 truncation is exact and matches DuckDB's
-        # TIMESTAMP_NS -> TIMESTAMP cast.
+        # The fixture's ts column has shipped in two physical layouts:
+        # INT64 TIMESTAMP(NANOS) (read as long under
+        # legacy.parquet.nanosAsLong) and plain TIMESTAMP(MICROS)
+        # (read as timestamp / timestamp_ntz). Normalize both to session-tz
+        # TimestampType so every downstream plan and oracle sees identical
+        # wall-clock values (session tz is pinned to UTC in session.py).
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # ns-as-long; fixture is us-precision so div-1000 is exact.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            # NTZ wall-clock == UTC instant under a UTC session tz.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

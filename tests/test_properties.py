@@ -208,7 +208,7 @@ def test_soundex_and_xxhash_available(spark, sf_dir):
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
-    """q61_ivf_topk (approximate, nprobe=10/16, sample-trained
+    """y39_ivf_topk (approximate, nprobe=10/16, sample-trained
     quantizer) must keep recall@5 >= 0.8 against the exact q61 top-k
     (measured 0.85 at sf0.01; the fixture's embeddings are near-uniform,
     a worst case for IVF)."""
@@ -218,7 +218,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     }
     ivf = {
         (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["q61_ivf_topk"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["y39_ivf_topk"].fn(spark, sf_dir).collect()
     }
     assert len(exact & ivf) / len(exact) >= 0.8
 
@@ -235,7 +235,7 @@ def test_ivf_dedupe_subset_and_recall(spark, sf_dir):
     }
     ivf = {
         r["vec_id"]
-        for r in REGISTRY["q69_ivf_embedding_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["y40_ivf_embedding_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"]
     }
     assert ivf <= exact, f"false drops: {sorted(ivf - exact)[:10]}"
