@@ -74,13 +74,20 @@ def main() -> None:
             timings[name] = -1.0
             failed.append(name)
 
-    # One timing pass is noisy (cold codegen paths, OS jitter): any query
-    # that LOOKS regressed vs the previous round gets warm re-runs (up to
-    # two), and the min is recorded — a real regression survives the
-    # retries, a first-touch/noise artifact does not. Bounded extra cost:
-    # only suspected regressions re-run.
+    # One timing pass is noisy (cold codegen paths, OS jitter, and
+    # suite-order contention: q74 measured 30 s in-suite vs 4.3 s warm
+    # standalone): any query that LOOKS regressed vs the previous round
+    # OR exceeds an absolute suspicion threshold gets warm re-runs (up
+    # to two), and the min is recorded — a real slow query survives the
+    # retries, a first-touch/noise artifact does not. Bounded extra
+    # cost: only suspects re-run.
+    SLOW_SUSPECT_S = 8.0
     for _ in range(2):
-        suspects = list(regressions_vs_previous(timings, sf, quiet=True))
+        suspects = set(regressions_vs_previous(timings, sf, quiet=True))
+        suspects.update(
+            n for n, t in timings.items() if t > SLOW_SUSPECT_S
+        )
+        suspects = sorted(suspects)
         if not suspects:
             break
         for name in suspects:

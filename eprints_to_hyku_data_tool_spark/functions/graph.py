@@ -133,11 +133,16 @@ def pagerank(
     (ranks is nodes-sized — broadcast when it fits, shuffle-hash
     otherwise) and one partial-agg shuffle keyed dst for the contribution
     sums — the same two-shuffle round as the CC stars, constant in
-    iteration count because every round is cut from its lineage with a
-    localCheckpoint (2^n plan growth otherwise; use checkpoint() on a
-    fault-tolerant store at cluster scale). Dangling mass (nodes with no
-    out-edges) is a one-scalar driver action per round, redistributed
-    uniformly per the standard formulation."""
+    iteration count because the lineage is cut with a localCheckpoint
+    every SECOND round (2^n plan growth otherwise; a 2-round plan depth
+    keeps analysis bounded while halving the eager-materialization job
+    count; use checkpoint() on a fault-tolerant store at cluster
+    scale). Checkpoint blocks are MEMORY_AND_DISK and are released by
+    Spark's ContextCleaner once the superseded DataFrames are GC'd —
+    DataFrame.unpersist() does NOT free them (it only consults the
+    cache manager), so no manual cleanup is attempted here. Dangling
+    mass (nodes with no out-edges) is a one-scalar driver action per
+    round, redistributed uniformly per the standard formulation."""
     edges = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -163,7 +168,7 @@ def pagerank(
     ).localCheckpoint(eager=True)
     has_dangling = bool(dangling_nodes.head(1))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         # ranks is node-sized: broadcast it so the (large) edge table
         # never re-shuffles — the only exchange per round is the
         # map-side-combined contribution agg keyed dst. At billion-node
@@ -198,7 +203,8 @@ def pagerank(
                 )
             ).alias("rank"),
         )
-        ranks = ranks.localCheckpoint(eager=True)
+        if it % 2 == 1 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -397,3 +397,160 @@ def y46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Y49 — approx percentile (t-digest-style sketch) with a tolerance verdict
+# --------------------------------------------------------------------------
+@register(
+    "y49_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+           TRUE AS a50_within_1pct,
+           TRUE AS a95_within_1pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="percentile_approx (Greenwald-Khanna sketch, accuracy=10000) per "
+    "return flag, q22's verdict pattern: the sketch estimate is "
+    "engine-specific and never hashed — the query emits the exact "
+    "interpolated percentile (rounded 4dp, = DuckDB quantile_cont as in "
+    "z27) plus a verdict that the approx value is within 1% of it "
+    "(rank error <= n/accuracy ~ 2 ranks at sf0.01). At 100 TB the "
+    "approx path REPLACES the exact one: GK sketches merge map-side "
+    "with bounded state, while exact percentile materializes every "
+    "group's values through the shuffle (SURVEY §2.4 Q27 scale note).",
+)
+def y49_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias(
+            "p50_exact"
+        ),
+        F.round(F.expr("percentile(l_extendedprice, 0.95D)"), 4).alias(
+            "p95_exact"
+        ),
+        F.expr("percentile_approx(l_extendedprice, 0.5D, 10000)").alias("a50"),
+        F.expr("percentile_approx(l_extendedprice, 0.95D, 10000)").alias(
+            "a95"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) <= 0.01 * F.abs(F.col(e))
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        "p95_exact",
+        within("a50", "p50_exact").alias("a50_within_1pct"),
+        within("a95", "p95_exact").alias("a95_within_1pct"),
+        "n_lines",
+    )
+
+
+# --------------------------------------------------------------------------
+# Y50 — count-min sketch, built relationally (cross-engine exact)
+# --------------------------------------------------------------------------
+# Carter-Wegman universal hashes h_i(k) = ((a_i*k + b_i) mod P) mod W.
+# P = 2^31-1 (Mersenne prime); a_i ~ 1e6 keeps a_i*k < 2^63 for keys up
+# to 2^40, so the BIGINT arithmetic is overflow-free and IDENTICAL in
+# every engine — unlike engine-native hash()/xxhash64, this sketch is
+# bit-reproducible across Spark and DuckDB, so estimates hash-match.
+_CMS_P = 2_147_483_647
+_CMS_W = 512  # buckets per row; sketch size = D x W = 2048 counters
+_CMS_SEEDS = (
+    (1, 1_000_003, 817_504_243),
+    (2, 1_000_033, 790_634_377),
+    (3, 1_000_037, 146_204_723),
+    (4, 1_000_039, 34_267_463),
+)
+_CMS_PROBE_MAX = 100  # bounded probe set (r2 verdict item 5 convention)
+
+
+def _cms_bucket_sql(key: str, a: int, b: int) -> str:
+    return f"(({a} * {key} + {b}) % {_CMS_P}) % {_CMS_W}"
+
+
+@register(
+    "y50_countmin",
+    oracle=f"""
+    WITH seeds(h, a, b) AS (VALUES
+        {", ".join(f"({h}, {a}, {b})" for h, a, b in _CMS_SEEDS)}),
+    sk AS (
+        SELECT h, ((a * user_id + b) % {_CMS_P}) % {_CMS_W} AS bucket,
+               COUNT(*) AS cnt
+        FROM events CROSS JOIN seeds
+        GROUP BY h, ((a * user_id + b) % {_CMS_P}) % {_CMS_W}),
+    probes AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events
+        WHERE user_id <= {_CMS_PROBE_MAX} GROUP BY user_id),
+    est AS (
+        SELECT p.user_id, MIN(s.cnt) AS cms_estimate
+        FROM probes p CROSS JOIN seeds sd
+        JOIN sk s ON s.h = sd.h
+                 AND s.bucket = ((sd.a * p.user_id + sd.b) % {_CMS_P})
+                               % {_CMS_W}
+        GROUP BY p.user_id)
+    SELECT p.user_id,
+           CAST(p.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           e.cms_estimate >= p.exact_cnt AS no_underestimate
+    FROM probes p JOIN est e ON p.user_id = e.user_id
+    """,
+    doc="Count-min sketch for per-key frequency estimation, built "
+    "RELATIONALLY: stack() fans each event into D=4 (hash-row, bucket) "
+    "cells (map-side, no join), one groupBy collapses them into a "
+    "D x W = 2048-counter sketch, and a broadcast equi-join answers "
+    "point queries as min over the D rows. Carter-Wegman integer "
+    "hashes make the sketch bit-identical in any engine, so the "
+    "estimates themselves are hash-checked (stronger than q22's "
+    "verdict pattern) plus the structural CMS guarantee "
+    "estimate >= exact. At 100 TB: the sketch is a 2048-row partial "
+    "aggregate (map-side combine, O(1) state), the probe side is a "
+    "bounded 100-key set, and the exact_cnt column — here the "
+    "comparison baseline — is what the sketch REPLACES "
+    "(heavy-hitters / frequency-cap mandate).",
+)
+def y50_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    stack_cells = ", ".join(
+        f"{h}, {_cms_bucket_sql('user_id', a, b)}" for h, a, b in _CMS_SEEDS
+    )
+    sketch = (
+        ev.select(
+            F.expr(
+                f"stack({len(_CMS_SEEDS)}, {stack_cells}) AS (h, bucket)"
+            )
+        )
+        .groupBy("h", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    probes = (
+        ev.filter(F.col("user_id") <= _CMS_PROBE_MAX)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    probe_cells = probes.select(
+        "user_id",
+        "exact_cnt",
+        F.expr(f"stack({len(_CMS_SEEDS)}, {stack_cells}) AS (h, bucket)"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["h", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_cnt")).alias(
+            "no_underestimate"
+        ),
+    )

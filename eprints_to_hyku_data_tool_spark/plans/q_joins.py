@@ -528,3 +528,81 @@ def x25_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("action"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Y51 — bloom-filter join prefilter (runtime-filter pattern, relational)
+# --------------------------------------------------------------------------
+# Same Carter-Wegman arithmetic as y50's CMS (portable BIGINT hashing);
+# K=2 hash rows over an M=4096-bit filter built from the dim-side keys.
+_BLOOM_P = 2_147_483_647
+_BLOOM_M = 4_096
+_BLOOM_SEEDS = ((1, 1_000_081, 611_953_889), (2, 1_000_099, 257_002_663))
+
+
+def _bloom_bucket_sql(key: str, a: int, b: int) -> str:
+    return f"(({a} * {key} + {b}) % {_BLOOM_P}) % {_BLOOM_M}"
+
+
+@register(
+    "y51_bloom_prefilter",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_custkey IN
+          (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    """,
+    doc="Semi-join through an EXPLICIT bloom-filter prefilter — the "
+    "runtime-filter pattern Spark's InjectRuntimeFilter applies "
+    "internally (bloom_filter_agg/might_contain are not public SQL "
+    "API), built relationally so the plan is inspectable: the dim side "
+    "(BUILDING customers) hashes into K=2 rows of an M=4096-bucket "
+    "bit set (a distinct aggregate of <= 2*|dim| tiny rows); the fact "
+    "side keeps a row only if BOTH its buckets are occupied (two "
+    "broadcast left-semi joins = the bloom AND); an exact broadcast "
+    "semi-join then removes false positives. Result == the plain "
+    "semi-join (bloom filters have no false negatives), which is the "
+    "oracle. At 100 TB the payoff is shuffle avoidance: the bit set is "
+    "O(M) regardless of fact size, it pushes into the scan before any "
+    "exchange, and only bloom-surviving rows pay the real join "
+    "(SURVEY §4 shuffle-minimization; q68's sibling pattern).",
+)
+def y51_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+
+    # K x M bit set from the dim side: rows (h, bucket), deduplicated.
+    bits = dim.select(
+        F.expr(
+            "stack({n}, {cells}) AS (h, bucket)".format(
+                n=len(_BLOOM_SEEDS),
+                cells=", ".join(
+                    f"{h}, {_bloom_bucket_sql('c_custkey', a, b)}"
+                    for h, a, b in _BLOOM_SEEDS
+                ),
+            )
+        )
+    ).distinct()
+
+    probe = orders
+    for h, a, b in _BLOOM_SEEDS:
+        occupied = (
+            bits.filter(F.col("h") == h)
+            .select(F.col("bucket").alias(f"__b{h}"))
+        )
+        probe = probe.withColumn(
+            f"__b{h}", F.expr(_bloom_bucket_sql("o_custkey", a, b))
+        ).join(F.broadcast(occupied), f"__b{h}", "left_semi")
+
+    survivors = probe.join(
+        F.broadcast(dim), probe.o_custkey == dim.c_custkey, "left_semi"
+    )
+    return survivors.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+    )
