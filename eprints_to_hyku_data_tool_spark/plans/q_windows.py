@@ -219,3 +219,46 @@ def q36_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_name").over(w_full).alias("richest_in_nation"),
         F.last("c_name").over(w_full).alias("poorest_in_nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# Y53 — rank-function kit: percent_rank / cume_dist / nth_value
+# --------------------------------------------------------------------------
+@register(
+    "y53_rank_kit",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS price_pct_rank,
+           round(cume_dist() OVER w, 6) AS price_cume_dist,
+           nth_value(o_orderkey, 3) OVER
+             (w ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS third_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="The remaining SQL rank functions in one pass: percent_rank and "
+    "cume_dist (relative position within the priority class) plus "
+    "nth_value over an explicit full frame (default frame would stop "
+    "at the current row before the 3rd element exists, as in q36). "
+    "One hash-partition shuffle on o_orderpriority serves all three "
+    "window specs — same partition key + compatible sort, so Catalyst "
+    "plans a single Exchange+Sort and stacks the Window operators. "
+    "Order is made total with the o_orderkey tiebreak; the relative "
+    "ranks are doubles, rounded 6dp on both sides (SURVEY §2.5).",
+)
+def y53_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        F.nth_value("o_orderkey", 3).over(w_full).alias("third_cheapest"),
+    )
