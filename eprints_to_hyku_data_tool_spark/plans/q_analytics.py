@@ -463,3 +463,81 @@ def y52_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_apex_nodes"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Y55 — per-group OLS regression (exact-decimal moments, y44 discipline)
+# --------------------------------------------------------------------------
+@register(
+    "y55_group_ols",
+    oracle="""
+    WITH p AS (
+        SELECT user_id,
+               CAST(datediff('day', TIMESTAMP '1997-01-01',
+                             CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM events),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy
+        FROM p GROUP BY user_id)
+    SELECT user_id, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy)
+                        / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+    doc="Per-user ordinary-least-squares trend (value vs day index): "
+    "slope and intercept from the closed form, with every moment "
+    "accumulated EXACTLY — x as integer day offsets (bounded, so "
+    "sums/squares are overflow-free BIGINTs), y and x*y in DECIMAL — "
+    "then one double division at the end. That makes the result "
+    "bit-deterministic under any partitioning and engine (y44's "
+    "discipline; the builtin one-pass regr_slope/regr_intercept are "
+    "the streaming-sketch alternative but their float accumulation "
+    "order is partition-dependent). One map-side-combined shuffle "
+    "(metric-trend mandate).",
+)
+def y55_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "user_id",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1997-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    s = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(18,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.filter(
+            (F.col("n") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round(slope, 6).alias("slope"),
+            F.round(
+                (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+            ).alias("intercept"),
+        )
+    )

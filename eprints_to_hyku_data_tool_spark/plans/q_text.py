@@ -487,3 +487,58 @@ def x24_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.when(hx < _SAMPLE_LT, 1).otherwise(0).cast("int").alias("in_10pct_sample"),
     )
+
+
+# --------------------------------------------------------------------------
+# Y54 — text normalization (control-char strip + whitespace canon)
+# --------------------------------------------------------------------------
+# Explicit byte-range classes so the Java (Spark) and RE2 (DuckDB) regex
+# engines agree: no \s, no POSIX classes, no unicode properties.
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+_WS_RUN = r"[ \t\r\n]+"
+
+
+@register(
+    "y54_text_normalize",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, lang, text,
+               trim(regexp_replace(
+                    regexp_replace(text, '{_CTRL_CLASS}', '', 'g'),
+                    '{_WS_RUN}', ' ', 'g')) AS clean
+        FROM documents)
+    SELECT doc_id, lang,
+           md5(clean) AS clean_md5,
+           CAST(length(text) AS BIGINT) AS len_raw,
+           CAST(length(clean) AS BIGINT) AS len_clean,
+           CAST(length(text) - length(clean) AS BIGINT) AS n_removed
+    FROM c
+    """,
+    doc="Corpus text normalization (the first stage of every LLM "
+    "cleaning pipeline): strip control characters, collapse "
+    "whitespace runs to single spaces, trim. Pure row-level map — "
+    "zero shuffles, pushes into the scan projection. The cleaned "
+    "text is hashed (md5) rather than emitted so the oracle "
+    "comparison stays value-exact without shipping megabytes through "
+    "the hasher; the regexes use explicit byte-range classes only, "
+    "the portable intersection of Java regex and RE2 (no \\s / POSIX "
+    "/ unicode classes, which differ between engines) "
+    "(text-cleaning mandate; x18/x19's upstream stage).",
+)
+def y54_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _CTRL_CLASS, ""),
+            _WS_RUN,
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.md5(clean).alias("clean_md5"),
+        F.length("text").cast("long").alias("len_raw"),
+        F.length(clean).cast("long").alias("len_clean"),
+        (F.length("text") - F.length(clean)).cast("long").alias("n_removed"),
+    )
