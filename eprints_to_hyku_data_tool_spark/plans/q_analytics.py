@@ -541,3 +541,82 @@ def y55_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intercept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Y57 — Z-order (Morton) clustering key + locality audit
+# --------------------------------------------------------------------------
+_Z_BITS = 16  # bits per dimension; z-value uses 2*_Z_BITS bits
+_Z_COARSE = 22  # right-shift for the coarse cell id (top 10 bits)
+
+
+def _morton_spark(x: str, y: str) -> str:
+    """shiftleft/shiftright form (Spark SQL has no << operator)."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"shiftleft((shiftright({x}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _morton_duck(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "y57_zorder_layout",
+    oracle=f"""
+    WITH d AS (
+        SELECT user_id & 65535 AS xd,
+               CAST(datediff('day', TIMESTAMP '1997-01-01',
+                             CAST(ts AS TIMESTAMP)) AS BIGINT) & 65535
+                 AS yd
+        FROM events),
+    z AS (SELECT xd, yd, {_morton_duck('xd', 'yd')} AS zval FROM d)
+    SELECT zval >> {_Z_COARSE} AS z_cell,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(xd) AS BIGINT) AS x_min,
+           CAST(MAX(xd) AS BIGINT) AS x_max,
+           CAST(MIN(yd) AS BIGINT) AS y_min,
+           CAST(MAX(yd) AS BIGINT) AS y_max
+    FROM z GROUP BY zval >> {_Z_COARSE}
+    """,
+    doc="Z-order (Morton) clustering key over (user, day): interleave "
+    "the low 16 bits of each dimension so rows close in BOTH "
+    "dimensions land in the same coarse z-cell — the layout key "
+    "behind multi-dimensional file clustering (sort/bucket the write "
+    "by z_cell and min/max footer stats prune 2-D range predicates, "
+    "which a single-column sort cannot). Emits each cell's row count "
+    "and per-dimension min/max envelope — the locality audit: the "
+    "envelope area is ~2^{cs} of the full grid, proving the key "
+    "actually clusters. Pure integer bit arithmetic (exact in any "
+    "engine), one partial-agg shuffle on the cell id "
+    "(SURVEY §4 layout row; X06's pruning demonstrated "
+    "multi-dimensionally).".format(cs=_Z_COARSE),
+)
+def y57_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("user_id & 65535").alias("xd"),
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1997-01-01') AS BIGINT)"
+            " & 65535"
+        ).alias("yd"),
+    )
+    z = d.withColumn("zval", F.expr(_morton_spark("xd", "yd")))
+    return (
+        z.groupBy(
+            F.expr(f"shiftright(zval, {_Z_COARSE})").alias("z_cell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xd").cast("long").alias("x_min"),
+            F.max("xd").cast("long").alias("x_max"),
+            F.min("yd").cast("long").alias("y_min"),
+            F.max("yd").cast("long").alias("y_max"),
+        )
+    )
