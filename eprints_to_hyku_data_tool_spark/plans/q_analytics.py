@@ -620,3 +620,129 @@ def y57_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("yd").cast("long").alias("y_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Y58 — equi-depth histogram (quantile bucketing via ntile)
+# --------------------------------------------------------------------------
+_EQD_BUCKETS = 16
+
+
+@register(
+    "y58_equidepth_histogram",
+    oracle=f"""
+    WITH b AS (
+        SELECT o_totalprice,
+               ntile({_EQD_BUCKETS}) OVER (ORDER BY o_totalprice,
+                                           o_orderkey) AS bucket
+        FROM orders)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(MIN(o_totalprice), 2) AS lo,
+           round(MAX(o_totalprice), 2) AS hi
+    FROM b GROUP BY bucket
+    """,
+    doc="Equi-depth (equal-frequency) histogram of order totals: "
+    "ntile({B}) assigns equal-count buckets, then per-bucket "
+    "count/min/max gives the variable-width boundaries — the "
+    "histogram optimizers actually keep (x29 is the fixed-width "
+    "complement), and the boundary table IS a {B}-quantile sketch. "
+    "The ntile window is ordered with an o_orderkey tiebreak so "
+    "bucket assignment is total and engine-identical. Caveat, stated "
+    "honestly: a single unpartitioned ntile funnels the table "
+    "through one task — fine for the fixture, but at 100 TB this "
+    "exact histogram is built from approx_percentile boundaries "
+    "(y49) or the q37 two-phase global-position scheme, which "
+    "computes the same bucket id distributedly "
+    "(functions/ordering.py).".format(B=_EQD_BUCKETS),
+)
+def y58_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ordering import with_global_position
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    # Distributed ntile: global position via the two-phase q37 scheme
+    # (per-partition counts -> offsets, zero single-task windows), then
+    # bucket = exactly ntile's split: first (n % B) buckets get
+    # ceil(n/B) rows, the rest floor(n/B).
+    pos = with_global_position(
+        orders.select("o_totalprice", "o_orderkey"),
+        order_exprs=[F.col("o_totalprice"), F.col("o_orderkey")],
+        position_col="global_pos",
+    )
+    big = n % _EQD_BUCKETS
+    size_hi = n // _EQD_BUCKETS + 1
+    size_lo = n // _EQD_BUCKETS
+    cutoff = big * size_hi
+    bucket = F.when(
+        F.col("global_pos") <= cutoff,
+        F.ceil(F.col("global_pos") / size_hi),
+    ).otherwise(
+        big + F.ceil((F.col("global_pos") - cutoff) / size_lo)
+    )
+    return (
+        pos.select(
+            bucket.cast("int").alias("bucket"), F.col("o_totalprice")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Y59 — chi-square independence test (lang x source contingency)
+# --------------------------------------------------------------------------
+@register(
+    "y59_chisquare",
+    oracle="""
+    WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+               FROM documents GROUP BY lang, source),
+    r AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS row_n FROM o GROUP BY lang),
+    c AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS col_n FROM o
+          GROUP BY source),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+    SELECT o.lang, o.source, o.obs,
+           round(CAST(r.row_n AS DOUBLE) * c.col_n / t.n, 4) AS expected,
+           round(pow(o.obs - CAST(r.row_n AS DOUBLE) * c.col_n / t.n, 2)
+                 / (CAST(r.row_n AS DOUBLE) * c.col_n / t.n), 4)
+             AS chi2_term
+    FROM o, r, c, t
+    WHERE o.lang = r.lang AND o.source = c.source
+    """,
+    doc="Chi-square independence audit of the lang x source contingency "
+    "table: observed counts (exact BIGINTs), expected = row*col/total, "
+    "and each cell's (o-e)^2/e term, 4dp-rounded — the standard "
+    "is-my-corpus-mix-confounded check before training-mix decisions "
+    "(x30/q77 operate on exactly these strata). All marginals are "
+    "tiny aggregates of one groupBy output; the three joins broadcast "
+    "O(langs + sources) rows. The global chi2 statistic is "
+    "SUM(chi2_term) — left per-cell so the hashed result is "
+    "summation-order independent (mix-audit mandate).",
+)
+def y59_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("lang").agg(F.sum("obs").alias("row_n"))
+    c = o.groupBy("source").agg(F.sum("obs").alias("col_n"))
+    t = o.agg(F.sum("obs").alias("n"))
+    j = (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    expected = (
+        F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    )
+    return j.select(
+        "lang",
+        "source",
+        "obs",
+        F.round(expected, 4).alias("expected"),
+        F.round(
+            F.pow(F.col("obs") - expected, 2) / expected, 4
+        ).alias("chi2_term"),
+    )

@@ -153,6 +153,9 @@ NESTED_LOOP_WHITELIST = {
     "q71_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
     "y48_ri_audit",
+    # y59 cross-joins the one-row grand-total aggregate onto the
+    # (lang x source) contingency cells (same shape as x30/y34).
+    "y59_chisquare",
 }
 
 
