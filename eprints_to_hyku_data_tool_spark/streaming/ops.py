@@ -336,3 +336,31 @@ def streaming_neardup(stream: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_countmin(stream: DataFrame) -> DataFrame:
+    """Incremental count-min sketch maintenance (y50's sketch as a
+    stream): each event fans into D (hash-row, bucket) cells via the
+    same Carter-Wegman stack() expression the batch query uses, and an
+    UNWATERMARKED streaming aggregate keeps the per-cell counters —
+    update-mode emits the revised counters each micro-batch.
+
+    State size is the sketch itself (D x W = 2048 counters), CONSTANT in
+    stream length — the whole point of sketching a stream: no watermark
+    is needed because the state never grows, unlike the windowed aggs
+    (X08) where the watermark is what bounds state.
+    tests/test_streaming.py proves the replayed sketch is identical,
+    cell for cell, to the batch y50 sketch over the same events.
+    """
+    from ..plans.q_aggs import _CMS_SEEDS, _cms_bucket_sql
+
+    cells = ", ".join(
+        f"{h}, {_cms_bucket_sql('user_id', a, b)}" for h, a, b in _CMS_SEEDS
+    )
+    return (
+        stream.select(
+            F.expr(f"stack({len(_CMS_SEEDS)}, {cells}) AS (h, bucket)")
+        )
+        .groupBy("h", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

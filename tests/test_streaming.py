@@ -251,3 +251,33 @@ def test_streaming_neardup_equals_batch(spark, sf_dir, docs_replay_dir):
         for r in REGISTRY["x17_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_countmin_equals_batch_sketch(spark, sf_dir, replay_dir):
+    """Incremental CMS maintenance: replaying the event chunks through the
+    unwatermarked sketch aggregate must land on EXACTLY the batch y50
+    sketch (integer counters, Carter-Wegman hashes — no tolerance
+    needed). State is the 2048-cell sketch itself, constant in stream
+    length."""
+    from eprints_to_hyku_data_tool_spark.plans.q_aggs import (
+        _CMS_SEEDS,
+        _cms_bucket_sql,
+    )
+
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, _chunks_glob(replay_dir))
+    _run_to_memory(ops.streaming_countmin(stream), name, "complete")
+    got = {
+        (r["h"], r["bucket"]): r["cnt"] for r in spark.table(name).collect()
+    }
+    cells = ", ".join(
+        f"{h}, {_cms_bucket_sql('user_id', a, b)}" for h, a, b in _CMS_SEEDS
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .selectExpr(f"stack({len(_CMS_SEEDS)}, {cells}) AS (h, bucket)")
+        .groupBy("h", "bucket")
+        .count()
+    )
+    want = {(r["h"], r["bucket"]): r["count"] for r in batch.collect()}
+    assert got == want
