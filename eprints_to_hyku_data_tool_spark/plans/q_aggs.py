@@ -554,3 +554,66 @@ def y50_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_underestimate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Y60 — heavy hitters via distributed SpaceSaving (candidate + verify)
+# --------------------------------------------------------------------------
+_HH_K = 20  # reported top-k
+_HH_M = 256  # SpaceSaving counters per task
+
+
+@register(
+    "y60_heavyhitters",
+    oracle=f"""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id LIMIT {_HH_K}
+    """,
+    doc="Top-{K} heaviest users via the two-scan bounded-memory heavy "
+    "hitter pattern: scan 1 runs a SpaceSaving summary (m={M} "
+    "counters, O(m) memory regardless of key cardinality) per task "
+    "through mapInPandas and emits each task's candidate keys — any "
+    "key with task-local frequency > n_task/m survives, so the "
+    "candidate union provably contains every globally heavy key; "
+    "scan 2 exactly recounts ONLY the (broadcast) candidates and "
+    "takes the top k. Output is exact (= the oracle's full group-by "
+    "top-k) — the sketch buys the 100 TB property that no stage ever "
+    "holds cardinality-of-keys state: the first scan is O(m) per "
+    "task, the recount aggregates ~candidates keys instead of all of "
+    "them. The y50 CMS answers point queries on KNOWN keys; this "
+    "FINDS the heavy keys (frequency-cap / spam-domain mandate)."
+    .format(K=_HH_K, M=_HH_M),
+)
+def y60_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+
+    def spacesaving(batches):
+        # Mergeable Misra-Gries summary (Agarwal et al.): per Arrow
+        # batch, exact value_counts (vectorized), merge into the running
+        # summary, then reduce back to m counters by subtracting the
+        # (m+1)-th largest count and dropping non-positives — the
+        # standard merge rule that preserves the MG error bound
+        # (<= n_task/(m+1)), hence the heavy-key containment guarantee.
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for k, c in pdf["user_id"].value_counts().items():
+                counters[int(k)] = counters.get(int(k), 0) + int(c)
+            if len(counters) > _HH_M:
+                d = sorted(counters.values(), reverse=True)[_HH_M]
+                counters = {
+                    k: c - d for k, c in counters.items() if c > d
+                }
+        yield pd.DataFrame({"user_id": list(counters)})
+
+    candidates = (
+        ev.mapInPandas(spacesaving, "user_id long").distinct()
+    )
+    counts = ev.join(F.broadcast(candidates), "user_id", "left_semi").groupBy(
+        "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return counts.orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    ).limit(_HH_K)
