@@ -606,3 +606,63 @@ def y51_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice", "total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Y62 — SCD2 dimension build (validity intervals from change events)
+# --------------------------------------------------------------------------
+@register(
+    "y62_scd2_intervals",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_prio
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)),
+    ch AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        FROM o WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority)
+    SELECT o_custkey, o_orderpriority AS prio,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           CAST(CASE WHEN lead(o_orderdate) OVER w2
+                     IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM ch
+    WINDOW w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Slowly-changing-dimension type 2 build: each customer's order "
+    "priority history collapses into validity intervals — a change row "
+    "opens an interval (lag detects the change), the next change "
+    "closes it (lead), the open interval is flagged current. THE "
+    "dimension-maintenance pattern of warehouse ETL (x25's MERGE "
+    "applies deltas; this derives the versioned dimension itself). "
+    "Both windows share one o_custkey exchange (change-detect sort "
+    "and interval sort are compatible); timestamps compare as exact "
+    "microsecond instants, o_orderkey tiebreak makes same-day "
+    "sequences deterministic (ETL/SCD mandate).",
+)
+def y62_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = orders.withColumn(
+        "prev_prio", F.lag("o_orderpriority").over(w)
+    )
+    ch = o.filter(
+        F.col("prev_prio").isNull()
+        | (F.col("prev_prio") != F.col("o_orderpriority"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    valid_to = F.lead("o_orderdate").over(w2)
+    return ch.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+    )

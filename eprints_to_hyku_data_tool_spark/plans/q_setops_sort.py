@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .q_core import dec_sum
 from .registry import register
 
 
@@ -188,3 +189,43 @@ def q42_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return all_cust.subtract(with_orders)
+
+
+# --------------------------------------------------------------------------
+# Y61 — unpivot / melt (wide -> long) + per-metric profile
+# --------------------------------------------------------------------------
+@register(
+    "y61_unpivot_melt",
+    oracle="""
+    SELECT metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           round(MIN(val), 6) AS lo,
+           round(MAX(val), 6) AS hi
+    FROM (UNPIVOT lineitem
+          ON l_quantity, l_discount, l_tax
+          INTO NAME metric VALUE val)
+    GROUP BY metric
+    """,
+    doc="Wide->long reshaping through the NATIVE DataFrame.unpivot API "
+    "(Spark 3.4+; the relational dual of z26's pivot): three numeric "
+    "lineitem measures melt into (metric, val) rows — an Expand node, "
+    "map-side, zero shuffle — then one partial-agg shuffle profiles "
+    "each metric. Same Expand machinery as rollup/cube; metric names "
+    "are the source column names in both engines, sums in DECIMAL "
+    "(fleet rule) (SURVEY §2.4 reshaping).",
+)
+def y61_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum(F.col("val"), "total", "decimal(18,6)"),
+        F.round(F.min("val"), 6).alias("lo"),
+        F.round(F.max("val"), 6).alias("hi"),
+    )
