@@ -375,3 +375,110 @@ def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
     assert len(lsh) > 0
     recall = len(lsh) / max(len(exact), 1)
     assert recall >= 0.2, recall
+
+
+# --------------------------------------------------------------------------
+# Engine-independent invariants of the portable-hash kernels (DuckDB only —
+# the same SQL text both engines run; no Spark in the loop, so these can
+# afford more hypothesis examples than the cluster-backed tests above).
+# --------------------------------------------------------------------------
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+def test_morton_key_bijective(x, y):
+    """y57's interleave must be invertible: de-interleaving the SQL-computed
+    z-value recovers (x, y) exactly — the property that makes z-cell
+    min/max envelopes valid pruning bounds."""
+    import duckdb
+
+    from eprints_to_hyku_data_tool_spark.plans.q_analytics import _morton_duck
+
+    z = duckdb.sql(
+        f"SELECT {_morton_duck(f'CAST({x} AS BIGINT)', f'CAST({y} AS BIGINT)')} AS z"
+    ).fetchone()[0]
+    # (the registered oracle computes the same expression over BIGINT
+    # columns; the CASTs here only lift the test's INT32 literals)
+    dx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    dy = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (dx, dy) == (x, y)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1,
+        max_size=300,
+    )
+)
+def test_cms_never_underestimates(keys):
+    """y50's structural guarantee on arbitrary key multisets: for EVERY
+    key, min-over-hash-rows of its bucket counts >= its true count
+    (hash collisions only ever inflate)."""
+    import collections
+
+    import duckdb
+
+    from eprints_to_hyku_data_tool_spark.plans.q_aggs import (
+        _CMS_P,
+        _CMS_SEEDS,
+        _CMS_W,
+    )
+
+    exact = collections.Counter(keys)
+    sketch: dict[tuple[int, int], int] = collections.defaultdict(int)
+    for k in keys:
+        for h, a, b in _CMS_SEEDS:
+            sketch[(h, ((a * k + b) % _CMS_P) % _CMS_W)] += 1
+    # cross-check one cell against the SQL arithmetic
+    k0 = keys[0]
+    h0, a0, b0 = _CMS_SEEDS[0]
+    sql_bucket = duckdb.sql(
+        f"SELECT ((CAST({a0} AS BIGINT) * {k0} + {b0}) % {_CMS_P}) % {_CMS_W}"
+    ).fetchone()[0]
+    assert sql_bucket == ((a0 * k0 + b0) % _CMS_P) % _CMS_W
+    for k, n in exact.items():
+        est = min(
+            sketch[(h, ((a * k + b) % _CMS_P) % _CMS_W)]
+            for h, a, b in _CMS_SEEDS
+        )
+        assert est >= n
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=100_000), max_size=100),
+    st.lists(
+        st.integers(min_value=0, max_value=100_000),
+        min_size=1,
+        max_size=200,
+    ),
+)
+def test_bloom_prefilter_no_false_negatives(dim_keys, fact_keys):
+    """y51's structural guarantee on arbitrary key sets: the bloom bucket
+    test never rejects a key that IS in the dim set, so
+    prefilter+exact-verify == plain semi-join."""
+    from eprints_to_hyku_data_tool_spark.plans.q_joins import (
+        _BLOOM_M,
+        _BLOOM_P,
+        _BLOOM_SEEDS,
+    )
+
+    bits = {
+        (h, ((a * k + b) % _BLOOM_P) % _BLOOM_M)
+        for k in dim_keys
+        for h, a, b in _BLOOM_SEEDS
+    }
+    survivors = [
+        k
+        for k in fact_keys
+        if all(
+            (h, ((a * k + b) % _BLOOM_P) % _BLOOM_M) in bits
+            for h, a, b in _BLOOM_SEEDS
+        )
+    ]
+    want = [k for k in fact_keys if k in dim_keys]
+    # exact verify on the survivors recovers exactly the semi-join
+    assert [k for k in survivors if k in dim_keys] == want
