@@ -401,10 +401,14 @@ _TRI_EDGES_SQL = """
     "O(sum deg^2) under skew (the standard compact-forward scheme). "
     "Triangle count is orientation-invariant, so the oracle uses the "
     "simpler id-ordering — equal result, and the test proves the "
-    "orientation trick changes the plan, not the answer. Three "
-    "hash-partition shuffles (edges, wedges, closing join), no "
-    "broadcast of anything node-sized beyond the degree table "
-    "(SURVEY §2.13 graph family).",
+    "orientation trick changes the plan, not the answer. The edge set "
+    "and the oriented edge list are each referenced 2-3 times "
+    "downstream, so both are materialized once with a localCheckpoint "
+    "(graph.py's rule) — without it Catalyst re-derives the self-join+"
+    "distinct subtree per reference (measured: 26 exchanges -> 5; "
+    "~13 s -> ~8 s at sf0.1, the rest being the wedge join itself). "
+    "Remaining shuffles: edge build, degree agg, wedge join, closing "
+    "join (SURVEY §2.13 graph family).",
 )
 def y52_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -419,6 +423,9 @@ def y52_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("v"),
         )
         .distinct()
+        # und feeds the degree agg (twice, via the union) AND the
+        # orientation join: materialize the self-join+distinct once.
+        .localCheckpoint(eager=True)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -438,7 +445,8 @@ def y52_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
         F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    )
+        # referenced three times (e1, e2, closing): materialize once.
+    ).localCheckpoint(eager=True)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(
         (F.col("e1.dt") < F.col("e2.dt"))
