@@ -232,3 +232,92 @@ def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos") >= _RP_TAU).select(
         "id_a", "id_b", F.round("cos", 6).alias("cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# Y63 — nearest-centroid classification audit (exact-decimal distances)
+# --------------------------------------------------------------------------
+@register(
+    "y63_nearest_centroid",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label AS label_true,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(list_transform(
+               range(1, len(embedding) + 1),
+               i -> CAST(round(CAST(embedding[i] AS DOUBLE), 6) * 1000000
+                         AS BIGINT))) AS xu
+      FROM embeddings),
+    c AS (SELECT label_true AS label_c, dim,
+                 CAST(SUM(xu) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM x GROUP BY label_true, dim),
+    d AS (SELECT x.vec_id, x.label_true, c.label_c,
+                 CAST(SUM(CAST(c.n * x.xu - c.s AS DECIMAL(19,0))
+                          * CAST(c.n * x.xu - c.s AS DECIMAL(19,0)))
+                      AS DOUBLE) / (ANY_VALUE(c.n) * ANY_VALUE(c.n)) AS d2
+          FROM x JOIN c ON x.dim = c.dim
+          GROUP BY x.vec_id, x.label_true, c.label_c),
+    p AS (SELECT vec_id, label_true, label_c,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, label_c) AS rk
+          FROM d)
+    SELECT CAST(label_true AS INT) AS label_true,
+           CAST(label_c AS INT) AS label_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM p WHERE rk = 1
+    GROUP BY label_true, label_c
+    """,
+    doc="Nearest-centroid classification audit: every vector is assigned "
+    "to its closest per-label centroid (y38's centroids) and the "
+    "(true, predicted) confusion matrix comes back — the standard "
+    "are-my-labels-separable / cluster-drift check on an embedding "
+    "column. Distances are EXACT until the last step: embeddings "
+    "quantize to integer micro-units (y38's 6dp rule), the centroid "
+    "is kept as the exact pair (sum s, count n) instead of a lossy "
+    "mean, and ||x - s/n||^2 is evaluated as SUM((n*xu - s)^2)/n^2 "
+    "with the squares in DECIMAL(38,0) — summation-order-proof, so "
+    "the double cast at the end is bit-identical in both engines and "
+    "the argmin (ties broken by label) can never flip cross-engine "
+    "even when margins are tiny (near-uniform fixture embeddings are "
+    "exactly that worst case). Plan: one partial-agg shuffle for "
+    "centroids (640 cells, broadcast back), one for the per-"
+    "(vector, label) distance agg, one row_number window, one tiny "
+    "confusion agg (embedding-eval mandate).",
+)
+def y63_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.col("label").alias("label_true"),
+        F.posexplode("embedding").alias("pos", "fval"),
+    ).select(
+        "vec_id",
+        "label_true",
+        (F.col("pos") + 1).alias("dim"),
+        (F.round(F.col("fval").cast("double"), 6) * 1_000_000)
+        .cast("long")
+        .alias("xu"),
+    )
+    c = x.groupBy(F.col("label_true").alias("label_c"), "dim").agg(
+        F.sum("xu").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    diff = (F.col("n") * F.col("xu") - F.col("s")).cast("decimal(19,0)")
+    d = (
+        x.join(F.broadcast(c), "dim")
+        .groupBy("vec_id", "label_true", "label_c")
+        .agg(
+            (
+                F.sum(diff * diff).cast("double")
+                / (F.first("n") * F.first("n"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "label_c")
+    p = d.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return p.groupBy(
+        F.col("label_true").cast("int").alias("label_true"),
+        F.col("label_c").cast("int").alias("label_pred"),
+    ).agg(F.count(F.lit(1)).alias("n"))
