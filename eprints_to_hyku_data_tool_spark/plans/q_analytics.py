@@ -754,3 +754,58 @@ def y59_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("obs") - expected, 2) / expected, 4
         ).alias("chi2_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# Y64 — rolling 28-day active users (DAU/MAU machinery)
+# --------------------------------------------------------------------------
+_RAU_DAYS = 28
+
+
+@register(
+    "y64_rolling_active_users",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT user_id,
+                      CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                        AS day
+               FROM events),
+    days AS (SELECT DISTINCT day FROM a)
+    SELECT d.day,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_{_RAU_DAYS}d
+    FROM days d JOIN a
+      ON a.day <= d.day
+     AND a.day > d.day - INTERVAL {_RAU_DAYS} DAY
+    GROUP BY d.day
+    """,
+    doc="Rolling {N}-day active users per day (the MAU curve; DAU is the "
+    "1-day special case): SQL windows cannot COUNT DISTINCT over a "
+    "RANGE frame, so the rolling distinct is built relationally — "
+    "dedupe to (user, day) pairs first (the only corpus-sized "
+    "shuffle), EXPLODE each pair into the {N} future grid days it "
+    "keeps a user active on (map-side sequence(), no join), keep only "
+    "days that exist in the data via a broadcast semi-join on the "
+    "tiny observed-day grid, and count distinct per day. All joins "
+    "equi; work is O(active_pairs x {N}), independent of raw event "
+    "volume (engagement-metrics mandate).".format(N=_RAU_DAYS),
+)
+def y64_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct()
+    days = a.select("day").distinct()
+    covered = a.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.date_add(F.col("day"), _RAU_DAYS - 1),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )  # no pre-distinct: countDistinct's two-phase agg dedups map-side
+    return (
+        covered.join(F.broadcast(days), "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias(f"active_{_RAU_DAYS}d"))
+    )
