@@ -809,3 +809,111 @@ def y64_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias(f"active_{_RAU_DAYS}d"))
     )
+
+
+# --------------------------------------------------------------------------
+# Y65 — event-type transition matrix (first-order Markov)
+# --------------------------------------------------------------------------
+@register(
+    "y65_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS p
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lag pairs each event with its predecessor (one "
+    "user-keyed exchange, event_id tiebreak), transitions aggregate "
+    "to a types^2-sized matrix, and a second window over the TINY "
+    "matrix row-normalizes to probabilities — the behavioral-model "
+    "primitive behind next-action prediction and anomaly scoring. "
+    "p = exact-count ratio (one double division per cell), so it "
+    "hashes cleanly (sequence-analytics mandate).",
+)
+def y65_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    m = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return m.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_row)).alias("p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y66 — session rollup (duration / size stats over x28's session ids)
+# --------------------------------------------------------------------------
+@register(
+    "y66_session_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM g)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+             AS duration_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="Per-session rollup composed ON TOP of the x28 sessionizer (same "
+    "gap rule, same single user-keyed exchange — the session-id "
+    "window, the groupBy, and the lag all share one partitioning, so "
+    "the whole two-operator composition is still ONE shuffle): events "
+    "per session, exact microsecond duration, decimal-exact value sum "
+    "— the table session_window (q56) cannot give because it only "
+    "emits aggregates keyed by window, not by session ordinal "
+    "(sessionization mandate, rollup half).",
+)
+def y66_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .q_core import dec_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+        ).alias("duration_us"),
+        dec_sum(F.col("value"), "total_value", "decimal(18,6)"),
+    )
