@@ -47,7 +47,7 @@ from .registry import register
            FROM q)
     SELECT vec_id,
            round(amax, 6) AS amax,
-           qv AS q_vec,
+           array_to_string(qv, ',') AS q_vec,
            CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
            CAST(list_min(qv) AS INT) AS q_min,
            CAST(list_max(qv) AS INT) AS q_max,
@@ -89,7 +89,12 @@ def q73_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qq.select(
         "vec_id",
         F.round("amax", 6).alias("amax"),
-        F.col("qv").alias("q_vec"),
+        # Serialized (not raw array<int>): the driver's canonicalizer
+        # lexsorts output columns via pandas, which cannot hash ndarray
+        # cells — r3's one red row. Registered outputs must stay scalar.
+        F.concat_ws(
+            ",", F.transform("qv", lambda x: x.cast("string"))
+        ).alias("q_vec"),
         F.aggregate("qv", zero, lambda a, x: a + x).alias("q_sum"),
         F.array_min("qv").cast("int").alias("q_min"),
         F.array_max("qv").cast("int").alias("q_max"),

@@ -70,6 +70,16 @@ def canon_frame(df: pd.DataFrame) -> list[str]:
 
 def assert_parity(spark_df, oracle_sql: str, duck_con, name: str = "") -> None:
     sdf = spark_df.toPandas()
+    # Driver-canon probe (r3 q73 lesson): the driver lexsorts the raw pandas
+    # frame over all columns before hashing — any cell pandas can't factorize
+    # (ndarray, dict) must fail HERE, locally, not in a driver round.
+    try:
+        sdf.sort_values(by=sorted(sdf.columns))
+    except TypeError as exc:
+        raise AssertionError(
+            f"{name}: output not driver-canonicalizable (pandas sort_values "
+            f"failed: {exc}) — serialize complex columns before returning"
+        ) from None
     # Arrow fetch preserves DATE as date32 -> datetime.date (fetchdf would
     # widen it to datetime64 and spuriously mismatch Spark's DateType).
     odf = duck_con.execute(oracle_sql).fetch_arrow_table().to_pandas()

@@ -45,19 +45,23 @@ def test_demoted_brute_jaccard_matches_oracle(spark, sf_dir, duck):
     )
 
 
-def test_no_decimal_output_columns(spark):
+def test_no_unhashable_output_columns(spark):
     """The driver's hasher canonicalizes Decimal differently per engine
-    (r2's only red row): no registered query may emit a DecimalType column.
-    Schema-only check — builds every plan at sf0.001, executes nothing."""
-    from pyspark.sql.types import DecimalType
+    (r2's red row) and its pandas lexsort cannot factorize array cells
+    (r3's red row, q73): no registered query may emit a DecimalType,
+    ArrayType, MapType, or StructType column — serialize complex values
+    (concat_ws / to_json) before returning. Schema-only check — builds
+    every plan at sf0.001, executes nothing."""
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
+    banned = (DecimalType, ArrayType, MapType, StructType)
     offenders = {}
     for name, spec in REGISTRY.items():
         schema = spec.fn(spark, "/root/testdata/sf0.001").schema
-        bad = [f.name for f in schema.fields if isinstance(f.dataType, DecimalType)]
+        bad = [f.name for f in schema.fields if isinstance(f.dataType, banned)]
         if bad:
             offenders[name] = bad
-    assert not offenders, f"decimal output columns: {offenders}"
+    assert not offenders, f"unhashable output columns: {offenders}"
 
 
 def test_entry_smoke(spark):
