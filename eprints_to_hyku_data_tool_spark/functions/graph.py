@@ -129,20 +129,32 @@ def pagerank(
     """Fixed-iteration PageRank over directed (src, dst) edges; returns
     (node, rank) for every node incident to an edge, ranks summing to 1.
 
-    Plan shape per iteration: one join of ranks onto edges keyed src
-    (ranks is nodes-sized — broadcast when it fits, shuffle-hash
-    otherwise) and one partial-agg shuffle keyed dst for the contribution
-    sums — the same two-shuffle round as the CC stars, constant in
-    iteration count because the lineage is cut with a localCheckpoint
-    every SECOND round (2^n plan growth otherwise; a 2-round plan depth
-    keeps analysis bounded while halving the eager-materialization job
-    count; use checkpoint() on a fault-tolerant store at cluster
-    scale). Checkpoint blocks are MEMORY_AND_DISK and are released by
-    Spark's ContextCleaner once the superseded DataFrames are GC'd —
-    DataFrame.unpersist() does NOT free them (it only consults the
-    cache manager), so no manual cleanup is attempted here. Dangling
-    mass (nodes with no out-edges) is a one-scalar driver action per
-    round, redistributed uniformly per the standard formulation."""
+    Plan shape per iteration: one join of ranks onto edges keyed src and
+    one partial-agg shuffle keyed dst for the contribution sums — the
+    same two-shuffle round as the CC stars, constant in iteration count
+    because the lineage is cut with a localCheckpoint every SECOND round
+    (2^n plan growth otherwise; a 2-round plan depth keeps analysis
+    bounded while halving the eager-materialization job count; use
+    checkpoint() on a fault-tolerant store at cluster scale).
+
+    Scale shape (VERDICT r3 item 3): ranks/contribs are O(nodes) tables
+    and are NEVER broadcast-hinted — at billion-node scale they cannot
+    fit an executor broadcast. Instead, edges_d is hash-partitioned by
+    src ONCE before the loop (localCheckpoint preserves the
+    partitioning), so every round's ranks join re-shuffles only the
+    node-sized ranks table while the 100-TB edge table stays in place;
+    AQE is still free to promote the join to broadcast when ranks
+    actually fits. Checkpoint blocks are MEMORY_AND_DISK and are
+    released by Spark's ContextCleaner once the superseded DataFrames
+    are GC'd — DataFrame.unpersist() does NOT free them (it only
+    consults the cache manager), so no manual cleanup is attempted
+    here. Dangling mass (nodes with no out-edges) is a one-scalar
+    driver action per round, redistributed uniformly per the standard
+    formulation; when dangling nodes exist, ranks is materialized EVERY
+    round so the dangling collect and the next round's contributions
+    read one materialization (double-precision sums are partition-order
+    dependent, so two independent evaluations could disagree within a
+    round — ADVICE r3)."""
     edges = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
@@ -157,8 +169,12 @@ def pagerank(
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Carry the out-degree ON the edge rows, once — the per-iteration
-    # loop then touches only (edges_d x ranks), not a 3-way join.
-    edges_d = edges.join(deg, "src").localCheckpoint(eager=True)
+    # loop then touches only (edges_d x ranks), not a 3-way join. Hash-
+    # partition by src here, once: the checkpointed partitioning is what
+    # lets every round's src join move only the small ranks side.
+    edges_d = (
+        edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+    )
     # Dangling nodes (no out-edges) are a property of the static graph:
     # decide ONCE whether the per-iteration mass collection is needed at
     # all (symmetric graphs — every near-dup/co-occurrence graph — have
@@ -169,13 +185,13 @@ def pagerank(
     has_dangling = bool(dangling_nodes.head(1))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(n_iter):
-        # ranks is node-sized: broadcast it so the (large) edge table
-        # never re-shuffles — the only exchange per round is the
-        # map-side-combined contribution agg keyed dst. At billion-node
-        # scale replace the broadcast with src-bucketed co-location.
+        # No broadcast hints: ranks/contribs are node-sized and do not
+        # fit a broadcast at billion-node scale. edges_d is already
+        # src-partitioned, so this join re-shuffles only ranks; AQE
+        # promotes to broadcast at small scale on its own.
         contribs = (
             edges_d.join(
-                F.broadcast(ranks.select(F.col("node").alias("src"), "rank")),
+                ranks.select(F.col("node").alias("src"), "rank"),
                 "src",
             )
             .select(
@@ -192,7 +208,7 @@ def pagerank(
             if has_dangling
             else 0.0
         )
-        ranks = nodes.join(F.broadcast(contribs), "node", "left").select(
+        ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
                 F.lit((1.0 - damping) / n)
@@ -203,7 +219,13 @@ def pagerank(
                 )
             ).alias("rank"),
         )
-        if it % 2 == 1 or it == n_iter - 1:
+        # With dangling nodes the NEXT round reads ranks twice (the
+        # dangling-mass collect + the contribution join); materialize
+        # every round so both consumers see one partition-order-fixed
+        # evaluation (ADVICE r3). Dangling-free graphs — every
+        # symmetric near-dup/co-occurrence graph — keep the cheaper
+        # every-2nd-round cadence.
+        if has_dangling or it % 2 == 1 or it == n_iter - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 

@@ -573,17 +573,21 @@ _HH_M = 256  # SpaceSaving counters per task
     doc="Top-{K} heaviest users via the two-scan bounded-memory heavy "
     "hitter pattern: scan 1 runs a SpaceSaving summary (m={M} "
     "counters, O(m) memory regardless of key cardinality) per task "
-    "through mapInPandas and emits each task's candidate keys — any "
-    "key with task-local frequency > n_task/m survives, so the "
-    "candidate union provably contains every globally heavy key; "
+    "through mapInPandas and emits each task's candidate keys; "
     "scan 2 exactly recounts ONLY the (broadcast) candidates and "
-    "takes the top k. Output is exact (= the oracle's full group-by "
-    "top-k) — the sketch buys the 100 TB property that no stage ever "
-    "holds cardinality-of-keys state: the first scan is O(m) per "
-    "task, the recount aggregates ~candidates keys instead of all of "
-    "them. The y50 CMS answers point queries on KNOWN keys; this "
-    "FINDS the heavy keys (frequency-cap / spam-domain mandate)."
-    .format(K=_HH_K, M=_HH_M),
+    "takes the top k. The MG containment guarantee covers exactly "
+    "the keys with global count > n/(m+1) (a key absent from EVERY "
+    "task's summary has global count <= sum_t n_t/(m+1) = n/(m+1)), "
+    "so the sketch path is provably exact only when the k-th "
+    "recounted candidate clears that bound; this is CERTIFIED AT "
+    "RUNTIME (ADVICE r3) and on flat/high-cardinality data where it "
+    "cannot be certified the query falls back to a full exact "
+    "group-by — output equals the oracle's top-k on every input, by "
+    "proof on skewed data and by fallback otherwise. The sketch buys "
+    "the 100 TB property that no stage holds cardinality-of-keys "
+    "state when skew permits. The y50 CMS answers point queries on "
+    "KNOWN keys; this FINDS the heavy keys (frequency-cap / "
+    "spam-domain mandate).".format(K=_HH_K, M=_HH_M),
 )
 def y60_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -614,6 +618,23 @@ def y60_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.join(F.broadcast(candidates), "user_id", "left_semi").groupBy(
         "user_id"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    return counts.orderBy(
-        F.desc("n_events"), F.asc("user_id")
-    ).limit(_HH_K)
+    topk = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(_HH_K)
+
+    # Runtime certification of the containment guarantee (ADVICE r3): a key
+    # missing from every task's MG summary has global count <= n/(m+1), so
+    # the candidate-based top-k is provably exact iff the k-th recounted
+    # candidate count strictly exceeds that bound. Both collects are bounded
+    # (k rows + one scalar). When the bound fails (flat distribution, high
+    # cardinality), fall back to the exact group-by — correctness never
+    # depends on data luck.
+    top_rows = topk.collect()
+    n_total = ev.count()
+    kth = min((r["n_events"] for r in top_rows), default=0)
+    if len(top_rows) == _HH_K and kth * (_HH_M + 1) > n_total:
+        return topk
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(_HH_K)
+    )

@@ -173,9 +173,12 @@ def x27_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # Full-microsecond gap (ADVICE r3): cast('long') truncates to whole
+    # seconds, so a true gap in (1799s, 1801s] could classify differently
+    # from the oracle's full-precision INTERVAL comparison.
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_session = F.when(
-        F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1
+        F.lag("ts").over(w).isNull() | (gap > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
     return ev.select(
         "event_id",
@@ -435,7 +438,10 @@ def y52_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    withdeg = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    # (node, deg) is O(nodes) — no mandatory broadcast (VERDICT r3 item
+    # 4): a billion-node degree table cannot fit an executor broadcast.
+    # Plain shuffle joins here; AQE still broadcasts when deg is small.
+    withdeg = und.join(du, "u").join(dv, "v")
     # Orient low-(deg, id) -> high-(deg, id); carry the head's rank so
     # the wedge join can order its two heads without re-joining degrees.
     lo_first = (F.col("du") < F.col("dv")) | (
@@ -897,9 +903,10 @@ def y66_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # Microsecond-exact gap, matching x28 (ADVICE r3).
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     new_session = F.when(
-        F.lag("ts").over(w).isNull() | (gap > 30 * 60), 1
+        F.lag("ts").over(w).isNull() | (gap > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
     s = ev.select(
         "user_id",

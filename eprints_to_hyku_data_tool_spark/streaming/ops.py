@@ -342,8 +342,12 @@ def streaming_countmin(stream: DataFrame) -> DataFrame:
     """Incremental count-min sketch maintenance (y50's sketch as a
     stream): each event fans into D (hash-row, bucket) cells via the
     same Carter-Wegman stack() expression the batch query uses, and an
-    UNWATERMARKED streaming aggregate keeps the per-cell counters —
-    update-mode emits the revised counters each micro-batch.
+    UNWATERMARKED streaming aggregate keeps the per-cell counters. Run
+    it in COMPLETE mode (as the equality test does): every micro-batch
+    re-emits the full D x W counter table, which a memory/table sink
+    overwrites wholesale. Update mode would emit only revised cells and
+    requires a sink that upserts on (h, bucket) — an append-only sink
+    would accumulate stale versions of re-emitted cells.
 
     State size is the sketch itself (D x W = 2048 counters), CONSTANT in
     stream length — the whole point of sketching a stream: no watermark
