@@ -21,7 +21,7 @@ from eprints_to_hyku_data_tool_spark.plans.registry import (
 )
 from eprints_to_hyku_data_tool_spark.session import tune_session
 
-FLAGSHIP = "q19_groupby_multi_agg"
+FLAGSHIP = "z19_groupby_multi_agg"
 
 
 def entry(spark: SparkSession) -> DataFrame:

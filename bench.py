@@ -131,17 +131,21 @@ def _extract_queries(obj: dict) -> dict[str, float]:
     layouts: this script's raw JSON line ({"queries": ...}), the driver's
     wrapper ({"parsed": {...}, "tail": "..."}), and a wrapper whose
     "tail" holds only the truncated end of stdout — there the queries
-    object is recovered by bracket-matching from the first query key
-    (q01_scan_count sorts first and is always present)."""
+    object is recovered by bracket-matching from the first query-name
+    key (tier names are rotated between rounds, so anchor on the key
+    PATTERN, not a specific name)."""
+    import re as _re
+
     if isinstance(obj.get("queries"), dict):
         return obj["queries"]
     parsed = obj.get("parsed")
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
         return parsed["queries"]
     tail = obj.get("tail", "")
-    start = tail.find('{"q01_scan_count"')
-    if start < 0:
+    m = _re.search(r'\{"[qxyz]\d\d_', tail)
+    if m is None:
         return {}
+    start = m.start()
     depth = 0
     for j in range(start, len(tail)):
         if tail[j] == "{":
@@ -161,8 +165,10 @@ def regressions_vs_previous(
 ) -> dict[str, dict]:
     """Compare against the newest BENCH_r*.json in the repo root and
     return {query: {prev, now, ratio}} for every >threshold slowdown.
-    Registry keys renamed to the z-tier in round 3 are matched to their
-    round-2 q-names (z43_string_kit was q43_string_kit)."""
+    Registry keys renamed across tier rotations are matched to their
+    previous-round names via RENAMES_r4.json (new -> old, e.g.
+    z51_hash_ids was q51_hash_ids) plus the round-3 convention that a
+    z-name's round-2 key was the same suffix under q."""
     import glob
     import re
 
@@ -181,9 +187,18 @@ def regressions_vs_previous(
     if prev.get("sf") != sf:
         return {}
     prev_q = _extract_queries(prev)
+    renames: dict[str, str] = {}
+    try:
+        with open(os.path.join(root, "RENAMES_r4.json")) as fh:
+            # file maps old -> new; invert for new -> old lookups
+            renames = {v: k for k, v in json.load(fh).items()}
+    except (OSError, json.JSONDecodeError):
+        pass
     ratios: dict[str, tuple[float, float, float]] = {}
     for name, now in timings.items():
         old = prev_q.get(name)
+        if old is None and name in renames:
+            old = prev_q.get(renames[name])
         if old is None and name.startswith("z"):
             old = prev_q.get("q" + name[1:])
         if old is None or old <= 0 or now <= 0:

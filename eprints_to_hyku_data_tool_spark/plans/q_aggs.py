@@ -28,7 +28,7 @@ from .q_core import dec_sum
 # Q22 — approx count-distinct (HLL) with a checkable tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "q22_approx_count_distinct",
+    "z22_approx_count_distinct",
     oracle="""
     SELECT l_suppkey,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -48,7 +48,7 @@ from .q_core import dec_sum
     "every raw row update a 16KB HLL++ buffer through the Expand "
     "(measured 60s at sf0.1 vs 4s for this form).",
 )
-def q22_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z22_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
     return (
@@ -358,7 +358,7 @@ def q30_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y46 — GROUPING SETS via the SQL entry point
 # --------------------------------------------------------------------------
 @register(
-    "y46_grouping_sets",
+    "q89_grouping_sets",
     oracle="""
     SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
            COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -380,7 +380,7 @@ def q30_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL then cast (fleet rule), grouping() markers distinguish "
     "subtotal NULLs from data NULLs.",
 )
-def y46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q89_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("y46_lineitem")
     return spark.sql(
@@ -403,7 +403,7 @@ def y46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y49 — approx percentile (t-digest-style sketch) with a tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "y49_approx_percentile",
+    "q92_approx_percentile",
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
@@ -424,7 +424,7 @@ def y46_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with bounded state, while exact percentile materializes every "
     "group's values through the shuffle (SURVEY §2.4 Q27 scale note).",
 )
-def y49_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q92_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias(
@@ -476,7 +476,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
 
 
 @register(
-    "y50_countmin",
+    "q93_countmin",
     oracle=f"""
     WITH seeds(h, a, b) AS (VALUES
         {", ".join(f"({h}, {a}, {b})" for h, a, b in _CMS_SEEDS)}),
@@ -515,7 +515,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
     "comparison baseline — is what the sketch REPLACES "
     "(heavy-hitters / frequency-cap mandate).",
 )
-def y50_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q93_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
 
     stack_cells = ", ".join(
@@ -564,7 +564,7 @@ _HH_M = 256  # SpaceSaving counters per task
 
 
 @register(
-    "y60_heavyhitters",
+    "x34_heavyhitters",
     oracle=f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
@@ -589,7 +589,7 @@ _HH_M = 256  # SpaceSaving counters per task
     "KNOWN keys; this FINDS the heavy keys (frequency-cap / "
     "spam-domain mandate).".format(K=_HH_K, M=_HH_M),
 )
-def y60_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x34_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select("user_id")

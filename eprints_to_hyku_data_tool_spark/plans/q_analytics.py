@@ -22,7 +22,7 @@ FUNNEL_STEP_HOURS = 24
 # X26 — ordered funnel (view -> click -> purchase, each within 24h)
 # --------------------------------------------------------------------------
 @register(
-    "x26_funnel",
+    "z95_funnel",
     oracle=f"""
     WITH v AS (SELECT user_id,
                       MIN(CASE WHEN event_type='view' THEN ts END) AS t_view
@@ -54,7 +54,7 @@ FUNNEL_STEP_HOURS = 24
     "tests/test_plans.py). Fixture: 150 users -> 60 clicked -> 25 "
     "completed (funnel/sessionization mandate).",
 )
-def x26_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z95_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     W = Window.partitionBy("user_id")
     step = F.expr(f"INTERVAL {FUNNEL_STEP_HOURS} HOURS")
@@ -100,7 +100,7 @@ def x26_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X27 — cohort retention (first-purchase-day cohorts x day offset)
 # --------------------------------------------------------------------------
 @register(
-    "x27_cohort_retention",
+    "z96_cohort_retention",
     oracle="""
     WITH f AS (SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
                FROM events WHERE event_type='purchase' GROUP BY user_id),
@@ -120,7 +120,7 @@ def x26_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on bounded-cardinality columns; the matrix is O(days^2) regardless "
     "of event volume (retention mandate).",
 )
-def x27_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z96_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -194,7 +194,7 @@ def x28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X29 — histogram / binning (fixed-width buckets, identical arithmetic)
 # --------------------------------------------------------------------------
 @register(
-    "x29_histogram",
+    "z97_histogram",
     oracle="""
     SELECT CAST(LEAST(GREATEST(CAST(FLOOR(value / 25) AS INT), 0), 19) AS INT)
              AS bucket,
@@ -208,7 +208,7 @@ def x28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "divergence by construction. One partial-agg shuffle on a 20-value "
     "key; decimal-exact per-bucket sums as in q54.",
 )
-def x29_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z97_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = F.least(
         F.greatest(F.floor(F.col("value") / 25).cast("int"), F.lit(0)),
@@ -226,7 +226,7 @@ def x29_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X30 — training-mix reweighting (per-stratum sampling weights)
 # --------------------------------------------------------------------------
 @register(
-    "x30_mix_reweight",
+    "z98_mix_reweight",
     oracle="""
     WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
                FROM documents GROUP BY lang, source),
@@ -244,7 +244,7 @@ def x29_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed-order IEEE division chains mirrored exactly. Output is "
     "O(strata), independent of corpus size (data-mixing mandate).",
 )
-def x30_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z98_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(
@@ -266,7 +266,7 @@ def x30_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y45 — PageRank over the part co-purchase graph (iterative, rows-only)
 # --------------------------------------------------------------------------
 @register(
-    "y45_pagerank",
+    "q88_pagerank",
     oracle=None,  # iterative float fixpoint: verified vs a numpy power
     # iteration on the same edge set in tests/test_graph.py
     doc="PageRank (damping 0.85, 10 fixed iterations) over the part "
@@ -282,7 +282,7 @@ def x30_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against an independent numpy power iteration on the identical "
     "edge set and asserts rank-mass conservation.",
 )
-def y45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q88_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -306,7 +306,7 @@ def y45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y44 — per-user z-score anomaly flags (exact-moment discipline)
 # --------------------------------------------------------------------------
 @register(
-    "y44_anomaly_zscore",
+    "q87_anomaly_zscore",
     oracle="""
     WITH s AS (SELECT user_id,
                       CAST(COUNT(*) AS BIGINT) AS n,
@@ -338,7 +338,7 @@ def y45_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join-back onto the event stream); degenerate users (n<2 or zero "
     "variance) are excluded on both sides.",
 )
-def y44_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q87_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     s = ev.groupBy("user_id").agg(
@@ -385,7 +385,7 @@ _TRI_EDGES_SQL = """
 
 
 @register(
-    "y52_triangle_count",
+    "q95_triangle_count",
     oracle=_TRI_EDGES_SQL
     + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
@@ -413,7 +413,7 @@ _TRI_EDGES_SQL = """
     "Remaining shuffles: edge build, degree agg, wedge join, closing "
     "join (SURVEY §2.13 graph family).",
 )
-def y52_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q95_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -483,7 +483,7 @@ def y52_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y55 — per-group OLS regression (exact-decimal moments, y44 discipline)
 # --------------------------------------------------------------------------
 @register(
-    "y55_group_ols",
+    "q98_group_ols",
     oracle="""
     WITH p AS (
         SELECT user_id,
@@ -518,7 +518,7 @@ def y52_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order is partition-dependent). One map-side-combined shuffle "
     "(metric-trend mandate).",
 )
-def y55_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q98_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p = ev.select(
         "user_id",
@@ -582,7 +582,7 @@ def _morton_duck(x: str, y: str) -> str:
 
 
 @register(
-    "y57_zorder_layout",
+    "x31_zorder_layout",
     oracle=f"""
     WITH d AS (
         SELECT user_id & 65535 AS xd,
@@ -612,7 +612,7 @@ def _morton_duck(x: str, y: str) -> str:
     "(SURVEY §4 layout row; X06's pruning demonstrated "
     "multi-dimensionally).".format(cs=_Z_COARSE),
 )
-def y57_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x31_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
         F.expr("user_id & 65535").alias("xd"),
@@ -643,7 +643,7 @@ _EQD_BUCKETS = 16
 
 
 @register(
-    "y58_equidepth_histogram",
+    "x32_equidepth_histogram",
     oracle=f"""
     WITH b AS (
         SELECT o_totalprice,
@@ -670,7 +670,7 @@ _EQD_BUCKETS = 16
     "computes the same bucket id distributedly "
     "(functions/ordering.py).".format(B=_EQD_BUCKETS),
 )
-def y58_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x32_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     orders = load_table(spark, sf_dir, "orders")
@@ -711,7 +711,7 @@ def y58_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y59 — chi-square independence test (lang x source contingency)
 # --------------------------------------------------------------------------
 @register(
-    "y59_chisquare",
+    "x33_chisquare",
     oracle="""
     WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
                FROM documents GROUP BY lang, source),
@@ -737,7 +737,7 @@ def y58_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SUM(chi2_term) — left per-cell so the hashed result is "
     "summation-order independent (mix-audit mandate).",
 )
-def y59_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x33_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
     r = o.groupBy("lang").agg(F.sum("obs").alias("row_n"))
@@ -769,7 +769,7 @@ _RAU_DAYS = 28
 
 
 @register(
-    "y64_rolling_active_users",
+    "x38_rolling_active_users",
     oracle=f"""
     WITH a AS (SELECT DISTINCT user_id,
                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
@@ -794,7 +794,7 @@ _RAU_DAYS = 28
     "equi; work is O(active_pairs x {N}), independent of raw event "
     "volume (engagement-metrics mandate).".format(N=_RAU_DAYS),
 )
-def y64_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x38_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     a = ev.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
@@ -821,7 +821,7 @@ def y64_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y65 — event-type transition matrix (first-order Markov)
 # --------------------------------------------------------------------------
 @register(
-    "y65_transition_matrix",
+    "x39_transition_matrix",
     oracle="""
     WITH s AS (
       SELECT user_id, event_type,
@@ -844,7 +844,7 @@ def y64_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p = exact-count ratio (one double division per cell), so it "
     "hashes cleanly (sequence-analytics mandate).",
 )
-def y65_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x39_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
@@ -866,7 +866,7 @@ def y65_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y66 — session rollup (duration / size stats over x28's session ids)
 # --------------------------------------------------------------------------
 @register(
-    "y66_session_stats",
+    "x40_session_stats",
     oracle="""
     WITH g AS (
       SELECT event_id, user_id, ts, value,
@@ -898,7 +898,7 @@ def y65_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emits aggregates keyed by window, not by session ordinal "
     "(sessionization mandate, rollup half).",
 )
-def y66_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x40_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_core import dec_sum
 
     ev = load_table(spark, sf_dir, "events")

@@ -32,7 +32,7 @@ def dec_sum(col: Column | str, alias: str, typ: str = "decimal(18,2)") -> Column
 # Q01 — full parquet scan + count/checksum
 # --------------------------------------------------------------------------
 @register(
-    "q01_scan_count",
+    "z01_scan_count",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(l_orderkey AS HUGEINT)) AS BIGINT) AS key_checksum,
@@ -41,7 +41,7 @@ def dec_sum(col: Column | str, alias: str, typ: str = "decimal(18,2)") -> Column
     """,
     doc="Full table scan with count and checksums (SURVEY §2.1 Q01).",
 )
-def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -216,7 +216,7 @@ def q07_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q19 — TPC-H Q1-shaped multi-aggregate group-by (the flagship query)
 # --------------------------------------------------------------------------
 @register(
-    "q19_groupby_multi_agg",
+    "z19_groupby_multi_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -238,7 +238,7 @@ def q07_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     " in Spark). Averages are exact-decimal sums divided by count so both "
     "engines produce bit-identical doubles (SURVEY §2.4 Q19).",
 )
-def q19_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z19_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(8,2)")
@@ -325,7 +325,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 @register(
-    "y47_column_profile",
+    "q90_column_profile",
     oracle="""
     SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(l_quantity) AS BIGINT) AS n_non_null,
@@ -368,7 +368,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     "approx_count_distinct at scale for a sketch-mergeable one-pass "
     "variant (q22 trade).",
 )
-def y47_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q90_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
     for c in _PROFILE_COLS:
@@ -398,7 +398,7 @@ def y47_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y48 — referential-integrity audit (FK orphan counts)
 # --------------------------------------------------------------------------
 @register(
-    "y48_ri_audit",
+    "q91_ri_audit",
     oracle="""
     SELECT 'orders.o_custkey->customer' AS fk,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
@@ -434,7 +434,7 @@ def y47_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verified by the pushdown lint), so the audit reads each parent "
     "table's key bytes, not its payload.",
 )
-def y48_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q91_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 

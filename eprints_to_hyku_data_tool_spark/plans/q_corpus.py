@@ -63,7 +63,7 @@ def _grams8(tk):
 # Q75 (was Y31) — benchmark decontamination (8-gram overlap vs a held-out eval set)
 # --------------------------------------------------------------------------
 @register(
-    "q75_decontaminate",
+    "z75_decontaminate",
     oracle=f"""
     WITH g AS (
       SELECT doc_id,
@@ -100,7 +100,7 @@ def _grams8(tk):
     "is O(eval suite), constant in corpus size (decontamination "
     "mandate).",
 )
-def q75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select("doc_id", _grams8(_tokens()).alias("grams"))
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
@@ -141,7 +141,7 @@ def q75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y32 — token-window chunking (overlapping training chunks)
 # --------------------------------------------------------------------------
 @register(
-    "q76_chunk",
+    "z76_chunk",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {_STRIDE})) AS start
@@ -161,7 +161,7 @@ def q75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles; output size is a fixed ~n_tokens/24 multiple of the "
     "input, independent of partitioning (chunking mandate).",
 )
-def q76_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z76_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     s = t.select(
@@ -188,7 +188,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
 
 
 @register(
-    "q77_stratified_sample",
+    "z77_stratified_sample",
     oracle=f"""
     SELECT doc_id, lang, source,
            CASE WHEN lang = 'en' THEN '{_EN_LT}' ELSE '{_OTHER_LT}' END
@@ -208,7 +208,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
     "rerun-stable on any engine and partitioning (data-mixing "
     "mandate).",
 )
-def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     thr = F.when(F.col("lang") == "en", _EN_LT).otherwise(_OTHER_LT)
     hx = F.substring(
@@ -234,7 +234,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
 
 
 @register(
-    "y34_bm25",
+    "q80_bm25",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
@@ -269,7 +269,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
     "Per-row output (doc, term, tf, dl, score) avoids cross-term "
     "summation-order divergence entirely.",
 )
-def y34_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q80_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     d = t.select("doc_id", F.size("tk").cast("long").alias("dl"))
@@ -320,7 +320,7 @@ _VOCAB_TOP = 100
 
 
 @register(
-    "y35_vocab_zipf",
+    "q81_vocab_zipf",
     oracle=f"""
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -346,7 +346,7 @@ _VOCAB_TOP = 100
     "one-row broadcast like x30. Ties broken by token for "
     "determinism.",
 )
-def y35_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q81_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = (
         docs.select(F.explode(_tokens()).alias("token"))
@@ -382,7 +382,7 @@ _GROUP_K = 5
 
 
 @register(
-    "y36_group_sample",
+    "q82_group_sample",
     oracle=f"""
     SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
     FROM (SELECT doc_id, lang, source,
@@ -402,7 +402,7 @@ _GROUP_K = 5
     "WindowGroupLimit cuts each group to k BEFORE and after the "
     "exchange, so only candidate rows move (plan-asserted).",
 )
-def y36_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q82_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string"))),
@@ -423,7 +423,7 @@ def y36_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y37 — per-stratum length-band outlier filter (p05/p95 fences)
 # --------------------------------------------------------------------------
 @register(
-    "y37_length_band",
+    "q83_length_band",
     oracle="""
     WITH b AS (SELECT lang,
                       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 4)
@@ -446,7 +446,7 @@ def y36_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB swap percentile -> percentile_approx(..., 10000): same "
     "plan shape, sketch-mergeable, documented trade.",
 )
-def y37_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q83_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = docs.groupBy("lang").agg(
         F.round(
@@ -477,7 +477,7 @@ def y37_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y38 — per-label embedding centroids (elementwise mean, order-exact)
 # --------------------------------------------------------------------------
 @register(
-    "y38_label_centroids",
+    "q84_label_centroids",
     oracle="""
     WITH e AS (
       SELECT label,
@@ -504,7 +504,7 @@ def y37_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output cells regardless of corpus size. The final mean is a "
     "single double division per cell.",
 )
-def y38_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q84_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label",
@@ -529,7 +529,7 @@ _CTX = 64  # tokens per packed training sequence
 
 
 @register(
-    "q70_sequence_pack",
+    "z70_sequence_pack",
     oracle=f"""
     WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                FROM documents),
@@ -561,7 +561,7 @@ _CTX = 64  # tokens per packed training sequence
     "that is 1000 partitions wide. Token counts sum as longs -> "
     "exact at any scale (packing mandate).",
 )
-def q70_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z70_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
@@ -586,7 +586,7 @@ def q70_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q71 (was Y40) — unigram log-probability scoring (perplexity-proxy quality filter)
 # --------------------------------------------------------------------------
 @register(
-    "q71_unigram_logprob",
+    "z71_unigram_logprob",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -615,7 +615,7 @@ def q70_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order independent (the y38 rule), which is what makes a "
     "transcendental aggregate hash-stable across engines.",
 )
-def q71_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z71_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     v = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -649,7 +649,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
 
 
 @register(
-    "q72_boilerplate_lines",
+    "z72_boilerplate_lines",
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     l AS (SELECT doc_id,
@@ -686,7 +686,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
     "empty string via the left join (deletion is a row-filter "
     "decision downstream, not silent loss).",
 )
-def q72_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z72_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _tokens().alias("tk"))
     starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_LINE))
@@ -737,7 +737,7 @@ _ES_K = 200
 
 
 @register(
-    "y56_weighted_sample",
+    "q99_weighted_sample",
     oracle=f"""
     WITH k AS (
         SELECT doc_id, lang, n_chars,
@@ -764,7 +764,7 @@ _ES_K = 200
     "2.7e-5 (sf0.01) — ~11 orders above double-ulp noise, so the "
     "selected set is stable across engines.".format(K=_ES_K),
 )
-def y56_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") >= 1
     )

@@ -149,7 +149,7 @@ def _band_sigs_udf():
 
 
 @register(
-    "q74_rplsh_neardup",
+    "z74_rplsh_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -180,7 +180,7 @@ def _band_sigs_udf():
     """,
     doc="Random-hyperplane (sign) LSH near-dup over embeddings — the "
     "sixth dedup family, and the sub-quadratic EMBEDDING sibling of "
-    "q60_minhash_lsh: 16 fixed integer hyperplanes give 16 sign bits, "
+    "z60_minhash_lsh: 16 fixed integer hyperplanes give 16 sign bits, "
     "banded 4x4; vectors sharing any band signature become candidates "
     "via a (band, sig) equi-join; only candidates get the exact cosine "
     "verify (tau=0.4, q18 margin rule). Every dot against a hyperplane "
@@ -193,7 +193,7 @@ def _band_sigs_udf():
     "concentrate by construction, so AQE skew-split handles hot "
     "buckets (SURVEY §4).",
 )
-def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).withColumn(
@@ -243,7 +243,7 @@ def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y63 — nearest-centroid classification audit (exact-decimal distances)
 # --------------------------------------------------------------------------
 @register(
-    "y63_nearest_centroid",
+    "x37_nearest_centroid",
     oracle="""
     WITH x AS (
       SELECT vec_id, label AS label_true,
@@ -290,7 +290,7 @@ def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(vector, label) distance agg, one row_number window, one tiny "
     "confusion agg (embedding-eval mandate).",
 )
-def y63_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x37_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")

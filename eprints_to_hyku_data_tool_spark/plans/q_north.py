@@ -107,7 +107,7 @@ _NEARDUP_ORACLE = """
 # Q59 — exact dedupe (normalized-text hash, keep-first)
 # --------------------------------------------------------------------------
 @register(
-    "q59_exact_dedupe",
+    "z59_exact_dedupe",
     oracle="""
     WITH d AS (SELECT doc_id, lang, source,
                       md5(lower(trim(text))) AS text_key
@@ -125,7 +125,7 @@ _NEARDUP_ORACLE = """
     "not the document body — at 100 TB the exchange carries hashes + ids "
     "only (SURVEY §2.11 Q59, composition of Q31).",
 )
-def q59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id", "lang", "source", F.md5(F.lower(F.trim("text"))).alias("text_key")
@@ -145,7 +145,7 @@ def q59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deliberately NOT registered (VERDICT r2 "What's wrong" #2): this form
 # collects the shingled corpus to the driver, which is a fixture-tier
 # cross-check, not a plan that survives 100 TB. The registered Q60 family
-# is q60_minhash_lsh + q60_simhash (fully distributed, same shared
+# is z60_minhash_lsh + z60_simhash (fully distributed, same shared
 # oracle); tests/test_properties.py keeps this brute force as an
 # independent equivalence witness against both.
 def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +195,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q60b — near-dup detection, distributed MinHash-LSH pipeline (scale path)
 # --------------------------------------------------------------------------
 @register(
-    "q60_minhash_lsh",
+    "z60_minhash_lsh",
     oracle=_NEARDUP_ORACLE,
     doc="The 100 TB near-dup pipeline, fully distributed (no collect): "
     "shingle -> 128 seeded xxhash64 minhashes (one shuffle: min per "
@@ -207,7 +207,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(J >= 0.89) is <= 2e-14, so the result is exact-equal to the "
     "brute-force oracle (SURVEY §2.11 Q60, §4 similarity-join row).",
 )
-def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     # (doc_id, shingle) exploded — the only row-multiplying step, bounded
     # by shingles-per-doc (~tokens-per-doc). explode_OUTER on purpose:
@@ -354,10 +354,10 @@ def _simhash_oracle() -> str:
 
 
 @register(
-    "q60_simhash",
+    "z60_simhash",
     oracle=_simhash_oracle(),
     doc="SimHash near-dup detection — the third dedup family (exact Q59, "
-    "MinHash q60_minhash_lsh, SimHash here): 32-bit signature = sign of "
+    "MinHash z60_minhash_lsh, SimHash here): 32-bit signature = sign of "
     "per-bit +-1 sums over shingle md5 bits, pairs at hamming <= 4. "
     "Distributed shape mirrors the MinHash pipeline: one shuffle builds "
     "signatures, pigeonhole blocking (hamming<=4 over 5 blocks forces "
@@ -365,7 +365,7 @@ def _simhash_oracle() -> str:
     "bit_count(xor) on the 32-bit signatures — no all-pairs anywhere "
     "(SURVEY §2.11 Q60 family).",
 )
-def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     feats = docs.select("doc_id", F.explode_outer("sh").alias("s")).filter(
         F.col("s").isNotNull()
@@ -459,7 +459,7 @@ def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q61 — top-k similarity search (probe set over embeddings)
 # --------------------------------------------------------------------------
 @register(
-    "q61_topk_similarity",
+    "z61_topk_similarity",
     oracle="""
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
                     FROM embeddings ORDER BY vec_id LIMIT 50),
@@ -492,7 +492,7 @@ def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rank order is float-safe: measured min top-8 gap 1.9e-5 >> ulp "
     "noise (SURVEY §2.11 Q61).",
 )
-def q61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -555,7 +555,7 @@ def q61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF coarse quantizer, shared by y39_ivf_topk and y40_ivf_embedding_dedupe
+# IVF coarse quantizer, shared by q85_ivf_topk and q86_ivf_embedding_dedupe
 # --------------------------------------------------------------------------
 IVF_SAMPLE = 256
 
@@ -618,7 +618,7 @@ def _nearest_cells_udf(spark, centroids, n_assign: int):
 # Q61b — IVF-partitioned ANN (the similarity-search scale path)
 # --------------------------------------------------------------------------
 @register(
-    "y39_ivf_topk",
+    "q85_ivf_topk",
     oracle=None,  # approximate: recall vs exact q61 asserted in tests
     doc="IVF (inverted-file) approximate top-k: a sample-trained Lloyd "
     "quantizer (256-row hash sample, fixed seed) partitions the corpus "
@@ -630,7 +630,7 @@ def _nearest_cells_udf(spark, centroids, n_assign: int):
     "by construction (no SQL oracle); recall@5 vs exact q61 is asserted "
     "in tests/test_properties.py (SURVEY §2.11 Q61 scale variant).",
 )
-def y39_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q85_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..functions.vectors import normalized_matrix
@@ -710,7 +710,7 @@ def y39_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q67 — embedding-cosine near-dup DEDUPE (greedy keep-lowest-id)
 # --------------------------------------------------------------------------
 @register(
-    "q67_embedding_dedupe",
+    "z67_embedding_dedupe",
     oracle="""
     WITH dropped AS (
       SELECT DISTINCT b.vec_id AS vid
@@ -732,7 +732,7 @@ def y39_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is a tiny semi-join side. tau margin 1e-4 (see q18) "
     "(assignment dedup mandate).",
 )
-def q67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -755,7 +755,7 @@ def q67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q62 — text statistics / language slice
 # --------------------------------------------------------------------------
 @register(
-    "q62_text_stats",
+    "z62_text_stats",
     oracle="""
     WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -778,7 +778,7 @@ def q67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Integer sums divided at the end keep avg exact "
     "(SURVEY §2.11 Q62).",
 )
-def q62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -803,7 +803,7 @@ def q62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X15 — TF-IDF (explode + aggregate arithmetic)
 # --------------------------------------------------------------------------
 @register(
-    "x15_tfidf",
+    "z84_tfidf",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -829,7 +829,7 @@ def q62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in (no driver-side count). Output sliced to doc_id < 50; tfidf "
     "rounded 6dp (ln is not bit-portable) (SURVEY §2.11 X15).",
 )
-def x15_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z84_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -861,7 +861,7 @@ def x15_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q69 — IVF-bucketed embedding dedupe (sub-quadratic scale path for Q67)
 # --------------------------------------------------------------------------
 @register(
-    "y40_ivf_embedding_dedupe",
+    "q86_ivf_embedding_dedupe",
     oracle=None,  # approximate candidate generation: recall vs exact q67
     # asserted in tests/test_properties.py (drops are a verified SUBSET)
     doc="Sub-quadratic sibling of q67: the IVF coarse quantizer (same "
@@ -879,7 +879,7 @@ def x15_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nlist; no driver collect (centroids are nlist x dim) "
     "(assignment dedup mandate; r2 verdict missing-item 3).",
 )
-def y40_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q86_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     NLIST, N_ASSIGN, TAU = 16, 3, 0.4
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -987,17 +987,17 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "x17_ngram_jaccard",
+    "z86_ngram_jaccard",
     oracle=_NEARDUP_ORACLE,
     doc="EXACT n-gram Jaccard similarity join (fourth registered near-dup "
     "family), fully distributed: prefix-filtered inverted index over a "
     "global rarity order generates candidates (no all-pairs, no "
     "collect), then the shared candidate-verify stage computes exact "
-    "intersection sizes. Same oracle as q60_minhash_lsh/q60_simhash but "
+    "intersection sizes. Same oracle as z60_minhash_lsh/z60_simhash but "
     "with zero miss probability — this is what replaces the demoted "
     "collect-based q60_neardup_jaccard at scale (SURVEY §2.11 Q60).",
 )
-def x17_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z86_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     return verify_jaccard_candidates(docs, exact_jaccard_pairs(docs))
 
@@ -1043,7 +1043,7 @@ _CLUSTER_ORACLE = """
 
 
 @register(
-    "x16_cluster_dedupe",
+    "z85_cluster_dedupe",
     oracle=_CLUSTER_ORACLE,
     doc="Cluster-level dedupe: exact near-dup pairs (x17's prefix-filtered "
     "join) -> distributed connected components (alternating large-star/"
@@ -1054,7 +1054,7 @@ _CLUSTER_ORACLE = """
     "Oracle: DuckDB recursive-CTE min-label propagation over the same "
     "pair graph (LLM-pipeline mandate; r3 graph-dedup milestone).",
 )
-def x16_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z85_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.graph import connected_components
 
     docs_raw = load_table(spark, sf_dir, "documents")
@@ -1089,7 +1089,7 @@ def x16_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedupe, each stage the registered operator's exact logic
 # --------------------------------------------------------------------------
 @register(
-    "x21_corpus_pipeline",
+    "z90_corpus_pipeline",
     oracle="""
     WITH base AS (
       SELECT doc_id, lang, source, text,
@@ -1134,7 +1134,7 @@ def x16_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Shuffle keys: hash, shingle, doc_id — never the document body "
     "except to shingle survivors (LLM-pipeline mandate capstone).",
 )
-def x21_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z90_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")

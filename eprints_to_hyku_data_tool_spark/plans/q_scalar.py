@@ -340,7 +340,7 @@ def q50_json_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q51 — hash / id generation (Bulkrax source_identifier)
 # --------------------------------------------------------------------------
 @register(
-    "q51_hash_ids",
+    "z51_hash_ids",
     oracle="""
     SELECT o_orderkey,
            md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
@@ -355,7 +355,7 @@ def q50_json_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark-only (no DuckDB equivalent) and covered by tests "
     "(SURVEY §2.8 Q51).",
 )
-def q51_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z51_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 20 == 0
     )
@@ -373,7 +373,7 @@ def q51_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q52 — null kit
 # --------------------------------------------------------------------------
 @register(
-    "q52_null_kit",
+    "z52_null_kit",
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -394,7 +394,7 @@ def q51_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DISTINCT FROM) / isnan, folded into per-status QA counters "
     "(SURVEY §2.8 Q52).",
 )
-def q52_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z52_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     status = F.col("o_orderstatus")
     not_p = F.nullif(status, F.lit("P"))
@@ -419,7 +419,7 @@ def q52_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q53 — cast / coercion kit (stringly-typed edges)
 # --------------------------------------------------------------------------
 @register(
-    "q53_cast_kit",
+    "z53_cast_kit",
     oracle="""
     SELECT o_orderkey,
            CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS reparsed_date,
@@ -436,7 +436,7 @@ def q52_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "columns hash differently per engine in the driver canonicalizer "
     "(r2's q01 regression), so final schemas are decimal-free fleet-wide.",
 )
-def q53_cast_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z53_cast_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 50 == 0
     )

@@ -86,7 +86,7 @@ def test_cluster_dedupe_on_fixture_neardups(spark, sf_dir):
     survivor (the component min) per cluster, all other members dropped,
     non-members untouched."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = REGISTRY["q60_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b")
+    pairs = REGISTRY["z60_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b")
     ref = union_find([(r["id_a"], r["id_b"]) for r in pairs.collect()])
     out = {r["doc_id"]: r["is_dropped"] for r in cluster_dedupe(docs, pairs).collect()}
     for doc, comp in ref.items():
@@ -103,7 +103,7 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     import numpy as np
 
     from eprints_to_hyku_data_tool_spark.functions.graph import pagerank
-    from eprints_to_hyku_data_tool_spark.plans.q_analytics import y45_pagerank
+    from eprints_to_hyku_data_tool_spark.plans.q_analytics import q88_pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     rows = li.collect()
@@ -133,7 +133,7 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
         dangling = rank[deg == 0].sum()
         rank = (1 - d) / n + d * (contrib + dangling / n)
 
-    got = {r["node"]: r["rank"] for r in y45_pagerank(spark, sf_dir).collect()}
+    got = {r["node"]: r["rank"] for r in q88_pagerank(spark, sf_dir).collect()}
     assert set(got) == set(nodes)
     diffs = [abs(got[p] - rank[idx[p]]) for p in nodes]
     assert max(diffs) < 1e-9, max(diffs)
@@ -150,8 +150,8 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
     import pyspark.sql.functions as sqlf
 
     from eprints_to_hyku_data_tool_spark.plans.q_analytics import (
-        y45_pagerank,
-        y52_triangle_count,
+        q88_pagerank,
+        q95_triangle_count,
     )
 
     calls: list[int] = []
@@ -162,7 +162,7 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
         return real(df)
 
     monkeypatch.setattr(sqlf, "broadcast", spy)
-    y45_pagerank(spark, sf_dir)
+    q88_pagerank(spark, sf_dir)
     assert not calls, "pagerank used a broadcast hint"
-    y52_triangle_count(spark, sf_dir)
+    q95_triangle_count(spark, sf_dir)
     assert not calls, "triangle count used a broadcast hint"

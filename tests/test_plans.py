@@ -85,7 +85,7 @@ def test_q15_range_join_keeps_equi_key(plans):
 def test_q60_minhash_no_cartesian(plans):
     # The LSH pipeline's whole point: candidates come from a bucket
     # equi-join, never an all-pairs product.
-    p = plans("q60_minhash_lsh")
+    p = plans("z60_minhash_lsh")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -104,7 +104,7 @@ def test_q31_single_shuffle_on_dedupe_key(plans):
 
 def test_q19_partial_aggregation(plans):
     # Map-side partial agg before the exchange (two HashAggregate levels).
-    p = plans("q19_groupby_multi_agg")
+    p = plans("z19_groupby_multi_agg")
     assert p.count("HashAggregate") >= 2, p
 
 
@@ -117,7 +117,7 @@ def test_q37_global_position_is_distributed(plans):
 
 
 def test_q57_udf_is_arrow_batched(plans):
-    p = plans("q57_scalar_pandas_udf")
+    p = plans("z57_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p  # row-at-a-time python UDF forbidden
 
@@ -128,7 +128,7 @@ def test_x26_funnel_single_shuffle(plans):
     point of the window form vs the oracle's three-join chain."""
     import re
 
-    p = plans("x26_funnel")
+    p = plans("z95_funnel")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert len(re.findall(r"\(\d+\) Window", p)) == 3, p
 
@@ -140,22 +140,22 @@ def test_x26_funnel_single_shuffle(plans):
 # build the gap-fill grid — tiny-by-construction, like x15.
 NESTED_LOOP_WHITELIST = {
     "z14_cross_join",
-    "x15_tfidf",
-    "x23_gapfill",
+    "z84_tfidf",
+    "z92_gapfill",
     # x30 cross-joins a one-row totals aggregate back onto the strata
     # counts — broadcast, tiny by construction.
-    "x30_mix_reweight",
+    "z98_mix_reweight",
     # y34/y35 cross-join one-row corpus-stats/total aggregates (same
     # broadcast shape as x30).
-    "y34_bm25",
-    "y35_vocab_zipf",
+    "q80_bm25",
+    "q81_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
-    "q71_unigram_logprob",
+    "z71_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
-    "y48_ri_audit",
+    "q91_ri_audit",
     # y59 cross-joins the one-row grand-total aggregate onto the
     # (lang x source) contingency cells (same shape as x30/y34).
-    "y59_chisquare",
+    "x33_chisquare",
 }
 
 
@@ -163,7 +163,7 @@ def test_y31_eval_grams_broadcast(plans):
     """Decontamination's scale contract: the eval n-gram side is broadcast
     (benchmark-sized), so the corpus side streams map-side — the gram
     match must be a BroadcastHashJoin, never a shuffled join on grams."""
-    p = plans("q75_decontaminate")
+    p = plans("z75_decontaminate")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -174,7 +174,7 @@ def test_y36_group_sample_window_group_limit(plans):
     k before rows move."""
     import re
 
-    p = plans("y36_group_sample")
+    p = plans("q82_group_sample")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "WindowGroupLimit" in p, p
 
@@ -182,7 +182,7 @@ def test_y36_group_sample_window_group_limit(plans):
 def test_q68_salted_exchange_partitions_on_salt(plans):
     # The whole point of salting: the build-side exchange hashes
     # (key, salt), not just the key — and the broadcast path is off.
-    p = plans("q68_skew_salted_join")
+    p = plans("z68_skew_salted_join")
     assert "__salt" in p, p
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
 
@@ -242,7 +242,7 @@ def test_q70_cumsum_is_distributed(plans):
     """Sequence packing's global running sum must ride the two-phase
     range-partition scheme (z37 rule), never a single-partition window
     over the whole corpus."""
-    p = plans("q70_sequence_pack")
+    p = plans("z70_sequence_pack")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -251,7 +251,7 @@ def test_y47_profile_is_single_scan(plans):
     """The profiler's contract: ALL columns' aggregates come from ONE
     pass over lineitem (the oracle scans per column; the Spark plan
     must not)."""
-    p = plans("y47_column_profile")
+    p = plans("q90_column_profile")
     # one scan NODE: each scan contributes exactly one Location line in
     # the formatted detail section ("Scan parquet" itself prints twice
     # per node — tree + detail)
@@ -261,6 +261,6 @@ def test_y47_profile_is_single_scan(plans):
 def test_y44_stats_broadcast_back(plans):
     """Per-user moment table is user-count-sized and must broadcast back
     onto the event stream, not shuffle the events for the join."""
-    p = plans("y44_anomaly_zscore")
+    p = plans("q87_anomaly_zscore")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p

@@ -88,7 +88,7 @@ def test_jaccard_pipelines_agree(spark, sf_dir):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["q60_minhash_lsh"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z60_minhash_lsh"].fn(spark, sf_dir).collect()
     }
     assert brute == lsh and len(brute) > 0
 
@@ -100,7 +100,7 @@ def test_jaccard_pipelines_agree(spark, sf_dir):
     }
     x17 = {
         (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
-        for r in REGISTRY["x17_ngram_jaccard"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z86_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     assert brute_full == x17
 
@@ -111,7 +111,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
     greedy policy's reachable-from-lower rule on each edge."""
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["x17_ngram_jaccard"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z86_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     # reference union-find on the driver (fixture-sized)
     parent = {}
@@ -132,7 +132,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
     }
     got = {
         (r["doc_id"], r["canonical_id"])
-        for r in REGISTRY["x16_cluster_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z85_cluster_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"] == 1 or r["canonical_id"] != r["doc_id"]
     }
     # every non-root member maps to its component min
@@ -140,7 +140,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
 
 
 def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
-    """q60_simhash extracts signature bits via conv'd hex chunks + shifts
+    """z60_simhash extracts signature bits via conv'd hex chunks + shifts
     (fast path); the reference formulation — and the DuckDB oracle — uses
     substr(md5, j, 1) IN ('8'..'f'). Both must produce identical +-1
     contributions for every (doc, shingle, bit)."""
@@ -189,7 +189,7 @@ def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
 def test_exact_dedupe_is_lossless_partition(spark, sf_dir):
     """Q59 keeps exactly one representative per text_key and the copy
     counts re-add to the corpus size."""
-    out = REGISTRY["q59_exact_dedupe"].fn(spark, sf_dir)
+    out = REGISTRY["z59_exact_dedupe"].fn(spark, sf_dir)
     total = out.agg(F.sum("n_copies")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "documents").count()
 
@@ -208,17 +208,17 @@ def test_soundex_and_xxhash_available(spark, sf_dir):
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
-    """y39_ivf_topk (approximate, nprobe=10/16, sample-trained
+    """q85_ivf_topk (approximate, nprobe=10/16, sample-trained
     quantizer) must keep recall@5 >= 0.8 against the exact q61 top-k
     (measured 0.85 at sf0.01; the fixture's embeddings are near-uniform,
     a worst case for IVF)."""
     exact = {
         (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["q61_topk_similarity"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z61_topk_similarity"].fn(spark, sf_dir).collect()
     }
     ivf = {
         (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["y39_ivf_topk"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q85_ivf_topk"].fn(spark, sf_dir).collect()
     }
     assert len(exact & ivf) / len(exact) >= 0.8
 
@@ -230,12 +230,12 @@ def test_ivf_dedupe_subset_and_recall(spark, sf_dir):
     on this near-uniform fixture (IVF's worst case; measured 0.92)."""
     exact = {
         r["vec_id"]
-        for r in REGISTRY["q67_embedding_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z67_embedding_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"]
     }
     ivf = {
         r["vec_id"]
-        for r in REGISTRY["y40_ivf_embedding_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q86_ivf_embedding_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"]
     }
     assert ivf <= exact, f"false drops: {sorted(ivf - exact)[:10]}"
@@ -282,7 +282,7 @@ def test_cluster_dedupe_uses_verified_pairs_at_sf01(spark):
     sf = "/root/testdata/sf0.1"
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["x17_ngram_jaccard"].fn(spark, sf).collect()
+        for r in REGISTRY["z86_ngram_jaccard"].fn(spark, sf).collect()
     }
     members = {n for p in pairs for n in p}
     parent = {}
@@ -301,7 +301,7 @@ def test_cluster_dedupe_uses_verified_pairs_at_sf01(spark):
     want_dropped = {n for n in members if find(n) != n}
     got_dropped = {
         r["doc_id"]
-        for r in REGISTRY["x16_cluster_dedupe"].fn(spark, sf).collect()
+        for r in REGISTRY["z85_cluster_dedupe"].fn(spark, sf).collect()
         if r["is_dropped"] == 1
     }
     assert got_dropped == want_dropped and len(want_dropped) > 0
@@ -357,19 +357,19 @@ def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
     the fixture must be non-trivial (sign-LSH with 4x4 bands finds a
     reasonable share of the exact tau=0.4 pairs)."""
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
-        q74_rplsh_neardup,
+        z74_rplsh_neardup,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_joins import (
-        q18_similarity_join,
+        z18_similarity_join,
     )
 
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in q74_rplsh_neardup(spark, sf_dir).collect()
+        for r in z74_rplsh_neardup(spark, sf_dir).collect()
     }
     exact = {
         (r["id_a"], r["id_b"])
-        for r in q18_similarity_join(spark, sf_dir).collect()
+        for r in z18_similarity_join(spark, sf_dir).collect()
     }
     assert lsh <= exact, sorted(lsh - exact)[:5]
     assert len(lsh) > 0
