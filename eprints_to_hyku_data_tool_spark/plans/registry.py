@@ -86,6 +86,7 @@ def _load_all() -> None:
         "q_analytics",
         "q_corpus",
         "q_embed",
+        "q_media",
     ):
         try:
             __import__(f"{__package__}.{mod}")

@@ -208,26 +208,34 @@ def test_soundex_and_xxhash_available(spark, sf_dir):
 
 
 def test_ivf_recall_vs_exact(spark, sf_dir):
-    """q85_ivf_topk (approximate, nprobe=10/16, sample-trained
-    quantizer) must keep recall@5 >= 0.8 against the exact q61 top-k
-    (measured 0.85 at sf0.01; the fixture's embeddings are near-uniform,
-    a worst case for IVF)."""
+    """ivf_topk_approx (nprobe=10/16, sample-trained quantizer) must
+    keep recall@5 >= 0.8 against the exact q61 top-k (measured 0.85 at
+    sf0.01; the fixture's embeddings are near-uniform, a worst case for
+    IVF). The registered q85_ivf_topk emits this same comparison as a
+    driver-checkable verdict; this test checks the raw pair sets."""
+    from eprints_to_hyku_data_tool_spark.plans.q_north import ivf_topk_approx
+
     exact = {
         (r["probe_id"], r["neighbor_id"])
         for r in REGISTRY["z61_topk_similarity"].fn(spark, sf_dir).collect()
     }
     ivf = {
         (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["q85_ivf_topk"].fn(spark, sf_dir).collect()
+        for r in ivf_topk_approx(spark, sf_dir).collect()
     }
     assert len(exact & ivf) / len(exact) >= 0.8
 
 
 def test_ivf_dedupe_subset_and_recall(spark, sf_dir):
-    """q69 (IVF-bucketed embedding dedupe) only emits exact-verified
-    pairs, so its drop set must be a strict SUBSET of exact q67's; the
-    multi-assignment (3 nearest cells) must keep drop recall >= 0.8 even
-    on this near-uniform fixture (IVF's worst case; measured 0.92)."""
+    """ivf_dedupe_approx only emits exact-verified pairs, so its drop
+    set must be a strict SUBSET of exact q67's; the multi-assignment (3
+    nearest cells) must keep drop recall >= 0.8 even on this
+    near-uniform fixture (IVF's worst case; measured 0.92). The
+    registered q86 emits the same two properties as driver verdicts."""
+    from eprints_to_hyku_data_tool_spark.plans.q_north import (
+        ivf_dedupe_approx,
+    )
+
     exact = {
         r["vec_id"]
         for r in REGISTRY["z67_embedding_dedupe"].fn(spark, sf_dir).collect()
@@ -235,7 +243,7 @@ def test_ivf_dedupe_subset_and_recall(spark, sf_dir):
     }
     ivf = {
         r["vec_id"]
-        for r in REGISTRY["q86_ivf_embedding_dedupe"].fn(spark, sf_dir).collect()
+        for r in ivf_dedupe_approx(spark, sf_dir).collect()
         if r["is_dropped"]
     }
     assert ivf <= exact, f"false drops: {sorted(ivf - exact)[:10]}"
