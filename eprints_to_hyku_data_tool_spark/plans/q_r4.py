@@ -1,0 +1,769 @@
+"""Round-4 breadth batch: training-corpus and robust-analytics operators
+filling the freed driver-window slots (x43+). Every query is
+oracle-paired and follows the established cross-engine disciplines:
+
+- transcendentals (ln) are rounded to 6dp per row and summed as
+  DECIMAL(18,6) (the q71 rule) so aggregates are exact and
+  summation-order independent;
+- everything else summed is INTEGER by construction (micro-unit
+  quantization where inputs are floats), with wide products summed as
+  DECIMAL(38,0) / HUGEINT so no engine overflows;
+- float outputs are single IEEE divisions (or sqrt) of exactly-computed
+  integers — bit-identical cross-engine with no rounding step;
+- medians are the LOWER-median (row_number == (n+1)/2), never an
+  interpolation, so engine interpolation formulas can't diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# X43 — bigram language-model scoring (add-one smoothing)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x43_bigram_lm",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+                 unnest(list_slice(tk, 2, len(tk))) AS w2
+          FROM t WHERE len(tk) >= 2),
+    cxy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_xy
+            FROM b GROUP BY w1, w2),
+    cx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt_x
+           FROM b GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vsz
+          FROM (SELECT unnest(tk) AS token FROM t)),
+    s AS (SELECT b.doc_id,
+                 CAST(round(ln(CAST(cx.cnt_x + v.vsz AS DOUBLE)
+                               / (cxy.cnt_xy + 1)), 6)
+                      AS DECIMAL(18,6)) AS nlp
+          FROM b JOIN cxy USING (w1, w2) JOIN cx USING (w1) CROSS JOIN v)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(nlp) AS DOUBLE) AS sum_neg_logp,
+           round(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+    FROM s GROUP BY doc_id
+    """,
+    doc="Bigram language-model scoring with add-one smoothing — the "
+    "KenLM-style perplexity filter one order up from q71's unigram LM: "
+    "p(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), documents scored by mean "
+    "negative log-likelihood over their bigrams. Counts tables are "
+    "vocabulary- and bigram-vocabulary-sized and join back onto the "
+    "bigram stream WITHOUT broadcast hints (a 100 TB bigram table "
+    "does not fit a broadcast; AQE promotes when it does fit). Each "
+    "-ln p is rounded to 6dp and summed as DECIMAL(18,6) — the q71 "
+    "rule that makes a transcendental aggregate hash-stable. Shuffles: "
+    "doc-keyed lag window, two count aggs, two token-keyed joins, "
+    "final doc-keyed agg (LM-filter mandate).",
+)
+def x43_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            "doc_id",
+            F.lag("token").over(w).alias("w1"),
+            F.col("token").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    cxy = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_xy")
+    )
+    cx = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cnt_x"))
+    v = tok.agg(F.count_distinct("token").cast("long").alias("vsz"))
+    s = (
+        big.join(cxy, ["w1", "w2"])
+        .join(cx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("cnt_x") + F.col("vsz")).cast("double")
+                    / (F.col("cnt_xy") + 1)
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("nlp"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("nlp").cast("double").alias("sum_neg_logp"),
+        F.round(F.sum("nlp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_neg_logp"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# X44 — PMI collocation mining (top-20 by lift, exact rational ordering)
+# --------------------------------------------------------------------------
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@register(
+    "x44_pmi_collocations",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    b AS (SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+                 unnest(list_slice(tk, 2, len(tk))) AS w2
+          FROM t WHERE len(tk) >= 2),
+    cxy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_xy
+            FROM b GROUP BY w1, w2),
+    cx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cnt_x FROM b GROUP BY w1),
+    cy AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS cnt_y FROM b GROUP BY w2),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM b),
+    l AS (SELECT cxy.w1, cxy.w2, cxy.cnt_xy,
+                 CAST(cxy.cnt_xy * n.total AS DOUBLE)
+                 / CAST(cx.cnt_x * cy.cnt_y AS DOUBLE) AS lift
+          FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+          WHERE cxy.cnt_xy >= {_PMI_MIN_COUNT})
+    SELECT w1, w2, cnt_xy, lift
+    FROM l ORDER BY lift DESC, w1, w2 LIMIT {_PMI_TOP}
+    """,
+    doc="Collocation mining: top-20 bigrams by pointwise-mutual-"
+    "information lift = N*c(w1,w2) / (c(w1·)*c(·w2)) with a min-count "
+    "support filter — the standard phrase-detection pass (word2vec "
+    "phrases, spaCy collocations) done relationally. The lift is ONE "
+    "double division of two exactly-representable integer products "
+    "(< 2^53 by construction at any SF where counts fit BIGINT), so "
+    "ordering and values are bit-identical cross-engine without "
+    "rounding, and monotone with log-PMI so no transcendental is "
+    "needed at all; ties break on the words. Shuffles: three count "
+    "aggs + two joins keyed on words, then a global top-20 "
+    "(TakeOrdered — no full sort). No broadcast hints: count tables "
+    "are vocabulary-sized (collocation mandate).",
+)
+def x44_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tok.select(
+            F.lag("token").over(w).alias("w1"), F.col("token").alias("w2")
+        )
+        .filter(F.col("w1").isNotNull())
+    )
+    cxy = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt_xy")
+    )
+    cx = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cnt_x"))
+    cy = big.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("cnt_y"))
+    n = big.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    lifted = (
+        cxy.filter(F.col("cnt_xy") >= _PMI_MIN_COUNT)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "cnt_xy",
+            (
+                (F.col("cnt_xy") * F.col("total")).cast("double")
+                / (F.col("cnt_x") * F.col("cnt_y")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return lifted.orderBy(F.desc("lift"), "w1", "w2").limit(_PMI_TOP)
+
+
+# --------------------------------------------------------------------------
+# X45 — markup strip (tag removal + entity decode + whitespace normalize)
+# --------------------------------------------------------------------------
+@register(
+    "x45_html_strip",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text,
+             '<div class="doc"><p>'
+               || replace(text, ' ', '&nbsp;</p><p>') || '</p></div>'
+               AS html
+      FROM documents),
+    c AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               replace(regexp_replace(html, '<[^>]+>', ' ', 'g'),
+                       '&nbsp;', ' '),
+               ' +', ' ', 'g')) AS clean
+      FROM h)
+    SELECT doc_id,
+           md5(clean) AS clean_md5,
+           CAST(length(clean) AS BIGINT) AS clean_len,
+           clean = trim(regexp_replace(text, ' +', ' ', 'g'))
+             AS roundtrip_ok
+    FROM c
+    """,
+    doc="Markup removal for corpus ingestion: documents are wrapped in "
+    "deterministic HTML (tags + &nbsp; entities), then the strip kit "
+    "runs tag removal -> entity decode -> whitespace collapse -> trim, "
+    "all expression-level regexp_replace (zero shuffle, full codegen). "
+    "The roundtrip_ok verdict proves strip(wrap(text)) == "
+    "normalize(text) — the oracle recomputes both sides so the check "
+    "is real on every row. The regexes ('<[^>]+>', ' +') sit in the "
+    "Java-regex/RE2 common subset, which is exactly the portable "
+    "subset a cross-engine pipeline must stay in (HTML-corpus "
+    "mandate).",
+)
+def x45_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div class="doc"><p>'),
+        F.regexp_replace("text", " ", "&nbsp;</p><p>"),
+        F.lit("</p></div>"),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(html, "<[^>]+>", " "), "&nbsp;", " "
+            ),
+            " +",
+            " ",
+        )
+    )
+    norm = F.trim(F.regexp_replace(F.col("text"), " +", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("clean_len"),
+        (clean == norm).alias("roundtrip_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X46 — incremental ingestion dedupe (new batch vs seen-hash set)
+# --------------------------------------------------------------------------
+@register(
+    "x46_incremental_dedupe",
+    oracle="""
+    WITH seen AS (SELECT DISTINCT md5(text) AS ch FROM documents
+                  WHERE doc_id % 10 >= 2),
+    inc AS (SELECT doc_id, md5(text) AS content_md5 FROM documents
+            WHERE doc_id % 10 < 2)
+    SELECT inc.doc_id, inc.content_md5,
+           seen.ch IS NULL AS is_new
+    FROM inc LEFT JOIN seen ON inc.content_md5 = seen.ch
+    """,
+    doc="Incremental ingestion dedupe — the daily-crawl primitive: an "
+    "incoming batch (20% of docs by id range, standing in for today's "
+    "crawl) is marked against the seen-content hash set (the other "
+    "80%) with a hash-keyed left join; is_new = no prior copy exists. "
+    "At 100 TB the seen set is a bucketed hash table on stable "
+    "storage and the join is co-located by bucket — the query shape "
+    "(distinct + hash equi-join, no arrays shuffled) is exactly that; "
+    "AQE broadcasts the day's batch when it is the small side "
+    "(incremental-pipeline mandate).",
+)
+def x46_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seen = (
+        docs.filter(F.col("doc_id") % 10 >= 2)
+        .select(F.md5("text").alias("ch"))
+        .distinct()
+    )
+    inc = docs.filter(F.col("doc_id") % 10 < 2).select(
+        "doc_id", F.md5("text").alias("content_md5")
+    )
+    return inc.join(
+        seen, inc.content_md5 == seen.ch, "left"
+    ).select("doc_id", "content_md5", F.col("ch").isNull().alias("is_new"))
+
+
+# --------------------------------------------------------------------------
+# X47 — robust outlier stats (lower-median + MAD, exact)
+# --------------------------------------------------------------------------
+@register(
+    "x47_mad_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (SELECT event_type, value AS med FROM r WHERE rn = (n + 1) // 2),
+    d AS (SELECT e.event_type, e.event_id, m.med,
+                 abs(e.value - m.med) AS ad
+          FROM events e JOIN med m USING (event_type)),
+    r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ad, event_id) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM d),
+    mad AS (SELECT event_type, ad AS mad FROM r2 WHERE rn = (n + 1) // 2)
+    SELECT d.event_type,
+           ANY_VALUE(d.med) AS med,
+           ANY_VALUE(mad.mad) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad USING (event_type)
+    GROUP BY d.event_type
+    """,
+    doc="Robust per-group outlier statistics: median + MAD (median "
+    "absolute deviation) of events.value per event_type, and the "
+    "count of |x - med| > 3*MAD outliers — the robust z-score filter "
+    "that survives the heavy tails a mean/stddev filter (q87) does "
+    "not. Both medians are the LOWER median (row_number == (n+1)/2 "
+    "under a value,event_id total order) — a selected INPUT value, "
+    "never an interpolation, so engine interpolation formulas cannot "
+    "diverge and every downstream double (ad, 3*mad, the comparison) "
+    "is bit-identical. Cost is two per-group sorts (the exact-median "
+    "price); at 100 TB swap in approx_percentile(0.5) which needs no "
+    "sort — the query shape (window + join back) is unchanged "
+    "(robust-stats mandate).",
+)
+def x47_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("value").alias("med"))
+    d = ev.join(med, "event_type").select(
+        "event_type",
+        "event_id",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("ad", "event_id")
+    r2 = d.select(
+        "event_type",
+        "ad",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = r2.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select("event_type", F.col("ad").alias("mad"))
+    return (
+        d.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# X48 — percentile-rank feature normalization
+# --------------------------------------------------------------------------
+@register(
+    "x48_percentile_norm",
+    oracle="""
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+             AS pct_rank,
+           cume_dist() OVER (PARTITION BY event_type ORDER BY value)
+             AS cume
+    FROM events
+    """,
+    doc="Percentile-rank normalization per group — the rank-based "
+    "feature transform (quantile normalization's streaming-friendly "
+    "half): percent_rank = (rank-1)/(n-1) and cume_dist per "
+    "event_type over value. Both are divisions of exact integers "
+    "(rank counts), so tied values share identical doubles on both "
+    "engines with no rounding step. One shuffle: both window "
+    "functions share the event_type partitioning; at 100 TB this is "
+    "a single range-partitioned sort per group key "
+    "(normalization mandate).",
+)
+def x48_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X49 — cross-source vocabulary overlap (pairwise Jaccard)
+# --------------------------------------------------------------------------
+@register(
+    "x49_vocab_overlap",
+    oracle="""
+    WITH tok AS (SELECT DISTINCT source, token FROM
+                   (SELECT source, unnest(string_split(text, ' ')) AS token
+                    FROM documents)),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tok GROUP BY source),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                     a.n AS n_a, b.n AS n_b
+              FROM sz a JOIN sz b ON a.source < b.source),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(COUNT(*) AS BIGINT) AS inter
+              FROM tok a JOIN tok b
+                ON a.token = b.token AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b,
+           COALESCE(i.inter, 0) AS inter,
+           p.n_a + p.n_b - COALESCE(i.inter, 0) AS uni,
+           CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             / (p.n_a + p.n_b - COALESCE(i.inter, 0)) AS jaccard
+    FROM pairs p LEFT JOIN inter i USING (src_a, src_b)
+    """,
+    doc="Cross-source vocabulary overlap: distinct (source, token) "
+    "sets, pairwise intersection via a token-keyed self-join, Jaccard "
+    "= inter/union as one division of exact integers — the "
+    "data-mixing diagnostic that tells you whether two corpus sources "
+    "are near-duplicates at the vocabulary level before you pay for "
+    "document-level dedup between them. Pairs materialize from the "
+    "tiny per-source size table (sources^2 rows), so zero-overlap "
+    "pairs still appear. Shuffles: distinct, size agg, one "
+    "token-keyed join + pair agg — all safe at 100 TB where 'source' "
+    "is a crawl/domain column (mixing mandate).",
+)
+def x49_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .distinct()
+    )
+    sz = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = sz.alias("a"), sz.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        ta.join(
+            tb,
+            (F.col("ta.token") == F.col("tb.token"))
+            & (F.col("ta.source") < F.col("tb.source")),
+        )
+        .groupBy(
+            F.col("ta.source").alias("src_a"),
+            F.col("tb.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    j = pairs.join(inter, ["src_a", "src_b"], "left")
+    inter_c = F.coalesce("inter", F.lit(0))
+    uni = F.col("n_a") + F.col("n_b") - inter_c
+    return j.select(
+        "src_a",
+        "src_b",
+        inter_c.alias("inter"),
+        uni.alias("uni"),
+        (inter_c.cast("double") / uni).alias("jaccard"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X50 — Pearson correlation matrix (exact integer moments)
+# --------------------------------------------------------------------------
+_CORR_VARS = {
+    # column -> micro-unit scale chosen so values stay integral and
+    # per-row products fit BIGINT at any realistic SF
+    "quantity": ("l_quantity", 1_000),
+    "price": ("l_extendedprice", 100),
+    "discount": ("l_discount", 1_000_000),
+    "tax": ("l_tax", 1_000_000),
+}
+
+
+def _corr_pairs():
+    ks = list(_CORR_VARS)
+    return [(ks[i], ks[j]) for i in range(len(ks)) for j in range(i + 1, len(ks))]
+
+
+@register(
+    "x50_corr_matrix",
+    oracle=f"""
+    WITH q AS (SELECT
+        {", ".join(
+            f"CAST(floor(CAST({col} AS DOUBLE) * {sc} + 0.5) AS BIGINT)"
+            f" AS {k}" for k, (col, sc) in _CORR_VARS.items()
+        )}
+      FROM lineitem),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        {", ".join(
+            f"CAST(SUM(CAST({k} AS HUGEINT)) AS HUGEINT) AS s_{k}"
+            for k in _CORR_VARS
+        )},
+        {", ".join(
+            f"CAST(SUM(CAST({a} * {b} AS HUGEINT)) AS HUGEINT) AS s_{a}_{b}"
+            for a, b in _corr_pairs()
+        )},
+        {", ".join(
+            f"CAST(SUM(CAST({k} * {k} AS HUGEINT)) AS HUGEINT) AS s2_{k}"
+            for k in _CORR_VARS
+        )}
+      FROM q)
+    {" UNION ALL ".join(
+        f"SELECT '{a}~{b}' AS pair, "
+        f"CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+        f" / (sqrt(CAST(n * s2_{a} - s_{a} * s_{a} AS DOUBLE))"
+        f"    * sqrt(CAST(n * s2_{b} - s_{b} * s_{b} AS DOUBLE))) AS corr"
+        f" FROM m" for a, b in _corr_pairs()
+    )}
+    """,
+    doc="Pearson correlation matrix over the lineitem numeric columns "
+    "with EXACT integer moments: each column quantizes to micro-units "
+    "(its native decimal scale, so quantization is lossless), the six "
+    "(sum, sum-of-squares, cross-product) moments accumulate as "
+    "DECIMAL(38,0)/HUGEINT — exact and summation-order independent — "
+    "and r = (n*Sxy - Sx*Sy) / sqrt(...)sqrt(...) is evaluated in "
+    "double only at the last step, so both engines emit bit-identical "
+    "correlations with no tolerance band (the y38/y63 exact-moment "
+    "rule applied to corr, where naive float covariance would be "
+    "partition-order dependent). ONE scan, one partial-agg shuffle of "
+    "a single 15-cell row; the 6-row matrix is driver-side trivial "
+    "(profiling mandate; the built-in corr() is float-path and "
+    "engine-divergent, which is exactly why this query exists).",
+)
+def x50_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[
+            F.floor(F.col(col).cast("double") * sc + 0.5)
+            .cast("long")
+            .alias(k)
+            for k, (col, sc) in _CORR_VARS.items()
+        ]
+    )
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(dec).alias("n")]
+    aggs += [
+        F.sum(F.col(k).cast(dec)).cast(dec).alias(f"s_{k}")
+        for k in _CORR_VARS
+    ]
+    aggs += [
+        F.sum((F.col(a) * F.col(b)).cast(dec)).cast(dec).alias(f"s_{a}_{b}")
+        for a, b in _corr_pairs()
+    ]
+    aggs += [
+        F.sum((F.col(k) * F.col(k)).cast(dec)).cast(dec).alias(f"s2_{k}")
+        for k in _CORR_VARS
+    ]
+    m = q.agg(*aggs)
+    rows = []
+    for a, b in _corr_pairs():
+        num = (F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        va = (F.col("n") * F.col(f"s2_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+        vb = (F.col("n") * F.col(f"s2_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+        rows.append(
+            m.select(
+                F.lit(f"{a}~{b}").alias("pair"),
+                (num / (F.sqrt(va) * F.sqrt(vb))).alias("corr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# --------------------------------------------------------------------------
+# X51 — duplicate-cluster size histogram
+# --------------------------------------------------------------------------
+@register(
+    "x51_dup_cluster_sizes",
+    oracle="""
+    WITH c AS (SELECT md5(text) AS ch, CAST(COUNT(*) AS BIGINT) AS sz
+               FROM documents GROUP BY md5(text))
+    SELECT CAST(sz AS INT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(sz * COUNT(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY sz
+    """,
+    doc="Exact-duplicate cluster-size histogram: group documents by "
+    "content hash, then histogram the cluster sizes — the first "
+    "diagnostic run on any new corpus (how much exact duplication, "
+    "and is it pairs or giant clusters, which decides whether "
+    "keep-first dedupe or cluster-level dedupe is needed). Two "
+    "partial-agg shuffles, the second over at most max-cluster-size "
+    "keys; never materializes per-cluster member lists "
+    "(dedup-diagnostics mandate).",
+)
+def x51_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy(F.md5("text").alias("ch")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return c.groupBy(F.col("sz").cast("int").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X52 — containment near-dup (winnowing candidates + exact verify)
+# --------------------------------------------------------------------------
+@register(
+    "x52_winnow_containment",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    kg AS (SELECT doc_id,
+                  list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                 i -> md5(toks[i] || ' ' || toks[i+1] ||
+                                          ' ' || toks[i+2])) AS h
+           FROM t),
+    fp AS (SELECT doc_id,
+                  list_distinct(
+                    list_transform(range(1, greatest(len(h) - 2, 1)),
+                                   i -> list_aggregate(
+                                          list_slice(h, i, i + 3),
+                                          'min'))) AS fps,
+                  list_distinct(h) AS hs
+           FROM kg),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM (SELECT doc_id, unnest(fps) AS fp FROM fp) a
+             JOIN (SELECT doc_id, unnest(fps) AS fp FROM fp) b
+               ON a.fp = b.fp AND a.doc_id < b.doc_id),
+    p AS (SELECT c.id_a, c.id_b,
+                 CAST(len(list_intersect(fa.hs, fb.hs)) AS BIGINT) AS inter,
+                 CAST(len(fa.hs) AS BIGINT) AS sz_a,
+                 CAST(len(fb.hs) AS BIGINT) AS sz_b
+          FROM cand c JOIN fp fa ON fa.doc_id = c.id_a
+                      JOIN fp fb ON fb.doc_id = c.id_b)
+    SELECT id_a, id_b, inter, sz_a, sz_b,
+           CAST(inter AS DOUBLE) / least(sz_a, sz_b) AS containment
+    FROM p WHERE inter * 2 >= least(sz_a, sz_b)
+    """,
+    doc="Containment near-dup — the asymmetric complement of Jaccard "
+    "dedup (z86) that catches a short document embedded inside a long "
+    "one, where Jaccard is diluted by the length gap (the MOSS/"
+    "plagiarism shape). Candidates come from z66's winnowing "
+    "fingerprints (shared window-min hash => guaranteed shared "
+    "substring run; sub-quadratic by construction — only docs sharing "
+    "a fingerprint ever pair), then the exact 3-gram-hash-set "
+    "containment |A∩B| / min(|A|,|B|) verifies each candidate; the "
+    "0.5 threshold is applied in exact integer math (inter*2 >= "
+    "min-size) so no float boundary exists. Shuffles: fingerprint "
+    "explode + self-equi-join on fp, kgram-set joins keyed doc_id, "
+    "pair agg — arrays travel only to verify actual candidates "
+    "(dedup family #7).",
+)
+def x52_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .q_text import WINNOW_K, WINNOW_W
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    kgram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ",
+            *[F.element_at(toks, i + F.lit(j + 1)) for j in range(WINNOW_K)],
+        )
+    )
+    with_hashes = with_toks.select(
+        "doc_id",
+        F.when(
+            n >= WINNOW_K,
+            F.transform(F.sequence(F.lit(0), n - WINNOW_K), kgram),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("h"),
+    )
+    h = F.col("h")
+    m = F.size(h)
+    win_min = lambda i: F.array_min(  # noqa: E731
+        F.slice(h, i + F.lit(1), WINNOW_W)
+    )
+    per_doc = with_hashes.select(
+        "doc_id",
+        F.array_distinct(
+            F.when(
+                m >= WINNOW_W,
+                F.transform(F.sequence(F.lit(0), m - WINNOW_W), win_min),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("fps"),
+        F.array_distinct(h).alias("hs"),
+    # per_doc feeds three consumers (fingerprint explode, kgram explode,
+    # sizes); without materialization Catalyst re-derives the md5-kgram +
+    # winnowing tree per reference — measured 85 s -> ~5 s at sf0.01
+    # (the z95 shared-subtree lesson).
+    ).localCheckpoint(eager=True)
+    fpx = per_doc.select("doc_id", F.explode("fps").alias("fp"))
+    cand = (
+        fpx.alias("a")
+        .join(
+            fpx.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    khx = per_doc.select("doc_id", F.explode("hs").alias("kh"))
+    sizes = per_doc.select("doc_id", F.size("hs").cast("long").alias("sz"))
+    inter = (
+        cand.join(
+            khx.select(F.col("doc_id").alias("id_a"), "kh"), "id_a"
+        )
+        .join(
+            khx.select(
+                F.col("doc_id").alias("id_b"), F.col("kh").alias("kh_b")
+            ),
+            "id_b",
+        )
+        .filter(F.col("kh") == F.col("kh_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")),
+            "id_b",
+        )
+        .filter(F.col("inter") * 2 >= F.least("sz_a", "sz_b"))
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "sz_a",
+        "sz_b",
+        (F.col("inter").cast("double") / F.least("sz_a", "sz_b")).alias(
+            "containment"
+        ),
+    )

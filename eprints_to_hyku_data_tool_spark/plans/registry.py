@@ -87,6 +87,7 @@ def _load_all() -> None:
         "q_corpus",
         "q_embed",
         "q_media",
+        "q_r4",
     ):
         try:
             __import__(f"{__package__}.{mod}")

@@ -156,6 +156,13 @@ NESTED_LOOP_WHITELIST = {
     # y59 cross-joins the one-row grand-total aggregate onto the
     # (lang x source) contingency cells (same shape as x30/y34).
     "x33_chisquare",
+    # x43/x44 cross-join one-row vocab-size / bigram-total aggregates
+    # (the z71 shape).
+    "x43_bigram_lm",
+    "x44_pmi_collocations",
+    # x49 pairs the per-source size table against itself with an
+    # inequality condition — sources^2 rows, tiny by construction.
+    "x49_vocab_overlap",
 }
 
 
