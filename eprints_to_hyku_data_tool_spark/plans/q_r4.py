@@ -767,3 +767,265 @@ def x52_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# X53 — character-entropy quality signal
+# --------------------------------------------------------------------------
+@register(
+    "x53_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, CAST(length(text) AS INT) + 1),
+               i -> substr(text, i, 1))) AS c
+      FROM documents),
+    cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS nc
+           FROM ch GROUP BY doc_id, c),
+    tot AS (SELECT doc_id, CAST(SUM(nc) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_chars
+            FROM cc GROUP BY doc_id),
+    term AS (SELECT cc.doc_id,
+                    CAST(round((CAST(cc.nc AS DOUBLE) / t.n)
+                               * log2(CAST(t.n AS DOUBLE) / cc.nc), 6)
+                         AS DECIMAL(18,6)) AS h
+             FROM cc JOIN tot t USING (doc_id))
+    SELECT term.doc_id,
+           ANY_VALUE(t.n) AS n_chars,
+           ANY_VALUE(t.distinct_chars) AS distinct_chars,
+           CAST(SUM(term.h) AS DOUBLE) AS entropy_bits
+    FROM term JOIN tot t USING (doc_id)
+    GROUP BY term.doc_id
+    """,
+    doc="Character-entropy quality signal: per-document Shannon entropy "
+    "over the character distribution — the cheap gibberish/binary-"
+    "junk/keyboard-mash detector (low entropy = repeated chars, high "
+    "= random bytes; natural text sits in a narrow band). Each "
+    "(nc/n)*log2(n/nc) term is rounded to 6dp and summed as "
+    "DECIMAL(18,6) — the q71 transcendental rule, making the entropy "
+    "hash-stable cross-engine. Shuffles: one (doc, char) count agg "
+    "(alphabet-bounded fan-in), one doc agg. The char explode is the "
+    "cost; at 100 TB fold it into the same pass as the other "
+    "per-char signals (quality-filter mandate).",
+)
+def x53_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # split on the zero-width (?!^) lookahead yields one element per
+    # char PLUS a trailing "" (Spark keeps trailing empties); drop it.
+    ch = docs.select(
+        "doc_id", F.explode(F.split("text", "(?!^)")).alias("c")
+    ).filter(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    tot = cc.groupBy("doc_id").agg(
+        F.sum("nc").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+    )
+    term = cc.join(tot, "doc_id").select(
+        "doc_id",
+        "n",
+        "distinct_chars",
+        F.round(
+            (F.col("nc").cast("double") / F.col("n"))
+            * F.log2(F.col("n").cast("double") / F.col("nc")),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("h"),
+    )
+    return term.groupBy("doc_id").agg(
+        F.first("n").alias("n_chars"),
+        F.first("distinct_chars").alias("distinct_chars"),
+        F.sum("h").cast("double").alias("entropy_bits"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X54 — top-k tokens per source (WindowGroupLimit shape)
+# --------------------------------------------------------------------------
+@register(
+    "x54_topk_tokens_per_source",
+    oracle="""
+    WITH tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT source,
+                             unnest(string_split(text, ' ')) AS token
+                      FROM documents)
+                GROUP BY source, token),
+    r AS (SELECT source, token, cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, token) AS rank
+          FROM tc)
+    SELECT source, token, cnt, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+    doc="Top-5 tokens per source by frequency — the per-slice vocabulary "
+    "summary every dataset card carries. One count agg keyed "
+    "(source, token), then a rank window that Spark executes as "
+    "WindowGroupLimit: each task keeps only 5 rows per source BEFORE "
+    "the shuffle, so the window never materializes the full "
+    "vocabulary per group (the z32 top-k-per-group shape applied to "
+    "text). Ties break on the token string (dataset-card mandate).",
+)
+def x54_topk_tokens_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        tc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "token", "cnt", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# --------------------------------------------------------------------------
+# X55 — script/charclass profile (regexp_count kit)
+# --------------------------------------------------------------------------
+@register(
+    "x55_script_profile",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT)
+             AS n_upper,
+           CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT)
+             AS n_lower,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+             AS n_digit,
+           CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_space,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT)
+             AS n_punct,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+             / length(text) AS alpha_ratio
+    FROM documents
+    """,
+    doc="Character-class profile per document: upper/lower/digit/space/"
+    "punctuation counts and the alphabetic ratio — the script-level "
+    "companion to z63's n-gram language ID (catches ALL-CAPS shouting, "
+    "digit-heavy tables, punctuation soup before any model sees the "
+    "text). Pure expression-level regexp_count in the Java-regex/RE2 "
+    "common subset; zero shuffles, full codegen; the ratio is one "
+    "division of exact integers (quality-filter mandate).",
+)
+def x55_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rc = lambda pat: F.regexp_count("text", F.lit(pat)).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        rc("[A-Z]").alias("n_upper"),
+        rc("[a-z]").alias("n_lower"),
+        rc("[0-9]").alias("n_digit"),
+        rc(" ").alias("n_space"),
+        rc("[^A-Za-z0-9 ]").alias("n_punct"),
+        (
+            F.regexp_count("text", F.lit("[A-Za-z]")).cast("double")
+            / F.length("text")
+        ).alias("alpha_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X56 — token-count Gini coefficient per source
+# --------------------------------------------------------------------------
+@register(
+    "x56_length_gini",
+    oracle="""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+               FROM documents),
+    r AS (SELECT source, x,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY x, doc_id) AS i
+          FROM d)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(x) AS BIGINT) AS total_tokens,
+           CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+             / (COUNT(*) * SUM(x)) AS gini
+    FROM r GROUP BY source
+    """,
+    doc="Gini coefficient of document token counts per source — the "
+    "length-inequality diagnostic for data mixing (a source whose "
+    "token mass is concentrated in a few giant docs packs/chunks very "
+    "differently from a uniform one). Computed by the sorted-index "
+    "formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with ties "
+    "broken by doc_id, so every sum is an exact BIGINT and the gini "
+    "is one final double division — bit-identical cross-engine. One "
+    "per-source sort window + one agg; at 100 TB the sort is "
+    "range-partitioned per source (mixing mandate).",
+)
+def x56_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    r = d.select("source", "x", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    six = F.sum(F.col("i") * F.col("x"))
+    return r.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        sx.cast("long").alias("total_tokens"),
+        ((2 * six - (n + 1) * sx).cast("double") / (n * sx)).alias("gini"),
+    )
+
+
+# --------------------------------------------------------------------------
+# X57 — join-key skew profile
+# --------------------------------------------------------------------------
+def _skew_one(df: DataFrame, key: str) -> DataFrame:
+    per = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return per.agg(
+        F.lit(key).alias("key_name"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        (
+            (F.max("c") * F.count(F.lit(1))).cast("double")
+            / F.sum("c")
+        ).alias("skew_ratio"),
+    )
+
+
+@register(
+    "x57_key_skew_profile",
+    oracle="""
+    {}
+    """.format(
+        " UNION ALL ".join(
+            f"""
+    SELECT '{k}' AS key_name,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(c) AS BIGINT) AS max_key_rows,
+           CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS skew_ratio
+    FROM (SELECT {k}, CAST(COUNT(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY {k})"""
+            for k in ("l_orderkey", "l_partkey", "l_suppkey")
+        )
+    ),
+    doc="Join-key skew profile over the fact table's three join keys: "
+    "rows, distinct keys, the heaviest key's row count, and the skew "
+    "ratio max_key_rows / mean_key_rows — the diagnostic that decides "
+    "(before a 100 TB join is launched) whether a key needs the q68 "
+    "salting treatment or AQE skew-split will do. One count agg per "
+    "key (partial-agg shuffles) reduced to one row each; the ratio is "
+    "exact-integer-derived (ops mandate; pairs with q68 and the AQE "
+    "skew config in session.py).",
+)
+def x57_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = _skew_one(li, "l_orderkey")
+    for k in ("l_partkey", "l_suppkey"):
+        out = out.unionAll(_skew_one(li, k))
+    return out
