@@ -1029,3 +1029,67 @@ def x57_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in ("l_partkey", "l_suppkey"):
         out = out.unionAll(_skew_one(li, k))
     return out
+
+
+# --------------------------------------------------------------------------
+# Q79 — reporting composite (TPC-H Q3 shape): filter x3 -> join x2 ->
+# agg -> top-k
+# --------------------------------------------------------------------------
+@register(
+    "q79_top_revenue",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="The TPC-H Q3 composite — the one query shape every reporting "
+    "user runs: three pushed-down filters (segment, order date, ship "
+    "date), a dimension-to-fact join chain, a decimal-exact revenue "
+    "aggregate, and a global top-10. What the plan must show (and "
+    "tests assert across its constituent operators): all three "
+    "predicates in PushedFilters at the scans, customer broadcast "
+    "(segment-filtered dimension), revenue summed as DECIMAL before "
+    "the final double cast (partition-order-proof), TakeOrdered for "
+    "the top-10 instead of a full sort. Composite of z02/z09/z19/z38 "
+    "machinery in one Catalyst plan — the end-to-end smoke a new "
+    "deployment runs first.",
+)
+def q79_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    return (
+        li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -163,6 +163,8 @@ NESTED_LOOP_WHITELIST = {
     # x49 pairs the per-source size table against itself with an
     # inequality condition — sources^2 rows, tiny by construction.
     "x49_vocab_overlap",
+    # q88's verdict join is one-row stats x one-row edge count.
+    "q88_pagerank",
 }
 
 
