@@ -273,3 +273,36 @@ def test_y44_stats_broadcast_back(plans):
     p = plans("q87_anomaly_zscore")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_q79_composite_plan_shape(plans):
+    """The TPC-H Q3 composite's scale posture: all three predicates
+    reach the scans, the filtered customer dimension broadcasts, the
+    top-10 is TakeOrdered (no global sort), and revenue aggregates in
+    decimal before the final double cast."""
+    p = plans("q79_top_revenue")
+    assert "EqualTo(c_mktsegment,BUILDING)" in p, p
+    assert "LessThan(o_orderdate" in p, p
+    assert "GreaterThan(l_shipdate" in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "Sort " not in p.split("TakeOrderedAndProject")[0], p
+
+
+def test_x54_topk_uses_window_group_limit(plans):
+    """Top-k tokens per source must run as WindowGroupLimit: each task
+    keeps 5 rows per source BEFORE the shuffle, never the full
+    vocabulary per group."""
+    assert "WindowGroupLimit" in plans("x54_topk_tokens_per_source")
+
+
+def test_x55_script_profile_zero_shuffle(plans):
+    """The charclass profile is pure row-level expression work — its
+    plan must contain no Exchange at all."""
+    assert "Exchange" not in plans("x55_script_profile")
+
+
+def test_x41_media_decode_zero_shuffle(plans):
+    """Synthesize -> decode is a row-level Arrow pipeline over the scan;
+    no Exchange may appear."""
+    assert "Exchange" not in plans("x41_media_decode")
