@@ -28,6 +28,24 @@ from .registry import register
 # --------------------------------------------------------------------------
 
 
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) bigram stream built ARRAY-SIDE: zip the token
+    array with its own tail and explode the pair structs. Zero shuffle —
+    a lag-window form would sort the whole corpus by doc_id first, a
+    100 TB exchange this formulation never pays. The split is bound in
+    its own projection so it evaluates once, not once per slice."""
+    d = docs.select("doc_id", F.split("text", " ").alias("tk"))
+    tk = F.col("tk")
+    tail_len = F.greatest(F.size(tk) - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(tk, F.lit(1), tail_len).alias("w1"),
+        F.slice(tk, F.lit(2), tail_len).alias("w2"),
+    )
+    return d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
 @register(
     "x43_bigram_lm",
     oracle="""
@@ -62,27 +80,20 @@ from .registry import register
     "does not fit a broadcast; AQE promotes when it does fit). Each "
     "-ln p is rounded to 6dp and summed as DECIMAL(18,6) — the q71 "
     "rule that makes a transcendental aggregate hash-stable. Shuffles: "
-    "doc-keyed lag window, two count aggs, two token-keyed joins, "
-    "final doc-keyed agg (LM-filter mandate).",
+    "two count aggs, two token-keyed joins, final doc-keyed agg — the "
+    "bigram stream itself is built ARRAY-SIDE (zip of the token array "
+    "with its own tail, then explode), so unlike a lag-window form no "
+    "corpus-wide doc_id shuffle + sort ever happens (LM-filter "
+    "mandate).",
 )
 def x43_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        tok.select(
-            "doc_id",
-            F.lag("token").over(w).alias("w1"),
-            F.col("token").alias("w2"),
-        )
-        .filter(F.col("w1").isNotNull())
-    )
+    big = _bigrams(docs).select("doc_id", "w1", "w2")
     cxy = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("cnt_xy")
     )
     cx = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cnt_x"))
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
     v = tok.agg(F.count_distinct("token").cast("long").alias("vsz"))
     s = (
         big.join(cxy, ["w1", "w2"])
@@ -147,21 +158,13 @@ _PMI_TOP = 20
     "rounding, and monotone with log-PMI so no transcendental is "
     "needed at all; ties break on the words. Shuffles: three count "
     "aggs + two joins keyed on words, then a global top-20 "
-    "(TakeOrdered — no full sort). No broadcast hints: count tables "
+    "(TakeOrdered — no full sort); the bigram stream is array-side "
+    "zero-shuffle (x43's _bigrams). No broadcast hints: count tables "
     "are vocabulary-sized (collocation mandate).",
 )
 def x44_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        tok.select(
-            F.lag("token").over(w).alias("w1"), F.col("token").alias("w2")
-        )
-        .filter(F.col("w1").isNotNull())
-    )
+    big = _bigrams(docs).select("w1", "w2")
     cxy = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("cnt_xy")
     )
