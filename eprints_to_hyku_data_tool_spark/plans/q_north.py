@@ -1104,7 +1104,10 @@ def z86_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X16 — cluster-level dedupe: transitive closure of the near-dup graph
 # (distributed connected components), one canonical survivor per CLUSTER
 # --------------------------------------------------------------------------
-_CLUSTER_ORACLE = """
+# Reusable recursive-CTE prefix: shingles -> exact-verified Jaccard
+# pairs -> min-label-propagation connected components. Shared by the
+# z85 cluster-dedupe oracle and the y68 quality-canonical oracle.
+_CC_CTE = """
     WITH RECURSIVE t AS (
       SELECT doc_id,
              list_distinct(
@@ -1132,6 +1135,9 @@ _CLUSTER_ORACLE = """
       SELECT e.v, c.label FROM cc c JOIN edges e ON e.u = c.node
       WHERE c.label <= e.v),
     comp AS (SELECT node, MIN(label) AS component FROM cc GROUP BY node)
+"""
+
+_CLUSTER_ORACLE = _CC_CTE + """
     SELECT d.doc_id,
            CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS canonical_id,
            CAST(CASE WHEN c.component IS NOT NULL AND c.component <> d.doc_id

@@ -1096,3 +1096,150 @@ def q79_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Y67 — corpus-internal duplicate-ngram fraction (overflow tier)
+# --------------------------------------------------------------------------
+@register(
+    "y67_duplicate_ngram_filter",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(tk) - 6, 1)),
+                   i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+          FROM t),
+    df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+           FROM g GROUP BY gram),
+    p AS (SELECT g.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_grams
+          FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+    SELECT doc_id, n_grams, n_dup_grams,
+           CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_frac,
+           10 * n_dup_grams >= 3 * n_grams AS is_dup_heavy
+    FROM p
+    """,
+    doc="Corpus-INTERNAL duplicate n-gram fraction — the MassiveText/"
+    "Gopher 'repetition across documents' filter, distinct from z75 "
+    "(which checks against an external eval set) and from pairwise "
+    "near-dup (which needs a similar PARTNER): a doc whose 8-gram "
+    "shingles mostly appear in other docs is boilerplate-heavy even "
+    "when no single partner is similar. Per-doc distinct 8-grams, a "
+    "gram-keyed document-frequency agg, join back, fraction + a 30% "
+    "threshold applied in exact integer math (10*dup >= 3*total — no "
+    "float boundary). Shuffles: gram-keyed agg + join, doc agg; grams "
+    "only ever carry (doc_id, hashable string) — scale-safe like z75 "
+    "(corpus-hygiene mandate; overflow tier, rotation candidate).",
+)
+def y67_duplicate_ngram_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .q_corpus import _grams8, _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", F.explode(_grams8(_tokens())).alias("gram")
+    )
+    df_tbl = g.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    p = (
+        g.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+        )
+    )
+    return p.select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        (F.col("n_dup_grams").cast("double") / F.col("n_grams")).alias(
+            "dup_frac"
+        ),
+        (10 * F.col("n_dup_grams") >= 3 * F.col("n_grams")).alias(
+            "is_dup_heavy"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y68 — quality-aware canonical selection per near-dup cluster (overflow)
+# --------------------------------------------------------------------------
+@register(
+    "y68_keep_longest_canonical",
+    oracle=None,  # set below after import (composes q_north._CC_CTE)
+    doc="Quality-aware cluster dedupe: same exact-verified near-dup "
+    "clusters as z85 (prefix-filtered Jaccard pairs -> connected "
+    "components), but the survivor per cluster is the LONGEST member "
+    "(most tokens, ties to the lowest doc_id) instead of the min-id — "
+    "the policy real pipelines use, because the min-id member may be "
+    "the truncated copy. Selection is one row_number window per "
+    "cluster on (n_tokens DESC, doc_id). Oracle: the shared recursive-"
+    "CTE component labeling plus the same window. Scale: CC is "
+    "O(log n) keyed shuffles (functions/graph.py); the argmax window "
+    "shuffles once on the cluster key (dedup-policy mandate; overflow "
+    "tier, rotation candidate).",
+)
+def y68_keep_longest_canonical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.graph import connected_components
+    from .q_north import (
+        doc_shingles,
+        exact_jaccard_pairs,
+        verify_jaccard_candidates,
+    )
+
+    docs_raw = load_table(spark, sf_dir, "documents")
+    docs_sh = doc_shingles(docs_raw)
+    pairs = verify_jaccard_candidates(docs_sh, exact_jaccard_pairs(docs_sh))
+    comp = connected_components(pairs)
+    m = (
+        docs_raw.join(comp, docs_raw["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").cast("long").alias("cluster"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return m.select(
+        "doc_id",
+        "cluster",
+        "n_tokens",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )
+
+
+def _set_y68_oracle() -> None:
+    from .q_north import _CC_CTE
+    from .registry import REGISTRY, QuerySpec
+
+    spec = REGISTRY["y68_keep_longest_canonical"]
+    oracle = _CC_CTE + """
+    , m AS (SELECT d.doc_id,
+                   CAST(COALESCE(c.component, d.doc_id) AS BIGINT)
+                     AS cluster,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                     AS n_tokens
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+    SELECT doc_id, cluster, n_tokens,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_tokens DESC, doc_id) = 1
+             AS is_kept
+    FROM m
+    """
+    REGISTRY["y68_keep_longest_canonical"] = QuerySpec(
+        name=spec.name, fn=spec.fn, oracle=oracle, doc=spec.doc
+    )
+
+
+_set_y68_oracle()
