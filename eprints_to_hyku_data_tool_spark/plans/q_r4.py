@@ -1243,3 +1243,69 @@ def _set_y68_oracle() -> None:
 
 
 _set_y68_oracle()
+
+
+# --------------------------------------------------------------------------
+# Y69 — regional revenue composite (TPC-H Q5 shape, overflow tier)
+# --------------------------------------------------------------------------
+@register(
+    "y69_regional_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="The TPC-H Q5 composite — six-table join with the local-supplier "
+    "condition (customer and supplier in the same nation), a year "
+    "filter, and per-nation decimal-exact revenue. Exercises what no "
+    "single-operator query does: join ORDER planning across a "
+    "fact-to-fact (lineitem-supplier) edge plus a snowflake of "
+    "dimensions, where Catalyst must broadcast the small dims "
+    "(region/nation/supplier after pruning) and keep the fact join "
+    "shuffled. The c_nationkey = s_nationkey condition rides the "
+    "supplier join as a residual — no extra shuffle (reporting "
+    "composite #2; overflow tier, rotation candidate).",
+)
+def y69_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(8,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
