@@ -490,3 +490,51 @@ def test_bloom_prefilter_no_false_negatives(dim_keys, fact_keys):
     want = [k for k in fact_keys if k in dim_keys]
     # exact verify on the survivors recovers exactly the semi-join
     assert [k for k in survivors if k in dim_keys] == want
+
+
+def test_corr_matrix_bounds_and_partition_invariance(spark, sf_dir):
+    """x50's exact-moment correlations must lie in [-1, 1] and be
+    bit-IDENTICAL under different shuffle partitioning (the whole point
+    of exact integer moments — float covariance would drift with
+    summation order)."""
+    from eprints_to_hyku_data_tool_spark.plans.q_r4 import x50_corr_matrix
+
+    rows = {r["pair"]: r["corr"] for r in x50_corr_matrix(spark, sf_dir).collect()}
+    assert len(rows) == 6 and all(-1.0 <= v <= 1.0 for v in rows.values()), rows
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        rows2 = {
+            r["pair"]: r["corr"]
+            for r in x50_corr_matrix(spark, sf_dir).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert rows == rows2, "corr changed under repartitioning"
+
+
+def test_entropy_and_gini_ranges(spark, sf_dir):
+    """x53 entropy in [0, log2(alphabet)]; x56 gini in [0, 1)."""
+    from eprints_to_hyku_data_tool_spark.plans.q_r4 import (
+        x53_char_entropy,
+        x56_length_gini,
+    )
+    import math
+
+    for r in x53_char_entropy(spark, sf_dir).collect():
+        assert 0.0 <= r["entropy_bits"] <= math.log2(max(r["distinct_chars"], 2)) + 1e-6, r
+    for r in x56_length_gini(spark, sf_dir).collect():
+        assert 0.0 <= r["gini"] < 1.0, r
+
+
+def test_mad_outlier_counts_bounded(spark, sf_dir):
+    """x47: outliers must be a minority under the 3*MAD rule on any
+    unimodal-ish data, and med/mad must be actual data values (lower
+    median contract)."""
+    from eprints_to_hyku_data_tool_spark.plans.q_r4 import x47_mad_outliers
+
+    rows = x47_mad_outliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_outliers"] < r["n"] / 2, r
+        assert r["mad"] >= 0.0, r
