@@ -600,7 +600,8 @@ def z70_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(nlp) AS DOUBLE) AS sum_neg_logp,
-           round(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+           CAST(FLOOR(CAST(SUM(nlp) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                AS DOUBLE) / 1e6 AS avg_neg_logp
     FROM s GROUP BY doc_id
     """,
     doc="Perplexity-proxy quality scoring: train a corpus unigram LM "
@@ -635,8 +636,16 @@ def z71_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("nlp").cast("double").alias("sum_neg_logp"),
-        F.round(
-            F.sum("nlp").cast("double") / F.count(F.lit(1)), 6
+        # floor(x*1e6+0.5)/1e6, NOT round(x, 6): the quotient of a 6dp
+        # decimal sum by a small integer lands EXACTLY on .5e-6 ties,
+        # where Spark and DuckDB round() disagree (half-even vs half-up
+        # — hit at sf0.1 by x43's identical shape; floor of identical
+        # doubles is identical everywhere).
+        (
+            F.floor(
+                F.sum("nlp").cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+            ).cast("double")
+            / 1e6
         ).alias("avg_neg_logp"),
     )
 

@@ -68,7 +68,8 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(nlp) AS DOUBLE) AS sum_neg_logp,
-           round(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+           CAST(FLOOR(CAST(SUM(nlp) AS DOUBLE) / COUNT(*) * 1e6 + 0.5)
+                AS DOUBLE) / 1e6 AS avg_neg_logp
     FROM s GROUP BY doc_id
     """,
     doc="Bigram language-model scoring with add-one smoothing — the "
@@ -115,9 +116,16 @@ def x43_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.sum("nlp").cast("double").alias("sum_neg_logp"),
-        F.round(F.sum("nlp").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_neg_logp"
-        ),
+        # floor idiom, not round(): the 6dp-decimal-sum / small-int
+        # quotient lands exactly on .5e-6 rounding ties where the
+        # engines' round() semantics differ (caught at sf0.1 — two docs
+        # with sum/n = ...5 exactly; sf0.01 passed by data luck).
+        (
+            F.floor(
+                F.sum("nlp").cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+            ).cast("double")
+            / 1e6
+        ).alias("avg_neg_logp"),
     )
 
 
