@@ -1,0 +1,81 @@
+"""Opt-in sf0.1 oracle-parity sweep (round-4 lesson): the default suite
+checks parity at sf0.01 — the driver's correctness scale — but two bug
+classes only surface at 10x the data: candidate-pipeline bugs (r3's
+cluster-dedupe candidates-vs-verified bug) and rounding-boundary ties
+(r4's x43 avg, where a decimal-quotient landed exactly on a .5e-6
+rounding tie that sf0.01 happened to miss).
+
+Run with ``SPARK_GRAFT_SF01_SWEEP=1 python -m pytest
+tests/test_sf01_sweep.py`` (~3 min). Skipped by default to keep the
+suite fast. Queries whose DuckDB oracle is all-pairs-quadratic at sf0.1
+are excluded — their Spark sides are covered by the union-find /
+recall / subset tests instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from eprints_to_hyku_data_tool_spark.plans.registry import REGISTRY, _load_all
+
+from .parity import assert_parity
+
+_load_all()
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+# DuckDB-side all-pairs oracles (O(n^2) list intersections / cosines at
+# sf0.1); the Spark implementations stay sub-quadratic and are verified
+# by dedicated tests (union-find reference, recall/subset properties).
+QUADRATIC_ORACLES = {
+    "y68_keep_longest_canonical",
+    "z85_cluster_dedupe",
+    "z86_ngram_jaccard",
+    "z67_embedding_dedupe",
+    "z60_minhash_lsh",
+    "z60_simhash",
+    "z74_rplsh_neardup",
+    "q86_ivf_embedding_dedupe",
+    "z18_similarity_join",
+    "z90_corpus_pipeline",
+    "q85_ivf_topk",
+    "z61_topk_similarity",
+    "x52_winnow_containment",
+    "y67_duplicate_ngram_filter",
+}
+
+SWEEP = sorted(
+    n
+    for n, s in REGISTRY.items()
+    if s.oracle is not None and n not in QUADRATIC_ORACLES
+)
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SF01_SWEEP") != "1",
+    reason="sf0.1 sweep is opt-in (SPARK_GRAFT_SF01_SWEEP=1); last full "
+    "run: 133/133 green (round 4)",
+)
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders "
+        "lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF01_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_sf01_parity(name, spark, duck01):
+    spec = REGISTRY[name]
+    assert_parity(spec.fn(spark, SF01_DIR), spec.oracle, duck01, name=name)
