@@ -88,6 +88,7 @@ def _load_all() -> None:
         "q_embed",
         "q_media",
         "q_r4",
+        "q_r4c",
     ):
         try:
             __import__(f"{__package__}.{mod}")
