@@ -306,3 +306,37 @@ def test_x41_media_decode_zero_shuffle(plans):
     """Synthesize -> decode is a row-level Arrow pipeline over the scan;
     no Exchange may appear."""
     assert "Exchange" not in plans("x41_media_decode")
+
+
+def test_y71_promo_part_join_broadcasts(plans):
+    """The Q14 composite joins one month of lineitem to the part
+    dimension: the dim side must broadcast (no SMJ shuffle of the fact
+    table), and the shipdate month must reach the scan."""
+    p = plans("y71_promo_revenue")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+
+
+def test_y72_outer_join_stays_outer(plans):
+    """The Q13 composite's priority filter rides the LEFT OUTER join as
+    a right-side condition; if it leaks into a post-join Filter the
+    join degenerates to inner and zero-order customers vanish. The
+    executed plan must keep the outer join and show NO filter on
+    o_orderpriority applied after it."""
+    p = plans("y72_order_distribution")
+    assert "LeftOuter" in p, p
+    # The priority predicate must appear as a pushed/scan-side filter on
+    # orders (pre-join), and never in a Filter node above the join.
+    join_detail = p.split("LeftOuter")[-1]
+    assert "o_orderpriority" not in join_detail.split("Exchange")[0], p
+
+
+def test_y73_small_qty_audit_shares_shuffle_key(plans):
+    """The Q17 decorrelation joins lineitem to its own per-part
+    aggregate: the brand/size-filtered part dim must broadcast, and the
+    predicates must reach the part scan."""
+    p = plans("y73_small_qty_audit")
+    assert "BroadcastHashJoin" in p, p
+    assert "EqualTo(p_brand,Brand#23)" in p, p
+    assert "LessThan(p_size,15)" in p, p
