@@ -358,7 +358,7 @@ def q30_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y46 — GROUPING SETS via the SQL entry point
 # --------------------------------------------------------------------------
 @register(
-    "q89_grouping_sets",
+    "z189_grouping_sets",
     oracle="""
     SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
            COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -380,7 +380,7 @@ def q30_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL then cast (fleet rule), grouping() markers distinguish "
     "subtotal NULLs from data NULLs.",
 )
-def q89_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("y46_lineitem")
     return spark.sql(
@@ -403,7 +403,7 @@ def q89_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y49 — approx percentile (t-digest-style sketch) with a tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "q92_approx_percentile",
+    "z192_approx_percentile",
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
@@ -424,7 +424,7 @@ def q89_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with bounded state, while exact percentile materializes every "
     "group's values through the shuffle (SURVEY §2.4 Q27 scale note).",
 )
-def q92_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z192_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias(
@@ -476,7 +476,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
 
 
 @register(
-    "q93_countmin",
+    "z193_countmin",
     oracle=f"""
     WITH seeds(h, a, b) AS (VALUES
         {", ".join(f"({h}, {a}, {b})" for h, a, b in _CMS_SEEDS)}),
@@ -515,7 +515,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
     "comparison baseline — is what the sketch REPLACES "
     "(heavy-hitters / frequency-cap mandate).",
 )
-def q93_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z193_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
 
     stack_cells = ", ".join(

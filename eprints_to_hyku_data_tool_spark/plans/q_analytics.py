@@ -146,7 +146,7 @@ def z96_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X28 — sessionization: assign session IDs to EVENTS (gap rule)
 # --------------------------------------------------------------------------
 @register(
-    "x28_sessionize",
+    "z228_sessionize",
     oracle="""
     WITH g AS (
       SELECT event_id, user_id, ts,
@@ -170,7 +170,7 @@ def z96_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_id exchange; ties broken by event_id for determinism "
     "(sessionization mandate).",
 )
-def x28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z228_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Full-microsecond gap (ADVICE r3): cast('long') truncates to whole
@@ -352,7 +352,7 @@ def q88_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y44 — per-user z-score anomaly flags (exact-moment discipline)
 # --------------------------------------------------------------------------
 @register(
-    "q87_anomaly_zscore",
+    "z187_anomaly_zscore",
     oracle="""
     WITH s AS (SELECT user_id,
                       CAST(COUNT(*) AS BIGINT) AS n,
@@ -384,7 +384,7 @@ def q88_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join-back onto the event stream); degenerate users (n<2 or zero "
     "variance) are excluded on both sides.",
 )
-def q87_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z187_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     s = ev.groupBy("user_id").agg(
@@ -431,7 +431,7 @@ _TRI_EDGES_SQL = """
 
 
 @register(
-    "q95_triangle_count",
+    "z195_triangle_count",
     oracle=_TRI_EDGES_SQL
     + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
@@ -459,7 +459,7 @@ _TRI_EDGES_SQL = """
     "Remaining shuffles: edge build, degree agg, wedge join, closing "
     "join (SURVEY §2.13 graph family).",
 )
-def q95_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z195_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -529,7 +529,7 @@ def q95_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y55 — per-group OLS regression (exact-decimal moments, y44 discipline)
 # --------------------------------------------------------------------------
 @register(
-    "q98_group_ols",
+    "z198_group_ols",
     oracle="""
     WITH p AS (
         SELECT user_id,
@@ -564,7 +564,7 @@ def q95_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order is partition-dependent). One map-side-combined shuffle "
     "(metric-trend mandate).",
 )
-def q98_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z198_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p = ev.select(
         "user_id",
@@ -628,7 +628,7 @@ def _morton_duck(x: str, y: str) -> str:
 
 
 @register(
-    "x31_zorder_layout",
+    "z231_zorder_layout",
     oracle=f"""
     WITH d AS (
         SELECT user_id & 65535 AS xd,
@@ -658,7 +658,7 @@ def _morton_duck(x: str, y: str) -> str:
     "(SURVEY §4 layout row; X06's pruning demonstrated "
     "multi-dimensionally).".format(cs=_Z_COARSE),
 )
-def x31_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z231_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
         F.expr("user_id & 65535").alias("xd"),
@@ -689,7 +689,7 @@ _EQD_BUCKETS = 16
 
 
 @register(
-    "x32_equidepth_histogram",
+    "z232_equidepth_histogram",
     oracle=f"""
     WITH b AS (
         SELECT o_totalprice,
@@ -716,7 +716,7 @@ _EQD_BUCKETS = 16
     "computes the same bucket id distributedly "
     "(functions/ordering.py).".format(B=_EQD_BUCKETS),
 )
-def x32_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     orders = load_table(spark, sf_dir, "orders")
@@ -757,7 +757,7 @@ def x32_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y59 — chi-square independence test (lang x source contingency)
 # --------------------------------------------------------------------------
 @register(
-    "x33_chisquare",
+    "z233_chisquare",
     oracle="""
     WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
                FROM documents GROUP BY lang, source),
@@ -783,7 +783,7 @@ def x32_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SUM(chi2_term) — left per-cell so the hashed result is "
     "summation-order independent (mix-audit mandate).",
 )
-def x33_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z233_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
     r = o.groupBy("lang").agg(F.sum("obs").alias("row_n"))
@@ -815,7 +815,7 @@ _RAU_DAYS = 28
 
 
 @register(
-    "x38_rolling_active_users",
+    "z238_rolling_active_users",
     oracle=f"""
     WITH a AS (SELECT DISTINCT user_id,
                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
@@ -840,7 +840,7 @@ _RAU_DAYS = 28
     "equi; work is O(active_pairs x {N}), independent of raw event "
     "volume (engagement-metrics mandate).".format(N=_RAU_DAYS),
 )
-def x38_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z238_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     a = ev.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
@@ -867,7 +867,7 @@ def x38_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y65 — event-type transition matrix (first-order Markov)
 # --------------------------------------------------------------------------
 @register(
-    "x39_transition_matrix",
+    "z239_transition_matrix",
     oracle="""
     WITH s AS (
       SELECT user_id, event_type,
@@ -890,7 +890,7 @@ def x38_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p = exact-count ratio (one double division per cell), so it "
     "hashes cleanly (sequence-analytics mandate).",
 )
-def x39_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z239_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
@@ -912,7 +912,7 @@ def x39_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y66 — session rollup (duration / size stats over x28's session ids)
 # --------------------------------------------------------------------------
 @register(
-    "x40_session_stats",
+    "z240_session_stats",
     oracle="""
     WITH g AS (
       SELECT event_id, user_id, ts, value,
@@ -944,7 +944,7 @@ def x39_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emits aggregates keyed by window, not by session ordinal "
     "(sessionization mandate, rollup half).",
 )
-def x40_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z240_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_core import dec_sum
 
     ev = load_table(spark, sf_dir, "events")

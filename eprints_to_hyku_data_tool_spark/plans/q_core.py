@@ -325,7 +325,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 @register(
-    "q90_column_profile",
+    "z190_column_profile",
     oracle="""
     SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(l_quantity) AS BIGINT) AS n_non_null,
@@ -368,7 +368,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     "approx_count_distinct at scale for a sketch-mergeable one-pass "
     "variant (q22 trade).",
 )
-def q90_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
     for c in _PROFILE_COLS:
@@ -398,7 +398,7 @@ def q90_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y48 — referential-integrity audit (FK orphan counts)
 # --------------------------------------------------------------------------
 @register(
-    "q91_ri_audit",
+    "z191_ri_audit",
     oracle="""
     SELECT 'orders.o_custkey->customer' AS fk,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
@@ -434,7 +434,7 @@ def q90_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verified by the pushdown lint), so the audit reads each parent "
     "table's key bytes, not its payload.",
 )
-def q91_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z191_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 

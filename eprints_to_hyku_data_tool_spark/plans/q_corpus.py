@@ -234,7 +234,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
 
 
 @register(
-    "q80_bm25",
+    "z180_bm25",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
@@ -269,7 +269,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
     "Per-row output (doc, term, tf, dl, score) avoids cross-term "
     "summation-order divergence entirely.",
 )
-def q80_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z180_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     d = t.select("doc_id", F.size("tk").cast("long").alias("dl"))
@@ -320,7 +320,7 @@ _VOCAB_TOP = 100
 
 
 @register(
-    "q81_vocab_zipf",
+    "z181_vocab_zipf",
     oracle=f"""
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -346,7 +346,7 @@ _VOCAB_TOP = 100
     "one-row broadcast like x30. Ties broken by token for "
     "determinism.",
 )
-def q81_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z181_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = (
         docs.select(F.explode(_tokens()).alias("token"))
@@ -382,7 +382,7 @@ _GROUP_K = 5
 
 
 @register(
-    "q82_group_sample",
+    "z182_group_sample",
     oracle=f"""
     SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
     FROM (SELECT doc_id, lang, source,
@@ -402,7 +402,7 @@ _GROUP_K = 5
     "WindowGroupLimit cuts each group to k BEFORE and after the "
     "exchange, so only candidate rows move (plan-asserted).",
 )
-def q82_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string"))),
@@ -423,7 +423,7 @@ def q82_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y37 — per-stratum length-band outlier filter (p05/p95 fences)
 # --------------------------------------------------------------------------
 @register(
-    "q83_length_band",
+    "z183_length_band",
     oracle="""
     WITH b AS (SELECT lang,
                       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 4)
@@ -446,7 +446,7 @@ def q82_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB swap percentile -> percentile_approx(..., 10000): same "
     "plan shape, sketch-mergeable, documented trade.",
 )
-def q83_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = docs.groupBy("lang").agg(
         F.round(
@@ -477,7 +477,7 @@ def q83_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y38 — per-label embedding centroids (elementwise mean, order-exact)
 # --------------------------------------------------------------------------
 @register(
-    "q84_label_centroids",
+    "z184_label_centroids",
     oracle="""
     WITH e AS (
       SELECT label,
@@ -504,7 +504,7 @@ def q83_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output cells regardless of corpus size. The final mean is a "
     "single double division per cell.",
 )
-def q84_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z184_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label",
@@ -746,7 +746,7 @@ _ES_K = 200
 
 
 @register(
-    "q99_weighted_sample",
+    "z199_weighted_sample",
     oracle=f"""
     WITH k AS (
         SELECT doc_id, lang, n_chars,
@@ -773,7 +773,7 @@ _ES_K = 200
     "2.7e-5 (sf0.01) — ~11 orders above double-ulp noise, so the "
     "selected set is stable across engines.".format(K=_ES_K),
 )
-def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z199_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") >= 1
     )

@@ -29,7 +29,7 @@ from .registry import register
 
 
 @register(
-    "q73_int8_quantize",
+    "z173_int8_quantize",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -64,7 +64,7 @@ from .registry import register
     "order-independent; floor(x+0.5) rounding (not ROUND) removes the "
     "half-up/half-even cross-engine tie hazard (quantization mandate).",
 )
-def q73_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z173_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     d = emb.select("vec_id", v.alias("v")).withColumn(
@@ -243,7 +243,7 @@ def z74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y63 — nearest-centroid classification audit (exact-decimal distances)
 # --------------------------------------------------------------------------
 @register(
-    "x37_nearest_centroid",
+    "z237_nearest_centroid",
     oracle="""
     WITH x AS (
       SELECT vec_id, label AS label_true,
@@ -290,7 +290,7 @@ def z74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(vector, label) distance agg, one row_number window, one tiny "
     "confusion agg (embedding-eval mandate).",
 )
-def x37_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z237_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -545,7 +545,7 @@ def _bloom_bucket_sql(key: str, a: int, b: int) -> str:
 
 
 @register(
-    "q94_bloom_prefilter",
+    "z194_bloom_prefilter",
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -571,7 +571,7 @@ def _bloom_bucket_sql(key: str, a: int, b: int) -> str:
     "exchange, and only bloom-surviving rows pay the real join "
     "(SURVEY §4 shuffle-minimization; q68's sibling pattern).",
 )
-def q94_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -612,7 +612,7 @@ def q94_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y62 — SCD2 dimension build (validity intervals from change events)
 # --------------------------------------------------------------------------
 @register(
-    "x36_scd2_intervals",
+    "z236_scd2_intervals",
     oracle="""
     WITH o AS (
         SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
@@ -643,7 +643,7 @@ def q94_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "microsecond instants, o_orderkey tiebreak makes same-day "
     "sequences deterministic (ETL/SCD mandate).",
 )
-def x36_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z236_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     o = orders.withColumn(

@@ -555,7 +555,7 @@ def z61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF coarse quantizer, shared by q85_ivf_topk and q86_ivf_embedding_dedupe
+# IVF coarse quantizer, shared by z185_ivf_topk and z186_ivf_embedding_dedupe
 # --------------------------------------------------------------------------
 IVF_SAMPLE = 256
 
@@ -625,7 +625,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     full scan. This is the 100 TB path: assignments are a (cell, vec)
     table bucketed by cell, probes fan out as a tiny broadcast join on
     cell; the corpus is scanned ONCE (no ML fit passes). Approximate by
-    construction; the registered q85_ivf_topk wraps this in a driver-
+    construction; the registered z185_ivf_topk wraps this in a driver-
     checkable recall verdict, and tests/test_properties.py asserts
     recall@5 >= 0.8 pair-for-pair (SURVEY §2.11 Q61 scale variant)."""
     import numpy as np
@@ -704,7 +704,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q85_ivf_topk",
+    "z185_ivf_topk",
     oracle=f"""
     WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
                FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}),
@@ -733,7 +733,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extra exact-scan at fixture scale; at 100 TB this is the standard "
     "offline recall audit run on a sampled probe set.",
 )
-def q85_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = z61_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
@@ -921,7 +921,7 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict subset of q67's. Task memory: one cell = ~n_assign*n/nlist
     vectors, tuned via nlist; no driver collect (centroids are
     nlist x dim) (assignment dedup mandate; the registered
-    q86_ivf_embedding_dedupe wraps this in a driver-checkable
+    z186_ivf_embedding_dedupe wraps this in a driver-checkable
     subset + recall verdict)."""
     NLIST, N_ASSIGN, TAU = 16, 3, 0.4
 
@@ -963,7 +963,7 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q86_ivf_embedding_dedupe",
+    "z186_ivf_embedding_dedupe",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -990,7 +990,7 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle recomputes independently. Approx values never enter the "
     "hashed output.",
 )
-def q86_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z186_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = z67_embedding_dedupe(spark, sf_dir).select(
         "vec_id", F.col("is_dropped").alias("ex")
     )

@@ -47,7 +47,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "x43_bigram_lm",
+    "z243_bigram_lm",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     b AS (SELECT doc_id,
@@ -87,7 +87,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     "corpus-wide doc_id shuffle + sort ever happens (LM-filter "
     "mandate).",
 )
-def x43_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z243_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     big = _bigrams(docs).select("doc_id", "w1", "w2")
     cxy = big.groupBy("w1", "w2").agg(
@@ -137,7 +137,7 @@ _PMI_TOP = 20
 
 
 @register(
-    "x44_pmi_collocations",
+    "z244_pmi_collocations",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     b AS (SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
@@ -170,7 +170,7 @@ _PMI_TOP = 20
     "zero-shuffle (x43's _bigrams). No broadcast hints: count tables "
     "are vocabulary-sized (collocation mandate).",
 )
-def x44_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z244_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     big = _bigrams(docs).select("w1", "w2")
     cxy = big.groupBy("w1", "w2").agg(
@@ -201,7 +201,7 @@ def x44_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X45 — markup strip (tag removal + entity decode + whitespace normalize)
 # --------------------------------------------------------------------------
 @register(
-    "x45_html_strip",
+    "z245_html_strip",
     oracle="""
     WITH h AS (
       SELECT doc_id, text,
@@ -234,7 +234,7 @@ def x44_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subset a cross-engine pipeline must stay in (HTML-corpus "
     "mandate).",
 )
-def x45_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z245_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     html = F.concat(
         F.lit('<div class="doc"><p>'),
@@ -263,7 +263,7 @@ def x45_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X46 — incremental ingestion dedupe (new batch vs seen-hash set)
 # --------------------------------------------------------------------------
 @register(
-    "x46_incremental_dedupe",
+    "z246_incremental_dedupe",
     oracle="""
     WITH seen AS (SELECT DISTINCT md5(text) AS ch FROM documents
                   WHERE doc_id % 10 >= 2),
@@ -283,7 +283,7 @@ def x45_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AQE broadcasts the day's batch when it is the small side "
     "(incremental-pipeline mandate).",
 )
-def x46_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z246_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     seen = (
         docs.filter(F.col("doc_id") % 10 >= 2)
@@ -302,7 +302,7 @@ def x46_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X47 — robust outlier stats (lower-median + MAD, exact)
 # --------------------------------------------------------------------------
 @register(
-    "x47_mad_outliers",
+    "z247_mad_outliers",
     oracle="""
     WITH r AS (
       SELECT event_id, event_type, value,
@@ -341,7 +341,7 @@ def x46_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort — the query shape (window + join back) is unchanged "
     "(robust-stats mandate).",
 )
-def x47_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z247_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
@@ -391,7 +391,7 @@ def x47_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X48 — percentile-rank feature normalization
 # --------------------------------------------------------------------------
 @register(
-    "x48_percentile_norm",
+    "z248_percentile_norm",
     oracle="""
     SELECT event_id, event_type, value,
            percent_rank() OVER (PARTITION BY event_type ORDER BY value)
@@ -410,7 +410,7 @@ def x47_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a single range-partitioned sort per group key "
     "(normalization mandate).",
 )
-def x48_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z248_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value")
     return ev.select(
@@ -426,7 +426,7 @@ def x48_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X49 — cross-source vocabulary overlap (pairwise Jaccard)
 # --------------------------------------------------------------------------
 @register(
-    "x49_vocab_overlap",
+    "z249_vocab_overlap",
     oracle="""
     WITH tok AS (SELECT DISTINCT source, token FROM
                    (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -459,7 +459,7 @@ def x48_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token-keyed join + pair agg — all safe at 100 TB where 'source' "
     "is a crawl/domain column (mixing mandate).",
 )
-def x49_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z249_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -519,7 +519,7 @@ def _corr_pairs():
 
 
 @register(
-    "x50_corr_matrix",
+    "z250_corr_matrix",
     oracle=f"""
     WITH q AS (SELECT
         {", ".join(
@@ -563,7 +563,7 @@ def _corr_pairs():
     "(profiling mandate; the built-in corr() is float-path and "
     "engine-divergent, which is exactly why this query exists).",
 )
-def x50_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z250_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
         *[
@@ -609,7 +609,7 @@ def x50_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X51 — duplicate-cluster size histogram
 # --------------------------------------------------------------------------
 @register(
-    "x51_dup_cluster_sizes",
+    "z251_dup_cluster_sizes",
     oracle="""
     WITH c AS (SELECT md5(text) AS ch, CAST(COUNT(*) AS BIGINT) AS sz
                FROM documents GROUP BY md5(text))
@@ -627,7 +627,7 @@ def x50_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keys; never materializes per-cluster member lists "
     "(dedup-diagnostics mandate).",
 )
-def x51_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = docs.groupBy(F.md5("text").alias("ch")).agg(
         F.count(F.lit(1)).cast("long").alias("sz")
@@ -642,7 +642,7 @@ def x51_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X52 — containment near-dup (winnowing candidates + exact verify)
 # --------------------------------------------------------------------------
 @register(
-    "x52_winnow_containment",
+    "z252_winnow_containment",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),
@@ -687,7 +687,7 @@ def x51_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair agg — arrays travel only to verify actual candidates "
     "(dedup family #7).",
 )
-def x52_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z252_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_text import WINNOW_K, WINNOW_W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -784,7 +784,7 @@ def x52_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X53 — character-entropy quality signal
 # --------------------------------------------------------------------------
 @register(
-    "x53_char_entropy",
+    "z253_char_entropy",
     oracle="""
     WITH ch AS (
       SELECT doc_id, unnest(list_transform(
@@ -819,7 +819,7 @@ def x52_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cost; at 100 TB fold it into the same pass as the other "
     "per-char signals (quality-filter mandate).",
 )
-def x53_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z253_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # split on the zero-width (?!^) lookahead yields one element per
     # char PLUS a trailing "" (Spark keeps trailing empties); drop it.
@@ -856,7 +856,7 @@ def x53_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X54 — top-k tokens per source (WindowGroupLimit shape)
 # --------------------------------------------------------------------------
 @register(
-    "x54_topk_tokens_per_source",
+    "z254_topk_tokens_per_source",
     oracle="""
     WITH tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
                 FROM (SELECT source,
@@ -878,7 +878,7 @@ def x53_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary per group (the z32 top-k-per-group shape applied to "
     "text). Ties break on the token string (dataset-card mandate).",
 )
-def x54_topk_tokens_per_source(
+def z254_topk_tokens_per_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -901,7 +901,7 @@ def x54_topk_tokens_per_source(
 # X55 — script/charclass profile (regexp_count kit)
 # --------------------------------------------------------------------------
 @register(
-    "x55_script_profile",
+    "z255_script_profile",
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT)
@@ -925,7 +925,7 @@ def x54_topk_tokens_per_source(
     "common subset; zero shuffles, full codegen; the ratio is one "
     "division of exact integers (quality-filter mandate).",
 )
-def x55_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z255_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rc = lambda pat: F.regexp_count("text", F.lit(pat)).cast("long")  # noqa: E731
     return docs.select(
@@ -946,7 +946,7 @@ def x55_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X56 — token-count Gini coefficient per source
 # --------------------------------------------------------------------------
 @register(
-    "x56_length_gini",
+    "z256_length_gini",
     oracle="""
     WITH d AS (SELECT doc_id, source,
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS x
@@ -972,7 +972,7 @@ def x55_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-source sort window + one agg; at 100 TB the sort is "
     "range-partitioned per source (mixing mandate).",
 )
-def x56_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z256_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -1009,7 +1009,7 @@ def _skew_one(df: DataFrame, key: str) -> DataFrame:
 
 
 @register(
-    "x57_key_skew_profile",
+    "z257_key_skew_profile",
     oracle="""
     {}
     """.format(
@@ -1034,7 +1034,7 @@ def _skew_one(df: DataFrame, key: str) -> DataFrame:
     "exact-integer-derived (ops mandate; pairs with q68 and the AQE "
     "skew config in session.py).",
 )
-def x57_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z257_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = _skew_one(li, "l_orderkey")
     for k in ("l_partkey", "l_suppkey"):
@@ -1047,7 +1047,7 @@ def x57_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg -> top-k
 # --------------------------------------------------------------------------
 @register(
-    "q79_top_revenue",
+    "z179_top_revenue",
     oracle="""
     SELECT l.l_orderkey,
            CAST(o.o_orderdate AS DATE) AS o_orderdate,
@@ -1076,7 +1076,7 @@ def x57_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "machinery in one Catalyst plan — the end-to-end smoke a new "
     "deployment runs first.",
 )
-def q79_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1110,7 +1110,7 @@ def q79_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y67 — corpus-internal duplicate-ngram fraction (overflow tier)
 # --------------------------------------------------------------------------
 @register(
-    "y67_duplicate_ngram_filter",
+    "q01_duplicate_ngram_filter",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                FROM documents),
@@ -1143,7 +1143,7 @@ def q79_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "only ever carry (doc_id, hashable string) — scale-safe like z75 "
     "(corpus-hygiene mandate; overflow tier, rotation candidate).",
 )
-def y67_duplicate_ngram_filter(
+def q01_duplicate_ngram_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from .q_corpus import _grams8, _tokens
@@ -1180,7 +1180,7 @@ def y67_duplicate_ngram_filter(
 # Y68 — quality-aware canonical selection per near-dup cluster (overflow)
 # --------------------------------------------------------------------------
 @register(
-    "y68_keep_longest_canonical",
+    "q02_keep_longest_canonical",
     oracle=None,  # set below after import (composes q_north._CC_CTE)
     doc="Quality-aware cluster dedupe: same exact-verified near-dup "
     "clusters as z85 (prefix-filtered Jaccard pairs -> connected "
@@ -1194,7 +1194,7 @@ def y67_duplicate_ngram_filter(
     "shuffles once on the cluster key (dedup-policy mandate; overflow "
     "tier, rotation candidate).",
 )
-def y68_keep_longest_canonical(
+def q02_keep_longest_canonical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..functions.graph import connected_components
@@ -1231,7 +1231,7 @@ def _set_y68_oracle() -> None:
     from .q_north import _CC_CTE
     from .registry import REGISTRY, QuerySpec
 
-    spec = REGISTRY["y68_keep_longest_canonical"]
+    spec = REGISTRY["q02_keep_longest_canonical"]
     oracle = _CC_CTE + """
     , m AS (SELECT d.doc_id,
                    CAST(COALESCE(c.component, d.doc_id) AS BIGINT)
@@ -1245,7 +1245,7 @@ def _set_y68_oracle() -> None:
              AS is_kept
     FROM m
     """
-    REGISTRY["y68_keep_longest_canonical"] = QuerySpec(
+    REGISTRY["q02_keep_longest_canonical"] = QuerySpec(
         name=spec.name, fn=spec.fn, oracle=oracle, doc=spec.doc
     )
 
@@ -1257,7 +1257,7 @@ _set_y68_oracle()
 # Y69 — regional revenue composite (TPC-H Q5 shape, overflow tier)
 # --------------------------------------------------------------------------
 @register(
-    "y69_regional_revenue",
+    "q03_regional_revenue",
     oracle="""
     SELECT n.n_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -1287,7 +1287,7 @@ _set_y68_oracle()
     "supplier join as a residual — no extra shuffle (reporting "
     "composite #2; overflow tier, rotation candidate).",
 )
-def y69_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")

@@ -195,7 +195,7 @@ def q42_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y61 — unpivot / melt (wide -> long) + per-metric profile
 # --------------------------------------------------------------------------
 @register(
-    "x35_unpivot_melt",
+    "z235_unpivot_melt",
     oracle="""
     SELECT metric,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -215,7 +215,7 @@ def q42_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are the source column names in both engines, sums in DECIMAL "
     "(fleet rule) (SURVEY §2.4 reshaping).",
 )
-def x35_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z235_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ids=["l_orderkey", "l_linenumber"],

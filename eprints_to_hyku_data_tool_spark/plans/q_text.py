@@ -499,7 +499,7 @@ _WS_RUN = r"[ \t\r\n]+"
 
 
 @register(
-    "q97_text_normalize",
+    "z197_text_normalize",
     oracle=f"""
     WITH c AS (
         SELECT doc_id, lang, text,
@@ -525,7 +525,7 @@ _WS_RUN = r"[ \t\r\n]+"
     "/ unicode classes, which differ between engines) "
     "(text-cleaning mandate; x18/x19's upstream stage).",
 )
-def q97_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z197_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     clean = F.trim(
         F.regexp_replace(

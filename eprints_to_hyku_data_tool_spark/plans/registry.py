@@ -31,10 +31,20 @@ q22 -> z01/z18/z19/z22; x12..x30 -> z81..z98), and the entire y-tier —
 30 queries that had never had a driver row, including all nine r3
 analytics ops — moved into the window under fresh names (y34..y56 ->
 q80..q99, y57..y66 -> x31..x40; see RENAMES_r4.json at the repo root
-for the exact map). q73_int8_quantize (r3's one red row, output schema
-fixed this round) and x28_sessionize (gap arithmetic fixed this round)
-keep their names so the driver re-checks the fixes. Remaining slots are
-filled by round-4 additions (x41+).
+for the exact map). The r3 red row (int8 quantize, output schema fixed
+in r4) and the sessionize gap-arithmetic fix kept their q/x names so
+the driver re-checked them; remaining slots went to round-4 additions.
+
+Round-5 rotation: the r4 sweep came back 50/50 green, so all 48
+unchanged window names ceded their slots under a mechanical scheme
+(q## -> z1##, x## -> z2##, suffixes kept; see RENAMES_r5.json). The 8
+r4 overflow queries that never had a driver row (y67..y74 — the
+MassiveText duplicate-n-gram filter, keep-longest canonical, and five
+TPC-H reporting composites) moved into the window as q01..q08.
+q88_pagerank (dangling-mass loop de-actioned this round) and
+x34_heavyhitters (certification scalars folded into one job this
+round) keep their names so the driver re-checks the changed code.
+Remaining slots are filled by round-5 additions (q10+ / x58+).
 
 tests/test_registry.py asserts the priority tier stays within the window
 and that every SURVEY §2 component maps to a live registered name.

@@ -153,7 +153,7 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
 
     from eprints_to_hyku_data_tool_spark.plans.q_analytics import (
         pagerank_ranks,
-        q95_triangle_count,
+        z195_triangle_count,
     )
 
     calls: list[int] = []
@@ -169,5 +169,5 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
     # ban is on node-sized tables inside the iteration.
     pagerank_ranks(spark, sf_dir)
     assert not calls, "pagerank used a broadcast hint"
-    q95_triangle_count(spark, sf_dir)
+    z195_triangle_count(spark, sf_dir)
     assert not calls, "triangle count used a broadcast hint"

@@ -147,22 +147,22 @@ NESTED_LOOP_WHITELIST = {
     "z98_mix_reweight",
     # y34/y35 cross-join one-row corpus-stats/total aggregates (same
     # broadcast shape as x30).
-    "q80_bm25",
-    "q81_vocab_zipf",
+    "z180_bm25",
+    "z181_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
     "z71_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
-    "q91_ri_audit",
+    "z191_ri_audit",
     # y59 cross-joins the one-row grand-total aggregate onto the
     # (lang x source) contingency cells (same shape as x30/y34).
-    "x33_chisquare",
+    "z233_chisquare",
     # x43/x44 cross-join one-row vocab-size / bigram-total aggregates
     # (the z71 shape).
-    "x43_bigram_lm",
-    "x44_pmi_collocations",
+    "z243_bigram_lm",
+    "z244_pmi_collocations",
     # x49 pairs the per-source size table against itself with an
     # inequality condition — sources^2 rows, tiny by construction.
-    "x49_vocab_overlap",
+    "z249_vocab_overlap",
     # q88's verdict join is one-row stats x one-row edge count.
     "q88_pagerank",
 }
@@ -183,7 +183,7 @@ def test_y36_group_sample_window_group_limit(plans):
     k before rows move."""
     import re
 
-    p = plans("q82_group_sample")
+    p = plans("z182_group_sample")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "WindowGroupLimit" in p, p
 
@@ -260,7 +260,7 @@ def test_y47_profile_is_single_scan(plans):
     """The profiler's contract: ALL columns' aggregates come from ONE
     pass over lineitem (the oracle scans per column; the Spark plan
     must not)."""
-    p = plans("q90_column_profile")
+    p = plans("z190_column_profile")
     # one scan NODE: each scan contributes exactly one Location line in
     # the formatted detail section ("Scan parquet" itself prints twice
     # per node — tree + detail)
@@ -270,7 +270,7 @@ def test_y47_profile_is_single_scan(plans):
 def test_y44_stats_broadcast_back(plans):
     """Per-user moment table is user-count-sized and must broadcast back
     onto the event stream, not shuffle the events for the join."""
-    p = plans("q87_anomaly_zscore")
+    p = plans("z187_anomaly_zscore")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -280,7 +280,7 @@ def test_q79_composite_plan_shape(plans):
     reach the scans, the filtered customer dimension broadcasts, the
     top-10 is TakeOrdered (no global sort), and revenue aggregates in
     decimal before the final double cast."""
-    p = plans("q79_top_revenue")
+    p = plans("z179_top_revenue")
     assert "EqualTo(c_mktsegment,BUILDING)" in p, p
     assert "LessThan(o_orderdate" in p, p
     assert "GreaterThan(l_shipdate" in p, p
@@ -293,26 +293,26 @@ def test_x54_topk_uses_window_group_limit(plans):
     """Top-k tokens per source must run as WindowGroupLimit: each task
     keeps 5 rows per source BEFORE the shuffle, never the full
     vocabulary per group."""
-    assert "WindowGroupLimit" in plans("x54_topk_tokens_per_source")
+    assert "WindowGroupLimit" in plans("z254_topk_tokens_per_source")
 
 
 def test_x55_script_profile_zero_shuffle(plans):
     """The charclass profile is pure row-level expression work — its
     plan must contain no Exchange at all."""
-    assert "Exchange" not in plans("x55_script_profile")
+    assert "Exchange" not in plans("z255_script_profile")
 
 
 def test_x41_media_decode_zero_shuffle(plans):
     """Synthesize -> decode is a row-level Arrow pipeline over the scan;
     no Exchange may appear."""
-    assert "Exchange" not in plans("x41_media_decode")
+    assert "Exchange" not in plans("z241_media_decode")
 
 
 def test_y71_promo_part_join_broadcasts(plans):
     """The Q14 composite joins one month of lineitem to the part
     dimension: the dim side must broadcast (no SMJ shuffle of the fact
     table), and the shipdate month must reach the scan."""
-    p = plans("y71_promo_revenue")
+    p = plans("q05_promo_revenue")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
@@ -324,7 +324,7 @@ def test_y72_outer_join_stays_outer(plans):
     join degenerates to inner and zero-order customers vanish. The
     executed plan must keep the outer join and show NO filter on
     o_orderpriority applied after it."""
-    p = plans("y72_order_distribution")
+    p = plans("q06_order_distribution")
     assert "LeftOuter" in p, p
     # The priority predicate must appear as a pushed/scan-side filter on
     # orders (pre-join), and never in a Filter node above the join.
@@ -336,7 +336,7 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
     """The Q17 decorrelation joins lineitem to its own per-part
     aggregate: the brand/size-filtered part dim must broadcast, and the
     predicates must reach the part scan."""
-    p = plans("y73_small_qty_audit")
+    p = plans("q07_small_qty_audit")
     assert "BroadcastHashJoin" in p, p
     assert "EqualTo(p_brand,Brand#23)" in p, p
     assert "LessThan(p_size,15)" in p, p

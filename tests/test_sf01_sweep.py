@@ -30,20 +30,20 @@ SF01_DIR = "/root/testdata/sf0.1"
 # sf0.1); the Spark implementations stay sub-quadratic and are verified
 # by dedicated tests (union-find reference, recall/subset properties).
 QUADRATIC_ORACLES = {
-    "y68_keep_longest_canonical",
+    "q02_keep_longest_canonical",
     "z85_cluster_dedupe",
     "z86_ngram_jaccard",
     "z67_embedding_dedupe",
     "z60_minhash_lsh",
     "z60_simhash",
     "z74_rplsh_neardup",
-    "q86_ivf_embedding_dedupe",
+    "z186_ivf_embedding_dedupe",
     "z18_similarity_join",
     "z90_corpus_pipeline",
-    "q85_ivf_topk",
+    "z185_ivf_topk",
     "z61_topk_similarity",
-    "x52_winnow_containment",
-    "y67_duplicate_ngram_filter",
+    "z252_winnow_containment",
+    "q01_duplicate_ngram_filter",
 }
 
 SWEEP = sorted(
