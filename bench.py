@@ -104,24 +104,28 @@ def main() -> None:
                 pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                # A query that errors must not make the suite look faster:
-                # consumers see the failure list explicitly.
-                "errors": failed,
-                # Self-auditing (VERDICT r2 item 9): per-query diff vs the
-                # previous round's recorded bench at the same sf.
-                "regressions": regressions_vs_previous(timings, sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        # A query that errors must not make the suite look faster:
+        # consumers see the failure list explicitly.
+        "errors": failed,
+        # Self-auditing (VERDICT r2 item 9): per-query diff vs the
+        # previous round's recorded bench at the same sf.
+        "regressions": regressions_vs_previous(timings, sf),
+    }
+    print(json.dumps(payload))
+    # The driver keeps only a 2000-char tail of stdout (BENCH_r04.json
+    # came back "parsed: null" — r4 verdict nit 1), so the full
+    # per-query map is ALSO written as a repo-root sidecar artifact.
+    root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(root, "BENCH_local.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
     if failed:
         sys.exit(1)
 
@@ -143,21 +147,25 @@ def _extract_queries(obj: dict) -> dict[str, float]:
         return parsed["queries"]
     tail = obj.get("tail", "")
     m = _re.search(r'\{"[qxyz]\d\d_', tail)
-    if m is None:
-        return {}
-    start = m.start()
-    depth = 0
-    for j in range(start, len(tail)):
-        if tail[j] == "{":
-            depth += 1
-        elif tail[j] == "}":
-            depth -= 1
-            if depth == 0:
-                try:
-                    return json.loads(tail[start : j + 1])
-                except json.JSONDecodeError:
-                    return {}
-    return {}
+    if m is not None:
+        start = m.start()
+        depth = 0
+        for j in range(start, len(tail)):
+            if tail[j] == "{":
+                depth += 1
+            elif tail[j] == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        return json.loads(tail[start : j + 1])
+                    except json.JSONDecodeError:
+                        break
+    # Tail truncated MID-object (the opening brace itself is gone —
+    # BENCH_r04's 2000-char tail starts at z22): scavenge whatever
+    # "name": seconds pairs survive. A partial map still lets the
+    # regression gate check the surviving names instead of nothing.
+    pairs = _re.findall(r'"([qxyz]\d+_\w+)":\s*(-?[\d.]+)', tail)
+    return {k: float(v) for k, v in pairs}
 
 
 def regressions_vs_previous(
@@ -166,9 +174,11 @@ def regressions_vs_previous(
     """Compare against the newest BENCH_r*.json in the repo root and
     return {query: {prev, now, ratio}} for every >threshold slowdown.
     Registry keys renamed across tier rotations are matched to their
-    previous-round names via RENAMES_r4.json (new -> old, e.g.
-    z51_hash_ids was q51_hash_ids) plus the round-3 convention that a
-    z-name's round-2 key was the same suffix under q."""
+    previous-round names by walking the RENAMES_r*.json chain backwards
+    (each file maps old -> new for its round; the inverses are applied
+    newest-first until a name present in the previous bench appears),
+    plus the round-3 convention that a z-name's round-2 key was the
+    same suffix under q."""
     import glob
     import re
 
@@ -187,20 +197,33 @@ def regressions_vs_previous(
     if prev.get("sf") != sf:
         return {}
     prev_q = _extract_queries(prev)
-    renames: dict[str, str] = {}
-    try:
-        with open(os.path.join(root, "RENAMES_r4.json")) as fh:
-            # file maps old -> new; invert for new -> old lookups
-            renames = {v: k for k, v in json.load(fh).items()}
-    except (OSError, json.JSONDecodeError):
-        pass
+    # new -> old maps, newest round first
+    inverses: list[dict[str, str]] = []
+    for path in sorted(
+        glob.glob(os.path.join(root, "RENAMES_r*.json")),
+        key=lambda p: -int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    ):
+        try:
+            with open(path) as fh:
+                inverses.append({v: k for k, v in json.load(fh).items()})
+        except (OSError, json.JSONDecodeError):
+            continue
+
+    def lookup(name: str):
+        cand = name
+        if cand in prev_q:
+            return prev_q[cand]
+        for inv in inverses:
+            cand = inv.get(cand, cand)
+            if cand in prev_q:
+                return prev_q[cand]
+        if cand.startswith("z"):
+            return prev_q.get("q" + cand[1:])
+        return None
+
     ratios: dict[str, tuple[float, float, float]] = {}
     for name, now in timings.items():
-        old = prev_q.get(name)
-        if old is None and name in renames:
-            old = prev_q.get(renames[name])
-        if old is None and name.startswith("z"):
-            old = prev_q.get("q" + name[1:])
+        old = lookup(name)
         if old is None or old <= 0 or now <= 0:
             continue
         ratios[name] = (old, now, now / old)

@@ -16,7 +16,7 @@ percentile, rounded on both sides).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -615,23 +615,51 @@ def x34_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = (
         ev.mapInPandas(spacesaving, "user_id long").distinct()
     )
-    counts = ev.join(F.broadcast(candidates), "user_id", "left_semi").groupBy(
-        "user_id"
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    topk = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(_HH_K)
 
     # Runtime certification of the containment guarantee (ADVICE r3): a key
     # missing from every task's MG summary has global count <= n/(m+1), so
     # the candidate-based top-k is provably exact iff the k-th recounted
-    # candidate count strictly exceeds that bound. Both collects are bounded
-    # (k rows + one scalar). When the bound fails (flat distribution, high
-    # cardinality), fall back to the exact group-by — correctness never
-    # depends on data luck.
-    top_rows = topk.collect()
-    n_total = ev.count()
+    # candidate count strictly exceeds that bound. Certification is ONE
+    # bounded action (r4 verdict nit 2 folded the old extra ev.count()):
+    # the recount groups on `candidate-or-NULL`, so non-candidate mass
+    # lands in a single NULL bucket, the shuffle stays at <= |candidates|+1
+    # keys (map-side combine does the heavy lifting), and n = sum of all
+    # bucket counts ships on each of the k collected rows via a window sum
+    # over that tiny aggregate. When the bound fails (flat distribution,
+    # high cardinality), fall back to the exact group-by — correctness
+    # never depends on data luck.
+    marked = ev.join(
+        F.broadcast(candidates.withColumn("__cand", F.lit(True))),
+        "user_id",
+        "left",
+    )
+    bucket_counts = marked.groupBy(
+        F.when(F.col("__cand"), F.col("user_id")).alias("cand_key")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    certified = (
+        bucket_counts.withColumn(
+            "n_total", F.sum("n_events").over(Window.partitionBy())
+        )
+        .filter(F.col("cand_key").isNotNull())
+        .orderBy(F.desc("n_events"), F.asc("cand_key"))
+        .limit(_HH_K)
+        .select(
+            F.col("cand_key").alias("user_id"), "n_events", "n_total"
+        )
+    )
+    top_rows = certified.collect()
     kth = min((r["n_events"] for r in top_rows), default=0)
+    n_total = top_rows[0]["n_total"] if top_rows else 0
     if len(top_rows) == _HH_K and kth * (_HH_M + 1) > n_total:
-        return topk
+        # Return the clean production plan (semi-join recount, no window):
+        # the certified answer is provably the exact top-k.
+        return (
+            ev.join(F.broadcast(candidates), "user_id", "left_semi")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy(F.desc("n_events"), F.asc("user_id"))
+            .limit(_HH_K)
+        )
     return (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))

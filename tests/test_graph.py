@@ -166,8 +166,54 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(sqlf, "broadcast", spy)
     # pagerank_ranks, not the registered q88 wrapper: the wrapper adds a
     # legitimate ONE-ROW edge-count broadcast for its verdict join; the
-    # ban is on node-sized tables inside the iteration.
+    # ban is on node-sized tables inside the iteration. (The dangling
+    # branch broadcasts a ONE-ROW mass aggregate, but this co-occurrence
+    # graph is symmetric — no dangling nodes — so any broadcast seen
+    # here would be a node-sized regression.)
     pagerank_ranks(spark, sf_dir)
     assert not calls, "pagerank used a broadcast hint"
     z195_triangle_count(spark, sf_dir)
     assert not calls, "triangle count used a broadcast hint"
+
+
+def test_pagerank_iterations_run_zero_driver_collects(spark, monkeypatch):
+    """r4 verdict item 5: the dangling-mass term must be relational — a
+    per-iteration scalar collect() serializes rounds on a cluster. Build
+    PageRank over a graph WITH dangling nodes (2 has no out-edge) under a
+    collect spy: zero collects may fire during construction, and the
+    ranks must still match the dense power iteration."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from eprints_to_hyku_data_tool_spark.functions.graph import pagerank
+
+    calls: list[int] = []
+    real_collect = DataFrame.collect
+
+    def spy(self):
+        calls.append(1)
+        return real_collect(self)
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 0)], ["src", "dst"]
+    )
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    ranks_df = pagerank(edges, n_iter=10)
+    assert not calls, "pagerank construction ran a driver collect"
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+
+    got = {r["node"]: r["rank"] for r in ranks_df.collect()}
+    # dense reference: node 2 is dangling
+    n, d = 4, 0.85
+    out = {0: [1, 2], 1: [2], 2: [], 3: [0]}
+    rank = np.full(n, 1.0 / n)
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for s, ts in out.items():
+            for t in ts:
+                contrib[t] += rank[s] / len(ts)
+        dangling = sum(rank[s] for s, ts in out.items() if not ts)
+        rank = (1 - d) / n + d * (contrib + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - rank[i]) < 1e-12, (i, got[i], rank[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9

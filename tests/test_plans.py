@@ -163,7 +163,10 @@ NESTED_LOOP_WHITELIST = {
     # x49 pairs the per-source size table against itself with an
     # inequality condition — sources^2 rows, tiny by construction.
     "z249_vocab_overlap",
-    # q88's verdict join is one-row stats x one-row edge count.
+    # q88's verdict join is one-row stats x one-row edge count, and the
+    # per-iteration dangling-mass term is a one-row aggregate broadcast
+    # cross-joined onto the rank update (r5: replaced the per-round
+    # scalar collect).
     "q88_pagerank",
 }
 
@@ -318,6 +321,17 @@ def test_y71_promo_part_join_broadcasts(plans):
     assert "GreaterThanOrEqual(l_shipdate" in p, p
 
 
+def test_y70_shipmode_predicates_reach_scan(plans):
+    """The Q12 composite prunes lineitem BEFORE the fact-fact join: the
+    linestatus equality and both ends of the shipdate year range must
+    all appear as pushed scan filters (ADVICE r4: the registry doc
+    claimed this; nothing enforced it)."""
+    p = plans("q04_shipmode_priority")
+    assert "EqualTo(l_linestatus,F)" in p, p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "LessThan(l_shipdate" in p, p
+
+
 def test_y72_outer_join_stays_outer(plans):
     """The Q13 composite's priority filter rides the LEFT OUTER join as
     a right-side condition; if it leaks into a post-join Filter the
@@ -330,6 +344,23 @@ def test_y72_outer_join_stays_outer(plans):
     # orders (pre-join), and never in a Filter node above the join.
     join_detail = p.split("LeftOuter")[-1]
     assert "o_orderpriority" not in join_detail.split("Exchange")[0], p
+    # Layout-independent backstop (ADVICE r4: the slice above could pass
+    # vacuously if a Spark/AQE layout change reorders nodes): the
+    # NOT-IN predicate must ALSO be visible as a pushed scan filter, so
+    # a residual leaking above the join still fails this test.
+    assert "Not(In(o_orderpriority" in p, p
+
+
+def test_y74_volume_shipping_broadcasts_both_nations(plans):
+    """The Q7 composite snowflakes nation onto BOTH the customer and the
+    supplier legs: each leg must resolve as a BroadcastHashJoin (two
+    distinct BHJ-on-nationkey nodes) and nothing may degrade to a
+    nested-loop join (ADVICE r4: registry doc claimed dual broadcasts;
+    nothing enforced it)."""
+    p = plans("q08_volume_shipping")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "n_nationkey" in p, p
 
 
 def test_y73_small_qty_audit_shares_shuffle_key(plans):

@@ -135,3 +135,97 @@ def test_every_query_has_unique_registration():
     for name, spec in registry.REGISTRY.items():
         if spec.oracle is not None:
             assert "SELECT" in spec.oracle.upper(), name
+
+
+# --------------------------------------------------------------------------
+# Rotation bookkeeping (VERDICT r4 item 8): the z-tier claims "an earlier
+# round's driver verified this query green under a former name". That claim
+# must be mechanically checkable, or a rename could launder an unverified
+# query into the verified tier.
+# --------------------------------------------------------------------------
+import glob
+import json
+import os
+import re
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rename_files() -> list[str]:
+    return sorted(
+        glob.glob(os.path.join(_ROOT, "RENAMES_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+
+
+def _green_driver_names() -> set[str]:
+    """Names with a fully-green row (rows+schema+hash) in any round's
+    driver CORRECTNESS artifact."""
+    green: set[str] = set()
+    for f in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(f)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+            ):
+                green.add(name)
+    return green
+
+
+def test_rename_maps_are_injective_and_acyclic():
+    """Each RENAMES_r*.json must be a clean old->new map: no old name
+    renamed twice within a file (dict guarantees that), no two old names
+    collapsing onto one new name, no self-renames, and walking the
+    composed new->old chain from any current name must terminate (no
+    rename cycles across rounds)."""
+    registry._load_all()
+    inverses = []
+    for f in _rename_files():
+        m = json.load(open(f))
+        assert len(set(m.values())) == len(m), f"{f}: duplicate targets"
+        assert all(k != v for k, v in m.items()), f"{f}: self-rename"
+        inverses.append({v: k for k, v in m.items()})
+    for name in registry.REGISTRY:
+        seen = {name}
+        cand = name
+        # newest-first: each round's inverse applies at most once
+        for inv in reversed(inverses):
+            nxt = inv.get(cand, cand)
+            if nxt != cand:
+                assert nxt not in seen, f"rename cycle through {nxt}"
+                seen.add(nxt)
+                cand = nxt
+
+
+def test_every_z_name_has_green_driver_ancestor():
+    """Every z-tier query must trace back — through the RENAMES chain,
+    or the round-3 same-suffix convention (z## was q##/x##) — to a name
+    the driver verified fully green in some round. A z-name that cannot
+    is an unverified query hiding in the verified tier and must stay in
+    the q/x window instead."""
+    registry._load_all()
+    green = _green_driver_names()
+    inverses = [
+        {v: k for k, v in json.load(open(f)).items()}
+        for f in reversed(_rename_files())
+    ]
+    orphans = {}
+    for name in registry.REGISTRY:
+        if not name.startswith("z"):
+            continue
+        cand, found = name, name in green
+        if not found:
+            for inv in inverses:
+                cand = inv.get(cand, cand)
+                if cand in green:
+                    found = True
+                    break
+        if not found and re.match(r"z\d\d_", cand):
+            # round-3 rotation predates the RENAMES files; its
+            # convention was q/x -> z with the suffix kept
+            found = ("q" + cand[1:]) in green or ("x" + cand[1:]) in green
+        if not found:
+            orphans[name] = cand
+    assert not orphans, f"z-names with no green driver ancestor: {orphans}"

@@ -5,9 +5,10 @@ cluster-dedupe candidates-vs-verified bug) and rounding-boundary ties
 (r4's x43 avg, where a decimal-quotient landed exactly on a .5e-6
 rounding tie that sf0.01 happened to miss).
 
-Run with ``SPARK_GRAFT_SF01_SWEEP=1 python -m pytest
-tests/test_sf01_sweep.py`` (~3 min). Skipped by default to keep the
-suite fast. Queries whose DuckDB oracle is all-pairs-quadratic at sf0.1
+The driver-window names (q/x priority tier) run at sf0.1 on EVERY
+default pytest run (~1 min); the full-registry sweep is opt-in:
+``SPARK_GRAFT_SF01_SWEEP=1 python -m pytest tests/test_sf01_sweep.py``
+(~3 min). Queries whose DuckDB oracle is all-pairs-quadratic at sf0.1
 are excluded — their Spark sides are covered by the union-find /
 recall / subset tests instead.
 """
@@ -52,11 +53,27 @@ SWEEP = sorted(
     if s.oracle is not None and n not in QUADRATIC_ORACLES
 )
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_SF01_SWEEP") != "1",
-    reason="sf0.1 sweep is opt-in (SPARK_GRAFT_SF01_SWEEP=1); last full "
-    "run: 133/133 green (round 4)",
-)
+# r4 verdict item 6: the two sf0.1-only bug classes above both hit
+# queries that were IN the driver window at the time, so the window
+# names (the q/x priority tier — the first 50 sorted registry names the
+# driver will actually check this round) run at sf0.1 by DEFAULT; the
+# full-registry sweep stays opt-in via SPARK_GRAFT_SF01_SWEEP=1.
+_FULL = os.environ.get("SPARK_GRAFT_SF01_SWEEP") == "1"
+_WINDOW = set(sorted(REGISTRY)[:50])
+
+SWEEP_PARAMS = [
+    pytest.param(
+        n,
+        marks=()
+        if _FULL or n in _WINDOW
+        else pytest.mark.skip(
+            reason="non-window sf0.1 parity is opt-in "
+            "(SPARK_GRAFT_SF01_SWEEP=1); last full run: 138/138 green "
+            "(round 4)"
+        ),
+    )
+    for n in SWEEP
+]
 
 
 @pytest.fixture(scope="module")
@@ -75,7 +92,7 @@ def duck01():
     con.close()
 
 
-@pytest.mark.parametrize("name", SWEEP)
+@pytest.mark.parametrize("name", SWEEP_PARAMS)
 def test_sf01_parity(name, spark, duck01):
     spec = REGISTRY[name]
     assert_parity(spec.fn(spark, SF01_DIR), spec.oracle, duck01, name=name)
