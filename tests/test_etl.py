@@ -116,8 +116,8 @@ def test_x06_partitioned_parquet_sink(spark, sf_dir, tmp_path):
 
 
 def test_x04_jdbc_reader_is_configured(spark):
-    """No database in this container: assert the wrapper builds a jdbc
-    reader (load() would need a live endpoint)."""
+    """Option-plumbing check: a bogus driver string must surface as the
+    driver failure, proving the wrapper wired url/driver through."""
     with pytest.raises(Exception) as exc_info:
         eio.read_jdbc(
             spark,
@@ -130,6 +130,57 @@ def test_x04_jdbc_reader_is_configured(spark):
     assert "NoDriver" in str(exc_info.value) or "No suitable driver" in str(
         exc_info.value
     )
+
+
+def test_x04_jdbc_roundtrip_derby(spark, sf_dir, tmp_path):
+    """X04 full integration (r4 verdict item 7): Spark ships embedded
+    Apache Derby on its own classpath, so the JDBC source/sink is
+    round-trippable in-container with zero network: write orders into a
+    Derby table, read it back as a PARTITIONED parallel scan (4 bounded
+    o_orderkey ranges -> 4 concurrent connections), and confirm the
+    predicate is pushed into the database scan instead of filtering in
+    Spark."""
+    import contextlib
+    import io as _io
+
+    # keep derby.log out of the repo root (read at Derby boot, i.e.
+    # first connection of this JVM)
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/eprints_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    eio.write_jdbc(orders, url, "orders_jdbc", properties=props)
+
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    back = eio.read_jdbc(
+        spark,
+        url,
+        "orders_jdbc",
+        partition_column="o_orderkey",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        properties=props,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == orders.count()
+    a = sorted(r["o_orderkey"] for r in orders.collect())
+    b = sorted(r["o_orderkey"] for r in back.collect())
+    assert a == b
+
+    filtered = back.filter(F.col("o_totalprice") > 100000.0)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain()
+    plan = buf.getvalue()
+    assert "JDBCRelation" in plan, plan
+    assert "GreaterThan(o_totalprice" in plan, plan
+    assert filtered.count() == orders.filter(
+        F.col("o_totalprice") > 100000.0
+    ).count()
 
 
 def test_x01b_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):

@@ -103,7 +103,7 @@ SECTION2_MAP = {
     "X01": None,  # CSV/ORC source — tests/test_etl.py
     "X02": None,  # JSON source — tests/test_etl.py
     "X03": None,  # XML (EP3) source — tests/test_etl.py
-    "X04": None,  # JDBC plumbing — tests/test_etl.py (no DB in container)
+    "X04": None,  # JDBC source/sink — tests/test_etl.py Derby round-trip
     "X05": None,  # Bulkrax CSV sink — tests/test_etl.py golden files
     "X06": None,  # partitioned parquet sink — tests/test_etl.py
     "X07": None,  # streaming source/sink — tests/test_streaming.py
