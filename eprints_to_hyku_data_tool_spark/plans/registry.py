@@ -99,6 +99,8 @@ def _load_all() -> None:
         "q_media",
         "q_r4",
         "q_r4c",
+        "q_r5_tpch",
+        "q_r5_llm",
     ):
         try:
             __import__(f"{__package__}.{mod}")

@@ -163,6 +163,9 @@ NESTED_LOOP_WHITELIST = {
     # x49 pairs the per-source size table against itself with an
     # inequality condition — sources^2 rows, tiny by construction.
     "z249_vocab_overlap",
+    # q21 (TPC-H Q22) cross-joins the one-row global-average-balance
+    # aggregate onto customer — the canonical scalar-subquery broadcast.
+    "q21_dormant_customers",
     # q88's verdict join is one-row stats x one-row edge count, and the
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
@@ -456,3 +459,67 @@ def test_cluster_shaped_shuffle_partition_count_is_respected(spark, sf_dir):
     with _cluster_shaped(spark):
         p = plan_text(REGISTRY["z19_groupby_multi_agg"].fn(spark, sf_dir))
     assert "200" in p, p
+
+
+# --------------------------------------------------------------------------
+# Round-5 TPC-H decorrelation composites (q_r5_tpch)
+# --------------------------------------------------------------------------
+def test_q10_best_supplier_rank1_uses_group_limit(plans):
+    """The Q2-shape window rank-1 must run as WindowGroupLimit (each task
+    keeps one candidate per part before the shuffle) and the part-size
+    prune must reach the part scan."""
+    p = plans("q10_min_cost_supplier")
+    assert "WindowGroupLimit" in p, p
+    assert "LessThan(p_size,10)" in p, p
+
+
+def test_q11_exists_is_semi_join_with_pushdown(plans):
+    """The Q4-shape EXISTS must be a left semi join whose quantity filter
+    reaches the lineitem scan — never a post-join distinct."""
+    p = plans("q11_priority_exists")
+    assert "LeftSemi" in p, p
+    assert "GreaterThanOrEqual(l_quantity,48.0)" in p, p
+
+
+def test_q15_max_joinback_is_hash_join(plans):
+    """The Q15-shape scalar-MAX join-back compares exact decimals with an
+    EQUI join — broadcast hash, never a nested loop over revenue."""
+    p = plans("q15_top_supplier")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_q18_or_implications_reach_both_scans(plans):
+    """The Q19-shape disjunction spans both join sides; Catalyst must
+    derive each side's implication and push it: the quantity OR-range
+    onto lineitem, the brand/size OR onto part."""
+    p = plans("q18_disjunctive_revenue")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in p, p
+    assert "EqualTo(p_brand,Brand#12)" in p, p
+    assert "EqualTo(p_brand,Brand#3)" in p, p
+
+
+def test_q17_aggregates_before_joining(plans):
+    """The Q18-shape HAVING must prune lineitem groups BEFORE orders or
+    customer join in: the plan's first join input is the aggregate
+    (4 HashAggregate nodes: partial+final for the group, none after the
+    joins), and the sum threshold appears as a Filter over the agg,
+    not over a join."""
+    import re
+
+    p = plans("q17_large_orders")
+    assert p.count("HashAggregate") >= 2, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # formatted-explain numbers nodes leaf-to-root: the group-by's
+    # HashAggregate ids must be SMALLER than every join id (aggregate
+    # strictly upstream of the joins)
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", p)]
+    join_ids = [
+        int(m)
+        for m in re.findall(
+            r"\((\d+)\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+            p,
+        )
+    ]
+    assert agg_ids and join_ids, p
+    assert min(agg_ids) < min(join_ids), (agg_ids, join_ids)
