@@ -171,6 +171,13 @@ NESTED_LOOP_WHITELIST = {
     # cross-joined onto the rank update (r5: replaced the per-round
     # scalar collect).
     "q88_pagerank",
+    # q24 cross-joins the (5-row lang model dim x one-row vocab/total
+    # aggregates) onto the test token stream — tiny by construction,
+    # the z71/x30 broadcast-scalar shape.
+    "q24_naive_bayes",
+    # q27 cross-joins the two one-row side-total aggregates onto the
+    # 10-row bin join (same shape).
+    "q27_psi_drift",
 }
 
 
