@@ -1,0 +1,594 @@
+"""Round-5 batch C: ETL/migration + event-analytics operators. The
+reference is a repository-migration data tool (EPrints -> Hyku), and a
+production migration runs exactly these shapes around the mapping
+queries already in the registry: slowly-changing-dimension history
+builds, MERGE-style incremental upserts, CDC change-log application,
+and the event-stream analytics (funnel, retention, attribution,
+gap-fill, EWMA) that monitor an ongoing ingest.
+
+- q29  SCD type-2 history build (change-log -> validity ranges)
+- q30  MERGE INTO semantics (upsert a delta batch into a snapshot)
+- q31  CDC apply (ordered upsert/delete log -> final table state)
+- q32  funnel conversion (ordered view -> click -> purchase steps)
+- q33  retention cohorts (cohort week x week-offset activity matrix)
+- q34  last-touch attribution (purchases credited to preceding event)
+- q35  per-key daily gap-fill + forward fill (calendar densification)
+- q36  EWMA smoothing (ordered IEEE fold, bit-identical cross-engine)
+
+Cross-engine hash discipline (registry.py): timestamps are exported as
+epoch microseconds (unix_micros / epoch_us — the fixture is
+us-precision in both engines); event values are quantized to exact
+integers with the floor idiom ``floor(x*1e6 + 0.5)`` BEFORE any
+aggregate; the only raw-IEEE outputs are single divisions of exact
+integers or the q36 ordered fold, both bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the two columns every query here needs: an exact
+    microsecond epoch (total order within a user: (ts_us, event_id))
+    and the 6dp-quantized integer value."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("value_u"),
+    )
+
+
+_EV_SQL = """
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS value_u
+    FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Q29 — SCD type-2 history build
+# --------------------------------------------------------------------------
+@register(
+    "q29_scd2_history",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    flagged AS (
+      SELECT user_id, event_type, ts_us, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    versioned AS (
+      SELECT user_id, event_type, ts_us,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS version
+      FROM flagged),
+    ranges AS (
+      SELECT user_id, CAST(version AS INT) AS version, event_type,
+             MIN(ts_us) AS valid_from_us, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM versioned GROUP BY 1, 2, 3)
+    SELECT user_id, version, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current,
+           n_events
+    FROM ranges
+    """,
+    doc="SCD type-2 dimension build: the per-user event_type change-log "
+    "collapses into versioned validity ranges [valid_from, valid_to) "
+    "with an is_current flag — the standard dimension-history shape a "
+    "migration tool maintains for repository records. One shuffle on "
+    "user_id serves the ENTIRE query: the change-flag lag window, the "
+    "running-sum versioning window, the (user, version) group-by "
+    "(grouping keys are a superset of the partitioning key, so no "
+    "re-exchange), and the lead() that closes each range. Change "
+    "detection is null-safe (<=> / IS DISTINCT FROM on both engines); "
+    "ordering is the total (ts_us, event_id) order, so versions are "
+    "deterministic. At 100 TB this is the classic windowed-dedup "
+    "posture: scales with the per-user history, never all-pairs.",
+)
+def q29_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    versioned = flagged.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("version"),
+    )
+    ranges = versioned.groupBy(
+        "user_id", F.col("version").cast("int").alias("version"), "event_type"
+    ).agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    closed = ranges.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wv).alias("valid_to_us"),
+        "n_events",
+    )
+    return closed.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q30 — MERGE INTO semantics (upsert a delta batch into a snapshot)
+# --------------------------------------------------------------------------
+@register(
+    "q30_merge_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 7 <> 0),
+    delta AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 500
+               AS price_cents,
+             'P' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT COALESCE(t.o_orderkey, d.o_orderkey) AS o_orderkey,
+           COALESCE(d.price_cents, t.price_cents) AS price_cents,
+           COALESCE(d.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           CASE WHEN t.o_orderkey IS NULL THEN 'inserted'
+                WHEN d.o_orderkey IS NULL THEN 'kept'
+                ELSE 'updated' END AS action
+    FROM target t FULL OUTER JOIN delta d ON t.o_orderkey = d.o_orderkey
+    """,
+    doc="MERGE INTO semantics — WHEN MATCHED THEN UPDATE / WHEN NOT "
+    "MATCHED THEN INSERT — expressed as one full-outer join on the "
+    "merge key plus coalesce projection, the exact relational algebra "
+    "lakehouse MERGE compiles to. The snapshot is orders minus every "
+    "7th key (rows 'not yet migrated'); the delta re-ships every 3rd "
+    "key with a +500-cent price revision, so all three MERGE outcomes "
+    "(kept / updated / inserted) appear and are labeled in an action "
+    "column. Money is floor-quantized to integer cents before "
+    "arithmetic — the +500 revision is exact. Single shuffle on the "
+    "merge key; at 100 TB both sides sort-merge on o_orderkey and a "
+    "file-pruning pre-filter (zone maps, q28's audit) bounds the "
+    "rewrite set, which is how Delta/Iceberg execute the same plan.",
+)
+def q30_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    target = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        cents.alias("price_cents"),
+        "o_orderstatus",
+    )
+    delta = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (cents + F.lit(500)).alias("price_cents"),
+        F.lit("P").alias("o_orderstatus"),
+    )
+    t = target.alias("t")
+    d = delta.alias("d")
+    merged = t.join(d, F.col("t.o_orderkey") == F.col("d.o_orderkey"), "full")
+    return merged.select(
+        F.coalesce("t.o_orderkey", "d.o_orderkey").alias("o_orderkey"),
+        F.coalesce("d.price_cents", "t.price_cents").alias("price_cents"),
+        F.coalesce("d.o_orderstatus", "t.o_orderstatus").alias(
+            "o_orderstatus"
+        ),
+        F.when(F.col("t.o_orderkey").isNull(), F.lit("inserted"))
+        .when(F.col("d.o_orderkey").isNull(), F.lit("kept"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q31 — CDC apply (ordered upsert/delete log -> final state)
+# --------------------------------------------------------------------------
+@register(
+    "q31_cdc_apply",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    log AS (
+      SELECT user_id, ts_us, event_id, value_u,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM ev),
+    latest AS (
+      SELECT user_id, ts_us, value_u, op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us DESC, event_id DESC) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+      FROM log)
+    SELECT user_id, ts_us AS applied_ts_us, value_u AS final_value_u, n_ops
+    FROM latest WHERE rk = 1 AND op = 'U'
+    """,
+    doc="CDC change-log application: the event stream is read as an "
+    "ordered upsert/delete log per key ('error' rows are tombstones, "
+    "everything else an upsert carrying value_u) and collapsed to "
+    "final table state — keys whose LAST operation is a delete vanish. "
+    "This is the Debezium/Delta CDF apply shape: one shuffle on the "
+    "key, a descending (ts_us, event_id) row_number keep-first, and a "
+    "tombstone filter; the per-key op count rides the same window "
+    "partition for free. Identical to streaming upsert compaction — "
+    "at 100 TB the log is applied per micro-batch with exactly this "
+    "plan (cf. streaming/ops.py dedupe), the window never widens "
+    "beyond a key's own history, and AQE handles hot keys.",
+)
+def q31_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        "value_u",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    wa = Window.partitionBy("user_id")
+    latest = log.select(
+        "user_id",
+        "ts_us",
+        "value_u",
+        "op",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wa).alias("n_ops"),
+    )
+    return latest.filter((F.col("rk") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        F.col("ts_us").alias("applied_ts_us"),
+        F.col("value_u").alias("final_value_u"),
+        "n_ops",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q32 — funnel conversion (view -> click -> purchase, ordered)
+# --------------------------------------------------------------------------
+@register(
+    "q32_funnel_conversion",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+           GROUP BY e.user_id),
+    counts AS (
+      SELECT 1 AS step_no, 'view' AS step,
+             CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM s3)
+    SELECT step_no, step, n_users,
+           CAST(n_users AS DOUBLE)
+             / CAST(FIRST_VALUE(n_users) OVER (ORDER BY step_no) AS DOUBLE)
+             AS conversion
+    FROM counts
+    """,
+    doc="Ordered funnel conversion: step k counts users whose first "
+    "qualifying step-k event happens STRICTLY AFTER their first "
+    "step-(k-1) event (min-forward sequencing, the standard product "
+    "funnel, not mere set intersection). Three conditional min-aggs "
+    "chained by user_id equi-joins — every shuffle in the query is on "
+    "the one user_id key, so a cluster co-partitions all stages; the "
+    "event-type filters reach the scans. Output is 3 tiny rows with a "
+    "conversion ratio = one IEEE division of exact counts. At 100 TB "
+    "each stage is a partial-agg (map-side combine) over the filtered "
+    "stream — no window over the full history, no per-user state "
+    "beyond one timestamp.",
+)
+def q32_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("step_no"), F.lit("view").alias("step"), "n_users")
+        .unionAll(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("step_no"),
+                F.lit("view>click").alias("step"),
+                "n_users",
+            )
+        )
+        .unionAll(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("step_no"),
+                F.lit("view>click>purchase").alias("step"),
+                "n_users",
+            )
+        )
+    )
+    w = Window.orderBy("step_no").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return counts.select(
+        "step_no",
+        "step",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.first("n_users").over(w).cast("double")
+        ).alias("conversion"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q33 — retention cohorts (cohort week x week offset)
+# --------------------------------------------------------------------------
+@register(
+    "q33_retention_cohorts",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    days AS (SELECT user_id,
+                    CAST(make_timestamp(ts_us) AS DATE) AS d
+             FROM ev GROUP BY 1, 2),
+    cohort AS (SELECT user_id, MIN(d) AS c0 FROM days GROUP BY user_id)
+    SELECT CAST(date_trunc('week', cohort.c0) AS DATE) AS cohort_week,
+           CAST((days.d - cohort.c0) // 7 AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT days.user_id) AS BIGINT) AS n_users
+    FROM days JOIN cohort ON days.user_id = cohort.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: each user joins the cohort of their "
+    "first active day; every later active day lands in week-offset "
+    "floor((day - cohort_day)/7), counted as distinct users per "
+    "(cohort_week, offset) cell — the canonical product-retention "
+    "triangle. Two shuffles, both on user_id (day-dedup + cohort min), "
+    "then one small agg over the matrix cells; the distinct-user count "
+    "is exact. Dates stay integer (DATE subtraction, integer floor "
+    "division) so no float enters the query at all. At 100 TB the "
+    "per-(user, day) dedup is the map-side-combine workhorse; the "
+    "final matrix is O(weeks^2) rows regardless of corpus size.",
+)
+def q33_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    days = (
+        ev.select(
+            "user_id",
+            F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("d"),
+        )
+        .groupBy("user_id", "d")
+        .agg(F.lit(1))
+        .select("user_id", "d")
+    )
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("c0"))
+    joined = days.join(cohort, "user_id")
+    return joined.groupBy(
+        F.date_trunc("week", "c0").cast("date").alias("cohort_week"),
+        F.floor(F.datediff("d", "c0") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# Q34 — last-touch attribution
+# --------------------------------------------------------------------------
+@register(
+    "q34_last_touch_attribution",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    tagged AS (
+      SELECT user_id, event_type, ts_us, value_u,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM ev)
+    SELECT COALESCE(touch, '(organic)') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(value_u) AS BIGINT) AS revenue_u
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch attribution: every purchase is credited to the "
+    "nearest PRECEDING non-purchase event of the same user (the "
+    "marketing 'channel'), with purchases that have no prior touch "
+    "bucketed as organic. The preceding-touch lookup is a last_value "
+    "IGNORE NULLS window over (unbounded, 1 preceding) — an as-of "
+    "join against the user's own stream that costs one user_id "
+    "shuffle and a sort, never a self-join. Revenue sums the exact "
+    "6dp-quantized integers. The same window state machine runs "
+    "incrementally under structured streaming; at 100 TB attribution "
+    "is per-key-bounded exactly like sessionization (z84).",
+)
+def q34_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "value_u",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch"),
+    )
+    return (
+        tagged.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("(organic)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("value_u").alias("revenue_u"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q35 — per-key daily gap-fill + forward fill
+# --------------------------------------------------------------------------
+@register(
+    "q35_gap_fill",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    daily AS (
+      SELECT user_id, CAST(make_timestamp(ts_us) AS DATE) AS d,
+             CAST(SUM(value_u) AS BIGINT) AS day_value_u
+      FROM ev GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+             FROM daily GROUP BY user_id),
+    cal AS (SELECT user_id,
+                   CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                               CAST(d1 AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS d
+            FROM span)
+    SELECT cal.user_id, cal.d AS day,
+           daily.day_value_u IS NULL AS is_gap,
+           COALESCE(daily.day_value_u,
+                    last_value(daily.day_value_u IGNORE NULLS)
+                      OVER (PARTITION BY cal.user_id ORDER BY cal.d))
+             AS filled_value_u
+    FROM cal LEFT JOIN daily
+      ON daily.user_id = cal.user_id AND daily.d = cal.d
+    """,
+    doc="Calendar densification + forward fill: per-user daily totals "
+    "are densified to EVERY day in the user's own [first, last] span "
+    "(sequence + explode builds the calendar relationally — no "
+    "driver-side date loop) and gaps carry the last observation "
+    "forward via last_value IGNORE NULLS. This is the time-series "
+    "regularization step before any resample/EWMA/drift pass. All "
+    "shuffles key on user_id; the calendar explode is O(span_days) "
+    "per key, bounded by the retention window at scale; values are "
+    "exact quantized integers so the fill is hash-stable. The "
+    "left join keeps is_gap as an explicit audit column.",
+)
+def q35_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id",
+        F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("d"),
+    ).agg(F.sum("value_u").alias("day_value_u"))
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    joined = cal.join(daily, ["user_id", "d"], "left")
+    w = Window.partitionBy("user_id").orderBy("d")
+    return joined.select(
+        "user_id",
+        F.col("d").alias("day"),
+        F.col("day_value_u").isNull().alias("is_gap"),
+        F.coalesce(
+            "day_value_u",
+            F.last("day_value_u", ignorenulls=True).over(w),
+        ).alias("filled_value_u"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q36 — EWMA smoothing (ordered IEEE fold, bit-identical)
+# --------------------------------------------------------------------------
+@register(
+    "q36_ewma",
+    oracle=f"""
+    WITH ev AS ({_EV_SQL}),
+    series AS (
+      SELECT user_id,
+             list(CAST(value_u AS DOUBLE) ORDER BY ts_us, event_id) AS xs
+      FROM ev GROUP BY user_id)
+    SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+           list_reduce(xs, (acc, x) -> acc * 0.75 + x * 0.25) AS ewma_u
+    FROM series
+    """,
+    doc="Exponentially-weighted moving average per user, alpha = 0.25: "
+    "EWMA_t = 0.75*EWMA_(t-1) + 0.25*x_t seeded with the first "
+    "observation. The recurrence is inherently ordered, so it runs as "
+    "an ORDERED left-fold (F.aggregate over the (ts_us, event_id)- "
+    "sorted list / DuckDB list_reduce) — q24's portability pattern: "
+    "both multipliers are exact binary fractions (0.75 = 3*2^-2, "
+    "0.25 = 2^-2) and inputs are exact quantized integers, so every "
+    "FMA-free multiply-add happens in the same sequence on both "
+    "engines and the resulting double is bit-identical — no rounding "
+    "tolerance, full-precision hash match. One user_id shuffle; the "
+    "collected series is the user's own history (state bounded per "
+    "key; the streaming variant keeps just the running scalar).",
+)
+def q36_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    series = ev.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts_us", "event_id", "value_u"))
+            ),
+            lambda s: s["value_u"].cast("double"),
+        ).alias("xs")
+    )
+    ewma = F.aggregate(
+        F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.element_at("xs", 1),
+        lambda acc, x: acc * F.lit(0.75) + x * F.lit(0.25),
+    )
+    return series.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n_events"),
+        ewma.alias("ewma_u"),
+    )

@@ -101,6 +101,7 @@ def _load_all() -> None:
         "q_r4c",
         "q_r5_tpch",
         "q_r5_llm",
+        "q_r5_etl",
     ):
         try:
             __import__(f"{__package__}.{mod}")

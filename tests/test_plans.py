@@ -530,3 +530,74 @@ def test_q17_aggregates_before_joining(plans):
     ]
     assert agg_ids and join_ids, p
     assert min(agg_ids) < min(join_ids), (agg_ids, join_ids)
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch C (ETL / event analytics): the scale claim of every query
+# in q_r5_etl.py is "all shuffles ride the user_id (or merge-key) hash" —
+# assert the Exchange counts that claim implies, so a regression that
+# splinters the partitioning (e.g. a window ordered differently from the
+# group-by) fails here, not in a 100 TB run.
+# --------------------------------------------------------------------------
+def test_q29_scd2_single_shuffle(plans):
+    """SCD2 = lag-flag window + running-sum window + (user, version)
+    group-by + lead window. All four reuse ONE user_id exchange: the
+    grouping keys are a superset of the partition key and every window
+    partitions by user_id, so exactly one plain Exchange may appear."""
+    import re
+
+    p = plans("q29_scd2_history")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert p.count("Window") >= 3, p
+
+
+def test_q30_merge_is_full_outer_smj(plans):
+    """MERGE compiles to a full-outer sort-merge join on the merge key —
+    never a nested loop, and both sides shuffle exactly once."""
+    import re
+
+    p = plans("q30_merge_upsert")
+    assert "FullOuter" in p, p
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+
+
+def test_q31_cdc_single_shuffle(plans):
+    """CDC apply: keep-last row_number and the per-key op count share
+    the one user_id exchange (same partition key, compatible sorts)."""
+    import re
+
+    p = plans("q31_cdc_apply")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_q34_attribution_two_shuffles(plans):
+    """Last-touch attribution = one user_id window shuffle + one final
+    channel aggregation shuffle; the as-of lookup must be a window
+    (no self-join node may appear)."""
+    import re
+
+    p = plans("q34_last_touch_attribution")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+    assert "Join" not in p, p
+
+
+def test_q35_gap_fill_no_nested_loop(plans):
+    """Calendar densification joins the exploded per-user calendar back
+    to the daily aggregate on (user_id, day) — an equi-join that must
+    never degrade to a nested loop or cartesian product."""
+    p = plans("q35_gap_fill")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q36_ewma_single_shuffle(plans):
+    """The EWMA fold runs inside one collect_list aggregation: exactly
+    one exchange, and the fold itself is a codegen'd expression (no
+    Python evaluator node)."""
+    import re
+
+    p = plans("q36_ewma")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "Python" not in p, p
