@@ -102,6 +102,7 @@ def _load_all() -> None:
         "q_r5_tpch",
         "q_r5_llm",
         "q_r5_etl",
+        "q_r5_dq",
     ):
         try:
             __import__(f"{__package__}.{mod}")

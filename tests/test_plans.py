@@ -178,6 +178,12 @@ NESTED_LOOP_WHITELIST = {
     # q27 cross-joins the two one-row side-total aggregates onto the
     # 10-row bin join (same shape).
     "q27_psi_drift",
+    # q37's FK-coverage row cross-joins two ONE-ROW count aggregates
+    # (checked-total x violation-total — the z191 shape).
+    "q37_expectations_audit",
+    # q39 cross-joins one-row extrema/total aggregates onto the fact
+    # stream for integer bin arithmetic (the x30 broadcast-scalar shape).
+    "q39_histogram",
 }
 
 
@@ -601,3 +607,33 @@ def test_q36_ewma_single_shuffle(plans):
     p = plans("q36_ewma")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "Python" not in p, p
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch D part 1 (data quality): plan posture
+# --------------------------------------------------------------------------
+def test_q37_expectations_fold_rules_into_scans(plans):
+    """All same-table rules must fold into shared scans (one per fact
+    table per aggregate branch, never one scan per rule: 6 rules over 2
+    tables may not produce 6+ fact scans) and the FK rule must be a
+    left-anti join, not a nested loop over the fact."""
+    p = plans("q37_expectations_audit")
+    assert "LeftAnti" in p, p
+    assert p.count("Location: InMemoryFileIndex") <= 5, p
+
+
+def test_q38_drift_is_single_scan_two_groups(plans):
+    """The drift monitor reads events ONCE and aggregates by the 2-value
+    half flag; per-metric rows come from stack(), not re-scans."""
+    p = plans("q38_schema_drift")
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+
+
+def test_q39_equidepth_is_distributed(plans):
+    """Exact equi-depth bucketing must ride the two-phase global-position
+    engine (z37 rule): range partitioner + per-partition ranks, never a
+    single-partition ntile window over the fact table."""
+    p = plans("q39_histogram")
+    assert "rangepartitioning" in p, p
+    assert "hashpartitioning(__pid" in p, p
+    assert "ntile" not in p, p
