@@ -103,6 +103,7 @@ def _load_all() -> None:
         "q_r5_llm",
         "q_r5_etl",
         "q_r5_dq",
+        "q_r5_linalg",
     ):
         try:
             __import__(f"{__package__}.{mod}")

@@ -184,6 +184,12 @@ NESTED_LOOP_WHITELIST = {
     # q39 cross-joins one-row extrema/total aggregates onto the fact
     # stream for integer bin arithmetic (the x30 broadcast-scalar shape).
     "q39_histogram",
+    # q41 cross-joins the k-row (k=8) centroid table onto the point
+    # stream — the assignment broadcast every distributed k-means does.
+    "q41_kmeans_lloyd",
+    # q42 cross-joins the one-row max-abs normalization scalar onto the
+    # 64-row eigenvector each round (broadcast-scalar shape).
+    "q42_power_iteration",
 }
 
 
@@ -637,3 +643,40 @@ def test_q39_equidepth_is_distributed(plans):
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
     assert "ntile" not in p, p
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch D part 2 (linear algebra / iterative ML)
+# --------------------------------------------------------------------------
+def test_q40_ols_is_one_aggregation(plans):
+    """The whole regression reduces the fact table in ONE partial-agg
+    pass: exactly one exchange (10 numbers per partition cross the
+    wire) and no join of any kind."""
+    import re
+
+    p = plans("q40_ols_normal_eq")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "Join" not in p, p
+    assert p.count("HashAggregate") >= 2, p  # map-side partials
+
+
+def test_q41_kmeans_assignment_broadcasts_centroids(plans):
+    """Assignment must broadcast the k-row centroid table against the
+    point stream (never shuffle the points by centroid), and the
+    exact-integer distance fold must stay JVM-side (no Python node)."""
+    p = plans("q41_kmeans_lloyd")
+    assert "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_q42_power_iteration_plan_is_linear_in_rounds(plans):
+    """Per-round lazy checkpoints must keep the final plan linear: the
+    un-checkpointed form doubles the subtree every round (2^4 copies
+    of the Gram kernel). The explained plan may contain at most a few
+    aggregates, and the matvec fold is codegen (no Python)."""
+    import re
+
+    p = plans("q42_power_iteration")
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) <= 6, p
+    assert "Python" not in p, p
