@@ -104,6 +104,7 @@ def _load_all() -> None:
         "q_r5_etl",
         "q_r5_dq",
         "q_r5_linalg",
+        "q_r5_pipeline",
     ):
         try:
             __import__(f"{__package__}.{mod}")

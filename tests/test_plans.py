@@ -190,6 +190,17 @@ NESTED_LOOP_WHITELIST = {
     # q42 cross-joins the one-row max-abs normalization scalar onto the
     # 64-row eigenvector each round (broadcast-scalar shape).
     "q42_power_iteration",
+    # q43 cross-joins the ONE-ROW top-pair argmax onto the vocabulary
+    # table each merge round (broadcast-scalar shape).
+    "q43_bpe_train",
+    # q45's verdict row is one-row split sizes x one-row leak counts.
+    "q45_split_leakage",
+    # q46 cross-joins the one-row total-count aggregate for the
+    # quantile denominator (broadcast-scalar shape).
+    "q46_quantile_rank",
+    # q47 cross-joins the one-row moments/inverse-covariance model onto
+    # the fact stream — the broadcast-model scoring shape.
+    "q47_mahalanobis",
 }
 
 
@@ -680,3 +691,38 @@ def test_q42_power_iteration_plan_is_linear_in_rounds(plans):
     p = plans("q42_power_iteration")
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) <= 6, p
     assert "Python" not in p, p
+
+
+# --------------------------------------------------------------------------
+# Round-5 batch E (training-pipeline operators)
+# --------------------------------------------------------------------------
+def test_q44_feature_hashing_two_aggregations(plans):
+    """Hashing-trick featurization: explode -> bucket agg. The distinct
+    load per bucket forces an expand, but everything stays on the
+    256-value bucket key — exactly two plain exchanges, no join."""
+    import re
+
+    p = plans("q44_feature_hashing")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+    assert "Join" not in p.replace("BroadcastNestedLoopJoin", ""), p
+
+
+def test_q46_quantile_rank_is_distributed(plans):
+    """The rank transform must ride the two-phase global-position
+    engine (z37 rule), never a single-partition window."""
+    p = plans("q46_quantile_rank")
+    assert "rangepartitioning" in p, p
+    assert "hashpartitioning(__pid" in p, p
+
+
+def test_q47_mahalanobis_no_fact_shuffle(plans):
+    """Scoring broadcasts the one-row model back onto the fact scan:
+    the only plain exchange is the single-partition moment reduction —
+    the fact table itself is never hash-shuffled, and the top-10 is
+    TakeOrdered, not a global sort."""
+    import re
+
+    p = plans("q47_mahalanobis")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange rangepartitioning" not in p, p
