@@ -555,3 +555,213 @@ def q47_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("md"), "l_orderkey", "l_linenumber"
     ).limit(10)
+
+
+# --------------------------------------------------------------------------
+# Q48 — ALS recommender half-step (per-user 2x2 normal-equation solve)
+# --------------------------------------------------------------------------
+_ALS_LAMBDA = 1  # ridge regularizer, exact integer
+
+
+@register(
+    "q48_als_step",
+    oracle=f"""
+    WITH r AS (
+      SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+             CAST(SUM(CAST(floor(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS rating
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    f AS (
+      SELECT p_partkey AS item_id,
+             CAST(1 + p_partkey % 7 AS BIGINT) AS f1,
+             CAST(1 + p_partkey % 11 AS BIGINT) AS f2
+      FROM part),
+    m AS (
+      SELECT r.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(f.f1 * f.f1) AS BIGINT) + {_ALS_LAMBDA} AS a11,
+             CAST(SUM(f.f1 * f.f2) AS BIGINT) AS a12,
+             CAST(SUM(f.f2 * f.f2) AS BIGINT) + {_ALS_LAMBDA} AS a22,
+             CAST(SUM(r.rating * f.f1) AS BIGINT) AS b1,
+             CAST(SUM(r.rating * f.f2) AS BIGINT) AS b2
+      FROM r JOIN f ON r.item_id = f.item_id
+      GROUP BY r.user_id)
+    SELECT user_id, n_items,
+           CAST(b1 * a22 - b2 * a12 AS DOUBLE)
+             / CAST(a11 * a22 - a12 * a12 AS DOUBLE) AS u1,
+           CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+             / CAST(a11 * a22 - a12 * a12 AS DOUBLE) AS u2
+    FROM m
+    """,
+    doc="ALS (alternating least squares) recommender half-step: with "
+    "item factors fixed (deterministic integer init from the item "
+    "key), every user's rank-2 factor solves its own ridge-regularized "
+    "2x2 normal-equation system. The per-user Gramians and "
+    "right-hand sides accumulate as EXACT integer sums in one "
+    "user-keyed partial-agg shuffle (the q40 moment pattern, "
+    "per-group), and the Cramer solve keeps exact integer numerators "
+    "and denominator — each factor is ONE IEEE division of two exact "
+    "longs, bit-identical cross-engine. This is precisely how "
+    "distributed ALS scales: the interaction matrix never "
+    "materializes, item factors join on the item key (broadcast when "
+    "the catalog fits, shuffle-join otherwise), and each user's solve "
+    "is O(d^3) independent of every other user. The full algorithm "
+    "alternates this step with its item-side mirror.",
+)
+def q48_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    r = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long")
+            ).alias("rating")
+        )
+    )
+    f = part.select(
+        F.col("p_partkey").alias("item_id"),
+        (F.lit(1) + F.col("p_partkey") % 7).cast("long").alias("f1"),
+        (F.lit(1) + F.col("p_partkey") % 11).cast("long").alias("f2"),
+    )
+    m = (
+        r.join(f, "item_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(F.col("f1") * F.col("f1")) + F.lit(_ALS_LAMBDA)).alias(
+                "a11"
+            ),
+            F.sum(F.col("f1") * F.col("f2")).alias("a12"),
+            (F.sum(F.col("f2") * F.col("f2")) + F.lit(_ALS_LAMBDA)).alias(
+                "a22"
+            ),
+            F.sum(F.col("rating") * F.col("f1")).alias("b1"),
+            F.sum(F.col("rating") * F.col("f2")).alias("b2"),
+        )
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    return m.select(
+        "user_id",
+        "n_items",
+        (
+            (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")).cast(
+                "double"
+            )
+            / det.cast("double")
+        ).alias("u1"),
+        (
+            (F.col("a11") * F.col("b2") - F.col("a12") * F.col("b1")).cast(
+                "double"
+            )
+            / det.cast("double")
+        ).alias("u2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q49 — migration reconciliation diff (source vs migrated snapshot)
+# --------------------------------------------------------------------------
+@register(
+    "q49_reconcile",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey,
+             md5(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) || '|' ||
+                 o_orderstatus || '|' || o_orderpriority || '|' ||
+                 CAST(epoch_us(o_orderdate) AS BIGINT)) AS fp
+      FROM orders),
+    tgt AS (
+      SELECT o_orderkey,
+             md5(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END
+                 || '|' || o_orderstatus || '|' || o_orderpriority || '|' ||
+                 CAST(epoch_us(o_orderdate) AS BIGINT)) AS fp
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    j AS (
+      SELECT src.o_orderkey AS k_s, tgt.o_orderkey AS k_t,
+             src.fp AS fp_s, tgt.fp AS fp_t
+      FROM src FULL OUTER JOIN tgt ON src.o_orderkey = tgt.o_orderkey)
+    SELECT CAST(SUM(CASE WHEN k_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_source,
+           CAST(SUM(CASE WHEN k_t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target,
+           CAST(SUM(CASE WHEN k_t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_in_target,
+           CAST(SUM(CASE WHEN k_s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_extra_in_target,
+           CAST(SUM(CASE WHEN k_s IS NOT NULL AND k_t IS NOT NULL
+                          AND fp_s <> fp_t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_value_mismatch,
+           CAST(SUM(CASE WHEN fp_s = fp_t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match
+    FROM j
+    """,
+    doc="Migration reconciliation: the audit a repository-migration tool "
+    "runs after every batch — does the target system hold exactly what "
+    "the source sent? Each side reduces every record to a ROW "
+    "FINGERPRINT (md5 over a canonical '|'-joined rendering with "
+    "quantized money and epoch-us dates — the z59/z66 portable-hash "
+    "rule), so the comparison shuffles 16-byte hashes plus keys, never "
+    "record bodies; a full-outer sort-merge join on the key then "
+    "classifies every record as matched / value-mismatch / missing / "
+    "extra in ONE conditional aggregation. The 'migrated' side here "
+    "simulates the two real failure modes (dropped batch rows: every "
+    "97th key absent; in-flight corruption: every 101st price off by "
+    "one cent). At 100 TB this is the cheapest possible full audit: "
+    "two scans, one key-hash shuffle, one summary row out.",
+)
+def q49_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def fingerprint(cents_col):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                cents_col.cast("string"),
+                "o_orderstatus",
+                "o_orderpriority",
+                # o_orderdate is parquet TIMESTAMP_NTZ; NTZ wall-clock ==
+                # UTC instant under the pinned UTC session tz (tables.py).
+                F.unix_micros(
+                    F.col("o_orderdate").cast("timestamp")
+                ).cast("string"),
+            ).cast("binary")
+        )
+
+    src = orders.select("o_orderkey", fingerprint(cents).alias("fp"))
+    tgt = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        fingerprint(
+            cents
+            + F.when(F.col("o_orderkey") % 101 == 0, 1).otherwise(0)
+        ).alias("fp"),
+    )
+    s = src.alias("s")
+    t = tgt.alias("t")
+    j = s.join(t, F.col("s.o_orderkey") == F.col("t.o_orderkey"), "full")
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    ks = F.col("s.o_orderkey")
+    kt = F.col("t.o_orderkey")
+    return j.agg(
+        cnt(ks.isNotNull()).alias("n_source"),
+        cnt(kt.isNotNull()).alias("n_target"),
+        cnt(kt.isNull()).alias("n_missing_in_target"),
+        cnt(ks.isNull()).alias("n_extra_in_target"),
+        cnt(
+            ks.isNotNull()
+            & kt.isNotNull()
+            & (F.col("s.fp") != F.col("t.fp"))
+        ).alias("n_value_mismatch"),
+        cnt(F.col("s.fp") == F.col("t.fp")).alias("n_match"),
+    )

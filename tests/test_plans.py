@@ -726,3 +726,26 @@ def test_q47_mahalanobis_no_fact_shuffle(plans):
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p, p
+
+
+def test_q48_als_joins_stay_hashed(plans):
+    """The ALS half-step's two joins (ratings build, item-factor attach)
+    ride equi keys — broadcast or shuffled hash, never a nested loop —
+    and the per-user solve is a partial-agg shuffle on user_id."""
+    p = plans("q48_als_step")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("HashAggregate") >= 2, p
+
+
+def test_q49_reconcile_is_fingerprint_smj(plans):
+    """Reconciliation must compare 16-byte row fingerprints, never
+    record bodies: the full-outer join carries only (key, fp) — the
+    ReadSchema keeps all needed columns scan-side where the md5 is
+    computed — and classification is one conditional aggregation."""
+    import re
+
+    p = plans("q49_reconcile")
+    assert "FullOuter" in p, p
+    assert "SortMergeJoin" in p, p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3, p
