@@ -136,7 +136,7 @@ def q37_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS (rule, v)"
         ),
     )
-    l_rows = l_pass.crossJoin(fk_viol).select(
+    l_rows = l_pass.crossJoin(F.broadcast(fk_viol)).select(
         F.col("n").alias("n_checked"),
         F.expr(
             "stack(4, 'lineitem.l_discount in [0, 0.11]', v_disc, "

@@ -318,7 +318,9 @@ def q45_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_cross_split_leaks"),
     )
-    return sizes.crossJoin(leaks)
+    # Explicit hint: with automatic broadcasting disabled (cluster-shaped
+    # config) an unhinted 1x1 cross join degrades to CartesianProduct.
+    return sizes.crossJoin(F.broadcast(leaks))
 
 
 # --------------------------------------------------------------------------

@@ -427,6 +427,12 @@ HEAVY_QUERIES = [
     "z86_ngram_jaccard",
     "q08_volume_shipping",
     "q88_pagerank",
+    # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
+    # the PPJoin-backed split-leakage audit must hold their shapes when
+    # automatic broadcasting is off and shuffles are cluster-sized.
+    "q41_kmeans_lloyd",
+    "q43_bpe_train",
+    "q45_split_leakage",
 ]
 
 # Queries whose one-row-aggregate cross joins are whitelisted above keep
