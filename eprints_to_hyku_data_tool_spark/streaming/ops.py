@@ -368,3 +368,94 @@ def streaming_countmin(stream: DataFrame) -> DataFrame:
         .groupBy("h", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def streaming_ewma(stream: DataFrame, alpha_num: int = 1, alpha_den: int = 4) -> DataFrame:
+    """Streaming EWMA (q36's incremental form): per-user state is ONE
+    scalar (plus the order cursor), updated as 0.75*prev + 0.25*x per
+    event — the state never grows with the history, which is the whole
+    point of the streaming variant vs the batch ordered fold. Rows
+    inside a micro-batch are sorted by (ts, event_id) before folding and
+    batches replay in time order, so the multiply-add sequence is
+    IDENTICAL to batch q36 — the replay test asserts bit-equality, not
+    a tolerance. Emits the running (user_id, n_events, ewma_u) after
+    every trigger (update mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    alpha = alpha_num / alpha_den
+    beta = 1.0 - alpha
+    output_schema = "user_id bigint, n_events bigint, ewma_u double"
+    state_schema = "n bigint, ewma double"
+
+    def update(key, pdfs, state: GroupState):
+        n, ewma = state.get if state.exists else (0, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for v in rows["value"]:
+            x = float(int(v * 1e6 + 0.5))  # the batch value_u quantization
+            ewma = x if n == 0 else ewma * beta + x * alpha
+            n += 1
+        state.update((n, ewma))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma_u": [ewma]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_cdc_apply(stream: DataFrame) -> DataFrame:
+    """Streaming CDC upsert compaction (q31's incremental form): per-key
+    state is the latest (ts, event_id, value, op) plus an op counter;
+    'error' rows are tombstones. Each trigger emits the key's current
+    final state with a deleted flag — exactly the per-micro-batch apply
+    a lakehouse MERGE-on-read performs. State is O(1) per key; the
+    replay test asserts the end state equals the batch q31 result."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id bigint, applied_ts_us bigint, final_value_u bigint, "
+        "n_ops bigint, is_deleted boolean"
+    )
+    state_schema = "ts_us bigint, event_id bigint, value_u bigint, n bigint, deleted boolean"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            ts_us, event_id, value_u, n, deleted = state.get
+        else:
+            ts_us, event_id, value_u, n, deleted = -1, -1, 0, 0, False
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for _, r in rows.iterrows():
+            t = int(r["ts"].value // 1000)  # ns -> us
+            e = int(r["event_id"])
+            n += 1
+            if (t, e) > (ts_us, event_id):
+                ts_us, event_id = t, e
+                deleted = r["event_type"] == "error"
+                value_u = int(r["value"] * 1e6 + 0.5)
+        state.update((ts_us, event_id, value_u, n, deleted))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "applied_ts_us": [ts_us],
+                "final_value_u": [value_u],
+                "n_ops": [n],
+                "is_deleted": [deleted],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        output_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -281,3 +281,65 @@ def test_streaming_countmin_equals_batch_sketch(spark, sf_dir, replay_dir):
     )
     want = {(r["h"], r["bucket"]): r["count"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_ewma_equals_batch(spark, sf_dir, replay_dir):
+    """q36's incremental form: replaying the time-ordered chunks through
+    the O(1)-state EWMA must land BIT-EXACTLY on the batch ordered
+    fold — the multiply-add sequence is identical, so no tolerance."""
+    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import q36_ewma
+
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, _chunks_glob(replay_dir))
+    _run_to_memory(ops.streaming_ewma(stream), name, "update")
+    # update mode emits one row per (user, trigger); the final state is
+    # the row with the highest n_events per user.
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "ewma_u")).alias("m"))
+        .select("user_id", F.col("m.n_events").alias("n_events"),
+                F.col("m.ewma_u").alias("ewma_u"))
+    )
+    got = {r["user_id"]: (r["n_events"], r["ewma_u"]) for r in final.collect()}
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma_u"])
+        for r in q36_ewma(spark, sf_dir).collect()
+    }
+    assert got == want  # exact float equality, by construction
+
+
+def test_streaming_cdc_apply_equals_batch(spark, sf_dir, replay_dir):
+    """q31's incremental form: per-key keep-last upsert/tombstone state
+    replayed over the chunks must equal the batch CDC apply (surviving
+    keys, applied ts, value, and op count all exact)."""
+    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import q31_cdc_apply
+
+    name = f"cdc_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, _chunks_glob(replay_dir))
+    _run_to_memory(ops.streaming_cdc_apply(stream), name, "update")
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_ops", "applied_ts_us", "final_value_u", "is_deleted"
+                )
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.applied_ts_us").alias("applied_ts_us"),
+            F.col("m.final_value_u").alias("final_value_u"),
+            F.col("m.n_ops").alias("n_ops"),
+            F.col("m.is_deleted").alias("is_deleted"),
+        )
+        .filter(~F.col("is_deleted"))
+        .drop("is_deleted")
+    )
+    got = {r["user_id"]: (r["applied_ts_us"], r["final_value_u"], r["n_ops"])
+           for r in final.collect()}
+    want = {r["user_id"]: (r["applied_ts_us"], r["final_value_u"], r["n_ops"])
+            for r in q31_cdc_apply(spark, sf_dir).collect()}
+    assert got == want
