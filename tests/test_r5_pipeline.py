@@ -177,3 +177,31 @@ def test_scd2_ranges_partition_the_history(spark, sf_dir):
         | (F.col("n_events") != F.col("count"))
     ).count()
     assert bad == 0
+
+
+# --------------------------------------------------------------------------
+# Property sweep: the replace-based merge == the reference greedy merge
+# for ARBITRARY token sequences and pairs. DuckDB evaluates each example
+# (sub-millisecond); Spark/DuckDB replace equivalence is pinned by the
+# crafted cross-engine cases above, so the sweep transfers.
+# --------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_sym = st.text(alphabet="abc", min_size=1, max_size=2)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    tokens=st.lists(_sym, min_size=1, max_size=8),
+    p1=_sym,
+    p2=_sym,
+)
+def test_bpe_replace_merge_property(tokens, p1, p2):
+    con = duckdb.connect()
+    s = spaced(tokens)
+    pat, rep = _merge_sql(p1, p2)
+    got = con.execute(
+        "SELECT string_split(trim(replace(?, ?, ?)), '  ')", [s, pat, rep]
+    ).fetchone()[0]
+    assert list(got) == ref_greedy_merge(tokens, p1, p2), (tokens, p1, p2)
