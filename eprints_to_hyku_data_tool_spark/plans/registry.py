@@ -105,6 +105,7 @@ def _load_all() -> None:
         "q_r5_dq",
         "q_r5_linalg",
         "q_r5_pipeline",
+        "q_r5_overflow",
     ):
         try:
             __import__(f"{__package__}.{mod}")
