@@ -6,6 +6,8 @@ window rotation (registry.py naming scheme).
 - y75  STL-lite seasonal decomposition (trend / day-of-week / residual)
 - y76  per-node local clustering coefficient (z195's oriented kernel)
 - y77  Holt linear smoothing (two-state ordered fold, recursive oracle)
+- y78  per-key linear interpolation of calendar gaps (q35's upgrade)
+- y79  association rules over baskets (support / confidence / lift)
 """
 
 from __future__ import annotations
@@ -315,4 +317,212 @@ def y77_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("xs").cast("long").alias("n_events"),
         folded["l"].alias("level"),
         folded["t"].alias("trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y78 — per-key linear interpolation of gaps (q35's upgrade)
+# --------------------------------------------------------------------------
+@register(
+    "y78_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS day_value_u
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+             FROM daily GROUP BY user_id),
+    cal AS (SELECT user_id,
+                   CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                               CAST(d1 AS TIMESTAMP),
+                                               INTERVAL 1 DAY)) AS DATE) AS d
+            FROM span),
+    joined AS (
+      SELECT cal.user_id, cal.d, daily.day_value_u
+      FROM cal LEFT JOIN daily
+        ON daily.user_id = cal.user_id AND daily.d = cal.d),
+    bounds AS (
+      SELECT user_id, d, day_value_u,
+             last_value(day_value_u IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY d) AS prev_v,
+             last_value(CASE WHEN day_value_u IS NOT NULL THEN d END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+             first_value(day_value_u IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_v,
+             first_value(CASE WHEN day_value_u IS NOT NULL THEN d END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY d
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_d
+      FROM joined)
+    SELECT user_id, d AS day, day_value_u IS NULL AS is_gap,
+           CASE WHEN day_value_u IS NOT NULL
+                THEN CAST(day_value_u AS DOUBLE)
+                ELSE CAST(prev_v AS DOUBLE)
+                     + CAST(next_v - prev_v AS DOUBLE)
+                       * CAST(d - prev_d AS DOUBLE)
+                       / CAST(next_d - prev_d AS DOUBLE)
+           END AS interp_value_u
+    FROM bounds
+    """,
+    doc="Per-key LINEAR interpolation of calendar gaps — q35's "
+    "forward-fill upgraded to the two-sided estimate "
+    "prev + (next-prev)*(t-t_prev)/(t_next-t_prev). The previous "
+    "observation comes from a last_value IGNORE NULLS window and the "
+    "next from its mirrored first_value over the following frame — "
+    "BOTH windows ride the same user_id partitioning (one shuffle, "
+    "two sorts), never a self-join. Gap interiors have both bounds by "
+    "construction (the calendar spans [first, last] observation), so "
+    "no NULL leaks. All distances are exact integer day/value deltas; "
+    "the interpolation is a fixed-form expression of them, "
+    "bit-identical cross-engine. This is the resampling primitive a "
+    "time-series feature pipeline runs after q35's densification.",
+)
+def y78_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("vu"),
+    )
+    daily = ev.groupBy("user_id", "d").agg(
+        F.sum("vu").alias("day_value_u")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    cal = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "d"
+        ),
+    )
+    joined = cal.join(daily, ["user_id", "d"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("day_value_u").isNotNull(), F.col("d"))
+    bounds = joined.select(
+        "user_id",
+        "d",
+        "day_value_u",
+        F.last("day_value_u", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_d, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("day_value_u", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_d, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    interp = (
+        F.col("prev_v").cast("double")
+        + (F.col("next_v") - F.col("prev_v")).cast("double")
+        * F.datediff("d", "prev_d").cast("double")
+        / F.datediff("next_d", "prev_d").cast("double")
+    )
+    return bounds.select(
+        "user_id",
+        F.col("d").alias("day"),
+        F.col("day_value_u").isNull().alias("is_gap"),
+        F.when(
+            F.col("day_value_u").isNotNull(),
+            F.col("day_value_u").cast("double"),
+        )
+        .otherwise(interp)
+        .alias("interp_value_u"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y79 — association rules over co-purchase baskets (support/confidence/lift)
+# --------------------------------------------------------------------------
+_AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
+
+
+@register(
+    "y79_association_rules",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
+           FROM items),
+    supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS s FROM items
+             GROUP BY item),
+    pair AS (
+      SELECT a.item AS lhs, b.item AS rhs,
+             CAST(COUNT(*) AS BIGINT) AS s_pair
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item <> b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_AR_MIN_PAIR})
+    SELECT pair.lhs, pair.rhs, pair.s_pair,
+           sl.s AS s_lhs, sr.s AS s_rhs,
+           CAST(pair.s_pair AS DOUBLE) / CAST(sl.s AS DOUBLE)
+             AS confidence,
+           CAST(pair.s_pair * nb.n_baskets AS DOUBLE)
+             / CAST(sl.s * sr.s AS DOUBLE) AS lift
+    FROM pair
+    JOIN supp sl ON sl.item = pair.lhs
+    JOIN supp sr ON sr.item = pair.rhs
+    CROSS JOIN nb
+    """,
+    doc="Association rules lhs -> rhs over order baskets: pair support "
+    "from the basket self-join (distinct items per basket first, so "
+    "per-basket fan-out is items^2, bounded by basket size — the "
+    "a-priori candidate step), then confidence = s(pair)/s(lhs) and "
+    "lift = s(pair)*N / (s(lhs)*s(rhs)) — each ONE IEEE division/"
+    "multiply of exact integer supports (the integer product before "
+    "the divide keeps the expression tree two-deep and portable). "
+    "The min-support HAVING prunes the rule set BEFORE the support "
+    "joins. Shuffles: basket dedup, pair count (keyed lhs,rhs), two "
+    "item-keyed support joins, one one-row basket-count broadcast. "
+    "At 100 TB min-support pruning is what keeps the pair table "
+    "manageable — exactly the a-priori downward-closure argument.",
+)
+def y79_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nb = items.agg(F.count_distinct("basket").alias("n_baskets"))
+    supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a, b = items.alias("a"), items.alias("b")
+    pair = (
+        a.join(b, "basket")
+        .filter(F.col("a.item") != F.col("b.item"))
+        .groupBy(
+            F.col("a.item").alias("lhs"), F.col("b.item").alias("rhs")
+        )
+        .agg(F.count(F.lit(1)).alias("s_pair"))
+        .filter(F.col("s_pair") >= _AR_MIN_PAIR)
+    )
+    sl = supp.select(F.col("item").alias("lhs"), F.col("s").alias("s_lhs"))
+    sr = supp.select(F.col("item").alias("rhs"), F.col("s").alias("s_rhs"))
+    return (
+        pair.join(sl, "lhs")
+        .join(sr, "rhs")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "lhs",
+            "rhs",
+            "s_pair",
+            "s_lhs",
+            "s_rhs",
+            (
+                F.col("s_pair").cast("double")
+                / F.col("s_lhs").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("s_pair") * F.col("n_baskets")).cast("double")
+                / (F.col("s_lhs") * F.col("s_rhs")).cast("double")
+            ).alias("lift"),
+        )
     )

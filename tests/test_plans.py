@@ -201,6 +201,9 @@ NESTED_LOOP_WHITELIST = {
     # q47 cross-joins the one-row moments/inverse-covariance model onto
     # the fact stream — the broadcast-model scoring shape.
     "q47_mahalanobis",
+    # y79 cross-joins the one-row basket-count aggregate onto the rule
+    # table for the lift denominator (broadcast-scalar shape).
+    "y79_association_rules",
 }
 
 
