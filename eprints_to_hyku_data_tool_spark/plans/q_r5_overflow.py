@@ -526,3 +526,176 @@ def y79_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Y80 — grid-bucketed spatial distance self-join
+# --------------------------------------------------------------------------
+# Synthetic plane: each customer gets deterministic integer coordinates
+# derived from its key (two md5 nibbles-groups -> 0..4095 grid). The
+# operator is the generic "all pairs within radius r" join — the shape
+# matters, not the coordinates.
+_GD_CELL = 256  # cell edge; r < cell so 3x3 neighborhood suffices
+_GD_R2 = 200 * 200
+
+
+@register(
+    "y80_grid_distance_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 3))
+                  AS BIGINT) AS x,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 4, 3))
+                  AS BIGINT) AS y
+      FROM customer),
+    cells AS (
+      SELECT id, x, y, x // {_GD_CELL} AS cx, y // {_GD_CELL} AS cy
+      FROM pts),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id < b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {_GD_R2})
+    SELECT id_a, id_b, d2 FROM pairs
+    """,
+    doc="Distance self-join via grid bucketing — the spatial-join "
+    "pattern: points land in integer grid cells (cell edge > radius), "
+    "so every within-radius pair co-occurs in a 3x3 cell "
+    "neighborhood; the candidate join is an EQUI-ish bounded-range "
+    "join on cell ids (DuckDB plans it as a range join; Spark "
+    "enumerates the 9 neighbor cells explicitly as an exact equi-join "
+    "on (cx, cy) — no theta join, no cartesian), then the exact "
+    "integer distance-squared filter verifies. Coordinates here are "
+    "deterministic md5-derived grid positions (the fixture has no geo "
+    "columns); swap in geohash/S2 cells and the plan is the "
+    "production spatial join. Shuffle: one on the cell key; per-cell "
+    "fan-out is bounded by local point density — the same "
+    "bucketing-beats-all-pairs argument as the LSH dedup family.",
+)
+def y80_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    md5 = F.md5(F.col("c_custkey").cast("string").cast("binary"))
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        F.conv(F.substring(md5, 1, 3), 16, 10).cast("long").alias("x"),
+        F.conv(F.substring(md5, 4, 3), 16, 10).cast("long").alias("y"),
+    )
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / _GD_CELL).alias("cx"),
+        F.floor(F.col("y") / _GD_CELL).alias("cy"),
+    )
+    # Explicit 9-cell neighborhood: replicate each point into its 3x3
+    # neighbor cells on the BUILD side, then a pure equi-join on the
+    # cell id — the shuffle key Spark co-partitions perfectly.
+    off = F.explode(
+        F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    )
+    a = (
+        cells.select("id", "x", "y", "cx", "cy", off.alias("dx"))
+        .select("id", "x", "y", (F.col("cx") + F.col("dx")).alias("jx"), "cy")
+        .select(
+            "id", "x", "y", "jx",
+            F.explode(
+                F.array(*[F.col("cy") + F.lit(i) for i in (-1, 0, 1)])
+            ).alias("jy"),
+        )
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            "jx",
+            "jy",
+        )
+    )
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["jx", "jy"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= F.lit(_GD_R2))
+        .select("id_a", "id_b", d2.alias("d2"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Y81 — BPE encode: apply the learned merges back to the corpus
+# --------------------------------------------------------------------------
+def _bpe_encode_oracle() -> str:
+    from .q_r5_pipeline import _BPE_ROUNDS, _bpe_cte
+
+    return _bpe_cte() + f""",
+    vocab AS (
+      SELECT w, len(string_split(trim(s), '  ')) AS n_syms
+      FROM s{_BPE_ROUNDS}),
+    dtok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents)
+    SELECT dtok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(dtok.w)) AS BIGINT) AS n_chars,
+           CAST(SUM(vocab.n_syms) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(dtok.w)) AS DOUBLE)
+             / CAST(SUM(vocab.n_syms) AS DOUBLE) AS chars_per_token
+    FROM dtok JOIN vocab ON dtok.w = vocab.w
+    WHERE dtok.w <> ''
+    GROUP BY dtok.doc_id
+    """
+
+
+@register(
+    "y81_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE ENCODE — the apply side of q43's training: the learned "
+    "3-merge vocabulary maps every distinct word to its final symbol "
+    "count, and the corpus joins against that (word -> n_syms) table "
+    "to get per-document token counts and the chars-per-token "
+    "compression ratio (one IEEE division of exact sums). This is how "
+    "tokenizer application scales: the expensive merge chain runs "
+    "once over the VOCABULARY (q43), and the corpus pass is a plain "
+    "broadcastable dictionary join — never per-document string "
+    "processing. Train (q43) and encode (y81) share one learner "
+    "(_bpe_learn / _bpe_cte), so the two stay consistent by "
+    "construction.",
+)
+def y81_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .q_r5_pipeline import _bpe_learn
+
+    vocab_words, _ = _bpe_learn(spark, sf_dir)
+    vocab = vocab_words.select(
+        "w",
+        F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_syms"),
+    )
+    dtok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return (
+        dtok.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_syms").alias("n_tokens"),
+            (
+                F.sum(F.length("w")).cast("double")
+                / F.sum("n_syms").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )

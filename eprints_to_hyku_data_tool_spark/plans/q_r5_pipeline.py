@@ -38,13 +38,16 @@ _BPE_ROUNDS = 3
 # ' a  a  a ' -> ' aa  a ', ' a  a  a  a ' -> ' aa  aa '.
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte() -> str:
+    """The shared oracle CTE chain: vocabulary build + merge rounds.
+    q43 appends the merge-table select; y81 (encode) appends per-word
+    symbol counts over the final s{N}."""
     parts = ["""
     WITH w0 AS (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM
         (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> '' GROUP BY w),
-    s0 AS (SELECT freq,
+    s0 AS (SELECT w, freq,
                   ' ' || array_to_string(string_split_regex(w, ''), '  ')
                       || ' ' AS s
            FROM w0)"""]
@@ -59,39 +62,26 @@ def _bpe_oracle() -> str:
       GROUP BY 1, 2),
     top{r} AS (SELECT p1, p2, cnt FROM pr{r}
                ORDER BY cnt DESC, p1, p2 LIMIT 1),
-    s{r} AS (SELECT freq,
+    s{r} AS (SELECT w, freq,
                     replace(s, ' ' || top{r}.p1 || '  ' || top{r}.p2 || ' ',
                                ' ' || top{r}.p1 || top{r}.p2 || ' ') AS s
              FROM s{r - 1}, top{r})""")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     sel = "\n    UNION ALL\n".join(
         f"    SELECT {r} AS round, p1 || '+' || p2 AS pair, cnt AS pair_count"
         f" FROM top{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    return "".join(parts) + "\n" + sel
+    return _bpe_cte() + "\n" + sel
 
 
-@register(
-    "q43_bpe_train",
-    oracle=_bpe_oracle(),
-    doc="Byte-pair-encoding tokenizer training (Sennrich scheme): the "
-    "corpus reduces to a (word, frequency) vocabulary table ONCE, "
-    "then each round counts frequency-weighted adjacent symbol pairs, "
-    "picks the global argmax (count DESC, pair ASC tie-break — a "
-    "one-row TakeOrdered broadcast), and greedily merges that pair in "
-    "every word via a literal string replace over a normalized "
-    "spacing scheme whose left-to-right non-overlapping semantics are "
-    "identical in Spark and DuckDB (see module comment) — so three "
-    "merge rounds produce the exact same merge table on both engines "
-    "with zero float anywhere. Output: (round, merged_pair, count). "
-    "At 100 TB the heavy pass is the initial word count (one "
-    "partial-agg shuffle over the corpus); every merge round then "
-    "touches only the vocabulary table (millions of rows, not the "
-    "corpus), each round one pair-count shuffle + a broadcast scalar "
-    "— which is exactly how production BPE trainers scale. Rounds "
-    "are lazily checkpointed (q88 lineage discipline).",
-)
-def q43_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Shared learner: returns (final vocab df (w, freq, s), merge-row
+    dfs). q43 returns the merge table; y81 (q_r5_overflow) encodes the
+    corpus with the final symbol strings."""
     docs = load_table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -101,6 +91,7 @@ def q43_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chars = F.array_remove(F.split("w", ""), "")
     cur = words.select(
+        "w",
         "freq",
         F.concat(
             F.lit(" "), F.concat_ws("  ", chars), F.lit(" ")
@@ -143,6 +134,7 @@ def q43_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             cur.crossJoin(F.broadcast(top))
             .select(
+                "w",
                 "freq",
                 F.expr(
                     "replace(s, concat(' ', p1, '  ', p2, ' '), "
@@ -151,6 +143,32 @@ def q43_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
+    return cur, merge_rows
+
+
+
+@register(
+    "q43_bpe_train",
+    oracle=_bpe_oracle(),
+    doc="Byte-pair-encoding tokenizer training (Sennrich scheme): the "
+    "corpus reduces to a (word, frequency) vocabulary table ONCE, "
+    "then each round counts frequency-weighted adjacent symbol pairs, "
+    "picks the global argmax (count DESC, pair ASC tie-break — a "
+    "one-row TakeOrdered broadcast), and greedily merges that pair in "
+    "every word via a literal string replace over a normalized "
+    "spacing scheme whose left-to-right non-overlapping semantics are "
+    "identical in Spark and DuckDB (see module comment) — so three "
+    "merge rounds produce the exact same merge table on both engines "
+    "with zero float anywhere. Output: (round, merged_pair, count). "
+    "At 100 TB the heavy pass is the initial word count (one "
+    "partial-agg shuffle over the corpus); every merge round then "
+    "touches only the vocabulary table (millions of rows, not the "
+    "corpus), each round one pair-count shuffle + a broadcast scalar "
+    "— which is exactly how production BPE trainers scale. Rounds "
+    "are lazily checkpointed (q88 lineage discipline).",
+)
+def q43_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, merge_rows = _bpe_learn(spark, sf_dir)
     out = merge_rows[0]
     for mr in merge_rows[1:]:
         out = out.unionAll(mr)
