@@ -699,3 +699,61 @@ def y81_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Y82 — 2-D skyline (Pareto frontier): cheapest-for-its-recency orders
+# --------------------------------------------------------------------------
+@register(
+    "y82_skyline_2d",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    daymin AS (
+      SELECT d, MIN(cents) AS day_min FROM o GROUP BY d),
+    cutoff AS (
+      SELECT d, min(day_min) OVER (ORDER BY d DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS later_min
+      FROM daymin)
+    SELECT o.o_orderkey, o.d AS day, o.cents
+    FROM o JOIN cutoff ON o.d = cutoff.d
+    WHERE cutoff.later_min IS NULL OR o.cents < cutoff.later_min
+    """,
+    doc="2-D skyline / Pareto frontier (maximize recency, minimize "
+    "price): an order is dominated iff some STRICTLY LATER day has an "
+    "order at most as cheap, so the frontier is exactly the rows "
+    "cheaper than the running minimum over all later days. Instead of "
+    "the naive O(n^2) dominance anti-join, the plan collapses the "
+    "fact table to per-day minima (one partial-agg shuffle), runs the "
+    "exclusive cumulative-min over the DAY table (thousands of rows — "
+    "the single-partition window is over the tiny dimension, never "
+    "the facts), and broadcast-joins the per-day cutoff back onto the "
+    "fact scan. Pure integer comparisons. The same two-phase shape "
+    "(reduce per group -> scan-side filter against a broadcast "
+    "cutoff) generalizes to any 2-D skyline at 100 TB.",
+)
+def y82_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    daymin = o.groupBy("d").agg(F.min("cents").alias("day_min"))
+    w = (
+        Window.orderBy(F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cutoff = daymin.select("d", F.min("day_min").over(w).alias("later_min"))
+    return (
+        o.join(F.broadcast(cutoff), "d")
+        .filter(
+            F.col("later_min").isNull()
+            | (F.col("cents") < F.col("later_min"))
+        )
+        .select("o_orderkey", F.col("d").alias("day"), "cents")
+    )
