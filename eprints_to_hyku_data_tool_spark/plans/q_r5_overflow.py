@@ -1,4 +1,4 @@
-"""Round-5 overflow tier (y75-y77): the driver window is full at 50
+"""Round-5 overflow tier (y75-y82): the driver window is full at 50
 names, so these register as y-tier — locally oracle-verified on every
 test run like everything else, and first in line for the round-6
 window rotation (registry.py naming scheme).
@@ -8,6 +8,9 @@ window rotation (registry.py naming scheme).
 - y77  Holt linear smoothing (two-state ordered fold, recursive oracle)
 - y78  per-key linear interpolation of calendar gaps (q35's upgrade)
 - y79  association rules over baskets (support / confidence / lift)
+- y80  grid-bucketed spatial distance self-join (geohash/S2 join shape)
+- y81  BPE encode (apply q43's learned merges; shared learner)
+- y82  2-D skyline / Pareto frontier (no dominance anti-join)
 """
 
 from __future__ import annotations

@@ -7,6 +7,8 @@ featurization/split steps that sit between the corpus-hygiene passes
 - q45  train/test split + near-dup leakage audit (cross-split pairs)
 - q46  quantile-rank normalization (distributed rank transform)
 - q47  Mahalanobis outlier scoring (moments -> Cramer inverse -> top-k)
+- q48  ALS recommender half-step (per-user 2x2 normal-equation solve)
+- q49  migration reconciliation diff (row fingerprints, full-outer SMJ)
 
 Cross-engine hash discipline: q43-q45 are pure integer/string relational
 work; q46's quantile is one IEEE division of exact positions; q47's
