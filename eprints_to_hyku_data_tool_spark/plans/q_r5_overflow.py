@@ -760,3 +760,311 @@ def y82_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", F.col("d").alias("day"), "cents")
     )
+
+
+# --------------------------------------------------------------------------
+# Y83 — Kaplan-Meier survival curve (signup -> first purchase)
+# --------------------------------------------------------------------------
+@register(
+    "y83_kaplan_meier",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    pur AS (
+      SELECT e.user_id, MIN(e.ts) AS te
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.t0
+      GROUP BY e.user_id),
+    last_seen AS (
+      SELECT e.user_id, MAX(e.ts) AS tl
+      FROM events e JOIN s ON e.user_id = s.user_id
+      GROUP BY e.user_id),
+    subjects AS (
+      SELECT s.user_id,
+             CASE WHEN s.user_id % 5 <> 0 AND pur.te IS NOT NULL
+                  THEN CAST(CAST(pur.te AS DATE) - CAST(s.t0 AS DATE)
+                            AS BIGINT)
+                  ELSE CAST(CAST(last_seen.tl AS DATE)
+                            - CAST(s.t0 AS DATE) AS BIGINT) END AS dur,
+             CASE WHEN s.user_id % 5 <> 0 AND pur.te IS NOT NULL
+                  THEN 1 ELSE 0 END AS ev
+      FROM s LEFT JOIN pur ON pur.user_id = s.user_id
+             JOIN last_seen ON last_seen.user_id = s.user_id),
+    perdur AS (
+      SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_at_dur,
+             CAST(SUM(ev) AS BIGINT) AS d
+      FROM subjects GROUP BY dur),
+    risk AS (
+      SELECT dur, d,
+             CAST(SUM(n_at_dur) OVER (ORDER BY dur DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT) AS n
+      FROM perdur),
+    evt AS (SELECT dur, d, n,
+                   1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS f
+            FROM risk WHERE d > 0),
+    arr AS (SELECT list(struct_pack(dur := dur, d := d, n := n, f := f)
+                        ORDER BY dur) AS l
+            FROM evt),
+    surv AS (
+      SELECT u.i AS i, l[u.i].dur AS t_days, l[u.i].d AS d_events,
+             l[u.i].n AS n_at_risk,
+             list_reduce(list_transform(list_slice(l, 1, u.i), x -> x.f),
+                         (a, b) -> a * b) AS survival
+      FROM arr, UNNEST(range(1, len(l) + 1)) AS u(i))
+    SELECT t_days, d_events, n_at_risk, survival FROM surv
+    """,
+    doc="Kaplan-Meier survival estimator for signup -> first purchase "
+    "(every fifth user deterministically censored at their last "
+    "observed event to exercise the censoring path): per-subject "
+    "durations reduce to a per-duration (events, at-risk) table with "
+    "the at-risk counts as a DESCENDING cumulative sum (exact "
+    "integers, one tiny window), hazard factors 1 - d/n are single "
+    "divisions, and the survival curve's prefix products run as "
+    "ordered folds over the event-time array — O(k^2) over the "
+    "handful of distinct event times, identical multiply sequence on "
+    "both engines, bit-identical curve. The per-subject reduction is "
+    "the only corpus-scale pass (user-keyed shuffles); the curve "
+    "itself lives on the duration dimension, constant in user count. "
+    "Time-to-event analytics is the conversion-latency readout every "
+    "funnel (q32) eventually needs.",
+)
+def y83_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pur = (
+        ev.join(s, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("te"))
+    )
+    last_seen = ev.join(s.select("user_id"), "user_id").groupBy(
+        "user_id"
+    ).agg(F.max("ts").alias("tl"))
+    is_event = (F.col("user_id") % 5 != 0) & F.col("te").isNotNull()
+    subjects = (
+        s.join(pur, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            F.when(
+                is_event,
+                F.datediff(F.col("te").cast("date"), F.col("t0").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("tl").cast("date"), F.col("t0").cast("date"))
+            )
+            .cast("long")
+            .alias("dur"),
+            F.when(is_event, F.lit(1)).otherwise(F.lit(0)).alias("ev"),
+        )
+    )
+    perdur = subjects.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n_at_dur"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    w = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = perdur.select(
+        "dur", "d", F.sum("n_at_dur").over(w).cast("long").alias("n")
+    )
+    evt = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        "n",
+        (
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n").cast("double")
+        ).alias("f"),
+    )
+    arr = evt.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("dur", "d", "n", "f"))).alias(
+            "l"
+        )
+    )
+    surv = arr.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l")),
+                lambda i: F.struct(
+                    F.element_at("l", i)["dur"].alias("t_days"),
+                    F.element_at("l", i)["d"].alias("d_events"),
+                    F.element_at("l", i)["n"].alias("n_at_risk"),
+                    F.aggregate(
+                        F.transform(
+                            F.slice("l", 1, i), lambda x: x["f"]
+                        ),
+                        F.lit(1.0),
+                        lambda a, b: a * b,
+                    ).alias("survival"),
+                ),
+            )
+        ).alias("pos", "r")
+    )
+    return surv.select("r.t_days", "r.d_events", "r.n_at_risk", "r.survival")
+
+
+# --------------------------------------------------------------------------
+# Y84 — user-journey Markov transition matrix
+# --------------------------------------------------------------------------
+@register(
+    "y84_markov_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY 1, 2),
+    totals AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      FROM trans GROUP BY from_type)
+    SELECT trans.from_type, trans.to_type, trans.n, totals.n_from,
+           CAST(trans.n AS DOUBLE) / CAST(totals.n_from AS DOUBLE) AS p
+    FROM trans JOIN totals ON trans.from_type = totals.from_type
+    """,
+    doc="First-order Markov transition matrix over user journeys: each "
+    "user's event stream yields (state, next-state) adjacencies via "
+    "one lead() window on the user_id shuffle, counts aggregate "
+    "exactly, and row-normalized probabilities are single divisions "
+    "of exact integers. The |states|^2 matrix is the behavioral-model "
+    "summary (what follows a view? how absorbing is 'error'?) that "
+    "feeds attribution simulation and next-event prediction. Two "
+    "keyed shuffles total (user window, 25-cell count); the matrix "
+    "size depends on the state alphabet, not the corpus.",
+)
+def y84_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_from")
+    )
+    return trans.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "n_from",
+        (F.col("n").cast("double") / F.col("n_from").cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Y85 — RFM segmentation (recency / frequency / monetary quintiles)
+# --------------------------------------------------------------------------
+@register(
+    "y85_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT user_id,
+             CAST(MAX(ts) AS DATE) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_u
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    scored AS (
+      SELECT user_id, frequency, monetary_u,
+             ntile(5) OVER (ORDER BY last_day, user_id) AS r_score,
+             ntile(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_u, user_id) AS m_score
+      FROM rfm)
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(monetary_u) AS BIGINT) AS segment_monetary_u,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                THEN 'champions'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at-risk-loyal'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                ELSE 'other' END AS segment
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+    doc="RFM (recency / frequency / monetary) segmentation: per-user "
+    "purchase aggregates reduce the event stream once (user-keyed "
+    "partial agg, exact integers), then each dimension is scored into "
+    "quintiles under a deterministic (value, user) total order and "
+    "the (r, f, m) cells aggregate with a rule-based segment label — "
+    "the classic CRM cube. The ntile here runs over the USER "
+    "AGGREGATE table; at 100 TB that table is still large, so the "
+    "production path swaps each ntile for the two-phase distributed "
+    "global-position engine exactly as q39/q46 do (same bucketing "
+    "formula, asserted there) — this query keeps the compact window "
+    "form because its input is the reduced dimension, and the oracle "
+    "pins the identical quintile semantics.",
+)
+def y85_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rfm = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").cast("date").alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+            ).alias("monetary_u"),
+        )
+    )
+    scored = rfm.select(
+        "user_id",
+        "frequency",
+        "monetary_u",
+        F.ntile(5)
+        .over(Window.orderBy("last_day", "user_id"))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_u", "user_id"))
+        .cast("int")
+        .alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            F.lit("champions"),
+        )
+        .when(
+            (F.col("r_score") <= 2) & (F.col("f_score") >= 4),
+            F.lit("at-risk-loyal"),
+        )
+        .when(
+            (F.col("r_score") >= 4) & (F.col("f_score") <= 2), F.lit("new")
+        )
+        .otherwise(F.lit("other"))
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_u").cast("long").alias("segment_monetary_u"),
+        F.max(segment).alias("segment"),
+    )
