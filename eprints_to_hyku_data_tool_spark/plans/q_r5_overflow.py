@@ -1068,3 +1068,164 @@ def y85_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monetary_u").cast("long").alias("segment_monetary_u"),
         F.max(segment).alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Y86 — top user-journey paths (3-step sequence mining)
+# --------------------------------------------------------------------------
+@register(
+    "y86_top_paths",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE t3 IS NOT NULL
+      GROUP BY 1)
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    doc="Top user-journey paths: every 3-event window in a user's "
+    "ordered stream becomes a path string via two lead() offsets on "
+    "ONE user_id window shuffle (no self-joins — the q34/y84 as-of "
+    "discipline), counted exactly, global top-10 by (count DESC, "
+    "path) via TakeOrdered. This is the Sankey/flow summary of the "
+    "event stream and the empirical prior for y84's Markov model "
+    "(the matrix assumes order-1; the path counts measure where that "
+    "assumption breaks). Path cardinality is bounded by |states|^3, "
+    "so the count shuffle is tiny regardless of corpus size.",
+)
+def y86_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = (
+        ordered.filter(F.col("t3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.orderBy(F.desc("n"), "path").limit(10)
+
+
+# --------------------------------------------------------------------------
+# Y87 — CUSUM changepoint detection per series
+# --------------------------------------------------------------------------
+@register(
+    "y87_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_u
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             CAST(SUM(total_u) AS BIGINT) AS grand_u,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type),
+    cusum AS (
+      SELECT daily.event_type, daily.day,
+             CAST(SUM(daily.total_u) OVER (PARTITION BY daily.event_type
+                                           ORDER BY daily.day
+                                           ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS prefix_u,
+             CAST(ROW_NUMBER() OVER (PARTITION BY daily.event_type
+                                     ORDER BY daily.day) AS BIGINT) AS t,
+             stats.grand_u, stats.n_days
+      FROM daily JOIN stats ON daily.event_type = stats.event_type),
+    dev AS (
+      SELECT event_type, day, t,
+             CAST(prefix_u AS DOUBLE)
+               - CAST(t AS DOUBLE)
+                 * (CAST(grand_u AS DOUBLE) / CAST(n_days AS DOUBLE))
+               AS c
+      FROM cusum),
+    best AS (
+      SELECT event_type, day, t, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(c) DESC, day) AS rk
+      FROM dev)
+    SELECT event_type, day AS change_day, CAST(t AS BIGINT) AS day_index,
+           c AS cusum_dev
+    FROM best WHERE rk = 1
+    """,
+    doc="CUSUM changepoint detection per event_type series: the "
+    "cumulative deviation from the series mean is "
+    "prefix_sum(t) - t*mean — prefix sums stay EXACT integers on one "
+    "series-keyed window, the mean is a single division, and the "
+    "deviation a fixed-form expression (deterministic doubles), so "
+    "the argmax |CUSUM| day — the classic single-changepoint "
+    "estimate — is hash-stable with a (\\|c\\| DESC, day) tie-break. "
+    "This is the level-shift detector that complements y75 (which "
+    "models seasonality) and q38/q27 (which compare two FIXED "
+    "windows): CUSUM localizes WHERE the distribution moved. One "
+    "corpus-scale rollup shuffle; everything after lives on the "
+    "(series x day) dimension.",
+)
+def y87_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long"))
+        .alias("total_u")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("total_u").cast("long").alias("grand_u"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cusum = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.sum("total_u")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("prefix_u"),
+        F.row_number().over(w).cast("long").alias("t"),
+        "grand_u",
+        "n_days",
+    )
+    dev = cusum.select(
+        "event_type",
+        "day",
+        "t",
+        (
+            F.col("prefix_u").cast("double")
+            - F.col("t").cast("double")
+            * (
+                F.col("grand_u").cast("double")
+                / F.col("n_days").cast("double")
+            )
+        ).alias("c"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("c"))), "day"
+    )
+    return (
+        dev.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("t").alias("day_index"),
+            F.col("c").alias("cusum_dev"),
+        )
+    )
