@@ -1229,3 +1229,97 @@ def y87_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("cusum_dev"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Y88 — Benford first-digit audit
+# --------------------------------------------------------------------------
+# log10(1 + 1/d) to 12dp, hardcoded as identical literals on both
+# engines (public mathematical constants) — no libm call anywhere.
+_BENFORD = {
+    1: "0.301029995664",
+    2: "0.176091259056",
+    3: "0.124938736608",
+    4: "0.096910013008",
+    5: "0.079181246048",
+    6: "0.066946789631",
+    7: "0.057991946978",
+    8: "0.051152522447",
+    9: "0.045757490561",
+}
+
+
+def _benford_case(col: str) -> str:
+    return (
+        "CASE " + " ".join(
+            f"WHEN {col} = '{d}' THEN {p}" for d, p in _BENFORD.items()
+        ) + " END"
+    )
+
+
+@register(
+    "y88_benford_audit",
+    oracle=f"""
+    WITH o AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit
+      FROM orders),
+    cnt AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM o
+      GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cnt)
+    SELECT cnt.digit, cnt.n_obs,
+           {_benford_case("cnt.digit")} AS expected_p,
+           CAST(cnt.n_obs AS DOUBLE) / CAST(tot.n AS DOUBLE) AS observed_p,
+           (CAST(cnt.n_obs AS DOUBLE)
+              - CAST(tot.n AS DOUBLE) * {_benford_case("cnt.digit")})
+           * (CAST(cnt.n_obs AS DOUBLE)
+              - CAST(tot.n AS DOUBLE) * {_benford_case("cnt.digit")})
+           / (CAST(tot.n AS DOUBLE) * {_benford_case("cnt.digit")})
+             AS chi2_contrib
+    FROM cnt, tot
+    """,
+    doc="Benford first-digit audit over order totals — the classic "
+    "financial-forensics screen: leading-digit frequencies against "
+    "the Benford expectation log10(1+1/d), with a per-digit chi-square "
+    "contribution. The Benford probabilities are hardcoded 12dp "
+    "literal constants (public math, identical text on both engines), "
+    "so NO libm call exists anywhere in the query; counts are exact, "
+    "and observed_p / chi2_contrib are fixed-form expressions of "
+    "exact integers and those literals — bit-identical cross-engine. "
+    "One scan + one 9-value digit shuffle + a one-row total broadcast; "
+    "the synthetic fixture is NOT Benford-distributed, which is "
+    "precisely what the audit is built to surface.",
+)
+def y88_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    )
+    cnt = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = cnt.agg(F.sum("n_obs").cast("long").alias("n"))
+    expected = F.coalesce(
+        *[
+            F.when(F.col("digit") == str(d), F.lit(float(p)))
+            for d, p in _BENFORD.items()
+        ]
+    )
+    n_d = F.col("n_obs").cast("double")
+    t_d = F.col("n").cast("double")
+    dev = n_d - t_d * F.col("expected_p")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn("expected_p", expected)
+        .select(
+            "digit",
+            "n_obs",
+            "expected_p",
+            (n_d / t_d).alias("observed_p"),
+            (dev * dev / (t_d * F.col("expected_p"))).alias("chi2_contrib"),
+        )
+    )

@@ -204,6 +204,9 @@ NESTED_LOOP_WHITELIST = {
     # y79 cross-joins the one-row basket-count aggregate onto the rule
     # table for the lift denominator (broadcast-scalar shape).
     "y79_association_rules",
+    # y88 cross-joins the one-row digit-total aggregate onto the 9-row
+    # digit table (broadcast-scalar shape).
+    "y88_benford_audit",
 }
 
 
