@@ -1323,3 +1323,207 @@ def y88_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev * dev / (t_d * F.col("expected_p"))).alias("chi2_contrib"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Y89 — modularity of a labeled partition over the co-purchase graph
+# --------------------------------------------------------------------------
+@register(
+    "y89_modularity",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey),
+    lbl AS (SELECT p_partkey AS node, p_brand AS community FROM part),
+    e AS (
+      SELECT lu.community AS cu, lv.community AS cv
+      FROM pairs
+      JOIN lbl lu ON lu.node = pairs.u
+      JOIN lbl lv ON lv.node = pairs.v),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+    internal AS (
+      SELECT cu AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM e WHERE cu = cv GROUP BY cu),
+    degree AS (
+      SELECT community, CAST(COUNT(*) AS BIGINT) AS deg_sum FROM (
+        SELECT cu AS community FROM e UNION ALL SELECT cv FROM e)
+      GROUP BY community)
+    SELECT degree.community,
+           CAST(COALESCE(internal.e_in, 0) AS BIGINT) AS e_in,
+           degree.deg_sum, m.m_edges,
+           CAST(COALESCE(internal.e_in, 0) AS DOUBLE)
+             / CAST(m.m_edges AS DOUBLE)
+           - (CAST(degree.deg_sum AS DOUBLE)
+              / (2.0 * CAST(m.m_edges AS DOUBLE)))
+             * (CAST(degree.deg_sum AS DOUBLE)
+                / (2.0 * CAST(m.m_edges AS DOUBLE))) AS q_contrib
+    FROM degree
+    LEFT JOIN internal ON internal.community = degree.community
+    CROSS JOIN m
+    """,
+    doc="Newman modularity of the BRAND partition over the co-purchase "
+    "graph: per community, Q_c = e_in/m - (deg_c/2m)^2 — how much "
+    "denser the community is than a degree-preserving random rewiring. "
+    "Edge endpoints label via two node-keyed dimension joins; e_in, "
+    "degree sums, and m are exact integer counts, and each Q "
+    "contribution is a fixed-form expression over them (the total Q "
+    "is the oracle-side sum of contributions a community-detection "
+    "loop would maximize — emitted per community so the hash check "
+    "covers every term, not one rounded total). This is the "
+    "cluster-quality metric for the near-dup components (z85) and any "
+    "label-propagation output; at 100 TB it costs two broadcastable "
+    "label joins + three community-keyed aggregates.",
+)
+def y89_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    lbl = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("community")
+    )
+    lu = lbl.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = lbl.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    e = (
+        pairs.join(F.broadcast(lu), "u")
+        .join(F.broadcast(lv), "v")
+        .select("cu", "cv")
+        .localCheckpoint(eager=True)
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m_edges"))
+    internal = (
+        e.filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    degree = (
+        e.select(F.col("cu").alias("community"))
+        .unionAll(e.select(F.col("cv").alias("community")))
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("deg_sum"))
+    )
+    md = F.col("m_edges").cast("double")
+    half = F.col("deg_sum").cast("double") / (F.lit(2.0) * md)
+    return (
+        degree.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "deg_sum",
+            "m_edges",
+            (
+                F.coalesce("e_in", F.lit(0)).cast("double") / md
+                - half * half
+            ).alias("q_contrib"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Y90 — degree distribution + Hill power-law exponent
+# --------------------------------------------------------------------------
+@register(
+    "y90_degree_powerlaw",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+      GROUP BY node),
+    hist AS (
+      SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY degree),
+    dmin AS (SELECT MIN(degree) AS d0 FROM deg),
+    terms AS (
+      SELECT hist.degree, hist.n_nodes,
+             hist.n_nodes
+               * CAST(round(ln(CAST(hist.degree AS DOUBLE)
+                               / CAST(dmin.d0 AS DOUBLE)) * 1e6, 0)
+                      AS BIGINT) AS lnsum_u
+      FROM hist, dmin),
+    tot AS (
+      SELECT CAST(SUM(n_nodes) AS BIGINT) AS n,
+             CAST(SUM(lnsum_u) AS BIGINT) AS s_u
+      FROM terms)
+    SELECT terms.degree, terms.n_nodes,
+           1.0 + CAST(tot.n AS DOUBLE) / (CAST(tot.s_u AS DOUBLE) / 1e6)
+             AS hill_alpha
+    FROM terms, tot
+    """,
+    doc="Degree distribution of the co-purchase graph plus the Hill "
+    "maximum-likelihood power-law exponent alpha = 1 + n / "
+    "sum(ln(d/dmin)) — the skew diagnosis that decides whether a "
+    "graph needs the degree-ordered orientation (z195) and salting "
+    "(z68) at scale. The libm portability rule (registry.py) is "
+    "honored by QUANTIZING each distinct degree's ln to a 6dp integer "
+    "BEFORE the count-weighted sum — ln is called once per distinct "
+    "degree (dozens of values), its rounded output is exact on both "
+    "engines, and the weighted sum is pure integers; the final alpha "
+    "is a fixed-form expression of two exact totals. Output: the "
+    "histogram rows with the (constant) alpha column — every term of "
+    "the estimate is hash-checked, not just the headline number.",
+)
+def y90_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    dmin = deg.agg(F.min("degree").alias("d0"))
+    terms = hist.crossJoin(F.broadcast(dmin)).select(
+        "degree",
+        "n_nodes",
+        (
+            F.col("n_nodes")
+            * F.round(
+                F.log(
+                    F.col("degree").cast("double")
+                    / F.col("d0").cast("double")
+                )
+                * 1e6,
+                0,
+            ).cast("long")
+        ).alias("lnsum_u"),
+    )
+    tot = terms.agg(
+        F.sum("n_nodes").cast("long").alias("n"),
+        F.sum("lnsum_u").cast("long").alias("s_u"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        "n_nodes",
+        (
+            F.lit(1.0)
+            + F.col("n").cast("double")
+            / (F.col("s_u").cast("double") / F.lit(1e6))
+        ).alias("hill_alpha"),
+    )

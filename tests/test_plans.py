@@ -207,6 +207,10 @@ NESTED_LOOP_WHITELIST = {
     # y88 cross-joins the one-row digit-total aggregate onto the 9-row
     # digit table (broadcast-scalar shape).
     "y88_benford_audit",
+    # y89/y90 cross-join one-row edge-count / min-degree / totals
+    # aggregates onto community- or degree-sized tables (same shape).
+    "y89_modularity",
+    "y90_degree_powerlaw",
 }
 
 
