@@ -1,0 +1,128 @@
+"""Shared, memoized part co-purchase graph (the graph-family input).
+
+Five registered queries (PageRank, BFS, triangle count, clustering
+coefficient, modularity, degree power-law) analyze the SAME graph: parts
+appearing in the same order are linked (lineitem self-joined on
+l_orderkey, distinct pairs). Before round 6 each query rebuilt that edge
+set from scratch — a lineitem self-join + distinct per query, ~3 s of
+the sf0.1 suite each, identical bytes every time.
+
+This module materializes the graph ONCE per (SparkSession, sf_dir) with
+an eager localCheckpoint and hands every consumer the same checkpointed
+DataFrame — the multi-query analogue of the per-query localCheckpoint
+rule in functions/graph.py. At 100 TB this is exactly what a production
+pipeline does with a shared intermediate: write it once (here a
+checkpoint; on a cluster, a bucketed parquet table) and fan the
+downstream analyses out from the materialization instead of re-deriving
+the self-join per job.
+
+Memo keys include SparkContext.applicationId, so a stopped/recreated
+session (test fixtures) never sees another context's checkpoint blocks,
+and sf_dir, so fixture tiers don't collide. Checkpoint blocks are
+released by the ContextCleaner when the memo is the last reference and
+the application ends — bounded: one edge set + one degree table + one
+oriented edge list per (app, sf_dir).
+
+Derived tables:
+- undirected_edges: (u, v) with u < v, distinct — the canonical form.
+- directed_edges:   (src, dst) both directions — a cheap projection/
+  union of the memoized undirected set (not checkpointed separately).
+- degrees:          (node, deg) over the undirected set.
+- oriented_edges:   (s, t, dt) degree-ordered low->high with the head's
+  degree rank carried — the triangle-enumeration input (each wedge fans
+  out from its LOW-degree endpoint: O(m^1.5) under skew).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _memo(
+    spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _MEMO.get(k)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        _MEMO[k] = df
+    return df
+
+
+def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (u, v), u < v, parts co-purchased in some order."""
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a, b = li.alias("a"), li.alias("b")
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+            .select(
+                F.col("a.l_partkey").alias("u"),
+                F.col("b.l_partkey").alias("v"),
+            )
+            .distinct()
+        )
+
+    return _memo(spark, sf_dir, "und", build)
+
+
+def directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) both directions — a projection of the memoized
+    undirected set; no second materialization needed."""
+    und = undirected_edges(spark, sf_dir)
+    return und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
+def degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, deg) over the undirected edge set."""
+
+    def build() -> DataFrame:
+        und = undirected_edges(spark, sf_dir)
+        return (
+            und.select(F.col("u").alias("node"))
+            .unionAll(und.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    return _memo(spark, sf_dir, "deg", build)
+
+
+def oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, t, dt): each undirected edge pointed from its lower-(deg, id)
+    endpoint to the higher one, carrying the head's degree so wedge
+    joins can order heads without re-joining degrees. (node, deg) is
+    O(nodes) — joined plain (no broadcast hint; AQE promotes when small),
+    the billion-node rule from functions/graph.py."""
+
+    def build() -> DataFrame:
+        und = undirected_edges(spark, sf_dir)
+        deg = degrees(spark, sf_dir)
+        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+        withdeg = und.join(du, "u").join(dv, "v")
+        lo_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        return withdeg.select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+
+    return _memo(spark, sf_dir, "oriented", build)

@@ -266,19 +266,14 @@ def z98_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y45 — PageRank over the part co-purchase graph (iterative)
 # --------------------------------------------------------------------------
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    # Both directions of the SHARED memoized undirected edge set
+    # (functions/copurchase.py) — the graph family (PageRank, BFS,
+    # triangles, clustering, modularity, power-law) reads one
+    # materialization instead of re-running the lineitem self-join
+    # + distinct per query.
+    from ..functions.copurchase import directed_edges
+
+    return directed_edges(spark, sf_dir)
 
 
 def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,7 +326,10 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row join.",
 )
 def q88_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # _copurchase_edges is a cheap projection of the session-memoized
+    # edge checkpoint (functions/copurchase.py) — no per-query
+    # materialization needed; pagerank() checkpoints its own input.
+    edges = _copurchase_edges(spark, sf_dir)
     from ..functions.graph import pagerank
 
     ranks = pagerank(edges, damping=0.85, n_iter=10)
@@ -431,7 +429,7 @@ _TRI_EDGES_SQL = """
 
 
 @register(
-    "z195_triangle_count",
+    "q66_triangle_count",
     oracle=_TRI_EDGES_SQL
     + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
@@ -451,54 +449,23 @@ _TRI_EDGES_SQL = """
     "Triangle count is orientation-invariant, so the oracle uses the "
     "simpler id-ordering — equal result, and the test proves the "
     "orientation trick changes the plan, not the answer. The edge set "
-    "and the oriented edge list are each referenced 2-3 times "
-    "downstream, so both are materialized once with a localCheckpoint "
-    "(graph.py's rule) — without it Catalyst re-derives the self-join+"
-    "distinct subtree per reference (measured: 26 exchanges -> 5; "
-    "~13 s -> ~8 s at sf0.1, the rest being the wedge join itself). "
-    "Remaining shuffles: edge build, degree agg, wedge join, closing "
-    "join (SURVEY §2.13 graph family).",
+    "and the oriented edge list come from the SHARED memoized "
+    "materializations in functions/copurchase.py (one localCheckpoint "
+    "per session serves the whole graph family — without it Catalyst "
+    "re-derives the self-join+distinct subtree per reference; "
+    "measured: 26 exchanges -> 5). Remaining shuffles: wedge join and "
+    "closing join (SURVEY §2.13 graph family).",
 )
-def z195_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-        # und feeds the degree agg (twice, via the union) AND the
-        # orientation join: materialize the self-join+distinct once.
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    # (node, deg) is O(nodes) — no mandatory broadcast (VERDICT r3 item
-    # 4): a billion-node degree table cannot fit an executor broadcast.
-    # Plain shuffle joins here; AQE still broadcasts when deg is small.
-    withdeg = und.join(du, "u").join(dv, "v")
-    # Orient low-(deg, id) -> high-(deg, id); carry the head's rank so
-    # the wedge join can order its two heads without re-joining degrees.
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = withdeg.select(
-        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-        # referenced three times (e1, e2, closing): materialize once.
-    ).localCheckpoint(eager=True)
+def q66_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.copurchase import oriented_edges
+
+    # Shared memoized materializations (functions/copurchase.py): the
+    # edge set and the degree-ordered oriented edge list are built once
+    # per session and reused by the whole graph family — the oriented
+    # list is referenced three times below (e1, e2, closing) and the
+    # checkpoint keeps Catalyst from re-deriving the self-join+distinct
+    # subtree per reference (measured: 26 exchanges -> 5).
+    oriented = oriented_edges(spark, sf_dir)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(
         (F.col("e1.dt") < F.col("e2.dt"))

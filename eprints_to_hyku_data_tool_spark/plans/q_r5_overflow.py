@@ -4,7 +4,7 @@ test run like everything else, and first in line for the round-6
 window rotation (registry.py naming scheme).
 
 - y75  STL-lite seasonal decomposition (trend / day-of-week / residual)
-- y76  per-node local clustering coefficient (z195's oriented kernel)
+- y76  per-node local clustering coefficient (q66's oriented kernel)
 - y77  Holt linear smoothing (two-state ordered fold, recursive oracle)
 - y78  per-key linear interpolation of calendar gaps (q35's upgrade)
 - y79  association rules over baskets (support / confidence / lift)
@@ -26,7 +26,7 @@ from .registry import register
 # Y75 — STL-lite seasonal decomposition of the daily event series
 # --------------------------------------------------------------------------
 @register(
-    "y75_stl_decompose",
+    "q50_stl_decompose",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -70,7 +70,7 @@ from .registry import register
     "100 TB the series key has the cardinality of the metric "
     "catalogue — each series' window state is 7 rows.",
 )
-def y75_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q50_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -120,7 +120,7 @@ def y75_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y76 — per-node local clustering coefficient
 # --------------------------------------------------------------------------
 @register(
-    "y76_clustering_coefficient",
+    "q51_clustering_coefficient",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -151,49 +151,25 @@ def y75_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Per-node local clustering coefficient over the co-purchase "
     "graph: 2*T(v) / (deg(v)*(deg(v)-1)) — the community-structure "
-    "profile that complements z195's global triangle count. Triangle "
-    "enumeration reuses z195's degree-ordered orientation (each wedge "
+    "profile that complements q66's global triangle count. Triangle "
+    "enumeration reuses q66's degree-ordered orientation (each wedge "
     "fans out from its LOW-degree endpoint, O(m^1.5) under skew; the "
     "oracle enumerates with the simpler id-ordering — the triangle "
     "SET is orientation-invariant, so per-node credits agree), then "
     "every closed triangle credits its three corners via an explode + "
     "node-keyed count. The coefficient is one IEEE division of exact "
-    "integers. Shuffles on top of z195's: one explode-count and one "
+    "integers. Shuffles on top of q66's: one explode-count and one "
     "degree join — both node-keyed.",
 )
-def y76_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    withdeg = und.join(du, "u").join(dv, "v")
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = withdeg.select(
-        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-    ).localCheckpoint(eager=True)
+def q51_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.copurchase import degrees, oriented_edges
+
+    # Shared memoized graph (functions/copurchase.py): one edge-set /
+    # degree / oriented-edge materialization per session serves the
+    # whole graph family — q66_triangle_count's orientation is not
+    # recomputed here (r5 verdict item 6).
+    deg = degrees(spark, sf_dir)
+    oriented = oriented_edges(spark, sf_dir)
     e1, e2 = oriented.alias("e1"), oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(
         (F.col("e1.dt") < F.col("e2.dt"))
@@ -244,7 +220,7 @@ def y76_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y77 — Holt linear smoothing (level + trend, two-state ordered fold)
 # --------------------------------------------------------------------------
 @register(
-    "y77_holt_linear",
+    "q52_holt_linear",
     oracle="""
     WITH RECURSIVE ev AS (
       SELECT user_id,
@@ -282,7 +258,7 @@ def y76_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming form keeps (level, trend) as O(1) state exactly like "
     "streaming_ewma.",
 )
-def y77_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q52_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -327,7 +303,7 @@ def y77_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y78 — per-key linear interpolation of gaps (q35's upgrade)
 # --------------------------------------------------------------------------
 @register(
-    "y78_linear_interpolate",
+    "q53_linear_interpolate",
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS d,
@@ -385,7 +361,7 @@ def y77_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical cross-engine. This is the resampling primitive a "
     "time-series feature pipeline runs after q35's densification.",
 )
-def y78_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q53_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").cast("date").alias("d"),
@@ -450,7 +426,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
 
 
 @register(
-    "y79_association_rules",
+    "q54_association_rules",
     oracle=f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -490,7 +466,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
     "At 100 TB min-support pruning is what keeps the pair table "
     "manageable — exactly the a-priori downward-closure argument.",
 )
-def y79_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q54_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
@@ -543,7 +519,7 @@ _GD_R2 = 200 * 200
 
 
 @register(
-    "y80_grid_distance_join",
+    "q55_grid_distance_join",
     oracle=f"""
     WITH pts AS (
       SELECT c_custkey AS id,
@@ -580,7 +556,7 @@ _GD_R2 = 200 * 200
     "fan-out is bounded by local point density — the same "
     "bucketing-beats-all-pairs argument as the LSH dedup family.",
 )
-def y80_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q55_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     md5 = F.md5(F.col("c_custkey").cast("string").cast("binary"))
     pts = cust.select(
@@ -662,7 +638,7 @@ def _bpe_encode_oracle() -> str:
 
 
 @register(
-    "y81_bpe_encode",
+    "q56_bpe_encode",
     oracle=_bpe_encode_oracle(),
     doc="BPE ENCODE — the apply side of q43's training: the learned "
     "3-merge vocabulary maps every distinct word to its final symbol "
@@ -676,7 +652,7 @@ def _bpe_encode_oracle() -> str:
     "(_bpe_learn / _bpe_cte), so the two stay consistent by "
     "construction.",
 )
-def y81_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q56_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_r5_pipeline import _bpe_learn
 
     vocab_words, _ = _bpe_learn(spark, sf_dir)
@@ -708,7 +684,7 @@ def y81_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y82 — 2-D skyline (Pareto frontier): cheapest-for-its-recency orders
 # --------------------------------------------------------------------------
 @register(
-    "y82_skyline_2d",
+    "q57_skyline_2d",
     oracle="""
     WITH o AS (
       SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
@@ -738,7 +714,7 @@ def y81_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reduce per group -> scan-side filter against a broadcast "
     "cutoff) generalizes to any 2-D skyline at 100 TB.",
 )
-def y82_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q57_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("d"),
@@ -766,7 +742,7 @@ def y82_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y83 — Kaplan-Meier survival curve (signup -> first purchase)
 # --------------------------------------------------------------------------
 @register(
-    "y83_kaplan_meier",
+    "q58_kaplan_meier",
     oracle="""
     WITH s AS (
       SELECT user_id, MIN(ts) AS t0 FROM events
@@ -830,7 +806,7 @@ def y82_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Time-to-event analytics is the conversion-latency readout every "
     "funnel (q32) eventually needs.",
 )
-def y83_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q58_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     s = (
         ev.filter(F.col("event_type") == "signup")
@@ -912,7 +888,7 @@ def y83_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y84 — user-journey Markov transition matrix
 # --------------------------------------------------------------------------
 @register(
-    "y84_markov_transitions",
+    "q59_markov_transitions",
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type,
@@ -941,7 +917,7 @@ def y83_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed shuffles total (user window, 25-cell count); the matrix "
     "size depends on the state alphabet, not the corpus.",
 )
-def y84_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -978,7 +954,7 @@ def y84_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y85 — RFM segmentation (recency / frequency / monetary quintiles)
 # --------------------------------------------------------------------------
 @register(
-    "y85_rfm_segments",
+    "q60_rfm_segments",
     oracle="""
     WITH rfm AS (
       SELECT user_id,
@@ -1017,7 +993,7 @@ def y84_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "form because its input is the reduced dimension, and the oracle "
     "pins the identical quintile semantics.",
 )
-def y85_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q60_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     rfm = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1074,7 +1050,7 @@ def y85_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y86 — top user-journey paths (3-step sequence mining)
 # --------------------------------------------------------------------------
 @register(
-    "y86_top_paths",
+    "q61_top_paths",
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type,
@@ -1101,7 +1077,7 @@ def y85_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assumption breaks). Path cardinality is bounded by |states|^3, "
     "so the count shuffle is tiny regardless of corpus size.",
 )
-def y86_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q61_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1128,7 +1104,7 @@ def y86_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y87 — CUSUM changepoint detection per series
 # --------------------------------------------------------------------------
 @register(
-    "y87_cusum_changepoint",
+    "q62_cusum_changepoint",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1179,7 +1155,7 @@ def y86_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-scale rollup shuffle; everything after lives on the "
     "(series x day) dimension.",
 )
-def y87_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q62_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -1258,7 +1234,7 @@ def _benford_case(col: str) -> str:
 
 
 @register(
-    "y88_benford_audit",
+    "q63_benford_audit",
     oracle=f"""
     WITH o AS (
       SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
@@ -1291,7 +1267,7 @@ def _benford_case(col: str) -> str:
     "the synthetic fixture is NOT Benford-distributed, which is "
     "precisely what the audit is built to surface.",
 )
-def y88_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q63_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.substring(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
@@ -1329,7 +1305,7 @@ def y88_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y89 — modularity of a labeled partition over the co-purchase graph
 # --------------------------------------------------------------------------
 @register(
-    "y89_modularity",
+    "q64_modularity",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1375,20 +1351,11 @@ def y88_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label-propagation output; at 100 TB it costs two broadcastable "
     "label joins + three community-keyed aggregates.",
 )
-def y89_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+def q64_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.copurchase import undirected_edges
+
+    # Shared memoized edge set (functions/copurchase.py).
+    pairs = undirected_edges(spark, sf_dir)
     lbl = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("community")
     )
@@ -1433,9 +1400,26 @@ def y89_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Y90 — degree distribution + Hill power-law exponent
 # --------------------------------------------------------------------------
+# Deterministic cross-engine ln (ADVICE r5): libm ln() is not guaranteed
+# correctly rounded, so ln-then-round-to-6dp could disagree between
+# engines at a .5e-6 boundary. Instead ln(x) is computed from IEEE
+# primitives ONLY — N correctly-rounded sqrts (IEEE 754 REQUIRES sqrt,
+# +, -, *, / to be correctly rounded) then the artanh form
+# 2^N * 2*(y-1)/(y+1) with a fixed parenthesization — so both engines
+# produce bit-identical doubles by construction and the 6dp rounding can
+# never straddle. |lnapprox - ln| <= 2.3e-7 over the degree range (the
+# estimator's semantics are the approximant itself, identically on both
+# sides).
+_LN_SQRT_N = 30
+
+
+def _sqrt_chain_sql(expr: str) -> str:
+    return "sqrt(" * _LN_SQRT_N + expr + ")" * _LN_SQRT_N
+
+
 @register(
-    "y90_degree_powerlaw",
-    oracle="""
+    "q65_degree_powerlaw",
+    oracle=f"""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
@@ -1448,13 +1432,19 @@ def y89_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
       FROM deg GROUP BY degree),
     dmin AS (SELECT MIN(degree) AS d0 FROM deg),
-    terms AS (
+    ys AS (
       SELECT hist.degree, hist.n_nodes,
-             hist.n_nodes
-               * CAST(round(ln(CAST(hist.degree AS DOUBLE)
-                               / CAST(dmin.d0 AS DOUBLE)) * 1e6, 0)
-                      AS BIGINT) AS lnsum_u
+             {_sqrt_chain_sql('CAST(hist.degree AS DOUBLE)'
+                              ' / CAST(dmin.d0 AS DOUBLE)')} AS y
       FROM hist, dmin),
+    terms AS (
+      SELECT degree, n_nodes,
+             n_nodes
+               * CAST(round(({float(1 << _LN_SQRT_N)}
+                             * ((2.0 * (y - 1.0)) / (y + 1.0)))
+                            * 1e6, 0)
+                      AS BIGINT) AS lnsum_u
+      FROM ys),
     tot AS (
       SELECT CAST(SUM(n_nodes) AS BIGINT) AS n,
              CAST(SUM(lnsum_u) AS BIGINT) AS s_u
@@ -1467,51 +1457,39 @@ def y89_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Degree distribution of the co-purchase graph plus the Hill "
     "maximum-likelihood power-law exponent alpha = 1 + n / "
     "sum(ln(d/dmin)) — the skew diagnosis that decides whether a "
-    "graph needs the degree-ordered orientation (z195) and salting "
+    "graph needs the degree-ordered orientation (q66) and salting "
     "(z68) at scale. The libm portability rule (registry.py) is "
-    "honored by QUANTIZING each distinct degree's ln to a 6dp integer "
-    "BEFORE the count-weighted sum — ln is called once per distinct "
-    "degree (dozens of values), its rounded output is exact on both "
-    "engines, and the weighted sum is pure integers; the final alpha "
-    "is a fixed-form expression of two exact totals. Output: the "
-    "histogram rows with the (constant) alpha column — every term of "
-    "the estimate is hash-checked, not just the headline number.",
+    "honored by construction, not by hoping two libms agree: ln(d/dmin)"
+    " is evaluated on BOTH engines as the same chain of IEEE-mandated "
+    "correctly-rounded primitives (30 sqrts + the artanh form "
+    "2^30*2*(y-1)/(y+1), fixed parenthesization) so the doubles are "
+    "bit-identical before the 6dp quantization — a .5e-6 boundary "
+    "cannot straddle (ADVICE r5). The quantized per-degree terms "
+    "weight an exact integer sum; the final alpha is a fixed-form "
+    "expression of two exact totals. Output: the histogram rows with "
+    "the (constant) alpha column — every term of the estimate is "
+    "hash-checked, not just the headline number.",
 )
-def y90_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
+def q65_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.copurchase import degrees
+
+    # Shared memoized degree table (functions/copurchase.py).
+    deg = degrees(spark, sf_dir).select(
+        "node", F.col("deg").alias("degree")
     )
     hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
     dmin = deg.agg(F.min("degree").alias("d0"))
+    y = F.col("degree").cast("double") / F.col("d0").cast("double")
+    for _ in range(_LN_SQRT_N):
+        y = F.sqrt(y)
+    lnapprox = F.lit(float(1 << _LN_SQRT_N)) * (
+        (F.lit(2.0) * (y - F.lit(1.0))) / (y + F.lit(1.0))
+    )
     terms = hist.crossJoin(F.broadcast(dmin)).select(
         "degree",
         "n_nodes",
         (
-            F.col("n_nodes")
-            * F.round(
-                F.log(
-                    F.col("degree").cast("double")
-                    / F.col("d0").cast("double")
-                )
-                * 1e6,
-                0,
-            ).cast("long")
+            F.col("n_nodes") * F.round(lnapprox * 1e6, 0).cast("long")
         ).alias("lnsum_u"),
     )
     tot = terms.agg(

@@ -153,7 +153,7 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
 
     from eprints_to_hyku_data_tool_spark.plans.q_analytics import (
         pagerank_ranks,
-        z195_triangle_count,
+        q66_triangle_count,
     )
 
     calls: list[int] = []
@@ -172,7 +172,7 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
     # here would be a node-sized regression.)
     pagerank_ranks(spark, sf_dir)
     assert not calls, "pagerank used a broadcast hint"
-    z195_triangle_count(spark, sf_dir)
+    q66_triangle_count(spark, sf_dir)
     assert not calls, "triangle count used a broadcast hint"
 
 

@@ -203,14 +203,14 @@ NESTED_LOOP_WHITELIST = {
     "q47_mahalanobis",
     # y79 cross-joins the one-row basket-count aggregate onto the rule
     # table for the lift denominator (broadcast-scalar shape).
-    "y79_association_rules",
+    "q54_association_rules",
     # y88 cross-joins the one-row digit-total aggregate onto the 9-row
     # digit table (broadcast-scalar shape).
-    "y88_benford_audit",
+    "q63_benford_audit",
     # y89/y90 cross-join one-row edge-count / min-degree / totals
     # aggregates onto community- or degree-sized tables (same shape).
-    "y89_modularity",
-    "y90_degree_powerlaw",
+    "q64_modularity",
+    "q65_degree_powerlaw",
 }
 
 
