@@ -61,6 +61,38 @@ def with_global_position(
     )
 
 
+def exact_int_div(a: Column, b: Column) -> Column:
+    """Integer division of non-negative longs as (a - a%b)/b: the
+    numerator is exactly divisible, so the double division is exact for
+    any value < 2^53 — a bare floor(a/b) can err by one ulp near
+    integer boundaries at 1e11+ magnitudes."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_bucket(pos: Column, n_total: Column, nbins: int) -> Column:
+    """0-based SQL ntile(nbins) bucket from a 1-based global position —
+    the TRUE ntile mapping: with q = n div B and r = n mod B the first
+    r buckets hold q+1 rows, the rest q, so
+    bucket = (pos-1) div (q+1)            if pos <= r*(q+1)
+           = r + (pos-1-r*(q+1)) div q    otherwise.
+    (The floor((pos-1)*B/n) shortcut agrees ONLY when B divides n —
+    ADVICE r5; regression-tested against DuckDB's ntile in
+    tests/test_plans.py for non-divisible n.) The division by q in the
+    otherwise-branch is unreachable when q = 0 (then r = n and every
+    pos <= r*(q+1)) and CaseWhen short-circuits per row, but
+    greatest(q, 1) keeps the expression total anyway."""
+    qq = exact_int_div(n_total, F.lit(nbins))
+    rr = (n_total % nbins).cast("long")
+    p0 = (pos - 1).cast("long")
+    return (
+        F.when(pos <= rr * (qq + 1), exact_int_div(p0, qq + 1))
+        .otherwise(
+            rr + exact_int_div(p0 - rr * (qq + 1), F.greatest(qq, F.lit(1)))
+        )
+        .cast("int")
+    )
+
+
 def with_global_cumsum(
     df: DataFrame,
     order_exprs: list[Column],

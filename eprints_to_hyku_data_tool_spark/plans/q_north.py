@@ -198,14 +198,16 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "z60_minhash_lsh",
     oracle=_NEARDUP_ORACLE,
     doc="The 100 TB near-dup pipeline, fully distributed (no collect): "
-    "shingle -> 128 seeded xxhash64 minhashes (one shuffle: min per "
-    "doc) -> 32 band hashes -> explode -> self-equi-join on "
+    "shingle -> 64 seeded xxhash64 minhashes (one shuffle: min per "
+    "doc) -> 16 band hashes -> explode -> self-equi-join on "
     "(band, band_hash) buckets -> distinct candidate pairs -> exact "
     "Jaccard verify on candidates only. All-pairs never materializes; "
     "candidates are an equi-join Catalyst optimizes like any other. "
-    "With 32 bands x 4 rows the miss probability per true pair "
-    "(J >= 0.89) is <= 2e-14, so the result is exact-equal to the "
-    "brute-force oracle (SURVEY §2.11 Q60, §4 similarity-join row).",
+    "With 16 bands x 4 rows the miss probability per true pair "
+    "(J >= 0.89) is <= 1.4e-7 — across the fixture's true pairs the "
+    "any-miss chance is ~4e-6, so the result is exact-equal to the "
+    "brute-force oracle (SURVEY §2.11 Q60, §4 similarity-join row; "
+    "parameter rationale at the module header).",
 )
 def z60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))

@@ -290,10 +290,15 @@ _NBINS = 10
     "100 TB through one task): it rides the two-phase distributed "
     "global-position engine (functions/ordering.py, z37's kernel — "
     "range shuffle + local ranks + broadcast offsets) and converts "
-    "positions to ntile's exact bucketing floor((pos-1)*B/n), so the "
-    "result is bit-identical to the oracle's ntile while every stage "
-    "stays parallel. The approximate 100 TB path is the KLL/approx- "
-    "percentile family (z192) — both registered, trade-off explicit.",
+    "positions with ntile's TRUE mapping — with q = n div B, "
+    "r = n mod B, the first r buckets get q+1 rows: bucket = "
+    "(pos-1) div (q+1) if pos <= r*(q+1) else r + (pos-1-r*(q+1)) "
+    "div q — bit-identical to the oracle's ntile for EVERY n, not "
+    "just multiples of B (the round-5 floor((pos-1)*B/n) shortcut "
+    "diverged whenever B did not divide n — ADVICE r5; regression "
+    "test: tests/test_plans.py non-divisible-n case). The approximate "
+    "100 TB path is the KLL/approx-percentile family (z192) — both "
+    "registered, trade-off explicit.",
 )
 def q39_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
@@ -308,25 +313,27 @@ def q39_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = with_global_position(
         o, [F.col("cents"), F.col("o_orderkey")], "pos"
     )
+    from ..functions.ordering import exact_int_div, ntile_bucket
+
     depth = pos.crossJoin(F.broadcast(total)).select(
         F.lit("equi-depth").alias("kind"),
-        F.floor(
-            (F.col("pos") - 1).cast("long") * _NBINS / F.col("n_total")
-        )
-        .cast("int")
-        .alias("bucket"),
+        ntile_bucket(F.col("pos"), F.col("n_total"), _NBINS).alias(
+            "bucket"
+        ),
         "cents",
     )
     ext = o.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
     width = o.crossJoin(F.broadcast(ext)).select(
         F.lit("equi-width").alias("kind"),
         F.least(
-            F.floor(
-                (F.col("cents") - F.col("lo"))
-                * _NBINS
-                / (F.col("hi") - F.col("lo") + 1)
+            # same exact integer-div idiom as the depth branch (the
+            # oracle's // is integer division; floor over a double
+            # quotient can differ by one ulp at extreme magnitudes)
+            exact_int_div(
+                (F.col("cents") - F.col("lo")) * _NBINS,
+                F.col("hi") - F.col("lo") + 1,
             ),
-            F.lit(_NBINS - 1),
+            F.lit(_NBINS - 1).cast("long"),
         )
         .cast("int")
         .alias("bucket"),

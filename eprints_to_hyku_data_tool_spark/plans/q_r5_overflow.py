@@ -988,10 +988,11 @@ def q59_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the classic CRM cube. The ntile here runs over the USER "
     "AGGREGATE table; at 100 TB that table is still large, so the "
     "production path swaps each ntile for the two-phase distributed "
-    "global-position engine exactly as q39/q46 do (same bucketing "
-    "formula, asserted there) — this query keeps the compact window "
-    "form because its input is the reduced dimension, and the oracle "
-    "pins the identical quintile semantics.",
+    "global-position engine + the TRUE ntile mapping "
+    "(functions/ordering.py ntile_bucket, exact for every n — the "
+    "q39 path, regression-tested for non-divisible n) — this query "
+    "keeps the compact window form because its input is the reduced "
+    "dimension, and the oracle pins the identical quintile semantics.",
 )
 def q60_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

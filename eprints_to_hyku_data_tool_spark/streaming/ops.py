@@ -389,11 +389,16 @@ def streaming_ewma(stream: DataFrame, alpha_num: int = 1, alpha_den: int = 4) ->
     state_schema = "n bigint, ewma double"
 
     def update(key, pdfs, state: GroupState):
+        import math
+
         n, ewma = state.get if state.exists else (0, 0.0)
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         for v in rows["value"]:
-            x = float(int(v * 1e6 + 0.5))  # the batch value_u quantization
+            # math.floor, not int(): the batch q36 quantizes with
+            # floor(v*1e6+0.5) and int() truncates toward zero, which
+            # diverges for negative values (ADVICE r5).
+            x = float(math.floor(v * 1e6 + 0.5))
             ewma = x if n == 0 else ewma * beta + x * alpha
             n += 1
         state.update((n, ewma))
@@ -427,6 +432,8 @@ def streaming_cdc_apply(stream: DataFrame) -> DataFrame:
     state_schema = "ts_us bigint, event_id bigint, value_u bigint, n bigint, deleted boolean"
 
     def update(key, pdfs, state: GroupState):
+        import math
+
         if state.exists:
             ts_us, event_id, value_u, n, deleted = state.get
         else:
@@ -440,7 +447,9 @@ def streaming_cdc_apply(stream: DataFrame) -> DataFrame:
             if (t, e) > (ts_us, event_id):
                 ts_us, event_id = t, e
                 deleted = r["event_type"] == "error"
-                value_u = int(r["value"] * 1e6 + 0.5)
+                # floor-based quantization, matching batch q31
+                # exactly for negatives too (ADVICE r5)
+                value_u = math.floor(r["value"] * 1e6 + 0.5)
         state.update((ts_us, event_id, value_u, n, deleted))
         yield pd.DataFrame(
             {

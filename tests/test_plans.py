@@ -672,6 +672,39 @@ def test_q39_equidepth_is_distributed(plans):
     assert "ntile" not in p, p
 
 
+def test_ntile_bucket_matches_sql_ntile_for_non_divisible_n(spark, duck):
+    """ADVICE r5 (q39): floor((pos-1)*B/n) diverges from SQL ntile
+    whenever B does not divide n — the fixtures (1500/15000 orders) are
+    all multiples of 10, which masked it. Pin the TRUE mapping against
+    DuckDB's ntile for a sweep of ragged n, including n < B."""
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.functions.ordering import (
+        ntile_bucket,
+    )
+
+    for n, nbins in [(13, 10), (7, 10), (101, 10), (9999, 32), (10, 10)]:
+        got = {
+            r["pos"]: r["bucket"]
+            for r in spark.range(1, n + 1)
+            .select(
+                F.col("id").cast("int").alias("pos"),
+                ntile_bucket(
+                    F.col("id").cast("int"), F.lit(n).cast("long"), nbins
+                ).alias("bucket"),
+            )
+            .collect()
+        }
+        want = {
+            pos: bucket - 1
+            for pos, bucket in duck.execute(
+                f"SELECT i AS pos, ntile({nbins}) OVER (ORDER BY i) AS b "
+                f"FROM range(1, {n + 1}) t(i)"
+            ).fetchall()
+        }
+        assert got == want, (n, nbins)
+
+
 # --------------------------------------------------------------------------
 # Round-5 batch D part 2 (linear algebra / iterative ML)
 # --------------------------------------------------------------------------

@@ -343,3 +343,62 @@ def test_streaming_cdc_apply_equals_batch(spark, sf_dir, replay_dir):
     want = {r["user_id"]: (r["applied_ts_us"], r["final_value_u"], r["n_ops"])
             for r in q31_cdc_apply(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_streaming_quantization_is_floor_for_negative_values(spark):
+    """ADVICE r5: the stateful EWMA/CDC updaters quantized with
+    int(v*1e6+0.5) — truncation toward zero — while the batch q36/q31
+    use floor(); the fixtures' non-negative values masked the
+    divergence. Replay crafted NEGATIVE values and pin both updaters to
+    the batch floor(v*1e6+0.5) idiom (for v = -1.3, floor gives
+    -1300000 while int() gave -1299999)."""
+    import math
+
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="neg_replay_")
+    try:
+        vals = [-1.3, -0.0000005, -2.7182818, 3.5, -1.9999999]
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(1, len(vals) + 1),
+                "ts": pd.to_datetime(
+                    [f"2024-01-01 00:00:0{i}" for i in range(len(vals))]
+                ),
+                "user_id": [7] * len(vals),
+                "event_type": ["purchase"] * len(vals),
+                "value": vals,
+                "props": ["{}"] * len(vals),
+            }
+        )
+        spark.createDataFrame(pdf, schema=ops.EVENTS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(f"{tmp}/chunk=0")
+
+        name = f"negewma_{uuid.uuid4().hex[:8]}"
+        stream = ops.events_stream(spark, _chunks_glob(tmp))
+        _run_to_memory(ops.streaming_ewma(stream), name, "update")
+        row = (
+            spark.table(name)
+            .orderBy(F.desc("n_events"))
+            .limit(1)
+            .collect()[0]
+        )
+        ewma, n = 0.0, 0
+        for v in vals:
+            x = float(math.floor(v * 1e6 + 0.5))
+            ewma = x if n == 0 else ewma * 0.75 + x * 0.25
+            n += 1
+        assert row["n_events"] == n
+        assert row["ewma_u"] == ewma  # exact: identical multiply-add chain
+
+        name = f"negcdc_{uuid.uuid4().hex[:8]}"
+        stream = ops.events_stream(spark, _chunks_glob(tmp))
+        _run_to_memory(ops.streaming_cdc_apply(stream), name, "update")
+        row = (
+            spark.table(name).orderBy(F.desc("n_ops")).limit(1).collect()[0]
+        )
+        # last event by (ts, event_id) carries value -1.9999999
+        assert row["final_value_u"] == math.floor(-1.9999999 * 1e6 + 0.5)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
