@@ -118,10 +118,27 @@ def main() -> None:
         # previous round's recorded bench at the same sf.
         "regressions": regressions_vs_previous(timings, sf),
     }
-    print(json.dumps(payload))
-    # The driver keeps only a 2000-char tail of stdout (BENCH_r04.json
-    # came back "parsed: null" — r4 verdict nit 1), so the full
-    # per-query map is ALSO written as a repo-root sidecar artifact.
+    # The driver keeps only a ~2000-char tail of stdout, so a full
+    # 208-entry per-query map in the printed line gets truncated and
+    # the driver records "parsed: null" (r3-r5). Print a COMPACT line
+    # that fits the tail — totals, errors, regressions, and the worst
+    # queries only — and write the full payload to the BENCH_local.json
+    # sidecar (regressions_vs_previous merges the sidecar back in when
+    # it matches the recorded run — see _extract_queries).
+    printed = dict(payload)
+    worst = sorted(
+        ((n, t) for n, t in timings.items() if t >= 0),
+        key=lambda kv: -kv[1],
+    )
+    printed["queries"] = dict(worst[:15])
+    printed["queries_note"] = (
+        f"worst 15 of {len(timings)}; full map in BENCH_local.json"
+    )
+    line = json.dumps(printed)
+    while len(line) > 1900 and printed["queries"]:
+        printed["queries"].popitem()
+        line = json.dumps(printed)
+    print(line)
     root = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(root, "BENCH_local.json"), "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
@@ -146,6 +163,7 @@ def _extract_queries(obj: dict) -> dict[str, float]:
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
         return parsed["queries"]
     tail = obj.get("tail", "")
+    got: dict[str, float] = {}
     m = _re.search(r'\{"[qxyz]\d\d_', tail)
     if m is not None:
         start = m.start()
@@ -157,15 +175,45 @@ def _extract_queries(obj: dict) -> dict[str, float]:
                 depth -= 1
                 if depth == 0:
                     try:
-                        return json.loads(tail[start : j + 1])
+                        got = json.loads(tail[start : j + 1])
                     except json.JSONDecodeError:
-                        break
-    # Tail truncated MID-object (the opening brace itself is gone —
-    # BENCH_r04's 2000-char tail starts at z22): scavenge whatever
-    # "name": seconds pairs survive. A partial map still lets the
-    # regression gate check the surviving names instead of nothing.
-    pairs = _re.findall(r'"([qxyz]\d+_\w+)":\s*(-?[\d.]+)', tail)
-    return {k: float(v) for k, v in pairs}
+                        pass
+                    break
+    if not got:
+        # Tail truncated MID-object (the opening brace itself is gone —
+        # BENCH_r04's 2000-char tail starts at z22): scavenge whatever
+        # "name": seconds pairs survive. A partial map still lets the
+        # regression gate check the surviving names instead of nothing.
+        pairs = _re.findall(r'"([qxyz]\d+_\w+)":\s*(-?[\d.]+)', tail)
+        got = {k: float(v) for k, v in pairs}
+    return got
+
+
+def _merge_sidecar(obj: dict, queries: dict[str, float]) -> dict[str, float]:
+    """Compact-line era (round 6+): the printed bench line carries only
+    the worst-N queries; the full map lives in the BENCH_local.json
+    sidecar written by the same run. Merge it in when its suite total
+    matches the recorded run (a later local re-run overwrites the
+    sidecar and changes the total, in which case the compact map alone
+    is used — fewer names checked, never wrong ones)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(root, "BENCH_local.json")) as fh:
+            side = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return queries
+    recorded_total = obj.get("value")
+    if recorded_total is None and isinstance(obj.get("parsed"), dict):
+        recorded_total = obj["parsed"].get("value")
+    if recorded_total is None:
+        m = __import__("re").search(r'"value":\s*([\d.]+)', obj.get("tail", ""))
+        if m:
+            recorded_total = float(m.group(1))
+    if side.get("value") != recorded_total:
+        return queries
+    merged = dict(side.get("queries") or {})
+    merged.update(queries)
+    return merged
 
 
 def regressions_vs_previous(
@@ -195,8 +243,10 @@ def regressions_vs_previous(
     except (OSError, json.JSONDecodeError):
         return {}
     if prev.get("sf") != sf:
-        return {}
-    prev_q = _extract_queries(prev)
+        parsed = prev.get("parsed")
+        if not (isinstance(parsed, dict) and parsed.get("sf") == sf):
+            return {}
+    prev_q = _merge_sidecar(prev, _extract_queries(prev))
     # new -> old maps, newest round first
     inverses: list[dict[str, str]] = []
     for path in sorted(

@@ -103,6 +103,44 @@ def degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "deg", build)
 
 
+def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, c) — every closed triangle exactly once, enumerated with
+    the degree-ordered wedge join over oriented_edges (each wedge fans
+    out from its LOW-degree endpoint: per-key width bounded by
+    effective degree, O(m^1.5) total work under skew — the standard
+    compact-forward scheme). a is the wedge apex (lowest (deg, id)),
+    b/c its heads in (deg, id) order. Shared by the global triangle
+    count (q66) and the per-node clustering coefficient (q51) — the
+    wedge join is the single most expensive step of the graph family,
+    so it runs once per session."""
+
+    def build() -> DataFrame:
+        oriented = oriented_edges(spark, sf_dir)
+        e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+        wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(
+            (F.col("e1.dt") < F.col("e2.dt"))
+            | (
+                (F.col("e1.dt") == F.col("e2.dt"))
+                & (F.col("e1.t") < F.col("e2.t"))
+            )
+        )
+        # Close the wedge with the oriented edge between the two heads;
+        # the oriented edge's endpoints are ordered by (deg, id) exactly
+        # like the wedge filter, so each triangle closes exactly once.
+        closing = oriented.select(
+            F.col("s").alias("w_b"), F.col("t").alias("w_c")
+        )
+        return wedges.select(
+            F.col("e1.s").alias("a"),
+            F.col("e1.t").alias("w_b"),
+            F.col("e2.t").alias("w_c"),
+        ).join(closing, ["w_b", "w_c"]).select(
+            "a", F.col("w_b").alias("b"), F.col("w_c").alias("c")
+        )
+
+    return _memo(spark, sf_dir, "triangles", build)
+
+
 def oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(s, t, dt): each undirected edge pointed from its lower-(deg, id)
     endpoint to the higher one, carrying the head's degree so wedge

@@ -564,7 +564,7 @@ _HH_M = 256  # SpaceSaving counters per task
 
 
 @register(
-    "x34_heavyhitters",
+    "z434_heavyhitters",
     oracle=f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
@@ -589,7 +589,7 @@ _HH_M = 256  # SpaceSaving counters per task
     "KNOWN keys; this FINDS the heavy keys (frequency-cap / "
     "spam-domain mandate).".format(K=_HH_K, M=_HH_M),
 )
-def x34_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z434_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select("user_id")

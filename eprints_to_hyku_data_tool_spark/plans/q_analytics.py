@@ -457,38 +457,20 @@ _TRI_EDGES_SQL = """
     "closing join (SURVEY §2.13 graph family).",
 )
 def q66_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.copurchase import oriented_edges
+    from ..functions.copurchase import triangles
 
-    # Shared memoized materializations (functions/copurchase.py): the
-    # edge set and the degree-ordered oriented edge list are built once
-    # per session and reused by the whole graph family — the oriented
-    # list is referenced three times below (e1, e2, closing) and the
-    # checkpoint keeps Catalyst from re-deriving the self-join+distinct
-    # subtree per reference (measured: 26 exchanges -> 5).
-    oriented = oriented_edges(spark, sf_dir)
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(
-        (F.col("e1.dt") < F.col("e2.dt"))
-        | (
-            (F.col("e1.dt") == F.col("e2.dt"))
-            & (F.col("e1.t") < F.col("e2.t"))
-        )
-    )
-    closing = oriented.select(
-        F.col("s").alias("w_b"), F.col("t").alias("w_c")
-    )
-    tri = wedges.select(
-        F.col("e1.s").alias("apex"),
-        F.col("e1.t").alias("w_b"),
-        F.col("e2.t").alias("w_c"),
-    ).join(closing, ["w_b", "w_c"])
+    # Shared memoized materializations (functions/copurchase.py): edge
+    # set, degree-ordered orientation, AND the closed-triangle table are
+    # each built once per session for the whole graph family (the wedge
+    # join is the family's most expensive step; without the shared
+    # checkpoints Catalyst re-derives the self-join+distinct subtree
+    # per reference — measured: 26 exchanges -> 5).
+    tri = triangles(spark, sf_dir)
     # The degree-ordered apex is NOT the id-ordered one the oracle sees;
     # report the orientation-invariant min-id member instead.
     return tri.agg(
         F.count(F.lit(1)).alias("n_triangles"),
-        F.countDistinct(F.least("apex", "w_b", "w_c")).alias(
-            "n_apex_nodes"
-        ),
+        F.countDistinct(F.least("a", "b", "c")).alias("n_apex_nodes"),
     )
 
 

@@ -1110,7 +1110,7 @@ def z179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y67 — corpus-internal duplicate-ngram fraction (overflow tier)
 # --------------------------------------------------------------------------
 @register(
-    "q01_duplicate_ngram_filter",
+    "z301_duplicate_ngram_filter",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                FROM documents),
@@ -1143,7 +1143,7 @@ def z179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "only ever carry (doc_id, hashable string) — scale-safe like z75 "
     "(corpus-hygiene mandate; overflow tier, rotation candidate).",
 )
-def q01_duplicate_ngram_filter(
+def z301_duplicate_ngram_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from .q_corpus import _grams8, _tokens
@@ -1180,7 +1180,7 @@ def q01_duplicate_ngram_filter(
 # Y68 — quality-aware canonical selection per near-dup cluster (overflow)
 # --------------------------------------------------------------------------
 @register(
-    "q02_keep_longest_canonical",
+    "z302_keep_longest_canonical",
     oracle=None,  # set below after import (composes q_north._CC_CTE)
     doc="Quality-aware cluster dedupe: same exact-verified near-dup "
     "clusters as z85 (prefix-filtered Jaccard pairs -> connected "
@@ -1194,7 +1194,7 @@ def q01_duplicate_ngram_filter(
     "shuffles once on the cluster key (dedup-policy mandate; overflow "
     "tier, rotation candidate).",
 )
-def q02_keep_longest_canonical(
+def z302_keep_longest_canonical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..functions.graph import connected_components
@@ -1231,7 +1231,7 @@ def _set_y68_oracle() -> None:
     from .q_north import _CC_CTE
     from .registry import REGISTRY, QuerySpec
 
-    spec = REGISTRY["q02_keep_longest_canonical"]
+    spec = REGISTRY["z302_keep_longest_canonical"]
     oracle = _CC_CTE + """
     , m AS (SELECT d.doc_id,
                    CAST(COALESCE(c.component, d.doc_id) AS BIGINT)
@@ -1245,7 +1245,7 @@ def _set_y68_oracle() -> None:
              AS is_kept
     FROM m
     """
-    REGISTRY["q02_keep_longest_canonical"] = QuerySpec(
+    REGISTRY["z302_keep_longest_canonical"] = QuerySpec(
         name=spec.name, fn=spec.fn, oracle=oracle, doc=spec.doc
     )
 
@@ -1257,7 +1257,7 @@ _set_y68_oracle()
 # Y69 — regional revenue composite (TPC-H Q5 shape, overflow tier)
 # --------------------------------------------------------------------------
 @register(
-    "q03_regional_revenue",
+    "z303_regional_revenue",
     oracle="""
     SELECT n.n_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -1287,7 +1287,7 @@ _set_y68_oracle()
     "supplier join as a residual — no extra shuffle (reporting "
     "composite #2; overflow tier, rotation candidate).",
 )
-def q03_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z303_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")

@@ -33,7 +33,7 @@ from .registry import register
 
 
 @register(
-    "q40_ols_normal_eq",
+    "z340_ols_normal_eq",
     oracle="""
     WITH q AS (
       SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y,
@@ -98,7 +98,7 @@ from .registry import register
     "a few hundred the Gram route (q22) + a driver-side Cholesky is "
     "the documented escalation path.",
 )
-def q40_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z340_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
         F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long").alias("y"),
@@ -190,7 +190,7 @@ _KM_SCALE = 1_000_000.0
 
 
 @register(
-    "q41_kmeans_lloyd",
+    "z341_kmeans_lloyd",
     oracle=f"""
     WITH e AS (
       SELECT vec_id,
@@ -254,7 +254,7 @@ _KM_SCALE = 1_000_000.0
     "remains the cheap-start companion. Unlike z186's sample-trained "
     "quantizer, every point participates in training here.",
 )
-def q41_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z341_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -336,7 +336,7 @@ _PI_SCALE = 1_000_000.0
 
 
 @register(
-    "q42_power_iteration",
+    "z342_power_iteration",
     oracle=f"""
     WITH e AS (
       SELECT vec_id,
@@ -409,10 +409,10 @@ _PI_SCALE = 1_000_000.0
     "the Gram reduction is the only data-scale pass, which is what "
     "makes power iteration the scalable top-component method.",
 )
-def q42_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .q_r5_llm import q22_gram_matrix
+def z342_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .q_r5_llm import z322_gram_matrix
 
-    g0 = q22_gram_matrix(spark, sf_dir)
+    g0 = z322_gram_matrix(spark, sf_dir)
     g = (
         g0.unionAll(
             g0.filter(F.col("i") != F.col("j")).select(

@@ -162,36 +162,14 @@ def q50_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degree join — both node-keyed.",
 )
 def q51_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.copurchase import degrees, oriented_edges
+    from ..functions.copurchase import degrees, triangles
 
     # Shared memoized graph (functions/copurchase.py): one edge-set /
-    # degree / oriented-edge materialization per session serves the
-    # whole graph family — q66_triangle_count's orientation is not
-    # recomputed here (r5 verdict item 6).
+    # degree / triangle materialization per session serves the whole
+    # graph family — neither q66_triangle_count's orientation nor its
+    # wedge join is recomputed here (r5 verdict item 6).
     deg = degrees(spark, sf_dir)
-    oriented = oriented_edges(spark, sf_dir)
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(
-        (F.col("e1.dt") < F.col("e2.dt"))
-        | (
-            (F.col("e1.dt") == F.col("e2.dt"))
-            & (F.col("e1.t") < F.col("e2.t"))
-        )
-    )
-    # Close the wedge with the oriented edge between the two heads; the
-    # oriented edge's endpoints are ordered by (deg, id), matching the
-    # wedge filter above, so each triangle closes exactly once.
-    closing = oriented.select(
-        F.col("s").alias("ct_lo"), F.col("t").alias("ct_hi")
-    )
-    tri = wedges.join(
-        closing,
-        (F.col("e1.t") == F.col("ct_lo")) & (F.col("e2.t") == F.col("ct_hi")),
-    ).select(
-        F.col("e1.s").alias("a"),
-        F.col("e1.t").alias("b"),
-        F.col("e2.t").alias("c"),
-    )
+    tri = triangles(spark, sf_dir)
     pernode = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")

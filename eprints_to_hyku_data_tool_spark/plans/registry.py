@@ -43,8 +43,21 @@ MassiveText duplicate-n-gram filter, keep-longest canonical, and five
 TPC-H reporting composites) moved into the window as q01..q08.
 q88_pagerank (dangling-mass loop de-actioned this round) and
 x34_heavyhitters (certification scalars folded into one job this
-round) keep their names so the driver re-checks the changed code.
-Remaining slots are filled by round-5 additions (q10+ / x58+).
+round) kept their names so the driver re-checked the changed code.
+Remaining slots were filled by round-5 additions (q10+ / x58+).
+
+Round-6 rotation: the r5 sweep came back 50/50 green again, so the 47
+unchanged window names ceded their slots (q## -> z3##, x34 -> z434,
+suffixes kept; see RENAMES_r6.json). The 16 r5 overflow queries that
+never had a driver row (y75..y90) moved into the window as q50..q65;
+z195_triangle_count re-entered as q66 (shared-graph refactor), and
+q26_bfs_hops / q39_histogram (ntile-mapping fix) / q88_pagerank
+(loop reshaped) kept their names — every window q-name this round has
+CHANGED code or a first driver check. That leaves 20 q-names, so the
+remaining 30 window slots fall to the 30 lowest-sorting z-names
+(z01..z190 region) — all green in earlier rounds, now re-verified for
+freshness at zero cost (the driver checks the first 50 sorted names
+regardless).
 
 tests/test_registry.py asserts the priority tier stays within the window
 and that every SURVEY §2 component maps to a live registered name.

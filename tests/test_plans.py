@@ -165,7 +165,7 @@ NESTED_LOOP_WHITELIST = {
     "z249_vocab_overlap",
     # q21 (TPC-H Q22) cross-joins the one-row global-average-balance
     # aggregate onto customer — the canonical scalar-subquery broadcast.
-    "q21_dormant_customers",
+    "z321_dormant_customers",
     # q88's verdict join is one-row stats x one-row edge count, and the
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
@@ -174,33 +174,33 @@ NESTED_LOOP_WHITELIST = {
     # q24 cross-joins the (5-row lang model dim x one-row vocab/total
     # aggregates) onto the test token stream — tiny by construction,
     # the z71/x30 broadcast-scalar shape.
-    "q24_naive_bayes",
+    "z324_naive_bayes",
     # q27 cross-joins the two one-row side-total aggregates onto the
     # 10-row bin join (same shape).
-    "q27_psi_drift",
+    "z327_psi_drift",
     # q37's FK-coverage row cross-joins two ONE-ROW count aggregates
     # (checked-total x violation-total — the z191 shape).
-    "q37_expectations_audit",
+    "z337_expectations_audit",
     # q39 cross-joins one-row extrema/total aggregates onto the fact
     # stream for integer bin arithmetic (the x30 broadcast-scalar shape).
     "q39_histogram",
     # q41 cross-joins the k-row (k=8) centroid table onto the point
     # stream — the assignment broadcast every distributed k-means does.
-    "q41_kmeans_lloyd",
+    "z341_kmeans_lloyd",
     # q42 cross-joins the one-row max-abs normalization scalar onto the
     # 64-row eigenvector each round (broadcast-scalar shape).
-    "q42_power_iteration",
+    "z342_power_iteration",
     # q43 cross-joins the ONE-ROW top-pair argmax onto the vocabulary
     # table each merge round (broadcast-scalar shape).
-    "q43_bpe_train",
+    "z343_bpe_train",
     # q45's verdict row is one-row split sizes x one-row leak counts.
-    "q45_split_leakage",
+    "z345_split_leakage",
     # q46 cross-joins the one-row total-count aggregate for the
     # quantile denominator (broadcast-scalar shape).
-    "q46_quantile_rank",
+    "z346_quantile_rank",
     # q47 cross-joins the one-row moments/inverse-covariance model onto
     # the fact stream — the broadcast-model scoring shape.
-    "q47_mahalanobis",
+    "z347_mahalanobis",
     # y79 cross-joins the one-row basket-count aggregate onto the rule
     # table for the lift denominator (broadcast-scalar shape).
     "q54_association_rules",
@@ -358,7 +358,7 @@ def test_y71_promo_part_join_broadcasts(plans):
     """The Q14 composite joins one month of lineitem to the part
     dimension: the dim side must broadcast (no SMJ shuffle of the fact
     table), and the shipdate month must reach the scan."""
-    p = plans("q05_promo_revenue")
+    p = plans("z305_promo_revenue")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
@@ -369,7 +369,7 @@ def test_y70_shipmode_predicates_reach_scan(plans):
     linestatus equality and both ends of the shipdate year range must
     all appear as pushed scan filters (ADVICE r4: the registry doc
     claimed this; nothing enforced it)."""
-    p = plans("q04_shipmode_priority")
+    p = plans("z304_shipmode_priority")
     assert "EqualTo(l_linestatus,F)" in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "LessThan(l_shipdate" in p, p
@@ -381,7 +381,7 @@ def test_y72_outer_join_stays_outer(plans):
     join degenerates to inner and zero-order customers vanish. The
     executed plan must keep the outer join and show NO filter on
     o_orderpriority applied after it."""
-    p = plans("q06_order_distribution")
+    p = plans("z306_order_distribution")
     assert "LeftOuter" in p, p
     # The priority predicate must appear as a pushed/scan-side filter on
     # orders (pre-join), and never in a Filter node above the join.
@@ -400,7 +400,7 @@ def test_y74_volume_shipping_broadcasts_both_nations(plans):
     distinct BHJ-on-nationkey nodes) and nothing may degrade to a
     nested-loop join (ADVICE r4: registry doc claimed dual broadcasts;
     nothing enforced it)."""
-    p = plans("q08_volume_shipping")
+    p = plans("z308_volume_shipping")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "n_nationkey" in p, p
@@ -410,7 +410,7 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
     """The Q17 decorrelation joins lineitem to its own per-part
     aggregate: the brand/size-filtered part dim must broadcast, and the
     predicates must reach the part scan."""
-    p = plans("q07_small_qty_audit")
+    p = plans("z307_small_qty_audit")
     assert "BroadcastHashJoin" in p, p
     assert "EqualTo(p_brand,Brand#23)" in p, p
     assert "LessThan(p_size,15)" in p, p
@@ -432,17 +432,17 @@ HEAVY_QUERIES = [
     "z75_decontaminate",
     "z67_embedding_dedupe",
     "z186_ivf_embedding_dedupe",
-    "q01_duplicate_ngram_filter",
+    "z301_duplicate_ngram_filter",
     "z60_minhash_lsh",
     "z86_ngram_jaccard",
-    "q08_volume_shipping",
+    "z308_volume_shipping",
     "q88_pagerank",
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
     # automatic broadcasting is off and shuffles are cluster-sized.
-    "q41_kmeans_lloyd",
-    "q43_bpe_train",
-    "q45_split_leakage",
+    "z341_kmeans_lloyd",
+    "z343_bpe_train",
+    "z345_split_leakage",
 ]
 
 # Queries whose one-row-aggregate cross joins are whitelisted above keep
@@ -492,7 +492,7 @@ def test_cluster_shaped_volume_shipping_keeps_dim_broadcasts(spark, sf_dir):
     the pushed filters must still reach the scans — pushdown is a
     property of the plan, not of the session config."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["q08_volume_shipping"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["z308_volume_shipping"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -514,7 +514,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
     """The Q2-shape window rank-1 must run as WindowGroupLimit (each task
     keeps one candidate per part before the shuffle) and the part-size
     prune must reach the part scan."""
-    p = plans("q10_min_cost_supplier")
+    p = plans("z310_min_cost_supplier")
     assert "WindowGroupLimit" in p, p
     assert "LessThan(p_size,10)" in p, p
 
@@ -522,7 +522,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
 def test_q11_exists_is_semi_join_with_pushdown(plans):
     """The Q4-shape EXISTS must be a left semi join whose quantity filter
     reaches the lineitem scan — never a post-join distinct."""
-    p = plans("q11_priority_exists")
+    p = plans("z311_priority_exists")
     assert "LeftSemi" in p, p
     assert "GreaterThanOrEqual(l_quantity,48.0)" in p, p
 
@@ -530,7 +530,7 @@ def test_q11_exists_is_semi_join_with_pushdown(plans):
 def test_q15_max_joinback_is_hash_join(plans):
     """The Q15-shape scalar-MAX join-back compares exact decimals with an
     EQUI join — broadcast hash, never a nested loop over revenue."""
-    p = plans("q15_top_supplier")
+    p = plans("z315_top_supplier")
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -539,7 +539,7 @@ def test_q18_or_implications_reach_both_scans(plans):
     """The Q19-shape disjunction spans both join sides; Catalyst must
     derive each side's implication and push it: the quantity OR-range
     onto lineitem, the brand/size OR onto part."""
-    p = plans("q18_disjunctive_revenue")
+    p = plans("z318_disjunctive_revenue")
     assert "GreaterThanOrEqual(l_quantity,1.0)" in p, p
     assert "EqualTo(p_brand,Brand#12)" in p, p
     assert "EqualTo(p_brand,Brand#3)" in p, p
@@ -553,7 +553,7 @@ def test_q17_aggregates_before_joining(plans):
     not over a join."""
     import re
 
-    p = plans("q17_large_orders")
+    p = plans("z317_large_orders")
     assert p.count("HashAggregate") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
     # formatted-explain numbers nodes leaf-to-root: the group-by's
@@ -585,7 +585,7 @@ def test_q29_scd2_single_shuffle(plans):
     partitions by user_id, so exactly one plain Exchange may appear."""
     import re
 
-    p = plans("q29_scd2_history")
+    p = plans("z329_scd2_history")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert p.count("Window") >= 3, p
 
@@ -595,7 +595,7 @@ def test_q30_merge_is_full_outer_smj(plans):
     never a nested loop, and both sides shuffle exactly once."""
     import re
 
-    p = plans("q30_merge_upsert")
+    p = plans("z330_merge_upsert")
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
@@ -607,7 +607,7 @@ def test_q31_cdc_single_shuffle(plans):
     the one user_id exchange (same partition key, compatible sorts)."""
     import re
 
-    p = plans("q31_cdc_apply")
+    p = plans("z331_cdc_apply")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
 
 
@@ -617,27 +617,27 @@ def test_q34_attribution_two_shuffles(plans):
     (no self-join node may appear)."""
     import re
 
-    p = plans("q34_last_touch_attribution")
+    p = plans("z334_last_touch_attribution")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
     assert "Join" not in p, p
 
 
-def test_q35_gap_fill_no_nested_loop(plans):
+def test_z335_gap_fill_no_nested_loop(plans):
     """Calendar densification joins the exploded per-user calendar back
     to the daily aggregate on (user_id, day) — an equi-join that must
     never degrade to a nested loop or cartesian product."""
-    p = plans("q35_gap_fill")
+    p = plans("z335_gap_fill")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
 
 
-def test_q36_ewma_single_shuffle(plans):
+def test_z336_ewma_single_shuffle(plans):
     """The EWMA fold runs inside one collect_list aggregation: exactly
     one exchange, and the fold itself is a codegen'd expression (no
     Python evaluator node)."""
     import re
 
-    p = plans("q36_ewma")
+    p = plans("z336_ewma")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "Python" not in p, p
 
@@ -650,7 +650,7 @@ def test_q37_expectations_fold_rules_into_scans(plans):
     table per aggregate branch, never one scan per rule: 6 rules over 2
     tables may not produce 6+ fact scans) and the FK rule must be a
     left-anti join, not a nested loop over the fact."""
-    p = plans("q37_expectations_audit")
+    p = plans("z337_expectations_audit")
     assert "LeftAnti" in p, p
     assert p.count("Location: InMemoryFileIndex") <= 5, p
 
@@ -658,7 +658,7 @@ def test_q37_expectations_fold_rules_into_scans(plans):
 def test_q38_drift_is_single_scan_two_groups(plans):
     """The drift monitor reads events ONCE and aggregates by the 2-value
     half flag; per-metric rows come from stack(), not re-scans."""
-    p = plans("q38_schema_drift")
+    p = plans("z338_schema_drift")
     assert p.count("Location: InMemoryFileIndex") == 1, p
 
 
@@ -714,7 +714,7 @@ def test_q40_ols_is_one_aggregation(plans):
     wire) and no join of any kind."""
     import re
 
-    p = plans("q40_ols_normal_eq")
+    p = plans("z340_ols_normal_eq")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p  # map-side partials
@@ -724,20 +724,20 @@ def test_q41_kmeans_assignment_broadcasts_centroids(plans):
     """Assignment must broadcast the k-row centroid table against the
     point stream (never shuffle the points by centroid), and the
     exact-integer distance fold must stay JVM-side (no Python node)."""
-    p = plans("q41_kmeans_lloyd")
+    p = plans("z341_kmeans_lloyd")
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
 
 
-def test_q42_power_iteration_plan_is_linear_in_rounds(plans):
+def test_z342_power_iteration_plan_is_linear_in_rounds(plans):
     """Per-round lazy checkpoints must keep the final plan linear: the
     un-checkpointed form doubles the subtree every round (2^4 copies
     of the Gram kernel). The explained plan may contain at most a few
     aggregates, and the matvec fold is codegen (no Python)."""
     import re
 
-    p = plans("q42_power_iteration")
+    p = plans("z342_power_iteration")
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) <= 6, p
     assert "Python" not in p, p
 
@@ -745,33 +745,33 @@ def test_q42_power_iteration_plan_is_linear_in_rounds(plans):
 # --------------------------------------------------------------------------
 # Round-5 batch E (training-pipeline operators)
 # --------------------------------------------------------------------------
-def test_q44_feature_hashing_two_aggregations(plans):
+def test_z344_feature_hashing_two_aggregations(plans):
     """Hashing-trick featurization: explode -> bucket agg. The distinct
     load per bucket forces an expand, but everything stays on the
     256-value bucket key — exactly two plain exchanges, no join."""
     import re
 
-    p = plans("q44_feature_hashing")
+    p = plans("z344_feature_hashing")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
     assert "Join" not in p.replace("BroadcastNestedLoopJoin", ""), p
 
 
-def test_q46_quantile_rank_is_distributed(plans):
+def test_z346_quantile_rank_is_distributed(plans):
     """The rank transform must ride the two-phase global-position
     engine (z37 rule), never a single-partition window."""
-    p = plans("q46_quantile_rank")
+    p = plans("z346_quantile_rank")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
 
-def test_q47_mahalanobis_no_fact_shuffle(plans):
+def test_z347_mahalanobis_no_fact_shuffle(plans):
     """Scoring broadcasts the one-row model back onto the fact scan:
     the only plain exchange is the single-partition moment reduction —
     the fact table itself is never hash-shuffled, and the top-10 is
     TakeOrdered, not a global sort."""
     import re
 
-    p = plans("q47_mahalanobis")
+    p = plans("z347_mahalanobis")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p, p
@@ -781,20 +781,20 @@ def test_q48_als_joins_stay_hashed(plans):
     """The ALS half-step's two joins (ratings build, item-factor attach)
     ride equi keys — broadcast or shuffled hash, never a nested loop —
     and the per-user solve is a partial-agg shuffle on user_id."""
-    p = plans("q48_als_step")
+    p = plans("z348_als_step")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 2, p
 
 
-def test_q49_reconcile_is_fingerprint_smj(plans):
+def test_z349_reconcile_is_fingerprint_smj(plans):
     """Reconciliation must compare 16-byte row fingerprints, never
     record bodies: the full-outer join carries only (key, fp) — the
     ReadSchema keeps all needed columns scan-side where the md5 is
     computed — and classification is one conditional aggregation."""
     import re
 
-    p = plans("q49_reconcile")
+    p = plans("z349_reconcile")
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3, p

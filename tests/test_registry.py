@@ -200,11 +200,13 @@ def test_rename_maps_are_injective_and_acyclic():
 
 
 def test_every_z_name_has_green_driver_ancestor():
-    """Every z-tier query must trace back — through the RENAMES chain,
-    or the round-3 same-suffix convention (z## was q##/x##) — to a name
-    the driver verified fully green in some round. A z-name that cannot
-    is an unverified query hiding in the verified tier and must stay in
-    the q/x window instead."""
+    """Every z-tier query must trace back through the RENAMES chain to a
+    name the driver verified fully green in some round. A z-name that
+    cannot is an unverified query hiding in the verified tier and must
+    stay in the q/x window instead. (The round-3 rotation's same-suffix
+    renames were backfilled into RENAMES_r3.json in round 6 from the
+    CORRECTNESS_r01/r02 green rows, so the chain is fully
+    machine-checkable — no prose exceptions.)"""
     registry._load_all()
     green = _green_driver_names()
     inverses = [
@@ -222,10 +224,6 @@ def test_every_z_name_has_green_driver_ancestor():
                 if cand in green:
                     found = True
                     break
-        if not found and re.match(r"z\d\d_", cand):
-            # round-3 rotation predates the RENAMES files; its
-            # convention was q/x -> z with the suffix kept
-            found = ("q" + cand[1:]) in green or ("x" + cand[1:]) in green
         if not found:
             orphans[name] = cand
     assert not orphans, f"z-names with no green driver ancestor: {orphans}"

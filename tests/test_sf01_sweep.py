@@ -31,7 +31,7 @@ SF01_DIR = "/root/testdata/sf0.1"
 # sf0.1); the Spark implementations stay sub-quadratic and are verified
 # by dedicated tests (union-find reference, recall/subset properties).
 QUADRATIC_ORACLES = {
-    "q02_keep_longest_canonical",
+    "z302_keep_longest_canonical",
     "z85_cluster_dedupe",
     "z86_ngram_jaccard",
     "z67_embedding_dedupe",
@@ -44,13 +44,13 @@ QUADRATIC_ORACLES = {
     "z185_ivf_topk",
     "z61_topk_similarity",
     "z252_winnow_containment",
-    "q01_duplicate_ngram_filter",
+    "z301_duplicate_ngram_filter",
     # r5: PQ-ANN verdict and k-NN vote both rerun z61's all-pairs exact
     # oracle; their Spark sides were hand-verified green at sf0.1 and
     # the PQ recall margin (0.98 vs the 0.8 verdict bar) is asserted in
     # tests/test_r5_llm.py.
-    "q23_pq_ann",
-    "q25_knn_classifier",
+    "z323_pq_ann",
+    "z325_knn_classifier",
 }
 
 SWEEP = sorted(
