@@ -179,6 +179,12 @@ def _extract_queries(obj: dict) -> dict[str, float]:
                     except json.JSONDecodeError:
                         pass
                     break
+    # Keep numeric entries only: the bracket-matcher can land on the
+    # REGRESSIONS object (whose values are dicts) when the tail's
+    # queries map lost its opening brace — r5's tail does exactly that.
+    got = {
+        k: float(v) for k, v in got.items() if isinstance(v, (int, float))
+    }
     if not got:
         # Tail truncated MID-object (the opening brace itself is gone —
         # BENCH_r04's 2000-char tail starts at z22): scavenge whatever
