@@ -95,45 +95,53 @@ def _grams8(tk):
     "suite). The eval n-gram set is BENCHMARK-sized, not corpus-sized — "
     "it is distinct-ed and broadcast, so the training side streams "
     "through a map-side hash join with no corpus-keyed shuffle other "
-    "than the per-doc hit count. Unmatched and sub-8-token docs are "
-    "kept via the left join-back (n_hits=0). At 100 TB the broadcast "
-    "is O(eval suite), constant in corpus size (decontamination "
-    "mandate).",
+    "than the per-doc aggregation. The training side is ONE pass: "
+    "explode_outer keeps sub-8-token docs as a null-gram row, a "
+    "broadcast LEFT join marks contaminated grams, and a single "
+    "doc-keyed aggregation produces n_grams (count of grams) and "
+    "n_hits (count of marks) together — the r6 rewrite of the r3 form "
+    "whose hits + join-back branches each re-evaluated the 8-gram "
+    "pipeline over the 52/53 training split (measured 6.0 -> ~3 s at "
+    "sf0.1). At 100 TB the broadcast is O(eval suite), constant in "
+    "corpus size (decontamination mandate).",
 )
 def z75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select("doc_id", _grams8(_tokens()).alias("grams"))
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    # Eval branch: the doc_id filter is pushed below the gram pipeline,
+    # so only 1/53 of docs pay tokenization here.
     ev = (
         g.filter(is_eval)
         .select(F.explode("grams").alias("gram"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    base = g.filter(~is_eval).select(
-        "doc_id", F.size("grams").alias("n_grams"), "grams"
+    # Training branch: grams computed ONCE. explode_outer (not explode)
+    # keeps empty-gram docs as a null row so count(gram) gives them
+    # n_grams = 0 instead of dropping them.
+    tr = g.filter(~is_eval).select(
+        "doc_id", F.explode_outer("grams").alias("gram")
     )
-    hits = (
-        base.select("doc_id", F.explode("grams").alias("gram"))
-        .join(F.broadcast(ev), "gram")
+    counts = (
+        tr.join(F.broadcast(ev), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return (
-        base.drop("grams")
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_grams").cast("int").alias("n_grams"),
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double")
-                / F.greatest("n_grams", F.lit(1))
-            ).alias("contamination"),
-            F.when(F.coalesce("n_hits", F.lit(0)) > 0, 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("contaminated"),
+        .agg(
+            F.count("gram").cast("int").alias("n_grams"),
+            F.count("__hit").cast("long").alias("n_hits"),
         )
+    )
+    return counts.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / F.greatest("n_grams", F.lit(1))
+        ).alias("contamination"),
+        F.when(F.col("n_hits") > 0, 1).otherwise(0).cast("int").alias(
+            "contaminated"
+        ),
     )
 
 

@@ -741,7 +741,18 @@ def z252_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    khx = per_doc.select("doc_id", F.explode("hs").alias("kh"))
+    # Re-hash each 32-char md5 string to an 8-byte xxhash64 for the
+    # verify-join payload (Spark-internal: both sides derive the same
+    # mapping and distinct md5s stay distinct w.h.p., so intersection
+    # COUNTS are unchanged while the join moves longs instead of
+    # strings — the oracle never sees these values). A candidate-id
+    # semi-prune before the explode was measured SLOWER here: the
+    # winnowing fingerprints collide broadly at this corpus (~334k
+    # candidate pairs at sf0.1), so the prune cuts few rows and its
+    # extra materialization serializes the plan.
+    khx = per_doc.select(
+        "doc_id", F.explode("hs").alias("kh_md5")
+    ).select("doc_id", F.xxhash64("kh_md5").alias("kh"))
     sizes = per_doc.select("doc_id", F.size("hs").cast("long").alias("sz"))
     inter = (
         cand.join(

@@ -217,3 +217,48 @@ def test_pagerank_iterations_run_zero_driver_collects(spark, monkeypatch):
     for i in range(n):
         assert abs(got[i] - rank[i]) < 1e-12, (i, got[i], rank[i])
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_copurchase_memo_builds_once_per_session(spark, sf_dir):
+    """The shared graph module's whole point: the edge set, degrees,
+    oriented edges, and triangles are materialized ONCE per
+    (applicationId, sf_dir) and every consumer gets the SAME
+    checkpointed DataFrame — a second call must not rebuild. Also pin
+    the derived-table invariants the consumers rely on."""
+    from eprints_to_hyku_data_tool_spark.functions import copurchase as cp
+
+    und1 = cp.undirected_edges(spark, sf_dir)
+    und2 = cp.undirected_edges(spark, sf_dir)
+    assert und1 is und2  # memo hit, not a rebuild
+    assert cp.degrees(spark, sf_dir) is cp.degrees(spark, sf_dir)
+    assert cp.oriented_edges(spark, sf_dir) is cp.oriented_edges(
+        spark, sf_dir
+    )
+    assert cp.triangles(spark, sf_dir) is cp.triangles(spark, sf_dir)
+
+    n_und = und1.count()
+    assert n_und > 0
+    # undirected canonical form: u < v, distinct
+    assert und1.filter(F.col("u") >= F.col("v")).count() == 0
+    assert und1.distinct().count() == n_und
+    # directed = both directions of the same set
+    assert cp.directed_edges(spark, sf_dir).count() == 2 * n_und
+    # oriented: one row per undirected edge, low-(deg,id) -> high
+    ori = cp.oriented_edges(spark, sf_dir)
+    assert ori.count() == n_und
+    # degree sum = 2 * edges (handshake lemma)
+    deg_sum = cp.degrees(spark, sf_dir).agg(F.sum("deg")).collect()[0][0]
+    assert deg_sum == 2 * n_und
+
+
+def test_copurchase_memo_keys_isolate_sf_dirs(spark, sf_dir):
+    """Two fixture tiers must not collide in the memo (a cached sf0.01
+    edge set served for sf0.001 would silently corrupt every graph
+    query at the smaller tier)."""
+    from eprints_to_hyku_data_tool_spark.functions import copurchase as cp
+
+    other = "/root/testdata/sf0.001"
+    a = cp.undirected_edges(spark, sf_dir)
+    b = cp.undirected_edges(spark, other)
+    assert a is not b
+    assert a.count() != b.count()
