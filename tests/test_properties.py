@@ -538,3 +538,53 @@ def test_mad_outlier_counts_bounded(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_outliers"] < r["n"] / 2, r
         assert r["mad"] >= 0.0, r
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    nbins=st.integers(min_value=1, max_value=64),
+)
+def test_ntile_bucket_property(spark, n, nbins):
+    """ntile_bucket (functions/ordering.py) must equal the SQL-standard
+    ntile for ANY (n, nbins) — the defining property: buckets are
+    contiguous, sizes differ by at most 1, and the first n mod B
+    buckets take the extra row (ADVICE r5: the old floor shortcut
+    violated this whenever B did not divide n)."""
+    from eprints_to_hyku_data_tool_spark.functions.ordering import (
+        ntile_bucket,
+    )
+
+    rows = (
+        spark.range(1, n + 1)
+        .select(
+            F.col("id").cast("int").alias("pos"),
+            ntile_bucket(
+                F.col("id").cast("int"), F.lit(n).cast("long"), nbins
+            ).alias("bucket"),
+        )
+        .collect()
+    )
+    got = {r["pos"]: r["bucket"] for r in rows}
+
+    # Independent reference built from ntile's DEFINITION, not the
+    # implementation's arithmetic: emit bucket sizes (first n mod B
+    # buckets get ceil(n/B), the rest floor(n/B)) and assign rows to
+    # buckets in order.
+    q, r = divmod(n, nbins)
+    ref = {}
+    pos = 1
+    for b in range(min(nbins, n) if q == 0 else nbins):
+        size = (q + 1) if b < r else q
+        for _ in range(size):
+            ref[pos] = b
+            pos += 1
+    assert pos == n + 1  # every row assigned exactly once
+    sizes = {}
+    for b in ref.values():
+        sizes[b] = sizes.get(b, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sorted(sizes) == list(range(len(sizes)))
+
+    assert got == ref

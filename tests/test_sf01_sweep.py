@@ -74,8 +74,8 @@ SWEEP_PARAMS = [
         if _FULL or n in _WINDOW
         else pytest.mark.skip(
             reason="non-window sf0.1 parity is opt-in "
-            "(SPARK_GRAFT_SF01_SWEEP=1); last full run: 138/138 green "
-            "(round 4)"
+            "(SPARK_GRAFT_SF01_SWEEP=1); last full run: 192/192 green "
+            "(round 6)"
         ),
     )
     for n in SWEEP
