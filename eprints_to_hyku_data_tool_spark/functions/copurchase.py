@@ -35,25 +35,16 @@ Derived tables:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .memo import session_memo
 
-_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
-
-def _memo(
-    spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
-) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, key)
-    df = _MEMO.get(k)
-    if df is None:
-        df = build().localCheckpoint(eager=True)
-        _MEMO[k] = df
-    return df
+def _memo(spark, sf_dir, key, build):
+    # graph-family namespace inside the shared session memo
+    return session_memo(spark, sf_dir, f"copurchase:{key}", build)
 
 
 def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

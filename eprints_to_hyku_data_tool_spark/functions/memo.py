@@ -1,0 +1,37 @@
+"""Session-scoped materialization memo for shared intermediates.
+
+Several query families analyze the same derived table (the co-purchase
+graph, the verified near-dup pair set). Each registered query must stay
+independently callable, so the sharing cannot live in the queries —
+it lives here: the first caller materializes the build with an eager
+localCheckpoint, later callers (same SparkContext, same sf_dir) get the
+SAME checkpointed DataFrame. On a cluster the equivalent is writing the
+intermediate once as a bucketed parquet table and fanning analyses out
+from it.
+
+Keys include SparkContext.applicationId so a stopped/recreated session
+(test fixtures) never sees another context's checkpoint blocks, and
+sf_dir so fixture tiers cannot collide (tests/test_graph.py pins both
+properties). Memory is bounded: one entry per (app, sf_dir, key);
+blocks are MEMORY_AND_DISK and are released by the ContextCleaner when
+the application ends.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_memo(
+    spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    df = _MEMO.get(k)
+    if df is None:
+        df = build().localCheckpoint(eager=True)
+        _MEMO[k] = df
+    return df

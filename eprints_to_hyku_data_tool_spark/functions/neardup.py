@@ -1,0 +1,60 @@
+"""Shared, memoized near-dup pair graph over the full documents corpus.
+
+Three registered queries consume the SAME exact-verified shingle-Jaccard
+pair set over the unfiltered documents table: the exact n-gram Jaccard
+join itself (z86), min-id cluster dedupe (z85), and keep-longest
+canonical selection (z302) — and the latter two also share its
+connected components. Before round 6 each ran the full
+prefix-filter -> verify -> (CC) pipeline from scratch; now the first
+caller materializes it (functions/memo.py) and the rest reuse the
+checkpoint — the same shared-intermediate move as the co-purchase graph
+(functions/copurchase.py).
+
+The components table is memoized too: connected_components runs
+O(log n) alternating-star rounds with a per-round convergence action,
+which is the dominant cost of both cluster-dedupe policies.
+
+NOT shared: pipelines over FILTERED doc subsets (z90's quality-gated
+corpus, z345's train/test splits) — their pair sets are different
+tables and keep building their own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from .memo import session_memo
+
+
+def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, inter_size, union_size): every doc pair of the full
+    corpus with shingle Jaccard >= tau — PPJoin prefix-filtered
+    candidates, exactly verified (q_north's kernel)."""
+
+    def build() -> DataFrame:
+        from ..plans.q_north import (
+            doc_shingles,
+            exact_jaccard_pairs,
+            verify_jaccard_candidates,
+        )
+
+        docs_sh = doc_shingles(load_table(spark, sf_dir, "documents"))
+        return verify_jaccard_candidates(
+            docs_sh, exact_jaccard_pairs(docs_sh)
+        )
+
+    return session_memo(spark, sf_dir, "neardup:pairs", build)
+
+
+def components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, component) over verified_pairs — component = smallest
+    reachable doc_id; only docs appearing in some pair are present
+    (callers left-join and coalesce to the row id)."""
+
+    def build() -> DataFrame:
+        from .graph import connected_components
+
+        return connected_components(verified_pairs(spark, sf_dir))
+
+    return session_memo(spark, sf_dir, "neardup:components", build)

@@ -1098,8 +1098,11 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
     "collect-based q60_neardup_jaccard at scale (SURVEY §2.11 Q60).",
 )
 def z86_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = doc_shingles(load_table(spark, sf_dir, "documents"))
-    return verify_jaccard_candidates(docs, exact_jaccard_pairs(docs))
+    # The session-memoized materialization of exactly this pipeline
+    # (functions/neardup.py) — also consumed by z85/z302's clustering.
+    from ..functions.neardup import verified_pairs
+
+    return verified_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -1161,17 +1164,15 @@ _CLUSTER_ORACLE = _CC_CTE + """
     "pair graph (LLM-pipeline mandate; r3 graph-dedup milestone).",
 )
 def z85_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.graph import connected_components
+    # Shared memoized pair graph + components (functions/neardup.py).
+    # The graph is built from exact-VERIFIED pairs only — candidates
+    # are ~170x the true pair set at sf0.1 and would over-merge
+    # clusters (caught by profiling, not by the sf0.01 oracle, where
+    # the candidate set happens to coincide with the true pairs).
+    from ..functions.neardup import components
 
     docs_raw = load_table(spark, sf_dir, "documents")
-    docs_sh = doc_shingles(docs_raw)
-    # exact_jaccard_pairs emits CANDIDATES (prefix-filtered superset);
-    # the graph must be built from exact-VERIFIED pairs only — at sf0.1
-    # candidates are ~170x the true pair set and would over-merge
-    # clusters (caught by profiling, not by the sf0.01 oracle, where the
-    # candidate set happens to coincide with the true pairs).
-    pairs = verify_jaccard_candidates(docs_sh, exact_jaccard_pairs(docs_sh))
-    comp = connected_components(pairs)
+    comp = components(spark, sf_dir)
     return (
         docs_raw.join(comp, docs_raw["doc_id"] == comp["node"], "left")
         .select(

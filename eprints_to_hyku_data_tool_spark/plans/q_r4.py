@@ -1208,17 +1208,12 @@ def z301_duplicate_ngram_filter(
 def z302_keep_longest_canonical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..functions.graph import connected_components
-    from .q_north import (
-        doc_shingles,
-        exact_jaccard_pairs,
-        verify_jaccard_candidates,
-    )
+    # Shared memoized components over the exact-verified pair graph
+    # (functions/neardup.py — one CC run per session serves z85 too).
+    from ..functions.neardup import components
 
     docs_raw = load_table(spark, sf_dir, "documents")
-    docs_sh = doc_shingles(docs_raw)
-    pairs = verify_jaccard_candidates(docs_sh, exact_jaccard_pairs(docs_sh))
-    comp = connected_components(pairs)
+    comp = components(spark, sf_dir)
     m = (
         docs_raw.join(comp, docs_raw["doc_id"] == comp["node"], "left")
         .select(
