@@ -262,3 +262,31 @@ def test_copurchase_memo_keys_isolate_sf_dirs(spark, sf_dir):
     b = cp.undirected_edges(spark, other)
     assert a is not b
     assert a.count() != b.count()
+
+
+def test_graph_family_reads_shared_checkpoint_not_parquet(spark, sf_dir):
+    """The shared-graph contract in plan form: once the memoized edge
+    set exists, a graph query's physical plan reads the checkpointed
+    RDD — it must NOT re-scan lineitem parquet or re-run the self-join
+    (the r5 shape rebuilt the edge set per query). q64 still scans
+    part.parquet for its labels, which is fine — the ban is on
+    lineitem."""
+    import contextlib
+    import io
+
+    from eprints_to_hyku_data_tool_spark.functions import copurchase as cp
+    from eprints_to_hyku_data_tool_spark.plans.registry import REGISTRY
+
+    cp.triangles(spark, sf_dir)  # ensure the memo is built
+
+    def plan(name):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            REGISTRY[name].fn(spark, sf_dir).explain("formatted")
+        return buf.getvalue()
+
+    for name in ("q66_triangle_count", "q51_clustering_coefficient",
+                 "q65_degree_powerlaw"):
+        p = plan(name)
+        assert "Scan ExistingRDD" in p, (name, p)
+        assert "lineitem" not in p, (name, p)
