@@ -1,0 +1,40 @@
+"""Materialization strategy for shared and iterative intermediates.
+
+Local mode uses DataFrame.localCheckpoint: blocks live in this JVM's
+block manager (MEMORY_AND_DISK) — the right call on local[*], where
+there is exactly one process anyway. On a real cluster localCheckpoint
+is NOT fault-tolerant: blocks die with their executor, and a lost block
+kills every consumer of a shared intermediate or an iteration's whole
+lineage (which the checkpoint deliberately cut).
+
+Setting SPARK_GRAFT_CHECKPOINT_DIR to a fault-tolerant path (HDFS/S3 on
+a cluster; any directory in tests) switches every call site that
+materializes through here — the session memo (functions/memo.py) and
+the iterative kernels (functions/graph.py) — to reliable
+DataFrame.checkpoint into that directory. Same semantics (eager
+materialization, lineage cut), executor-loss-proof storage. The env var
+makes the cluster posture an executable switch rather than a docstring
+claim (tests/test_graph.py runs the graph family under it).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+_DIR_SET_FOR: set[str] = set()
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Checkpoint ``df`` eagerly (or lazily), reliable when
+    SPARK_GRAFT_CHECKPOINT_DIR is set, local otherwise."""
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not ckpt_dir:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    app = sc.applicationId
+    if app not in _DIR_SET_FOR or sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(ckpt_dir)
+        _DIR_SET_FOR.add(app)
+    return df.checkpoint(eager=eager)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import materialize
+
 
 def _large_star(edges: DataFrame) -> DataFrame:
     bidir = edges.select("u", "v").union(
@@ -90,17 +92,18 @@ def connected_components(
     # Materialize the input ONCE: the fingerprint action below and the
     # first round's checkpoint would otherwise each re-evaluate the
     # (possibly expensive) upstream pair pipeline.
-    edges = edges.localCheckpoint(eager=True)
+    edges = materialize(edges)
 
     fp = _edge_fingerprint(edges)
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).filter(F.col("u") != F.col("v"))
         # Materialize per round: each star rebuilds on the previous
         # round's output, and without a checkpoint the lineage doubles
-        # every round (2^rounds plan growth). localCheckpoint keeps the
-        # per-round plan flat; at cluster scale use checkpoint() on a
-        # fault-tolerant store instead.
-        edges = edges.localCheckpoint(eager=True)
+        # every round (2^rounds plan growth). materialize() keeps the
+        # per-round plan flat — localCheckpoint on local[*], reliable
+        # checkpoint() when SPARK_GRAFT_CHECKPOINT_DIR points at a
+        # fault-tolerant store (functions/checkpointing.py).
+        edges = materialize(edges)
         new_fp = _edge_fingerprint(edges)
         if new_fp == fp:
             break
@@ -132,10 +135,9 @@ def pagerank(
     Plan shape per iteration: one join of ranks onto edges keyed src and
     one partial-agg shuffle keyed dst for the contribution sums — the
     same two-shuffle round as the CC stars, constant in iteration count
-    because the lineage is cut with a localCheckpoint every SECOND round
-    (2^n plan growth otherwise; a 2-round plan depth keeps analysis
-    bounded while halving the eager-materialization job count; use
-    checkpoint() on a fault-tolerant store at cluster scale).
+    because the lineage is cut with a cadence checkpoint
+    (functions/checkpointing.py: localCheckpoint on local[*], reliable
+    checkpoint() into SPARK_GRAFT_CHECKPOINT_DIR on a cluster).
 
     Scale shape (VERDICT r3 item 3): ranks/contribs are O(nodes) tables
     and are NEVER broadcast-hinted — at billion-node scale they cannot
@@ -172,12 +174,11 @@ def pagerank(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     )
-    edges = edges.localCheckpoint(eager=True)
-    nodes = (
+    edges = materialize(edges)
+    nodes = materialize(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -186,7 +187,7 @@ def pagerank(
     # partition by src here, once: the checkpointed partitioning is what
     # lets every round's src join move only the small ranks side.
     edges_d = (
-        edges.join(deg, "src").repartition("src").localCheckpoint(eager=True)
+        materialize(edges.join(deg, "src").repartition("src"))
     )
     # Dangling nodes (no out-edges) are a property of the static graph:
     # decide ONCE whether the per-iteration mass collection is needed at
@@ -200,7 +201,7 @@ def pagerank(
     # second consumer). Symmetric graphs skip both.
     has_dangling = bool(dangling_nodes.head(1))
     if has_dangling:
-        dangling_nodes = dangling_nodes.localCheckpoint(eager=True)
+        dangling_nodes = materialize(dangling_nodes)
     # Sentinel node id for the dangling-mass pseudo-edges: real node ids
     # are cast to long from data columns; LONG_MIN cannot be a key that
     # survives the u != v / src projections of any fixture or corpus id
@@ -213,11 +214,10 @@ def pagerank(
             F.lit(SENTINEL).cast("long").alias("dst"),
             F.lit(1).cast("long").alias("deg"),
         )
-        edges_d = (
+        edges_d = materialize(
             edges_d.select("src", "dst", "deg")
             .unionByName(pseudo)
             .repartition("src")
-            .localCheckpoint(eager=True)
         )
     # Static zero-contribution rows: unioned under each round's
     # aggregation so every node appears in the result without a second
@@ -254,7 +254,7 @@ def pagerank(
             # is materialized once per round: FP group-sums are
             # partition-order dependent and two independent evaluations
             # could disagree within a round (ADVICE r3).
-            contribs = contribs.localCheckpoint(eager=True)
+            contribs = materialize(contribs)
             dm = contribs.filter(F.col("node") == SENTINEL).select(
                 F.col("contrib").alias("__dm")
             )
@@ -278,7 +278,7 @@ def pagerank(
         # a cadence checkpoint every 4th round merely bounds plan depth
         # while skipping most eager materialization jobs.
         if not has_dangling and (it % 4 == 3 or it == n_iter - 1):
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = materialize(ranks)
     return ranks
 
 

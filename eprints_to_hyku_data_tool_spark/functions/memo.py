@@ -23,6 +23,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .checkpointing import materialize
+
 _MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
@@ -32,6 +34,6 @@ def session_memo(
     k = (spark.sparkContext.applicationId, sf_dir, key)
     df = _MEMO.get(k)
     if df is None:
-        df = build().localCheckpoint(eager=True)
+        df = materialize(build())
         _MEMO[k] = df
     return df
