@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.tables import load_table
+from ..functions.checkpointing import materialize
 from .registry import register
 
 # --------------------------------------------------------------------------
@@ -727,7 +728,7 @@ def z252_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes); without materialization Catalyst re-derives the md5-kgram +
     # winnowing tree per reference — measured 85 s -> ~5 s at sf0.01
     # (the z95 shared-subtree lesson).
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     fpx = per_doc.select("doc_id", F.explode("fps").alias("fp"))
     cand = (
         fpx.alias("a")

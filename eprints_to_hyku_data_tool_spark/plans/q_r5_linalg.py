@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.checkpointing import materialize
 from .registry import register
 
 # --------------------------------------------------------------------------
@@ -266,7 +267,7 @@ def z341_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("long"),
             ).alias("xq"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lambda df: materialize(df, eager=False))
     )
 
     def assign(cents):
@@ -311,7 +312,7 @@ def z341_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     asg1 = assign(cents0)
-    cents1 = recompute(asg1).localCheckpoint(eager=False)
+    cents1 = materialize(recompute(asg1), eager=False)
     asg2 = assign(cents1)
     return (
         emb.join(asg2, "vec_id")
@@ -419,7 +420,7 @@ def z342_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("j").alias("i"), F.col("i").alias("j"), "gram"
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(lambda df: materialize(df, eager=False))
     )
     v = spark.range(64).select(
         F.col("id").cast("int").alias("j"),
@@ -450,7 +451,7 @@ def z342_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda a, t: a + t,
                 ).alias("w"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda df: materialize(df, eager=False))
         )
         m_last = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = w.crossJoin(F.broadcast(m_last)).select(

@@ -572,16 +572,17 @@ _BFS_SEEDS = 10
     "no float tolerance anywhere.",
 )
 def q26_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.checkpointing import materialize
     from .q_analytics import _copurchase_edges
 
     # Edge table hash-partitioned by the join key ONCE before the loop
-    # (the q88 discipline — localCheckpoint preserves the partitioning),
+    # (the q88 discipline — the checkpoint preserves the partitioning),
     # so each round's frontier join re-shuffles only the frontier side
-    # while the 100-TB edge table stays in place.
-    edges = (
-        _copurchase_edges(spark, sf_dir)
-        .repartition("src")
-        .localCheckpoint(eager=False)
+    # while the 100-TB edge table stays in place. Iterative lineage
+    # cuts route through materialize(): local on local[*], reliable
+    # under SPARK_GRAFT_CHECKPOINT_DIR (functions/checkpointing.py).
+    edges = materialize(
+        _copurchase_edges(spark, sf_dir).repartition("src"), eager=False
     )
     seeds = (
         edges.select(F.col("src").alias("node"))
@@ -589,7 +590,7 @@ def q26_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("node")
         .limit(_BFS_SEEDS)
     )
-    dist = seeds.withColumn("hop", F.lit(0)).localCheckpoint(eager=False)
+    dist = materialize(seeds.withColumn("hop", F.lit(0)), eager=False)
     frontier = dist
     for h in range(1, _BFS_MAX_HOPS + 1):
         # Frontier form: only NEWLY discovered nodes join the edge list,
@@ -599,12 +600,13 @@ def q26_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        frontier = (
-            reached.join(dist, "node", "left_anti")
-            .withColumn("hop", F.lit(h))
-            .localCheckpoint(eager=False)
+        frontier = materialize(
+            reached.join(dist, "node", "left_anti").withColumn(
+                "hop", F.lit(h)
+            ),
+            eager=False,
         )
-        dist = dist.unionByName(frontier).localCheckpoint(eager=False)
+        dist = materialize(dist.unionByName(frontier), eager=False)
     return dist.select("node", F.col("hop").cast("int").alias("hop"))
 
 

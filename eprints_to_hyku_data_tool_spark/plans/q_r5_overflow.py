@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.checkpointing import materialize
 from .registry import register
 
 
@@ -1344,7 +1345,7 @@ def q64_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(lu), "u")
         .join(F.broadcast(lv), "v")
         .select("cu", "cv")
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     m = e.agg(F.count(F.lit(1)).alias("m_edges"))
     internal = (

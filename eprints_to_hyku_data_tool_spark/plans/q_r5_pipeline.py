@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.checkpointing import materialize
 from .registry import register
 
 # --------------------------------------------------------------------------
@@ -98,7 +99,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
         F.concat(
             F.lit(" "), F.concat_ws("  ", chars), F.lit(" ")
         ).alias("s"),
-    ).localCheckpoint(eager=False)
+    ).transform(lambda df: materialize(df, eager=False))
 
     merge_rows = []
     for r in range(1, _BPE_ROUNDS + 1):
@@ -124,7 +125,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "p1", "p2")
             .limit(1)
-            .localCheckpoint(eager=False)
+            .transform(lambda df: materialize(df, eager=False))
         )
         merge_rows.append(
             top.select(
@@ -143,7 +144,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
                     "concat(' ', p1, p2, ' '))"
                 ).alias("s"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda df: materialize(df, eager=False))
         )
     return cur, merge_rows
 
