@@ -77,6 +77,37 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     failed: list[str] = []
+
+    # Pre-pay the session-memoized shared intermediates (co-purchase
+    # graph, near-dup pair graph) as explicit, separately-timed entries.
+    # Without this the one-time build cost lands inside whichever family
+    # query happens to sort first — and worse, if that query is re-run
+    # by the suspect loop below, min() records its memo-WARM time and
+    # the build cost silently vanishes from the suite total
+    # (code-review r6). With it, every family query's number is a
+    # stable marginal cost and the build stays visible in `value`.
+    # Names start with '_' so they can never collide with the driver's
+    # [qxyz]-pattern query names.
+    from eprints_to_hyku_data_tool_spark.functions import copurchase, neardup
+
+    shared_builds = {
+        "_build_copurchase_graph": lambda: (
+            copurchase.triangles(spark, sf_dir),  # builds und/deg/oriented too
+        ),
+        "_build_neardup_pairs": lambda: (
+            neardup.components(spark, sf_dir),  # builds verified_pairs too
+        ),
+    }
+    for name, build in shared_builds.items():
+        t0 = time.perf_counter()
+        try:
+            build()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # pragma: no cover
+            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            failed.append(name)
+
     for i, (name, spec) in enumerate(sorted(REGISTRY.items())):
         if gc_every and i and i % gc_every == 0:
             _collect_garbage()
@@ -107,7 +138,9 @@ def main() -> None:
         suspects.update(
             n for n, t in timings.items() if t > SLOW_SUSPECT_S
         )
-        suspects = sorted(suspects)
+        # The _build_* shared-intermediate entries are one-time by
+        # construction — a memo-warm re-run would trivially record ~0 s.
+        suspects = sorted(n for n in suspects if n in REGISTRY)
         if not suspects:
             break
         for name in suspects:
@@ -130,7 +163,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "n_queries": len(timings),
+        "n_queries": sum(1 for n in timings if n in REGISTRY),
         # A query that errors must not make the suite look faster:
         # consumers see the failure list explicitly.
         "errors": failed,
@@ -184,7 +217,7 @@ def _extract_queries(obj: dict) -> dict[str, float]:
         return parsed["queries"]
     tail = obj.get("tail", "")
     got: dict[str, float] = {}
-    m = _re.search(r'\{"[qxyz]\d\d_', tail)
+    m = _re.search(r'\{"[qxyz]\d+_', tail)
     if m is not None:
         start = m.start()
         depth = 0

@@ -23,7 +23,7 @@ import os
 
 from pyspark.sql import DataFrame
 
-_DIR_SET_FOR: set[str] = set()
+_DIR_SET_FOR: dict[str, str] = {}
 
 
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
@@ -34,7 +34,11 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
     app = sc.applicationId
-    if app not in _DIR_SET_FOR or sc.getCheckpointDir() is None:
+    # Track the directory VALUE per app, not just "was set": a caller
+    # that repoints the env var mid-session (test fixtures with per-test
+    # tmp dirs) must not keep writing into the first—possibly pruned—
+    # directory.
+    if _DIR_SET_FOR.get(app) != ckpt_dir or sc.getCheckpointDir() is None:
         sc.setCheckpointDir(ckpt_dir)
-        _DIR_SET_FOR.add(app)
+        _DIR_SET_FOR[app] = ckpt_dir
     return df.checkpoint(eager=eager)

@@ -183,12 +183,14 @@ def pagerank(
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Carry the out-degree ON the edge rows, once — the per-iteration
-    # loop then touches only (edges_d x ranks), not a 3-way join. Hash-
-    # partition by src here, once: the checkpointed partitioning is what
-    # lets every round's src join move only the small ranks side.
-    edges_d = (
-        materialize(edges.join(deg, "src").repartition("src"))
-    )
+    # loop then touches only (edges_d x ranks), not a 3-way join. The
+    # plan stays LAZY until after the dangling decision so the dangling
+    # pseudo-edges (if any) fold into the SAME single shuffle +
+    # checkpoint — materializing first and re-checkpointing the union
+    # would shuffle and store the full edge table twice (code-review
+    # r6). Hash-partition by src once: the checkpointed partitioning is
+    # what lets every round's src join move only the small ranks side.
+    edges_d = edges.join(deg, "src").select("src", "dst", "deg")
     # Dangling nodes (no out-edges) are a property of the static graph:
     # decide ONCE whether the per-iteration mass collection is needed at
     # all (symmetric graphs — every near-dup/co-occurrence graph — have
@@ -196,12 +198,8 @@ def pagerank(
     dangling_nodes = nodes.join(
         deg.select(F.col("src").alias("node")), "node", "left_anti"
     )
-    # head(1) short-circuits; the checkpoint is only worth paying when
-    # dangling nodes actually exist (the pseudo-edge build below is the
-    # second consumer). Symmetric graphs skip both.
+    # head(1) short-circuits; symmetric graphs pay nothing extra.
     has_dangling = bool(dangling_nodes.head(1))
-    if has_dangling:
-        dangling_nodes = materialize(dangling_nodes)
     # Sentinel node id for the dangling-mass pseudo-edges: real node ids
     # are cast to long from data columns; LONG_MIN cannot be a key that
     # survives the u != v / src projections of any fixture or corpus id
@@ -214,11 +212,8 @@ def pagerank(
             F.lit(SENTINEL).cast("long").alias("dst"),
             F.lit(1).cast("long").alias("deg"),
         )
-        edges_d = materialize(
-            edges_d.select("src", "dst", "deg")
-            .unionByName(pseudo)
-            .repartition("src")
-        )
+        edges_d = edges_d.unionByName(pseudo)
+    edges_d = materialize(edges_d.repartition("src"))
     # Static zero-contribution rows: unioned under each round's
     # aggregation so every node appears in the result without a second
     # node-keyed join (x + 0.0 == x for non-negative ranks, so the

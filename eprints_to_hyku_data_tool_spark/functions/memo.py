@@ -31,7 +31,16 @@ _MEMO: dict[tuple[str, str, str], DataFrame] = {}
 def session_memo(
     spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    # Evict entries from other (stopped) applications: their DataFrames
+    # are unusable and pinning them would leak py4j proxies without
+    # bound in a long-lived process that cycles SparkSessions (the
+    # test-fixture pattern). Only the CURRENT app's entries can ever be
+    # served, so dropping the rest is safe.
+    stale = [k for k in _MEMO if k[0] != app]
+    for k in stale:
+        del _MEMO[k]
+    k = (app, sf_dir, key)
     df = _MEMO.get(k)
     if df is None:
         df = materialize(build())
