@@ -1,0 +1,66 @@
+"""Unit tests for bench.py's recorded-bench parsing helpers.
+
+These are pure functions (no SparkSession): they recover per-query
+timing maps from the three recorded-bench layouts the regression gate
+must read — the raw JSON line, the driver's {"parsed", "tail"} wrapper,
+and truncated tails. The 3-digit-name anchor case is a regression test
+for the round-6 review finding: the bracket-matching path was dead for
+tails whose first (worst) key is a rotated z3xx/z434 name because the
+anchor regex only matched 2-digit names.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import _extract_queries  # noqa: E402
+
+
+def test_raw_layout():
+    obj = {"queries": {"q01_a": 1.5, "z302_b": 2.0}}
+    assert _extract_queries(obj) == {"q01_a": 1.5, "z302_b": 2.0}
+
+
+def test_parsed_wrapper_layout():
+    obj = {"parsed": {"queries": {"q39_histogram": 0.4}}, "tail": ""}
+    assert _extract_queries(obj) == {"q39_histogram": 0.4}
+
+
+def test_tail_bracket_match_two_digit_names():
+    inner = {"q01_scan": 1.25, "q02_filter": 0.5}
+    tail = 'blah "queries": ' + json.dumps(inner) + ', "sf": 0.1}'
+    assert _extract_queries({"tail": tail}) == inner
+
+
+def test_tail_bracket_match_three_digit_names():
+    # Round-6 rotation produces z3xx/z434 names; a compact line's worst
+    # key can be one of them, and the structured-parse path must still
+    # anchor (review r6: the old anchor regex required exactly 2 digits).
+    inner = {"z341_kmeans_lloyd": 3.2, "z434_heavyhitters": 1.1}
+    tail = '..."queries": ' + json.dumps(inner) + ', "errors": []}'
+    assert _extract_queries({"tail": tail}) == inner
+
+
+def test_tail_scavenger_when_opening_brace_lost():
+    # Truncated mid-object: no opening brace for the map survives.
+    tail = '_lsh": 4.125, "z61_topk_sim": 0.8, "z62_text_stats": 1.47}'
+    got = _extract_queries({"tail": tail})
+    assert got == {"z61_topk_sim": 0.8, "z62_text_stats": 1.47}
+
+
+def test_tail_bracket_matcher_skips_regressions_object():
+    # The matcher can land on the regressions object (dict values) when
+    # the queries map lost its brace — non-numeric entries are dropped,
+    # then the scavenger recovers the surviving numeric pairs.
+    tail = (
+        '"regressions": {"z60_minhash_lsh": {"prev": 4.1, "now": 7.0}}, '
+        '"queries2": "x"'
+    )
+    got = _extract_queries({"tail": tail})
+    assert "z60_minhash_lsh" not in got or isinstance(
+        got.get("z60_minhash_lsh"), float
+    )
