@@ -132,7 +132,11 @@ def main() -> None:
     # to two), and the min is recorded — a real slow query survives the
     # retries, a first-touch/noise artifact does not. Bounded extra
     # cost: only suspects re-run.
-    SLOW_SUSPECT_S = 8.0
+    # 6 s: below it sit ~99% of steady-state queries; above it the only
+    # honest residents are q88's iterative loop — everything else that
+    # lands there is first-touch contention (z75 measured 7.6 s in-suite
+    # vs 3.3 s warm standalone with the 8 s threshold missing it — r6).
+    SLOW_SUSPECT_S = 6.0
     for _ in range(2):
         suspects = set(regressions_vs_previous(timings, sf, quiet=True))
         suspects.update(
