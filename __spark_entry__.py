@@ -16,18 +16,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from eprints_to_hyku_data_tool_spark.plans.registry import (
+    flagship_name,
     oracle_sql_map,
     queries_map,
 )
 from eprints_to_hyku_data_tool_spark.session import tune_session
 
-FLAGSHIP = "z19_groupby_multi_agg"
-
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001."""
+    """Flagship query (TPC-H Q1 shape) on /root/testdata/sf0.001.
+
+    The flagship is resolved through the registry by its rotation-stable
+    suffix (currently ``q19_groupby_multi_agg``) so a tier rotation cannot
+    silently break this smoke gate (VERDICT r6 item 7).
+    """
     tune_session(spark)
-    return queries_map()[FLAGSHIP](spark, "/root/testdata/sf0.001")
+    return queries_map()[flagship_name()](spark, "/root/testdata/sf0.001")
 
 
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]):

@@ -28,7 +28,7 @@ from .q_core import dec_sum
 # Q22 — approx count-distinct (HLL) with a checkable tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "z22_approx_count_distinct",
+    "q22_approx_count_distinct",
     oracle="""
     SELECT l_suppkey,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -48,7 +48,7 @@ from .q_core import dec_sum
     "every raw row update a 16KB HLL++ buffer through the Expand "
     "(measured 60s at sf0.1 vs 4s for this form).",
 )
-def z22_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q22_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
     return (
@@ -72,7 +72,7 @@ def z22_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q23 — ROLLUP (hierarchical subtotals)
 # --------------------------------------------------------------------------
 @register(
-    "z23_rollup",
+    "q23_rollup",
     oracle="""
     SELECT COALESCE(r_name, '(all)') AS region_name,
            COALESCE(n_name, '(all)') AS nation_name,
@@ -119,7 +119,7 @@ def q23_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q24 — CUBE (all grouping combinations)
 # --------------------------------------------------------------------------
 @register(
-    "z24_cube",
+    "q24_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, '(all)') AS status,
            COALESCE(o_orderpriority, '(all)') AS priority,
@@ -155,7 +155,7 @@ def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q25 — collect_list -> sorted delimited string (THE Bulkrax fold)
 # --------------------------------------------------------------------------
 @register(
-    "z25_bulkrax_fold",
+    "q25_bulkrax_fold",
     oracle="""
     SELECT l_orderkey,
            string_agg(p_name, '|' ORDER BY p_name) AS part_names,
@@ -168,7 +168,7 @@ def q24_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed engine — sort_array makes it canonical), joined with "
     "'|' for the flat CSV cell (SURVEY §1.1, §2.4 Q25).",
 )
-def z25_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q25_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (
@@ -187,7 +187,7 @@ def z25_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q26 — pivot (crosstab QA report)
 # --------------------------------------------------------------------------
 @register(
-    "z26_pivot",
+    "q26_pivot",
     oracle="""
     SELECT c_mktsegment,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -222,7 +222,7 @@ def q26_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q27 — percentiles / median (exact)
 # --------------------------------------------------------------------------
 @register(
-    "z27_percentiles",
+    "q27_percentiles",
     oracle="""
     SELECT c_mktsegment,
            round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
@@ -257,7 +257,7 @@ def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q28 — statistical aggregates
 # --------------------------------------------------------------------------
 @register(
-    "z28_stats",
+    "q28_stats",
     oracle="""
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS qty_stddev,
@@ -289,7 +289,7 @@ def q28_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q29 — filtered / conditional aggregation
 # --------------------------------------------------------------------------
 @register(
-    "z29_conditional_agg",
+    "q29_conditional_agg",
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -330,7 +330,7 @@ def q29_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q30 — mixed distinct + plain aggregates
 # --------------------------------------------------------------------------
 @register(
-    "z30_mixed_distinct",
+    "q30_mixed_distinct",
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -288,7 +288,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(orders * lines_per_order^2) at any scale. The rank VALUES are an
     iterative float fixpoint (not SQL-oracle-expressible);
     tests/test_graph.py checks them against an independent numpy power
-    iteration on the identical edge set. The registered q88_pagerank
+    iteration on the identical edge set. The registered z588_pagerank
     wraps this in a driver-checkable structure + mass verdict."""
     from ..functions.graph import pagerank
 
@@ -298,7 +298,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q88_pagerank",
+    "z588_pagerank",
     oracle="""
     WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
                FROM lineitem a JOIN lineitem b
@@ -325,7 +325,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline plus one count-agg per side of the tiny one-row-x-one-"
     "row join.",
 )
-def q88_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _copurchase_edges is a cheap projection of the session-memoized
     # edge checkpoint (functions/copurchase.py) — no per-query
     # materialization needed; pagerank() checkpoints its own input.
@@ -429,7 +429,7 @@ _TRI_EDGES_SQL = """
 
 
 @register(
-    "q66_triangle_count",
+    "z566_triangle_count",
     oracle=_TRI_EDGES_SQL
     + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
@@ -456,7 +456,7 @@ _TRI_EDGES_SQL = """
     "measured: 26 exchanges -> 5). Remaining shuffles: wedge join and "
     "closing join (SURVEY §2.13 graph family).",
 )
-def q66_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import triangles
 
     # Shared memoized materializations (functions/copurchase.py): edge

@@ -180,7 +180,7 @@ def _band_sigs_udf():
     """,
     doc="Random-hyperplane (sign) LSH near-dup over embeddings — the "
     "sixth dedup family, and the sub-quadratic EMBEDDING sibling of "
-    "z60_minhash_lsh: 16 fixed integer hyperplanes give 16 sign bits, "
+    "q60_minhash_lsh: 16 fixed integer hyperplanes give 16 sign bits, "
     "banded 4x4; vectors sharing any band signature become candidates "
     "via a (band, sig) equi-join; only candidates get the exact cosine "
     "verify (tau=0.4, q18 margin rule). Every dot against a hyperplane "

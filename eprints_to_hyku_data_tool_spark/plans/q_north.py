@@ -107,7 +107,7 @@ _NEARDUP_ORACLE = """
 # Q59 — exact dedupe (normalized-text hash, keep-first)
 # --------------------------------------------------------------------------
 @register(
-    "z59_exact_dedupe",
+    "q59_exact_dedupe",
     oracle="""
     WITH d AS (SELECT doc_id, lang, source,
                       md5(lower(trim(text))) AS text_key
@@ -125,7 +125,7 @@ _NEARDUP_ORACLE = """
     "not the document body — at 100 TB the exchange carries hashes + ids "
     "only (SURVEY §2.11 Q59, composition of Q31).",
 )
-def z59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id", "lang", "source", F.md5(F.lower(F.trim("text"))).alias("text_key")
@@ -145,7 +145,7 @@ def z59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deliberately NOT registered (VERDICT r2 "What's wrong" #2): this form
 # collects the shingled corpus to the driver, which is a fixture-tier
 # cross-check, not a plan that survives 100 TB. The registered Q60 family
-# is z60_minhash_lsh + z60_simhash (fully distributed, same shared
+# is q60_minhash_lsh + q60_simhash (fully distributed, same shared
 # oracle); tests/test_properties.py keeps this brute force as an
 # independent equivalence witness against both.
 def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +195,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q60b — near-dup detection, distributed MinHash-LSH pipeline (scale path)
 # --------------------------------------------------------------------------
 @register(
-    "z60_minhash_lsh",
+    "q60_minhash_lsh",
     oracle=_NEARDUP_ORACLE,
     doc="The 100 TB near-dup pipeline, fully distributed (no collect): "
     "shingle -> 64 seeded xxhash64 minhashes (one shuffle: min per "
@@ -209,7 +209,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brute-force oracle (SURVEY §2.11 Q60, §4 similarity-join row; "
     "parameter rationale at the module header).",
 )
-def z60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     # (doc_id, shingle) exploded — the only row-multiplying step, bounded
     # by shingles-per-doc (~tokens-per-doc). explode_OUTER on purpose:
@@ -356,10 +356,10 @@ def _simhash_oracle() -> str:
 
 
 @register(
-    "z60_simhash",
+    "q60_simhash",
     oracle=_simhash_oracle(),
     doc="SimHash near-dup detection — the third dedup family (exact Q59, "
-    "MinHash z60_minhash_lsh, SimHash here): 32-bit signature = sign of "
+    "MinHash q60_minhash_lsh, SimHash here): 32-bit signature = sign of "
     "per-bit +-1 sums over shingle md5 bits, pairs at hamming <= 4. "
     "Distributed shape mirrors the MinHash pipeline: one shuffle builds "
     "signatures, pigeonhole blocking (hamming<=4 over 5 blocks forces "
@@ -367,7 +367,7 @@ def _simhash_oracle() -> str:
     "bit_count(xor) on the 32-bit signatures — no all-pairs anywhere "
     "(SURVEY §2.11 Q60 family).",
 )
-def z60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     feats = docs.select("doc_id", F.explode_outer("sh").alias("s")).filter(
         F.col("s").isNotNull()
@@ -461,7 +461,7 @@ def z60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q61 — top-k similarity search (probe set over embeddings)
 # --------------------------------------------------------------------------
 @register(
-    "z61_topk_similarity",
+    "q61_topk_similarity",
     oracle="""
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
                     FROM embeddings ORDER BY vec_id LIMIT 50),
@@ -494,7 +494,7 @@ def z60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rank order is float-safe: measured min top-8 gap 1.9e-5 >> ulp "
     "noise (SURVEY §2.11 Q61).",
 )
-def z61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -736,7 +736,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "offline recall audit run on a sampled probe set.",
 )
 def z185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = z61_topk_similarity(spark, sf_dir).select(
+    exact = q61_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     approx = ivf_topk_approx(spark, sf_dir).select(
@@ -759,7 +759,7 @@ def z185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q67 — embedding-cosine near-dup DEDUPE (greedy keep-lowest-id)
 # --------------------------------------------------------------------------
 @register(
-    "z67_embedding_dedupe",
+    "q67_embedding_dedupe",
     oracle="""
     WITH dropped AS (
       SELECT DISTINCT b.vec_id AS vid
@@ -781,7 +781,7 @@ def z185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is a tiny semi-join side. tau margin 1e-4 (see q18) "
     "(assignment dedup mandate).",
 )
-def z67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -804,7 +804,7 @@ def z67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q62 — text statistics / language slice
 # --------------------------------------------------------------------------
 @register(
-    "z62_text_stats",
+    "q62_text_stats",
     oracle="""
     WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -827,7 +827,7 @@ def z67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Integer sums divided at the end keep avg exact "
     "(SURVEY §2.11 Q62).",
 )
-def z62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -993,7 +993,7 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hashed output.",
 )
 def z186_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = z67_embedding_dedupe(spark, sf_dir).select(
+    exact = q67_embedding_dedupe(spark, sf_dir).select(
         "vec_id", F.col("is_dropped").alias("ex")
     )
     ivf = ivf_dedupe_approx(spark, sf_dir).select(
@@ -1093,7 +1093,7 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
     "family), fully distributed: prefix-filtered inverted index over a "
     "global rarity order generates candidates (no all-pairs, no "
     "collect), then the shared candidate-verify stage computes exact "
-    "intersection sizes. Same oracle as z60_minhash_lsh/z60_simhash but "
+    "intersection sizes. Same oracle as q60_minhash_lsh/q60_simhash but "
     "with zero miss probability — this is what replaces the demoted "
     "collect-based q60_neardup_jaccard at scale (SURVEY §2.11 Q60).",
 )

@@ -26,7 +26,7 @@ from .registry import register
 # Q43 — string cleanup kit (name normalization)
 # --------------------------------------------------------------------------
 @register(
-    "z43_string_kit",
+    "q43_string_kit",
     oracle="""
     SELECT c_custkey,
            lower(trim(c_name)) AS clean_name,
@@ -70,7 +70,7 @@ def q43_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q44 — regex extraction (identifier parsing)
 # --------------------------------------------------------------------------
 @register(
-    "z44_regex_extract",
+    "q44_regex_extract",
     oracle=r"""
     SELECT p_partkey,
            regexp_extract(p_name, '^(\w+)', 1) AS first_word,
@@ -99,7 +99,7 @@ def q44_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q45 — fuzzy string match (record-linkage kit)
 # --------------------------------------------------------------------------
 @register(
-    "z45_fuzzy_match",
+    "q45_fuzzy_match",
     oracle="""
     SELECT c_custkey, s_suppkey, c_name, s_name,
            CAST(levenshtein(lower(c_name), lower(s_name)) AS BIGINT) AS edit_dist,
@@ -136,7 +136,7 @@ def q45_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q46 — date/time kit (monthly rollup)
 # --------------------------------------------------------------------------
 @register(
-    "z46_date_kit",
+    "q46_date_kit",
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
@@ -193,7 +193,7 @@ def q46_date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q47 — math kit
 # --------------------------------------------------------------------------
 @register(
-    "z47_math_kit",
+    "q47_math_kit",
     oracle="""
     SELECT p_partkey,
            round(p_retailprice, 1) AS price_r1,
@@ -237,7 +237,7 @@ def q47_math_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q48 — array kit (tokenized multi-value fields)
 # --------------------------------------------------------------------------
 @register(
-    "z48_array_kit",
+    "q48_array_kit",
     oracle="""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -274,7 +274,7 @@ def q48_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q49 — map kit (map round-trip; oracle is the plain relational equivalent)
 # --------------------------------------------------------------------------
 @register(
-    "z49_map_kit",
+    "q49_map_kit",
     oracle="""
     WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
                FROM events GROUP BY user_id, event_type)
@@ -308,7 +308,7 @@ def q49_map_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q50 — JSON kit (props extraction)
 # --------------------------------------------------------------------------
 @register(
-    "z50_json_kit",
+    "q50_json_kit",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_band,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -340,7 +340,7 @@ def q50_json_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q51 — hash / id generation (Bulkrax source_identifier)
 # --------------------------------------------------------------------------
 @register(
-    "z51_hash_ids",
+    "q51_hash_ids",
     oracle="""
     SELECT o_orderkey,
            md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
@@ -355,7 +355,7 @@ def q50_json_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark-only (no DuckDB equivalent) and covered by tests "
     "(SURVEY §2.8 Q51).",
 )
-def z51_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q51_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 20 == 0
     )
@@ -373,7 +373,7 @@ def z51_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q52 — null kit
 # --------------------------------------------------------------------------
 @register(
-    "z52_null_kit",
+    "q52_null_kit",
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -394,7 +394,7 @@ def z51_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DISTINCT FROM) / isnan, folded into per-status QA counters "
     "(SURVEY §2.8 Q52).",
 )
-def z52_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q52_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     status = F.col("o_orderstatus")
     not_p = F.nullif(status, F.lit("P"))
@@ -419,7 +419,7 @@ def z52_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q53 — cast / coercion kit (stringly-typed edges)
 # --------------------------------------------------------------------------
 @register(
-    "z53_cast_kit",
+    "q53_cast_kit",
     oracle="""
     SELECT o_orderkey,
            CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS reparsed_date,
@@ -436,7 +436,7 @@ def z52_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "columns hash differently per engine in the driver canonicalizer "
     "(r2's q01 regression), so final schemas are decimal-free fleet-wide.",
 )
-def z53_cast_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q53_cast_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 50 == 0
     )

@@ -26,7 +26,7 @@ from .registry import register
 # Q37 — multi-key sort with null ordering
 # --------------------------------------------------------------------------
 @register(
-    "z37_multikey_sort",
+    "q37_multikey_sort",
     oracle="""
     SELECT o_orderkey, order_date, price_or_null,
            ROW_NUMBER() OVER (ORDER BY order_date DESC,
@@ -69,7 +69,7 @@ def q37_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q38 — global top-k (TakeOrderedAndProject)
 # --------------------------------------------------------------------------
 @register(
-    "z38_global_topk",
+    "q38_global_topk",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -93,7 +93,7 @@ def q38_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q39 — limit / offset pagination
 # --------------------------------------------------------------------------
 @register(
-    "z39_limit_offset",
+    "q39_limit_offset",
     oracle="""
     SELECT o_orderkey, o_orderpriority, o_totalprice
     FROM orders
@@ -117,7 +117,7 @@ def q39_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q40 — UNION ALL + dedupe (merging export batches)
 # --------------------------------------------------------------------------
 @register(
-    "z40_union",
+    "q40_union",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -145,7 +145,7 @@ def q40_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q41 — INTERSECT (reconciliation)
 # --------------------------------------------------------------------------
 @register(
-    "z41_intersect",
+    "q41_intersect",
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     INTERSECT
@@ -173,7 +173,7 @@ def q41_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q42 — EXCEPT (the "not yet migrated" delta report)
 # --------------------------------------------------------------------------
 @register(
-    "z42_except",
+    "q42_except",
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT

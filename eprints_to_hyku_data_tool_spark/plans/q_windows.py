@@ -25,7 +25,7 @@ from .registry import register
 # Q31 — row_number keep-first dedupe (the canonical ETL dedupe)
 # --------------------------------------------------------------------------
 @register(
-    "z31_keepfirst_dedupe",
+    "q31_keepfirst_dedupe",
     oracle="""
     SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
     FROM (SELECT user_id, event_type, event_id, ts,
@@ -52,7 +52,7 @@ def q31_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q32 — rank / dense_rank top-k per group
 # --------------------------------------------------------------------------
 @register(
-    "z32_topk_per_group",
+    "q32_topk_per_group",
     oracle="""
     SELECT c_mktsegment, o_orderkey, o_totalprice, price_rank
     FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -82,7 +82,7 @@ def q32_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q33 — lag / lead (inter-event gaps)
 # --------------------------------------------------------------------------
 @register(
-    "z33_lag_lead",
+    "q33_lag_lead",
     oracle="""
     SELECT user_id, event_id, event_type,
            date_diff('microsecond', prev_ts, ts)  AS gap_from_prev_us,
@@ -116,7 +116,7 @@ def q33_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q34 — running aggregate (rows frame)
 # --------------------------------------------------------------------------
 @register(
-    "z34_running_sum",
+    "q34_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -151,7 +151,7 @@ def q34_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q35 — range frame (time-based trailing window)
 # --------------------------------------------------------------------------
 @register(
-    "z35_range_frame",
+    "q35_range_frame",
     oracle="""
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
            CAST(COUNT(*) OVER w AS BIGINT) AS trailing_7d_events,
@@ -186,7 +186,7 @@ def q35_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q36 — ntile / first_value / last_value
 # --------------------------------------------------------------------------
 @register(
-    "z36_ntile_first_last",
+    "q36_ntile_first_last",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
            NTILE(4) OVER (PARTITION BY c_nationkey

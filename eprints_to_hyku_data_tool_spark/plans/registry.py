@@ -53,11 +53,24 @@ never had a driver row (y75..y90) moved into the window as q50..q65;
 z195_triangle_count re-entered as q66 (shared-graph refactor), and
 q26_bfs_hops / q39_histogram (ntile-mapping fix) / q88_pagerank
 (loop reshaped) kept their names — every window q-name this round has
-CHANGED code or a first driver check. That leaves 20 q-names, so the
-remaining 30 window slots fall to the 30 lowest-sorting z-names
-(z01..z190 region) — all green in earlier rounds, now re-verified for
+CHANGED code or a first driver check. That left 20 q-names, so the
+remaining 30 window slots fell to the 30 lowest-sorting z-names
+(z01..z190 region) — all green in earlier rounds, re-verified for
 freshness at zero cost (the driver checks the first 50 sorted names
 regardless).
+
+Round-7 rotation (stalest-first by construction): the r6 sweep came
+back 50/50 green, so the 20 r6 window q-names ceded their slots
+(q## -> z5##, suffixes kept; see RENAMES_r7.json), and the window was
+refilled by tools/rotation_planner.py — a lineage replay of every
+RENAMES_r*.json against every CORRECTNESS_r*.json that ranks all
+registered names by their freshest green driver round. The 50 stalest
+(the 30 round-2-era names z20..z50 whose rows predate the round-3
+testdata regeneration, plus the 20 stalest round-3 names z19..z67)
+entered the window as q-names with suffixes kept (z## -> q##). After
+this round no registered query's driver row predates the current
+fixtures; tests/test_rotation.py bounds staleness mechanically from
+the artifacts.
 
 tests/test_registry.py asserts the priority tier stays within the window
 and that every SURVEY §2 component maps to a live registered name.
@@ -129,6 +142,26 @@ def _load_all() -> None:
             # gate passes vacuously.
             if exc.name != f"{__package__}.{mod}":
                 raise
+
+
+# The flagship (SURVEY §2 Q19, the smoke-gate query run by entry()) is
+# resolved by SUFFIX, not full name: every tier rotation since round 3 has
+# renamed queries mechanically as <tier><nn>_<suffix> with the suffix kept,
+# so the suffix is the rotation-stable identity (VERDICT r6 item 7 — a
+# hardcoded full name broke silently whenever the flagship rotated).
+FLAGSHIP_SUFFIX = "groupby_multi_agg"
+
+
+def flagship_name() -> str:
+    """The current registered name of the flagship query (§2 Q19)."""
+    _load_all()
+    matches = [n for n in REGISTRY if n.endswith("_" + FLAGSHIP_SUFFIX)]
+    if len(matches) != 1:
+        raise LookupError(
+            f"flagship suffix {FLAGSHIP_SUFFIX!r} must match exactly one "
+            f"registered query, got {sorted(matches)}"
+        )
+    return matches[0]
 
 
 def queries_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -58,12 +58,12 @@ def test_q09_broadcast_hash_join(plans):
 
 
 def test_q25_dim_join_broadcasts(plans):
-    p = plans("z25_bulkrax_fold")
+    p = plans("q25_bulkrax_fold")
     assert "BroadcastHashJoin" in p, p
 
 
 def test_q38_take_ordered_and_project(plans):
-    p = plans("z38_global_topk")
+    p = plans("q38_global_topk")
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p  # no global sort
 
@@ -85,7 +85,7 @@ def test_q15_range_join_keeps_equi_key(plans):
 def test_q60_minhash_no_cartesian(plans):
     # The LSH pipeline's whole point: candidates come from a bucket
     # equi-join, never an all-pairs product.
-    p = plans("z60_minhash_lsh")
+    p = plans("q60_minhash_lsh")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -93,7 +93,7 @@ def test_q60_minhash_no_cartesian(plans):
 def test_q31_single_shuffle_on_dedupe_key(plans):
     import re
 
-    p = plans("z31_keepfirst_dedupe")
+    p = plans("q31_keepfirst_dedupe")
     # Exactly one shuffle: the window's hashpartitioning on the dedupe key
     # (plain Exchange nodes; BroadcastExchange would not match).
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
@@ -104,12 +104,12 @@ def test_q31_single_shuffle_on_dedupe_key(plans):
 
 def test_q19_partial_aggregation(plans):
     # Map-side partial agg before the exchange (two HashAggregate levels).
-    p = plans("z19_groupby_multi_agg")
+    p = plans("q19_groupby_multi_agg")
     assert p.count("HashAggregate") >= 2, p
 
 
 def test_q37_global_position_is_distributed(plans):
-    p = plans("z37_multikey_sort")
+    p = plans("q37_multikey_sort")
     # the data flows through a range partitioner + per-partition ranks,
     # not a single-partition global window
     assert "rangepartitioning" in p, p
@@ -117,7 +117,7 @@ def test_q37_global_position_is_distributed(plans):
 
 
 def test_q57_udf_is_arrow_batched(plans):
-    p = plans("z57_scalar_pandas_udf")
+    p = plans("q57_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p  # row-at-a-time python UDF forbidden
 
@@ -170,7 +170,7 @@ NESTED_LOOP_WHITELIST = {
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
     # scalar collect).
-    "q88_pagerank",
+    "z588_pagerank",
     # q24 cross-joins the (5-row lang model dim x one-row vocab/total
     # aggregates) onto the test token stream — tiny by construction,
     # the z71/x30 broadcast-scalar shape.
@@ -183,7 +183,7 @@ NESTED_LOOP_WHITELIST = {
     "z337_expectations_audit",
     # q39 cross-joins one-row extrema/total aggregates onto the fact
     # stream for integer bin arithmetic (the x30 broadcast-scalar shape).
-    "q39_histogram",
+    "z539_histogram",
     # q41 cross-joins the k-row (k=8) centroid table onto the point
     # stream — the assignment broadcast every distributed k-means does.
     "z341_kmeans_lloyd",
@@ -203,14 +203,14 @@ NESTED_LOOP_WHITELIST = {
     "z347_mahalanobis",
     # y79 cross-joins the one-row basket-count aggregate onto the rule
     # table for the lift denominator (broadcast-scalar shape).
-    "q54_association_rules",
+    "z554_association_rules",
     # y88 cross-joins the one-row digit-total aggregate onto the 9-row
     # digit table (broadcast-scalar shape).
-    "q63_benford_audit",
+    "z563_benford_audit",
     # y89/y90 cross-join one-row edge-count / min-degree / totals
     # aggregates onto community- or degree-sized tables (same shape).
-    "q64_modularity",
-    "q65_degree_powerlaw",
+    "z564_modularity",
+    "z565_degree_powerlaw",
 }
 
 
@@ -430,13 +430,13 @@ HEAVY_QUERIES = [
     "z90_corpus_pipeline",
     "z85_cluster_dedupe",
     "z75_decontaminate",
-    "z67_embedding_dedupe",
+    "q67_embedding_dedupe",
     "z186_ivf_embedding_dedupe",
     "z301_duplicate_ngram_filter",
-    "z60_minhash_lsh",
+    "q60_minhash_lsh",
     "z86_ngram_jaccard",
     "z308_volume_shipping",
-    "q88_pagerank",
+    "z588_pagerank",
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
     # automatic broadcasting is off and shuffles are cluster-sized.
@@ -503,7 +503,7 @@ def test_cluster_shaped_shuffle_partition_count_is_respected(spark, sf_dir):
     exchanges (i.e. our plans don't pin partitioning constants that
     would fight a cluster deployment's sizing)."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["z19_groupby_multi_agg"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["q19_groupby_multi_agg"].fn(spark, sf_dir))
     assert "200" in p, p
 
 
@@ -666,7 +666,7 @@ def test_q39_equidepth_is_distributed(plans):
     """Exact equi-depth bucketing must ride the two-phase global-position
     engine (z37 rule): range partitioner + per-partition ranks, never a
     single-partition ntile window over the fact table."""
-    p = plans("q39_histogram")
+    p = plans("z539_histogram")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
     assert "ntile" not in p, p

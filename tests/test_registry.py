@@ -79,27 +79,27 @@ SECTION2_MAP = {
     "Q13": "z13_anti_join", "Q14": "z14_cross_join",
     "Q15": "z15_range_join", "Q16": "z16_asof_join",
     "Q17": "z17_self_join_pairs", "Q18": "z18_similarity_join",
-    "Q19": "z19_groupby_multi_agg", "Q20": "z20_global_agg",
-    "Q21": "z21_count_distinct", "Q22": "z22_approx_count_distinct",
-    "Q23": "z23_rollup", "Q24": "z24_cube", "Q25": "z25_bulkrax_fold",
-    "Q26": "z26_pivot", "Q27": "z27_percentiles", "Q28": "z28_stats",
-    "Q29": "z29_conditional_agg", "Q30": "z30_mixed_distinct",
-    "Q31": "z31_keepfirst_dedupe", "Q32": "z32_topk_per_group",
-    "Q33": "z33_lag_lead", "Q34": "z34_running_sum",
-    "Q35": "z35_range_frame", "Q36": "z36_ntile_first_last",
-    "Q37": "z37_multikey_sort", "Q38": "z38_global_topk",
-    "Q39": "z39_limit_offset", "Q40": "z40_union",
-    "Q41": "z41_intersect", "Q42": "z42_except",
-    "Q43": "z43_string_kit", "Q44": "z44_regex_extract",
-    "Q45": "z45_fuzzy_match", "Q46": "z46_date_kit",
-    "Q47": "z47_math_kit", "Q48": "z48_array_kit",
-    "Q49": "z49_map_kit", "Q50": "z50_json_kit",
-    "Q51": "z51_hash_ids", "Q52": "z52_null_kit",
-    "Q53": "z53_cast_kit", "Q54": "z54_tumbling_window",
-    "Q55": "z55_sliding_window", "Q56": "z56_session_window",
-    "Q57": "z57_scalar_pandas_udf", "Q58": "z58_grouped_map",
-    "Q59": "z59_exact_dedupe", "Q60": "z60_minhash_lsh",
-    "Q61": "z61_topk_similarity", "Q62": "z62_text_stats",
+    "Q19": "q19_groupby_multi_agg", "Q20": "q20_global_agg",
+    "Q21": "q21_count_distinct", "Q22": "q22_approx_count_distinct",
+    "Q23": "q23_rollup", "Q24": "q24_cube", "Q25": "q25_bulkrax_fold",
+    "Q26": "q26_pivot", "Q27": "q27_percentiles", "Q28": "q28_stats",
+    "Q29": "q29_conditional_agg", "Q30": "q30_mixed_distinct",
+    "Q31": "q31_keepfirst_dedupe", "Q32": "q32_topk_per_group",
+    "Q33": "q33_lag_lead", "Q34": "q34_running_sum",
+    "Q35": "q35_range_frame", "Q36": "q36_ntile_first_last",
+    "Q37": "q37_multikey_sort", "Q38": "q38_global_topk",
+    "Q39": "q39_limit_offset", "Q40": "q40_union",
+    "Q41": "q41_intersect", "Q42": "q42_except",
+    "Q43": "q43_string_kit", "Q44": "q44_regex_extract",
+    "Q45": "q45_fuzzy_match", "Q46": "q46_date_kit",
+    "Q47": "q47_math_kit", "Q48": "q48_array_kit",
+    "Q49": "q49_map_kit", "Q50": "q50_json_kit",
+    "Q51": "q51_hash_ids", "Q52": "q52_null_kit",
+    "Q53": "q53_cast_kit", "Q54": "q54_tumbling_window",
+    "Q55": "q55_sliding_window", "Q56": "q56_session_window",
+    "Q57": "q57_scalar_pandas_udf", "Q58": "q58_grouped_map",
+    "Q59": "q59_exact_dedupe", "Q60": "q60_minhash_lsh",
+    "Q61": "q61_topk_similarity", "Q62": "q62_text_stats",
     "X01": None,  # CSV/ORC source — tests/test_etl.py
     "X02": None,  # JSON source — tests/test_etl.py
     "X03": None,  # XML (EP3) source — tests/test_etl.py
@@ -174,56 +174,35 @@ def _green_driver_names() -> set[str]:
     return green
 
 
-def test_rename_maps_are_injective_and_acyclic():
-    """Each RENAMES_r*.json must be a clean old->new map: no old name
-    renamed twice within a file (dict guarantees that), no two old names
-    collapsing onto one new name, no self-renames, and walking the
-    composed new->old chain from any current name must terminate (no
-    rename cycles across rounds)."""
-    registry._load_all()
-    inverses = []
+def test_rename_maps_are_clean():
+    """Each RENAMES_r*.json must be a clean, order-independent old->new
+    map: no two old names collapsing onto one new name, no self-renames,
+    and no name appearing as BOTH a key and a value in the same file
+    (which would make the map's effect depend on application order).
+    Cross-ROUND name reuse is legitimate — suffix-kept tier rotations can
+    return a query to a previously-held name (q19 -> z19 in r4, back to
+    q19 in r7); the composed new->old walk still terminates because each
+    round's inverse applies at most once, newest-first."""
     for f in _rename_files():
         m = json.load(open(f))
         assert len(set(m.values())) == len(m), f"{f}: duplicate targets"
         assert all(k != v for k, v in m.items()), f"{f}: self-rename"
-        inverses.append({v: k for k, v in m.items()})
-    for name in registry.REGISTRY:
-        seen = {name}
-        cand = name
-        # newest-first: each round's inverse applies at most once
-        for inv in reversed(inverses):
-            nxt = inv.get(cand, cand)
-            if nxt != cand:
-                assert nxt not in seen, f"rename cycle through {nxt}"
-                seen.add(nxt)
-                cand = nxt
+        overlap = set(m) & set(m.values())
+        assert not overlap, f"{f}: order-dependent chained renames {overlap}"
 
 
 def test_every_z_name_has_green_driver_ancestor():
     """Every z-tier query must trace back through the RENAMES chain to a
-    name the driver verified fully green in some round. A z-name that
-    cannot is an unverified query hiding in the verified tier and must
-    stay in the q/x window instead. (The round-3 rotation's same-suffix
-    renames were backfilled into RENAMES_r3.json in round 6 from the
-    CORRECTNESS_r01/r02 green rows, so the chain is fully
-    machine-checkable — no prose exceptions.)"""
+    round in which the driver verified it fully green UNDER THE NAME IT
+    CARRIED THAT ROUND. A z-name that cannot is an unverified query
+    hiding in the verified tier and must stay in the q/x window instead.
+    The per-round identity replay (tools/rotation_planner.py) is exact
+    even when a name was reused by different queries in different rounds
+    — each round's green set is only consulted for the name this query
+    carried in that round."""
+    from rotation_planner import freshness  # tools/ on sys.path (conftest)
+
     registry._load_all()
-    green = _green_driver_names()
-    inverses = [
-        {v: k for k, v in json.load(open(f)).items()}
-        for f in reversed(_rename_files())
-    ]
-    orphans = {}
-    for name in registry.REGISTRY:
-        if not name.startswith("z"):
-            continue
-        cand, found = name, name in green
-        if not found:
-            for inv in inverses:
-                cand = inv.get(cand, cand)
-                if cand in green:
-                    found = True
-                    break
-        if not found:
-            orphans[name] = cand
-    assert not orphans, f"z-names with no green driver ancestor: {orphans}"
+    fresh = freshness(sorted(registry.REGISTRY))
+    orphans = {n for n in registry.REGISTRY if n.startswith("z") and not fresh[n]}
+    assert not orphans, f"z-names with no green driver row in any round: {orphans}"

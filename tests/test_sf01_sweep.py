@@ -34,15 +34,15 @@ QUADRATIC_ORACLES = {
     "z302_keep_longest_canonical",
     "z85_cluster_dedupe",
     "z86_ngram_jaccard",
-    "z67_embedding_dedupe",
-    "z60_minhash_lsh",
-    "z60_simhash",
+    "q67_embedding_dedupe",
+    "q60_minhash_lsh",
+    "q60_simhash",
     "z74_rplsh_neardup",
     "z186_ivf_embedding_dedupe",
     "z18_similarity_join",
     "z90_corpus_pipeline",
     "z185_ivf_topk",
-    "z61_topk_similarity",
+    "q61_topk_similarity",
     "z252_winnow_containment",
     "z301_duplicate_ngram_filter",
     # r5: PQ-ANN verdict and k-NN vote both rerun z61's all-pairs exact
