@@ -195,10 +195,14 @@ def pagerank(
     # decide ONCE whether the per-iteration mass collection is needed at
     # all (symmetric graphs — every near-dup/co-occurrence graph — have
     # none, saving one driver action per round).
-    dangling_nodes = nodes.join(
-        deg.select(F.col("src").alias("node")), "node", "left_anti"
+    # Materialized once: it is consumed twice when dangling nodes exist
+    # (the emptiness probe and the pseudo-edge projection), and even the
+    # dangling-free probe must scan every partition to find nothing, so
+    # the eager checkpoint costs what the old head(1) probe cost while
+    # the second consumer becomes free (ADVICE r6).
+    dangling_nodes = materialize(
+        nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
     )
-    # head(1) short-circuits; symmetric graphs pay nothing extra.
     has_dangling = bool(dangling_nodes.head(1))
     # Sentinel node id for the dangling-mass pseudo-edges: real node ids
     # are cast to long from data columns; LONG_MIN cannot be a key that

@@ -19,6 +19,7 @@ the application ends.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,23 +27,35 @@ from pyspark.sql import DataFrame, SparkSession
 from .checkpointing import materialize
 
 _MEMO: dict[tuple[str, str, str], DataFrame] = {}
+# One lock guards lookup/evict/insert AND the build itself: two threads
+# racing on the same key must not each materialize (and checkpoint) the
+# shared intermediate — the build IS the expensive thing the memo exists
+# to deduplicate (ADVICE r6). Builds are seconds-long, so serializing
+# concurrent builders of different keys is an acceptable cost for the
+# guarantee; queries on an already-built key still return instantly once
+# the builder releases the lock. REENTRANT because builds legitimately
+# nest memo calls on the same thread (neardup components builds on
+# verified_pairs; the copurchase family stacks edges -> degrees ->
+# oriented) — a plain Lock self-deadlocks on the nested lookup.
+_LOCK = threading.RLock()
 
 
 def session_memo(
     spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
     app = spark.sparkContext.applicationId
-    # Evict entries from other (stopped) applications: their DataFrames
-    # are unusable and pinning them would leak py4j proxies without
-    # bound in a long-lived process that cycles SparkSessions (the
-    # test-fixture pattern). Only the CURRENT app's entries can ever be
-    # served, so dropping the rest is safe.
-    stale = [k for k in _MEMO if k[0] != app]
-    for k in stale:
-        del _MEMO[k]
-    k = (app, sf_dir, key)
-    df = _MEMO.get(k)
-    if df is None:
-        df = materialize(build())
-        _MEMO[k] = df
-    return df
+    with _LOCK:
+        # Evict entries from other (stopped) applications: their
+        # DataFrames are unusable and pinning them would leak py4j
+        # proxies without bound in a long-lived process that cycles
+        # SparkSessions (the test-fixture pattern). Only the CURRENT
+        # app's entries can ever be served, so dropping the rest is safe.
+        stale = [k for k in _MEMO if k[0] != app]
+        for k in stale:
+            del _MEMO[k]
+        k = (app, sf_dir, key)
+        df = _MEMO.get(k)
+        if df is None:
+            df = materialize(build())
+            _MEMO[k] = df
+        return df

@@ -221,11 +221,11 @@ def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shingle").isNotNull()
     )
 
-    # ONE string hash per shingle, then 128 derived hashes by re-hashing
-    # the 8-byte value with per-seed salts. Hashing the string 128x was
-    # the hot spot (string bytes dominate xxhash64 cost); hashing a fixed
-    # 8+4 byte input is ~free, and unlike multiply-add mixing it cannot
-    # hit ANSI-mode overflow errors.
+    # ONE string hash per shingle, then N_HASHES derived hashes by
+    # re-hashing the 8-byte value with per-seed salts. Hashing the string
+    # once per seed was the hot spot (string bytes dominate xxhash64
+    # cost); hashing a fixed 8+4 byte input is ~free, and unlike
+    # multiply-add mixing it cannot hit ANSI-mode overflow errors.
     base = F.xxhash64("shingle")
     hashed = sh.select(
         "doc_id",

@@ -64,3 +64,71 @@ def test_tail_bracket_matcher_skips_regressions_object():
     assert "q60_minhash_lsh" not in got or isinstance(
         got.get("q60_minhash_lsh"), float
     )
+
+
+def test_tail_anchor_on_queries_label_with_build_first_key():
+    # Round 6+ compact lines order queries worst-first, so the first key
+    # is usually a `_build_*` entry; the structured path must anchor on
+    # the "queries" label, not the first key's shape (ADVICE r6).
+    inner = {"_build_copurchase_graph": 12.9, "q88_pagerank": 9.9}
+    tail = '... "queries": ' + json.dumps(inner) + ', "sf": 0.1}'
+    assert _extract_queries({"tail": tail}) == inner
+
+
+def test_tail_scavenger_recovers_build_entries():
+    tail = 'raph": 12.9, "_build_neardup_pairs": 7.8, "q88_pagerank": 9.9}'
+    got = _extract_queries({"tail": tail})
+    assert got == {"_build_neardup_pairs": 7.8, "q88_pagerank": 9.9}
+
+
+# ---------------------------------------------------------------------------
+# _merge_sidecar gating (ADVICE r6): a total regex-scavenged from a
+# truncated tail must not reject the matching sidecar, while an
+# overwritten sidecar from a later re-run must still be rejected.
+# ---------------------------------------------------------------------------
+from bench import _merge_sidecar  # noqa: E402
+
+
+def _write_sidecar(tmp_path, value, n_queries, queries):
+    p = tmp_path / "BENCH_local.json"
+    p.write_text(
+        json.dumps(
+            {"value": value, "n_queries": n_queries, "queries": queries}
+        )
+    )
+    return str(p)
+
+
+def test_merge_sidecar_exact_total(tmp_path):
+    side_q = {"q01_a": 1.0, "z302_b": 2.0}
+    p = _write_sidecar(tmp_path, 217.363, 2, side_q)
+    got = _merge_sidecar({"value": 217.363}, {"q01_a": 1.0}, sidecar_path=p)
+    assert got == side_q
+
+
+def test_merge_sidecar_truncated_total_prefix(tmp_path):
+    # tail cut mid-number: "217.363" became "217.3" — still same run.
+    side_q = {"q01_a": 1.0, "z302_b": 2.0}
+    p = _write_sidecar(tmp_path, 217.363, 2, side_q)
+    got = _merge_sidecar({"tail": '"value": 217.3'}, {}, sidecar_path=p)
+    assert got == side_q
+
+
+def test_merge_sidecar_rejects_rerun_overwrite(tmp_path):
+    # Later local re-run overwrote the sidecar: same query count, but a
+    # clearly different total. The count alone must NOT accept it.
+    side_q = {"q01_a": 9.0, "z302_b": 8.0}
+    p = _write_sidecar(tmp_path, 181.2, 2, side_q)
+    got = _merge_sidecar(
+        {"value": 217.363, "n_queries": 2}, {"q01_a": 1.0}, sidecar_path=p
+    )
+    assert got == {"q01_a": 1.0}
+
+
+def test_merge_sidecar_count_only_when_no_total(tmp_path):
+    # No total recoverable anywhere: the query count is the only
+    # fingerprint left, and it may accept.
+    side_q = {"q01_a": 1.0}
+    p = _write_sidecar(tmp_path, 100.0, 1, side_q)
+    got = _merge_sidecar({"n_queries": 1, "tail": ""}, {}, sidecar_path=p)
+    assert got == side_q

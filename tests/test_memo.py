@@ -67,3 +67,63 @@ def test_stopped_app_entries_evicted(monkeypatch):
     assert set(memo_mod._MEMO) == {("app-new", "/sf", "k1")}
     assert memo_mod._MEMO[("app-new", "/sf", "k1")] is fresh
     memo_mod._MEMO.clear()
+
+def test_nested_builds_do_not_deadlock(monkeypatch):
+    # Builds legitimately nest memo calls on the SAME thread (neardup
+    # components builds on verified_pairs; copurchase stacks edges ->
+    # degrees -> oriented). The concurrency lock must therefore be
+    # reentrant — a plain Lock hangs here forever (caught live in r7).
+    _with_identity_materialize(monkeypatch)
+    memo_mod._MEMO.clear()
+    spark = _fake_spark("app-1")
+
+    def inner():
+        return "inner-value"
+
+    def outer():
+        return memo_mod.session_memo(spark, "/sf", "inner", inner) + "+outer"
+
+    import threading
+
+    result = {}
+    t = threading.Thread(
+        target=lambda: result.update(
+            v=memo_mod.session_memo(spark, "/sf", "outer", outer)
+        ),
+        daemon=True,
+    )
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive(), "nested session_memo call deadlocked"
+    assert result["v"] == "inner-value+outer"
+    memo_mod._MEMO.clear()
+
+
+def test_concurrent_same_key_builds_once(monkeypatch):
+    # The reason the lock exists (ADVICE r6): two threads racing on one
+    # key must produce exactly one build.
+    _with_identity_materialize(monkeypatch)
+    memo_mod._MEMO.clear()
+    spark = _fake_spark("app-1")
+    import threading
+    import time
+
+    calls = []
+    barrier = threading.Barrier(2)
+
+    def build():
+        calls.append(1)
+        time.sleep(0.05)
+        return object()
+
+    def worker():
+        barrier.wait()
+        memo_mod.session_memo(spark, "/sf", "k", build)
+
+    ts = [threading.Thread(target=worker, daemon=True) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=10)
+    assert len(calls) == 1
+    memo_mod._MEMO.clear()
