@@ -51,8 +51,17 @@ def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (u, v), u < v, parts co-purchased in some order."""
 
     def build() -> DataFrame:
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_partkey"
+        # Pre-deduplicate to distinct (order, part) BEFORE the self-join:
+        # an order holding the same part on k lines would otherwise
+        # contribute k^2 copies of each pair to the join output that the
+        # final distinct then has to shuffle away. At 100 TB the
+        # pre-aggregation is a map-side-combinable shuffle on the join
+        # key itself, so it both shrinks the join input and pre-shuffles
+        # it into the join's partitioning (VERDICT r6 item 3).
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
         )
         a, b = li.alias("a"), li.alias("b")
         return (
@@ -95,38 +104,37 @@ def degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(a, b, c) — every closed triangle exactly once, enumerated with
-    the degree-ordered wedge join over oriented_edges (each wedge fans
-    out from its LOW-degree endpoint: per-key width bounded by
-    effective degree, O(m^1.5) total work under skew — the standard
-    compact-forward scheme). a is the wedge apex (lowest (deg, id)),
-    b/c its heads in (deg, id) order. Shared by the global triangle
-    count (q66) and the per-node clustering coefficient (q51) — the
-    wedge join is the single most expensive step of the graph family,
-    so it runs once per session."""
+    """(a, b, c) — every closed triangle exactly once, via per-edge
+    out-neighborhood intersection over the degree-oriented edge set:
+    for an oriented edge (s, t), every x in N+(s) ∩ N+(t) closes a
+    triangle. Degree orientation bounds |N+| by the effective degree
+    (O(sqrt(m)) under skew), so the intersect is the compact-forward
+    O(m^1.5) total-work scheme — but unlike the earlier wedge
+    SELF-JOIN + closing-join form it never SHUFFLES the wedge set
+    (|wedges| = sum_s C(d+(s), 2), the term that explodes at scale);
+    the only shuffled relations are the adjacency table (O(m) structs)
+    and the edge set itself, and the intersection of two pre-grouped
+    arrays runs inside whole-stage codegen. a/b/c come out in
+    (deg, id) order: a = s (lowest), b = t, c the common head.
+    Shared by the global triangle count (q66 lineage) and the
+    per-node clustering coefficient (q51 lineage) — triangle
+    enumeration is the single most expensive step of the graph
+    family, so it runs once per session."""
 
     def build() -> DataFrame:
         oriented = oriented_edges(spark, sf_dir)
-        e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-        wedges = e1.join(e2, F.col("e1.s") == F.col("e2.s")).filter(
-            (F.col("e1.dt") < F.col("e2.dt"))
-            | (
-                (F.col("e1.dt") == F.col("e2.dt"))
-                & (F.col("e1.t") < F.col("e2.t"))
-            )
+        adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nb"))
+        adj_s = adj.select(F.col("s").alias("a_s"), F.col("nb").alias("nb_s"))
+        adj_t = adj.select(F.col("s").alias("a_t"), F.col("nb").alias("nb_t"))
+        e = oriented.join(adj_s, oriented.s == adj_s.a_s).join(
+            adj_t, oriented.t == adj_t.a_t
         )
-        # Close the wedge with the oriented edge between the two heads;
-        # the oriented edge's endpoints are ordered by (deg, id) exactly
-        # like the wedge filter, so each triangle closes exactly once.
-        closing = oriented.select(
-            F.col("s").alias("w_b"), F.col("t").alias("w_c")
-        )
-        return wedges.select(
-            F.col("e1.s").alias("a"),
-            F.col("e1.t").alias("w_b"),
-            F.col("e2.t").alias("w_c"),
-        ).join(closing, ["w_b", "w_c"]).select(
-            "a", F.col("w_b").alias("b"), F.col("w_c").alias("c")
+        # Out-neighbor lists are duplicate-free (oriented edges are
+        # distinct), so array_intersect is an exact set intersection.
+        return e.select(
+            F.col("s").alias("a"),
+            F.col("t").alias("b"),
+            F.explode(F.array_intersect("nb_s", "nb_t")).alias("c"),
         )
 
     return _memo(spark, sf_dir, "triangles", build)
