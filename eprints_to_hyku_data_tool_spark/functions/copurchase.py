@@ -47,32 +47,89 @@ def _memo(spark, sf_dir, key, build):
     return session_memo(spark, sf_dir, f"copurchase:{key}", build)
 
 
+# --------------------------------------------------------------------------
+# Unmaterialized plan builders. The memoized accessors below call these
+# with their (checkpointed) predecessors; tests compose the full chain
+# from the raw scans instead to assert the first-build pipeline's plan
+# shape under a cluster-shaped config (VERDICT r6 item 5) — a checkpoint
+# boundary would hide every upstream Exchange from the plan text.
+# --------------------------------------------------------------------------
+
+
+def edges_plan(li: DataFrame) -> DataFrame:
+    """Distinct (u, v), u < v from (l_orderkey, l_partkey) rows."""
+    # Pre-deduplicate to distinct (order, part) BEFORE the self-join: an
+    # order holding the same part on k lines would otherwise contribute
+    # k^2 copies of each pair to the join output that the final distinct
+    # then has to shuffle away (VERDICT r6 item 3). The explicit
+    # repartition on l_orderkey ALONE (not the (order, part) pair a
+    # plain distinct() would exchange on) is load-bearing:
+    # hashpartitioning(l_orderkey) satisfies both the dedupe's
+    # clustering requirement and the self-join's, so ONE lineitem
+    # shuffle — reused by both join legs — replaces the three (a
+    # pair-keyed dedupe exchange plus an l_orderkey re-exchange per
+    # join leg) that the plain form plans.
+    li = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def degrees_plan(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def oriented_plan(und: DataFrame, deg: DataFrame) -> DataFrame:
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    withdeg = und.join(du, "u").join(dv, "v")
+    lo_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return withdeg.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    )
+
+
+def triangles_plan(oriented: DataFrame) -> DataFrame:
+    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nb"))
+    adj_s = adj.select(F.col("s").alias("a_s"), F.col("nb").alias("nb_s"))
+    adj_t = adj.select(F.col("s").alias("a_t"), F.col("nb").alias("nb_t"))
+    e = oriented.join(adj_s, oriented.s == adj_s.a_s).join(
+        adj_t, oriented.t == adj_t.a_t
+    )
+    # Out-neighbor lists are duplicate-free (oriented edges are
+    # distinct), so array_intersect is an exact set intersection.
+    return e.select(
+        F.col("s").alias("a"),
+        F.col("t").alias("b"),
+        F.explode(F.array_intersect("nb_s", "nb_t")).alias("c"),
+    )
+
+
 def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (u, v), u < v, parts co-purchased in some order."""
 
     def build() -> DataFrame:
-        # Pre-deduplicate to distinct (order, part) BEFORE the self-join:
-        # an order holding the same part on k lines would otherwise
-        # contribute k^2 copies of each pair to the join output that the
-        # final distinct then has to shuffle away. At 100 TB the
-        # pre-aggregation is a map-side-combinable shuffle on the join
-        # key itself, so it both shrinks the join input and pre-shuffles
-        # it into the join's partitioning (VERDICT r6 item 3).
-        li = (
-            load_table(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-        a, b = li.alias("a"), li.alias("b")
-        return (
-            a.join(b, "l_orderkey")
-            .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-            .select(
-                F.col("a.l_partkey").alias("u"),
-                F.col("b.l_partkey").alias("v"),
-            )
-            .distinct()
-        )
+        return edges_plan(load_table(spark, sf_dir, "lineitem"))
 
     return _memo(spark, sf_dir, "und", build)
 
@@ -92,13 +149,7 @@ def degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, deg) over the undirected edge set."""
 
     def build() -> DataFrame:
-        und = undirected_edges(spark, sf_dir)
-        return (
-            und.select(F.col("u").alias("node"))
-            .unionAll(und.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
+        return degrees_plan(undirected_edges(spark, sf_dir))
 
     return _memo(spark, sf_dir, "deg", build)
 
@@ -122,20 +173,7 @@ def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, so it runs once per session."""
 
     def build() -> DataFrame:
-        oriented = oriented_edges(spark, sf_dir)
-        adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nb"))
-        adj_s = adj.select(F.col("s").alias("a_s"), F.col("nb").alias("nb_s"))
-        adj_t = adj.select(F.col("s").alias("a_t"), F.col("nb").alias("nb_t"))
-        e = oriented.join(adj_s, oriented.s == adj_s.a_s).join(
-            adj_t, oriented.t == adj_t.a_t
-        )
-        # Out-neighbor lists are duplicate-free (oriented edges are
-        # distinct), so array_intersect is an exact set intersection.
-        return e.select(
-            F.col("s").alias("a"),
-            F.col("t").alias("b"),
-            F.explode(F.array_intersect("nb_s", "nb_t")).alias("c"),
-        )
+        return triangles_plan(oriented_edges(spark, sf_dir))
 
     return _memo(spark, sf_dir, "triangles", build)
 
@@ -148,18 +186,8 @@ def oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the billion-node rule from functions/graph.py."""
 
     def build() -> DataFrame:
-        und = undirected_edges(spark, sf_dir)
-        deg = degrees(spark, sf_dir)
-        du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-        dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-        withdeg = und.join(du, "u").join(dv, "v")
-        lo_first = (F.col("du") < F.col("dv")) | (
-            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-        )
-        return withdeg.select(
-            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(lo_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        return oriented_plan(
+            undirected_edges(spark, sf_dir), degrees(spark, sf_dir)
         )
 
     return _memo(spark, sf_dir, "oriented", build)

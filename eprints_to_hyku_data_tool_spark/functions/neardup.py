@@ -27,22 +27,28 @@ from ..sources.tables import load_table
 from .memo import session_memo
 
 
+def pairs_plan(docs: DataFrame) -> DataFrame:
+    """Unmaterialized verified-pair pipeline over a documents table —
+    exposed separately so tests can assert the first-build plan shape
+    under a cluster-shaped config (the memoized accessor's checkpoint
+    boundary would hide every upstream Exchange)."""
+    from ..plans.q_north import (
+        doc_shingles,
+        exact_jaccard_pairs,
+        verify_jaccard_candidates,
+    )
+
+    docs_sh = doc_shingles(docs)
+    return verify_jaccard_candidates(docs_sh, exact_jaccard_pairs(docs_sh))
+
+
 def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, inter_size, union_size): every doc pair of the full
     corpus with shingle Jaccard >= tau — PPJoin prefix-filtered
     candidates, exactly verified (q_north's kernel)."""
 
     def build() -> DataFrame:
-        from ..plans.q_north import (
-            doc_shingles,
-            exact_jaccard_pairs,
-            verify_jaccard_candidates,
-        )
-
-        docs_sh = doc_shingles(load_table(spark, sf_dir, "documents"))
-        return verify_jaccard_candidates(
-            docs_sh, exact_jaccard_pairs(docs_sh)
-        )
+        return pairs_plan(load_table(spark, sf_dir, "documents"))
 
     return session_memo(spark, sf_dir, "neardup:pairs", build)
 

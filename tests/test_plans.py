@@ -798,3 +798,69 @@ def test_z349_reconcile_is_fingerprint_smj(plans):
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3, p
+
+
+# --------------------------------------------------------------------------
+# Cluster-shaped posture of the memoized _build_* pipelines (VERDICT r6
+# item 5): the heavy QUERIES above are re-asserted under the cluster
+# config, but the shared first-build pipelines they consume were not —
+# and their memo checkpoints hide every upstream Exchange from consumer
+# plans, so they need their own asserts over the UNmaterialized chain.
+# --------------------------------------------------------------------------
+def test_cluster_shaped_copurchase_build(spark, sf_dir):
+    """Stage-marginal plans of the edges -> degrees -> oriented ->
+    triangles build, each over its (checkpointed) predecessor exactly as
+    the memoized production build runs them, under 200 shuffle
+    partitions and automatic broadcast off. Nothing may rely on a
+    broadcast (every relation is graph-sized: edges, degrees, adjacency
+    — the billion-node rule), nothing may degrade to a nested loop or
+    cartesian, and each stage's plain-Exchange count is pinned to what
+    its shape requires — one more means a lost co-partitioning."""
+    import re
+
+    from eprints_to_hyku_data_tool_spark.functions import copurchase as cp
+    from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+    with _cluster_shaped(spark):
+        und = cp.undirected_edges(spark, sf_dir)
+        deg = cp.degrees(spark, sf_dir)
+        oriented = cp.oriented_edges(spark, sf_dir)
+        stages = {
+            # lineitem dedupe exchange (reused by both self-join legs,
+            # which share the l_orderkey partitioning) + edge distinct:
+            # partial/final pairs collapse into 2 plain exchanges, with
+            # slack for the dedupe exchange not being reused.
+            ("edges", 3): cp.edges_plan(load_table(spark, sf_dir, "lineitem")),
+            # one groupBy(node) exchange over the unioned projections
+            ("degrees", 1): cp.degrees_plan(und),
+            # und joins deg on u then on v: at worst 2 exchanges per
+            # join (both sides) = 4; co-partitioning may save some.
+            ("oriented", 4): cp.oriented_plan(und, deg),
+            # adjacency groupBy(s) + edges-side exchange on s (adj side
+            # reuses the agg partitioning) + both sides of the t-join.
+            ("triangles", 4): cp.triangles_plan(oriented),
+        }
+        plans_txt = {k: plan_text(df) for k, df in stages.items()}
+    for (label, max_exchanges), p in plans_txt.items():
+        assert "CartesianProduct" not in p, (label, p)
+        assert "Broadcast" not in p, (label, p)  # graph-sized sides only
+        assert "BatchEvalPython" not in p, (label, p)
+        n = len(re.findall(r"\(\d+\) Exchange\b", p))
+        assert n <= max_exchanges, f"{label}: {n} exchanges\n{p}"
+        assert "200" in p, (label, p)  # cluster partition count bit
+
+
+def test_cluster_shaped_neardup_build(spark, sf_dir):
+    """The PPJoin prefix-filter -> verify pair pipeline over documents,
+    unmaterialized, under the cluster config: candidate generation must
+    stay an equi-join (no cartesian/nested-loop fallback — the
+    sub-quadratic contract) with no row-at-a-time Python."""
+    from eprints_to_hyku_data_tool_spark.functions.neardup import pairs_plan
+    from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+    with _cluster_shaped(spark):
+        p = plan_text(pairs_plan(load_table(spark, sf_dir, "documents")))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "200" in p, p
