@@ -1,0 +1,70 @@
+"""Opt-in scale smoke (VERDICT r6 item 4): synthesize a key-shifted
+multi-copy tier from sf0.1 and assert the heaviest queries scale no
+worse than ~2x data-linear — the guard against fits-in-memory constants
+(LSH band widths, IVF samples, adjacency baskets) that correctness
+fixtures are too small to break.
+
+Heavy by construction (tier generation + two full tier runs), so gated
+behind SPARK_GRAFT_SCALE_SMOKE=1 like the sf0.1 full sweep; the default
+suite stays fast. The committed SCALE_SMOKE.json records the full
+10-copy run of tools/scale_smoke.py; this test reproduces the
+methodology at 3 copies so it finishes in minutes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_SMOKE") != "1",
+    reason="scale smoke is opt-in: SPARK_GRAFT_SCALE_SMOKE=1",
+)
+
+COPIES = 3
+# Subset of tools/scale_smoke.py's HEAVY list: one representative per
+# scale-sensitive family (graph build+iteration, LSH banding, sketch
+# aggs, PPJoin, winnowing) keeps the opt-in run in minutes.
+HEAVY = [
+    "z588_pagerank",
+    "q60_minhash_lsh",
+    "q22_approx_count_distinct",
+    "z252_winnow_containment",
+    "z345_split_leakage",
+]
+
+
+def test_heavy_queries_scale_data_linearly(spark, tmp_path_factory):
+    import time
+
+    from tools.make_scale_tier import build_tier
+    from tools.scale_smoke import _run_tier
+
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tier = str(tmp_path_factory.mktemp("scale") / "tier")
+    build_tier(spark, base, tier, COPIES)
+
+    import tools.scale_smoke as sm
+
+    saved = sm.HEAVY
+    sm.HEAVY = HEAVY
+    try:
+        t_base = _run_tier(spark, base)
+        t_big = _run_tier(spark, tier)
+    finally:
+        sm.HEAVY = saved
+
+    bound = 2.0 * COPIES
+    bad = {
+        n: round(t_big[n] / max(t_base[n], 1e-9), 2)
+        for n in t_base
+        # sub-second baselines are noise; builds are included via the
+        # _build_* entries _run_tier always measures
+        if t_base[n] >= 0.5 and t_big[n] / max(t_base[n], 1e-9) > bound
+    }
+    assert not bad, f"worse than {bound}x at {COPIES} copies: {bad}"

@@ -1,0 +1,140 @@
+"""Scale smoke above sf0.1 (VERDICT r6 item 4): run the heaviest
+registered queries plus both shared `_build_*` pipelines at the ~10x
+tier synthesized by tools/make_scale_tier.py, against their sf0.1
+timings measured in the SAME process, and record per-query scaling
+ratios. The point is not throughput bragging — it is catching
+fits-in-memory constants (LSH band widths, IVF sample sizes, adjacency
+basket sizes) that the fixture tiers are too small to break: a query
+whose runtime scales worse than ~2x data-linear (ratio > copies * 2)
+fails the smoke.
+
+Method notes:
+- Both tiers run in ONE session, sf0.1 FIRST (warms the JVM so the 10x
+  numbers are not inflated by first-touch), each query one timed run.
+- The session memo keys on sf_dir, so the shared graph/pair builds are
+  measured once per tier as explicit `_build_*` entries (the queries
+  then pay marginals, mirroring bench.py's accounting).
+- Writes SCALE_SMOKE.json at the repo root; does NOT touch
+  BENCH_local.json (the sf0.1 regression sidecar).
+
+Run:  python tools/scale_smoke.py [--tier /tmp/scale10] [--copies 10]
+      (generate the tier first with tools/make_scale_tier.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+# Heaviest registered queries by the round-6 artifact of record
+# (BENCH_r06.json worst list, mapped through RENAMES_r7) — the 15-20
+# names whose constants are most likely to be scale-sensitive, spanning
+# every heavy family: graph, winnowing, n-gram filters, LSH (all three
+# forms), decontamination, IVF, corpus pipeline, profiling, percentile
+# sketches, PPJoin leakage, k-means, BPE.
+HEAVY = [
+    "z588_pagerank",
+    "z526_bfs_hops",
+    "q20_global_agg",
+    "z252_winnow_containment",
+    "z301_duplicate_ngram_filter",
+    "z74_rplsh_neardup",
+    "z75_decontaminate",
+    "z185_ivf_topk",
+    "z90_corpus_pipeline",
+    "z190_column_profile",
+    "z192_approx_percentile",
+    "z345_split_leakage",
+    "z554_association_rules",
+    "q60_simhash",
+    "q60_minhash_lsh",
+    "q22_approx_count_distinct",
+    "z341_kmeans_lloyd",
+    "z556_bpe_encode",
+]
+
+
+def _run_tier(spark, sf_dir: str) -> dict[str, float]:
+    from eprints_to_hyku_data_tool_spark.functions import copurchase, neardup
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    copurchase.undirected_edges(spark, sf_dir)
+    copurchase.degrees(spark, sf_dir)
+    copurchase.oriented_edges(spark, sf_dir)
+    copurchase.triangles(spark, sf_dir)
+    out["_build_copurchase_graph"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    neardup.verified_pairs(spark, sf_dir)
+    neardup.components(spark, sf_dir)
+    out["_build_neardup_pairs"] = time.perf_counter() - t0
+
+    for name in HEAVY:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = time.perf_counter() - t0
+        print(f"  {name}: {out[name]:.2f}s", flush=True)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--tier", default="/tmp/scale10")
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(_ROOT, "SCALE_SMOKE.json"))
+    args = ap.parse_args()
+
+    from eprints_to_hyku_data_tool_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale-smoke",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        driver_memory="48g",
+    )
+    print(f"tier sf0.1: {args.base}", flush=True)
+    base = _run_tier(spark, args.base)
+    print(f"tier {args.copies}x: {args.tier}", flush=True)
+    big = _run_tier(spark, args.tier)
+    spark.stop()
+
+    linear_bound = 2.0 * args.copies
+    rows = {}
+    failures = []
+    for name in base:
+        ratio = big[name] / max(base[name], 1e-9)
+        rows[name] = {
+            "sf01_sec": round(base[name], 3),
+            "x10_sec": round(big[name], 3),
+            "ratio": round(ratio, 2),
+        }
+        # Sub-second sf0.1 timings are noise-dominated; require a
+        # meaningful baseline before judging its ratio.
+        if base[name] >= 0.5 and ratio > linear_bound:
+            failures.append(name)
+    report = {
+        "copies": args.copies,
+        "linear_bound": linear_bound,
+        "queries": rows,
+        "failures": failures,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: v["ratio"] for k, v in rows.items()}, indent=1))
+    print("FAILURES:", failures or "none")
+
+
+if __name__ == "__main__":
+    main()
