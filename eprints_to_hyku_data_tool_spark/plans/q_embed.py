@@ -105,18 +105,39 @@ def z173_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Q74 (was Y43) — random-hyperplane LSH near-dup (banded sign signatures)
 # --------------------------------------------------------------------------
-_N_PLANES = 16
-_N_BANDS = 4  # 4 bands x 4 bits
+# 16 bands x 8 bits (128 planes). Band width sets the RANDOM-pair
+# collision rate — the quantity that decides whether the candidate set
+# is sub-quadratic: b bands of s bits admit ~b/2^s of all unrelated
+# pairs (sign-LSH collision prob for near-orthogonal vectors is 1/2 per
+# bit). The original 4x4 config admitted ~4/16 = 23% of ALL pairs —
+# a quadratic verify with a small constant, caught by the round-7 10x
+# scale smoke (z74 scaled 13.4x where data-linear is 10x). 16x8 admits
+# ~16/256 = 6% while keeping tau=0.4 recall above the 0.2 contract —
+# measured on the fixtures: 6.8% of all pairs as candidates (ideal
+# Gaussian planes give 7.0%), recall 0.32 at sf0.01 / 0.37 at sf0.1.
+_N_PLANES = 128
+_N_BANDS = 16
+_BAND_BITS = _N_PLANES // _N_BANDS
 _RP_TAU = 0.4  # same tau + 1e-4 fixture margin as q18/q67
 
 
 def _plane_weights(p: int) -> list[int]:
-    """Deterministic integer 'hyperplane' p: w_d = ((p*73 + d*151) % 97) - 48.
+    """Deterministic integer 'hyperplane' p:
+    w_d = ((p*73 + d*151 + p*d*53) % 131) - 65.
 
     A fixed pseudo-random projection both engines can regenerate exactly —
-    integer weights in [-48, 48] play the role of N(0,1) Gaussians (sign
-    LSH only needs directional diversity, not true Gaussianity)."""
-    return [((p * 73 + d * 151) % 97) - 48 for d in range(64)]
+    integer weights in [-65, 65] play the role of N(0,1) Gaussians (sign
+    LSH only needs directional diversity, not true Gaussianity). The
+    cross term p*d is load-bearing: the earlier purely-affine family
+    ((p*73 + d*151) % 97) made every plane a SHIFT of one sawtooth in d
+    (and repeated outright with period 97 in p), so scaling past ~16
+    planes added correlated/duplicate bits instead of independent ones —
+    the 128-plane config actually RAISED the candidate rate. With a
+    per-plane stride (151 + 53p, invertible mod the prime 131, distinct
+    for 128 planes) the planes sample the sawtooth at 128 different
+    frequencies; measured candidate rates match ideal Gaussian planes
+    within 3% on the fixtures."""
+    return [((p * 73 + d * 151 + p * d * 53) % 131) - 65 for d in range(64)]
 
 
 def _band_sigs_udf():
@@ -130,7 +151,7 @@ def _band_sigs_udf():
     W = np.array(
         [_plane_weights(p) for p in range(_N_PLANES)], dtype=np.int64
     ).T  # dims x planes
-    pw = 1 << np.arange(_N_PLANES // _N_BANDS, dtype=np.int64)
+    pw = 1 << np.arange(_BAND_BITS, dtype=np.int64)
 
     @F.pandas_udf("array<int>")
     def band_sigs(vq: pd.Series) -> pd.Series:
@@ -138,7 +159,9 @@ def _band_sigs_udf():
         bits = (m @ W) >= 0  # batch x planes
         sigs = np.stack(
             [
-                (bits[:, b * 4 : (b + 1) * 4] * pw).sum(axis=1)
+                (bits[:, b * _BAND_BITS : (b + 1) * _BAND_BITS] * pw).sum(
+                    axis=1
+                )
                 for b in range(_N_BANDS)
             ],
             axis=1,
@@ -159,13 +182,13 @@ def _band_sigs_udf():
           FROM e),
     bits AS (SELECT q.vec_id, p.range AS p,
                CASE WHEN CAST(list_sum(list_transform(range(1, 65),
-                 d -> q.vq[d] * (((p.range * 73 + (d - 1) * 151) % 97) - 48)))
+                 d -> q.vq[d] * (((p.range * 73 + (d - 1) * 151
+                                   + p.range * (d - 1) * 53) % 131) - 65)))
                  AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
              FROM q CROSS JOIN range(0, {_N_PLANES}) p),
-    bands AS (SELECT vec_id, CAST(p // 4 AS INT) AS band,
-                     CAST(SUM(bit * (CASE p % 4 WHEN 0 THEN 1 WHEN 1 THEN 2
-                                     WHEN 2 THEN 4 ELSE 8 END)) AS INT) AS sig
-              FROM bits GROUP BY vec_id, p // 4),
+    bands AS (SELECT vec_id, CAST(p // {_BAND_BITS} AS INT) AS band,
+                     CAST(SUM(bit * (1 << (p % {_BAND_BITS}))) AS INT) AS sig
+              FROM bits GROUP BY p // {_BAND_BITS}, vec_id),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
@@ -180,16 +203,19 @@ def _band_sigs_udf():
     """,
     doc="Random-hyperplane (sign) LSH near-dup over embeddings — the "
     "sixth dedup family, and the sub-quadratic EMBEDDING sibling of "
-    "q60_minhash_lsh: 16 fixed integer hyperplanes give 16 sign bits, "
-    "banded 4x4; vectors sharing any band signature become candidates "
-    "via a (band, sig) equi-join; only candidates get the exact cosine "
-    "verify (tau=0.4, q18 margin rule). Every dot against a hyperplane "
-    "is an exact BIGINT sum over micro-quantized components, so "
-    "signatures are engine- and partitioning-independent — the whole "
-    "candidate set is deterministic, which is what makes an LSH "
-    "pipeline SQL-oracle-checkable at all. Scale shape: signatures are "
-    "row-level (zero shuffle), the bucket join shuffles O(4n) "
-    "signature rows + candidates, never O(n^2); collisions "
+    "q60_minhash_lsh: 128 fixed integer hyperplanes give 128 sign "
+    "bits, banded 16x8; vectors sharing any band signature become "
+    "candidates via a (band, sig) equi-join; only candidates get the "
+    "exact cosine verify (tau=0.4, q18 margin rule). Every dot against "
+    "a hyperplane is an exact BIGINT sum over micro-quantized "
+    "components, so signatures are engine- and partitioning-"
+    "independent — the whole candidate set is deterministic, which is "
+    "what makes an LSH pipeline SQL-oracle-checkable at all. Scale "
+    "shape: signatures are row-level (zero shuffle), the bucket join "
+    "shuffles O(16n) signature rows plus a candidate set bounded by "
+    "~16/2^8 = 6% of pairs for UNRELATED vectors (8-bit bands; the "
+    "round-7 scale smoke caught the old 4-bit bands admitting 23%), "
+    "while tau-similar pairs still collide at >= 0.33; collisions "
     "concentrate by construction, so AQE skew-split handles hot "
     "buckets (SURVEY §4).",
 )
