@@ -172,7 +172,7 @@ def _band_sigs_udf():
 
 
 @register(
-    "z74_rplsh_neardup",
+    "q74_rplsh_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -203,7 +203,7 @@ def _band_sigs_udf():
     """,
     doc="Random-hyperplane (sign) LSH near-dup over embeddings — the "
     "sixth dedup family, and the sub-quadratic EMBEDDING sibling of "
-    "q60_minhash_lsh: 128 fixed integer hyperplanes give 128 sign "
+    "z660_minhash_lsh: 128 fixed integer hyperplanes give 128 sign "
     "bits, banded 16x8; vectors sharing any band signature become "
     "candidates via a (band, sig) equi-join; only candidates get the "
     "exact cosine verify (tau=0.4, q18 margin rule). Every dot against "
@@ -219,7 +219,7 @@ def _band_sigs_udf():
     "concentrate by construction, so AQE skew-split handles hot "
     "buckets (SURVEY §4).",
 )
-def z74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).withColumn(
@@ -269,7 +269,7 @@ def z74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y63 — nearest-centroid classification audit (exact-decimal distances)
 # --------------------------------------------------------------------------
 @register(
-    "z237_nearest_centroid",
+    "q237_nearest_centroid",
     oracle="""
     WITH x AS (
       SELECT vec_id, label AS label_true,
@@ -316,7 +316,7 @@ def z74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(vector, label) distance agg, one row_number window, one tiny "
     "confusion agg (embedding-eval mandate).",
 )
-def z237_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q237_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -107,7 +107,7 @@ _NEARDUP_ORACLE = """
 # Q59 — exact dedupe (normalized-text hash, keep-first)
 # --------------------------------------------------------------------------
 @register(
-    "q59_exact_dedupe",
+    "z659_exact_dedupe",
     oracle="""
     WITH d AS (SELECT doc_id, lang, source,
                       md5(lower(trim(text))) AS text_key
@@ -125,7 +125,7 @@ _NEARDUP_ORACLE = """
     "not the document body — at 100 TB the exchange carries hashes + ids "
     "only (SURVEY §2.11 Q59, composition of Q31).",
 )
-def q59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z659_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id", "lang", "source", F.md5(F.lower(F.trim("text"))).alias("text_key")
@@ -145,7 +145,7 @@ def q59_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deliberately NOT registered (VERDICT r2 "What's wrong" #2): this form
 # collects the shingled corpus to the driver, which is a fixture-tier
 # cross-check, not a plan that survives 100 TB. The registered Q60 family
-# is q60_minhash_lsh + q60_simhash (fully distributed, same shared
+# is z660_minhash_lsh + z660_simhash (fully distributed, same shared
 # oracle); tests/test_properties.py keeps this brute force as an
 # independent equivalence witness against both.
 def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +195,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q60b — near-dup detection, distributed MinHash-LSH pipeline (scale path)
 # --------------------------------------------------------------------------
 @register(
-    "q60_minhash_lsh",
+    "z660_minhash_lsh",
     oracle=_NEARDUP_ORACLE,
     doc="The 100 TB near-dup pipeline, fully distributed (no collect): "
     "shingle -> 64 seeded xxhash64 minhashes (one shuffle: min per "
@@ -209,7 +209,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brute-force oracle (SURVEY §2.11 Q60, §4 similarity-join row; "
     "parameter rationale at the module header).",
 )
-def q60_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z660_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     # (doc_id, shingle) exploded — the only row-multiplying step, bounded
     # by shingles-per-doc (~tokens-per-doc). explode_OUTER on purpose:
@@ -356,10 +356,10 @@ def _simhash_oracle() -> str:
 
 
 @register(
-    "q60_simhash",
+    "z660_simhash",
     oracle=_simhash_oracle(),
     doc="SimHash near-dup detection — the third dedup family (exact Q59, "
-    "MinHash q60_minhash_lsh, SimHash here): 32-bit signature = sign of "
+    "MinHash z660_minhash_lsh, SimHash here): 32-bit signature = sign of "
     "per-bit +-1 sums over shingle md5 bits, pairs at hamming <= 4. "
     "Distributed shape mirrors the MinHash pipeline: one shuffle builds "
     "signatures, pigeonhole blocking (hamming<=4 over 5 blocks forces "
@@ -367,7 +367,7 @@ def _simhash_oracle() -> str:
     "bit_count(xor) on the 32-bit signatures — no all-pairs anywhere "
     "(SURVEY §2.11 Q60 family).",
 )
-def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     feats = docs.select("doc_id", F.explode_outer("sh").alias("s")).filter(
         F.col("s").isNotNull()
@@ -461,7 +461,7 @@ def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q61 — top-k similarity search (probe set over embeddings)
 # --------------------------------------------------------------------------
 @register(
-    "q61_topk_similarity",
+    "z661_topk_similarity",
     oracle="""
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
                     FROM embeddings ORDER BY vec_id LIMIT 50),
@@ -494,7 +494,7 @@ def q60_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rank order is float-safe: measured min top-8 gap 1.9e-5 >> ulp "
     "noise (SURVEY §2.11 Q61).",
 )
-def q61_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z661_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -736,7 +736,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "offline recall audit run on a sampled probe set.",
 )
 def z185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q61_topk_similarity(spark, sf_dir).select(
+    exact = z661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     approx = ivf_topk_approx(spark, sf_dir).select(
@@ -759,7 +759,7 @@ def z185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q67 — embedding-cosine near-dup DEDUPE (greedy keep-lowest-id)
 # --------------------------------------------------------------------------
 @register(
-    "q67_embedding_dedupe",
+    "z667_embedding_dedupe",
     oracle="""
     WITH dropped AS (
       SELECT DISTINCT b.vec_id AS vid
@@ -781,7 +781,7 @@ def z185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is a tiny semi-join side. tau margin 1e-4 (see q18) "
     "(assignment dedup mandate).",
 )
-def q67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -804,7 +804,7 @@ def q67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q62 — text statistics / language slice
 # --------------------------------------------------------------------------
 @register(
-    "q62_text_stats",
+    "z662_text_stats",
     oracle="""
     WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -827,7 +827,7 @@ def q67_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Integer sums divided at the end keep avg exact "
     "(SURVEY §2.11 Q62).",
 )
-def q62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -852,7 +852,7 @@ def q62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X15 — TF-IDF (explode + aggregate arithmetic)
 # --------------------------------------------------------------------------
 @register(
-    "z84_tfidf",
+    "q84_tfidf",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -878,7 +878,7 @@ def q62_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in (no driver-side count). Output sliced to doc_id < 50; tfidf "
     "rounded 6dp (ln is not bit-portable) (SURVEY §2.11 X15).",
 )
-def z84_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q84_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -993,7 +993,7 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hashed output.",
 )
 def z186_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q67_embedding_dedupe(spark, sf_dir).select(
+    exact = z667_embedding_dedupe(spark, sf_dir).select(
         "vec_id", F.col("is_dropped").alias("ex")
     )
     ivf = ivf_dedupe_approx(spark, sf_dir).select(
@@ -1087,17 +1087,17 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "z86_ngram_jaccard",
+    "q86_ngram_jaccard",
     oracle=_NEARDUP_ORACLE,
     doc="EXACT n-gram Jaccard similarity join (fourth registered near-dup "
     "family), fully distributed: prefix-filtered inverted index over a "
     "global rarity order generates candidates (no all-pairs, no "
     "collect), then the shared candidate-verify stage computes exact "
-    "intersection sizes. Same oracle as q60_minhash_lsh/q60_simhash but "
+    "intersection sizes. Same oracle as z660_minhash_lsh/z660_simhash but "
     "with zero miss probability — this is what replaces the demoted "
     "collect-based q60_neardup_jaccard at scale (SURVEY §2.11 Q60).",
 )
-def z86_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q86_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The session-memoized materialization of exactly this pipeline
     # (functions/neardup.py) — also consumed by z85/z302's clustering.
     from ..functions.neardup import verified_pairs
@@ -1152,7 +1152,7 @@ _CLUSTER_ORACLE = _CC_CTE + """
 
 
 @register(
-    "z85_cluster_dedupe",
+    "q85_cluster_dedupe",
     oracle=_CLUSTER_ORACLE,
     doc="Cluster-level dedupe: exact near-dup pairs (x17's prefix-filtered "
     "join) -> distributed connected components (alternating large-star/"
@@ -1163,7 +1163,7 @@ _CLUSTER_ORACLE = _CC_CTE + """
     "Oracle: DuckDB recursive-CTE min-label propagation over the same "
     "pair graph (LLM-pipeline mandate; r3 graph-dedup milestone).",
 )
-def z85_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q85_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shared memoized pair graph + components (functions/neardup.py).
     # The graph is built from exact-VERIFIED pairs only — candidates
     # are ~170x the true pair set at sf0.1 and would over-merge
@@ -1196,7 +1196,7 @@ def z85_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedupe, each stage the registered operator's exact logic
 # --------------------------------------------------------------------------
 @register(
-    "z90_corpus_pipeline",
+    "q90_corpus_pipeline",
     oracle="""
     WITH base AS (
       SELECT doc_id, lang, source, text,
@@ -1241,7 +1241,7 @@ def z85_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Shuffle keys: hash, shingle, doc_id — never the document body "
     "except to shingle survivors (LLM-pipeline mandate capstone).",
 )
-def z90_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q90_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")

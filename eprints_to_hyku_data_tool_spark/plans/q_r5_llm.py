@@ -328,9 +328,9 @@ def pq_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "while production serves from the 8-bytes-per-vector code table.",
 )
 def z323_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .q_north import q61_topk_similarity
+    from .q_north import z661_topk_similarity
 
-    exact = q61_topk_similarity(spark, sf_dir).select(
+    exact = z661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     approx = pq_topk_approx(spark, sf_dir).withColumn("hit", F.lit(1))
@@ -503,11 +503,11 @@ def z324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that side is column-pruned to 12 bytes/row.",
 )
 def z325_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .q_north import q61_topk_similarity
+    from .q_north import z661_topk_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
-    exact = q61_topk_similarity(spark, sf_dir).select(
+    exact = z661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     votes = (
@@ -543,7 +543,7 @@ _BFS_SEEDS = 10
 
 
 @register(
-    "z526_bfs_hops",
+    "q526_bfs_hops",
     oracle=f"""
     WITH RECURSIVE
     edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -571,7 +571,7 @@ _BFS_SEEDS = 10
     "recursive CTE with UNION dedup. Hop counts are exact integers — "
     "no float tolerance anywhere.",
 )
-def z526_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q526_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.checkpointing import materialize
     from .q_analytics import _copurchase_edges
 

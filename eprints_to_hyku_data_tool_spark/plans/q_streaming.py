@@ -25,7 +25,7 @@ from .registry import register
 # Q54 — tumbling window aggregate
 # --------------------------------------------------------------------------
 @register(
-    "q54_tumbling_window",
+    "z654_tumbling_window",
     oracle="""
     SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
@@ -39,7 +39,7 @@ from .registry import register
     "(2000-01-03) is an exact multiple of 6h from the epoch, so bucket "
     "boundaries coincide (SURVEY §2.9 Q54).",
 )
-def q54_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z654_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
@@ -62,7 +62,7 @@ def q54_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q55 — sliding window aggregate
 # --------------------------------------------------------------------------
 @register(
-    "q55_sliding_window",
+    "z655_sliding_window",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
              - k * INTERVAL '1 hour' AS window_start,
@@ -75,7 +75,7 @@ def q54_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overlapping windows (Spark's window() replicates rows exactly like "
     "the oracle's unnest(range(0,6)) offset join) (SURVEY §2.9 Q55).",
 )
-def q55_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z655_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
@@ -93,7 +93,7 @@ def q55_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q56 — session window (30-minute gap)
 # --------------------------------------------------------------------------
 @register(
-    "q56_session_window",
+    "z656_session_window",
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, value,
@@ -121,7 +121,7 @@ def q55_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lag >= 30min flag + running-sum session ids (SURVEY §2.9 Q56, "
     "§7 hard-item 2).",
 )
-def q56_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z656_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -147,7 +147,7 @@ def q56_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X20 — time-interval join (stream-stream join shape, batch form)
 # --------------------------------------------------------------------------
 @register(
-    "z89_interval_join",
+    "q89_interval_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
            p.user_id,
@@ -169,7 +169,7 @@ def q56_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "microsecond difference on both engines (SURVEY §2.9/X07-X11 "
     "extension).",
 )
-def z89_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q89_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -205,7 +205,7 @@ def z89_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X23 — time-series gap-fill + forward fill (missing-bucket densification)
 # --------------------------------------------------------------------------
 @register(
-    "z92_gapfill",
+    "q92_gapfill",
     oracle="""
     WITH b AS (
       SELECT event_type,
@@ -237,7 +237,7 @@ def z89_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "observed aggregation is the only data-sized shuffle. Decimal-exact "
     "sums as in q54 (time-series mandate extension).",
 )
-def z92_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q92_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")

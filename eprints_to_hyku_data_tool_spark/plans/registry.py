@@ -72,6 +72,19 @@ this round no registered query's driver row predates the current
 fixtures; tests/test_rotation.py bounds staleness mechanically from
 the artifacts.
 
+Round-8 rotation (changed-code first): the r7 sweep came back 50/50
+green, so the 50 r7 window names ceded their slots (q## -> z6##,
+suffixes kept; see RENAMES_r8.json). The window was refilled
+changed-code first: the seven names whose kernels changed AFTER the r7
+window was fixed (q74_rplsh_neardup with the 16x8 banding fix; the six
+graph-family names q526/q551/q564/q565/q566/q588 on the rebuilt
+co-purchase graph), then the 26 round-3-era names at the 4-round
+staleness bound (q68..q98 region), then the 18 stalest round-4 names
+(q191..q240 region). Staleness is now measured against
+rotation_planner.reference_round() — the newest completed round as of
+the last rotation or sweep — so a green driver sweep can no longer turn
+the suite red at the round boundary (VERDICT r7 "What's wrong" #1).
+
 tests/test_registry.py asserts the priority tier stays within the window
 and that every SURVEY §2 component maps to a live registered name.
 """

@@ -58,12 +58,12 @@ def test_q09_broadcast_hash_join(plans):
 
 
 def test_q25_dim_join_broadcasts(plans):
-    p = plans("q25_bulkrax_fold")
+    p = plans("z625_bulkrax_fold")
     assert "BroadcastHashJoin" in p, p
 
 
 def test_q38_take_ordered_and_project(plans):
-    p = plans("q38_global_topk")
+    p = plans("z638_global_topk")
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p  # no global sort
 
@@ -85,7 +85,7 @@ def test_q15_range_join_keeps_equi_key(plans):
 def test_q60_minhash_no_cartesian(plans):
     # The LSH pipeline's whole point: candidates come from a bucket
     # equi-join, never an all-pairs product.
-    p = plans("q60_minhash_lsh")
+    p = plans("z660_minhash_lsh")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -93,7 +93,7 @@ def test_q60_minhash_no_cartesian(plans):
 def test_q31_single_shuffle_on_dedupe_key(plans):
     import re
 
-    p = plans("q31_keepfirst_dedupe")
+    p = plans("z631_keepfirst_dedupe")
     # Exactly one shuffle: the window's hashpartitioning on the dedupe key
     # (plain Exchange nodes; BroadcastExchange would not match).
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
@@ -104,12 +104,12 @@ def test_q31_single_shuffle_on_dedupe_key(plans):
 
 def test_q19_partial_aggregation(plans):
     # Map-side partial agg before the exchange (two HashAggregate levels).
-    p = plans("q19_groupby_multi_agg")
+    p = plans("z619_groupby_multi_agg")
     assert p.count("HashAggregate") >= 2, p
 
 
 def test_q37_global_position_is_distributed(plans):
-    p = plans("q37_multikey_sort")
+    p = plans("z637_multikey_sort")
     # the data flows through a range partitioner + per-partition ranks,
     # not a single-partition global window
     assert "rangepartitioning" in p, p
@@ -117,7 +117,7 @@ def test_q37_global_position_is_distributed(plans):
 
 
 def test_q57_udf_is_arrow_batched(plans):
-    p = plans("q57_scalar_pandas_udf")
+    p = plans("z657_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p  # row-at-a-time python UDF forbidden
 
@@ -128,7 +128,7 @@ def test_x26_funnel_single_shuffle(plans):
     point of the window form vs the oracle's three-join chain."""
     import re
 
-    p = plans("z95_funnel")
+    p = plans("q95_funnel")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert len(re.findall(r"\(\d+\) Window", p)) == 3, p
 
@@ -140,22 +140,22 @@ def test_x26_funnel_single_shuffle(plans):
 # build the gap-fill grid — tiny-by-construction, like x15.
 NESTED_LOOP_WHITELIST = {
     "z14_cross_join",
-    "z84_tfidf",
-    "z92_gapfill",
+    "q84_tfidf",
+    "q92_gapfill",
     # x30 cross-joins a one-row totals aggregate back onto the strata
     # counts — broadcast, tiny by construction.
-    "z98_mix_reweight",
+    "q98_mix_reweight",
     # y34/y35 cross-join one-row corpus-stats/total aggregates (same
     # broadcast shape as x30).
     "z180_bm25",
     "z181_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
-    "z71_unigram_logprob",
+    "q71_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
-    "z191_ri_audit",
+    "q191_ri_audit",
     # y59 cross-joins the one-row grand-total aggregate onto the
     # (lang x source) contingency cells (same shape as x30/y34).
-    "z233_chisquare",
+    "q233_chisquare",
     # x43/x44 cross-join one-row vocab-size / bigram-total aggregates
     # (the z71 shape).
     "z243_bigram_lm",
@@ -170,7 +170,7 @@ NESTED_LOOP_WHITELIST = {
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
     # scalar collect).
-    "z588_pagerank",
+    "q588_pagerank",
     # q24 cross-joins the (5-row lang model dim x one-row vocab/total
     # aggregates) onto the test token stream — tiny by construction,
     # the z71/x30 broadcast-scalar shape.
@@ -209,8 +209,8 @@ NESTED_LOOP_WHITELIST = {
     "z563_benford_audit",
     # y89/y90 cross-join one-row edge-count / min-degree / totals
     # aggregates onto community- or degree-sized tables (same shape).
-    "z564_modularity",
-    "z565_degree_powerlaw",
+    "q564_modularity",
+    "q565_degree_powerlaw",
 }
 
 
@@ -218,7 +218,7 @@ def test_y31_eval_grams_broadcast(plans):
     """Decontamination's scale contract: the eval n-gram side is broadcast
     (benchmark-sized), so the corpus side streams map-side — the gram
     match must be a BroadcastHashJoin, never a shuffled join on grams."""
-    p = plans("z75_decontaminate")
+    p = plans("q75_decontaminate")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -237,7 +237,7 @@ def test_y36_group_sample_window_group_limit(plans):
 def test_q68_salted_exchange_partitions_on_salt(plans):
     # The whole point of salting: the build-side exchange hashes
     # (key, salt), not just the key — and the broadcast path is off.
-    p = plans("z68_skew_salted_join")
+    p = plans("q68_skew_salted_join")
     assert "__salt" in p, p
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
 
@@ -297,7 +297,7 @@ def test_q70_cumsum_is_distributed(plans):
     """Sequence packing's global running sum must ride the two-phase
     range-partition scheme (z37 rule), never a single-partition window
     over the whole corpus."""
-    p = plans("z70_sequence_pack")
+    p = plans("q70_sequence_pack")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -427,16 +427,16 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
 # join silently degrades to a nested loop, and scan pushdown persists.
 # --------------------------------------------------------------------------
 HEAVY_QUERIES = [
-    "z90_corpus_pipeline",
-    "z85_cluster_dedupe",
-    "z75_decontaminate",
-    "q67_embedding_dedupe",
+    "q90_corpus_pipeline",
+    "q85_cluster_dedupe",
+    "q75_decontaminate",
+    "z667_embedding_dedupe",
     "z186_ivf_embedding_dedupe",
     "z301_duplicate_ngram_filter",
-    "q60_minhash_lsh",
-    "z86_ngram_jaccard",
+    "z660_minhash_lsh",
+    "q86_ngram_jaccard",
     "z308_volume_shipping",
-    "z588_pagerank",
+    "q588_pagerank",
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
     # automatic broadcasting is off and shuffles are cluster-sized.
@@ -482,7 +482,7 @@ def test_cluster_shaped_decontaminate_still_broadcasts(spark, sf_dir):
     ONLY way that survives is the explicit broadcast() hint — this test
     fails if the hint is ever dropped in favor of threshold luck."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["z75_decontaminate"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["q75_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
 
 
@@ -503,7 +503,7 @@ def test_cluster_shaped_shuffle_partition_count_is_respected(spark, sf_dir):
     exchanges (i.e. our plans don't pin partitioning constants that
     would fight a cluster deployment's sizing)."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["q19_groupby_multi_agg"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["z619_groupby_multi_agg"].fn(spark, sf_dir))
     assert "200" in p, p
 
 

@@ -88,7 +88,7 @@ def test_jaccard_pipelines_agree(spark, sf_dir):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["q60_minhash_lsh"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z660_minhash_lsh"].fn(spark, sf_dir).collect()
     }
     assert brute == lsh and len(brute) > 0
 
@@ -100,7 +100,7 @@ def test_jaccard_pipelines_agree(spark, sf_dir):
     }
     x17 = {
         (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
-        for r in REGISTRY["z86_ngram_jaccard"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q86_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     assert brute_full == x17
 
@@ -111,7 +111,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
     greedy policy's reachable-from-lower rule on each edge."""
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["z86_ngram_jaccard"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q86_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     # reference union-find on the driver (fixture-sized)
     parent = {}
@@ -132,7 +132,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
     }
     got = {
         (r["doc_id"], r["canonical_id"])
-        for r in REGISTRY["z85_cluster_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q85_cluster_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"] == 1 or r["canonical_id"] != r["doc_id"]
     }
     # every non-root member maps to its component min
@@ -140,7 +140,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
 
 
 def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
-    """q60_simhash extracts signature bits via conv'd hex chunks + shifts
+    """z660_simhash extracts signature bits via conv'd hex chunks + shifts
     (fast path); the reference formulation — and the DuckDB oracle — uses
     substr(md5, j, 1) IN ('8'..'f'). Both must produce identical +-1
     contributions for every (doc, shingle, bit)."""
@@ -189,7 +189,7 @@ def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
 def test_exact_dedupe_is_lossless_partition(spark, sf_dir):
     """Q59 keeps exactly one representative per text_key and the copy
     counts re-add to the corpus size."""
-    out = REGISTRY["q59_exact_dedupe"].fn(spark, sf_dir)
+    out = REGISTRY["z659_exact_dedupe"].fn(spark, sf_dir)
     total = out.agg(F.sum("n_copies")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "documents").count()
 
@@ -217,7 +217,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 
     exact = {
         (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["q61_topk_similarity"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z661_topk_similarity"].fn(spark, sf_dir).collect()
     }
     ivf = {
         (r["probe_id"], r["neighbor_id"])
@@ -238,7 +238,7 @@ def test_ivf_dedupe_subset_and_recall(spark, sf_dir):
 
     exact = {
         r["vec_id"]
-        for r in REGISTRY["q67_embedding_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z667_embedding_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"]
     }
     ivf = {
@@ -290,7 +290,7 @@ def test_cluster_dedupe_uses_verified_pairs_at_sf01(spark):
     sf = "/root/testdata/sf0.1"
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["z86_ngram_jaccard"].fn(spark, sf).collect()
+        for r in REGISTRY["q86_ngram_jaccard"].fn(spark, sf).collect()
     }
     members = {n for p in pairs for n in p}
     parent = {}
@@ -309,7 +309,7 @@ def test_cluster_dedupe_uses_verified_pairs_at_sf01(spark):
     want_dropped = {n for n in members if find(n) != n}
     got_dropped = {
         r["doc_id"]
-        for r in REGISTRY["z85_cluster_dedupe"].fn(spark, sf).collect()
+        for r in REGISTRY["q85_cluster_dedupe"].fn(spark, sf).collect()
         if r["is_dropped"] == 1
     }
     assert got_dropped == want_dropped and len(want_dropped) > 0
@@ -362,10 +362,10 @@ def test_int8_quantize_reconstruction_bound(spark, sf_dir):
 def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
     """Every RP-LSH pair must be a TRUE pair (cos >= tau; the verify step
     guarantees precision = 1.0 by construction), and candidate recall on
-    the fixture must be non-trivial (sign-LSH with 4x4 bands finds a
-    reasonable share of the exact tau=0.4 pairs)."""
+    the fixture must be non-trivial (sign-LSH with 16x8 bands — 128
+    planes — finds a reasonable share of the exact tau=0.4 pairs)."""
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
-        z74_rplsh_neardup,
+        q74_rplsh_neardup,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_joins import (
         z18_similarity_join,
@@ -373,7 +373,7 @@ def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
 
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in z74_rplsh_neardup(spark, sf_dir).collect()
+        for r in q74_rplsh_neardup(spark, sf_dir).collect()
     }
     exact = {
         (r["id_a"], r["id_b"])

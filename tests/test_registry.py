@@ -79,27 +79,27 @@ SECTION2_MAP = {
     "Q13": "z13_anti_join", "Q14": "z14_cross_join",
     "Q15": "z15_range_join", "Q16": "z16_asof_join",
     "Q17": "z17_self_join_pairs", "Q18": "z18_similarity_join",
-    "Q19": "q19_groupby_multi_agg", "Q20": "q20_global_agg",
-    "Q21": "q21_count_distinct", "Q22": "q22_approx_count_distinct",
-    "Q23": "q23_rollup", "Q24": "q24_cube", "Q25": "q25_bulkrax_fold",
-    "Q26": "q26_pivot", "Q27": "q27_percentiles", "Q28": "q28_stats",
-    "Q29": "q29_conditional_agg", "Q30": "q30_mixed_distinct",
-    "Q31": "q31_keepfirst_dedupe", "Q32": "q32_topk_per_group",
-    "Q33": "q33_lag_lead", "Q34": "q34_running_sum",
-    "Q35": "q35_range_frame", "Q36": "q36_ntile_first_last",
-    "Q37": "q37_multikey_sort", "Q38": "q38_global_topk",
-    "Q39": "q39_limit_offset", "Q40": "q40_union",
-    "Q41": "q41_intersect", "Q42": "q42_except",
-    "Q43": "q43_string_kit", "Q44": "q44_regex_extract",
-    "Q45": "q45_fuzzy_match", "Q46": "q46_date_kit",
-    "Q47": "q47_math_kit", "Q48": "q48_array_kit",
-    "Q49": "q49_map_kit", "Q50": "q50_json_kit",
-    "Q51": "q51_hash_ids", "Q52": "q52_null_kit",
-    "Q53": "q53_cast_kit", "Q54": "q54_tumbling_window",
-    "Q55": "q55_sliding_window", "Q56": "q56_session_window",
-    "Q57": "q57_scalar_pandas_udf", "Q58": "q58_grouped_map",
-    "Q59": "q59_exact_dedupe", "Q60": "q60_minhash_lsh",
-    "Q61": "q61_topk_similarity", "Q62": "q62_text_stats",
+    "Q19": "z619_groupby_multi_agg", "Q20": "z620_global_agg",
+    "Q21": "z621_count_distinct", "Q22": "z622_approx_count_distinct",
+    "Q23": "z623_rollup", "Q24": "z624_cube", "Q25": "z625_bulkrax_fold",
+    "Q26": "z626_pivot", "Q27": "z627_percentiles", "Q28": "z628_stats",
+    "Q29": "z629_conditional_agg", "Q30": "z630_mixed_distinct",
+    "Q31": "z631_keepfirst_dedupe", "Q32": "z632_topk_per_group",
+    "Q33": "z633_lag_lead", "Q34": "z634_running_sum",
+    "Q35": "z635_range_frame", "Q36": "z636_ntile_first_last",
+    "Q37": "z637_multikey_sort", "Q38": "z638_global_topk",
+    "Q39": "z639_limit_offset", "Q40": "z640_union",
+    "Q41": "z641_intersect", "Q42": "z642_except",
+    "Q43": "z643_string_kit", "Q44": "z644_regex_extract",
+    "Q45": "z645_fuzzy_match", "Q46": "z646_date_kit",
+    "Q47": "z647_math_kit", "Q48": "z648_array_kit",
+    "Q49": "z649_map_kit", "Q50": "z650_json_kit",
+    "Q51": "z651_hash_ids", "Q52": "z652_null_kit",
+    "Q53": "z653_cast_kit", "Q54": "z654_tumbling_window",
+    "Q55": "z655_sliding_window", "Q56": "z656_session_window",
+    "Q57": "z657_scalar_pandas_udf", "Q58": "z658_grouped_map",
+    "Q59": "z659_exact_dedupe", "Q60": "z660_minhash_lsh",
+    "Q61": "z661_topk_similarity", "Q62": "z662_text_stats",
     "X01": None,  # CSV/ORC source — tests/test_etl.py
     "X02": None,  # JSON source — tests/test_etl.py
     "X03": None,  # XML (EP3) source — tests/test_etl.py
@@ -111,8 +111,8 @@ SECTION2_MAP = {
     "X09": None,  # streaming dedupe — tests/test_streaming.py
     "X10": None,  # stream-static join — tests/test_streaming.py
     "X11": None,  # stateful processing — tests/test_streaming.py
-    "X12": "z81_grouped_agg_udaf", "X13": "z82_mapinpandas_shred",
-    "X14": "z83_sql_registered_udf", "X15": "z84_tfidf",
+    "X12": "q81_grouped_agg_udaf", "X13": "q82_mapinpandas_shred",
+    "X14": "q83_sql_registered_udf", "X15": "q84_tfidf",
 }
 
 

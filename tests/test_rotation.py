@@ -17,7 +17,7 @@ discipline. These tests make that discipline mechanical:
 from __future__ import annotations
 
 import pytest
-from rotation_planner import freshness, load_green_rows, stalest
+from rotation_planner import freshness, reference_round, stalest
 
 from eprints_to_hyku_data_tool_spark.plans import registry
 
@@ -47,7 +47,7 @@ def test_window_is_stalest_first():
     # Map both sides through freshness-at-rotation by simply allowing the
     # window names themselves to satisfy the plan.
     fresh = freshness(names)
-    newest = max(load_green_rows())
+    newest = reference_round()
     stale_outside = {
         n
         for n, r in fresh.items()
@@ -65,7 +65,7 @@ def test_window_is_stalest_first():
 def test_no_name_staler_than_bound_unless_in_window():
     names = _names()
     fresh = freshness(names)
-    newest = max(load_green_rows())
+    newest = reference_round()
     window = {n for n in names if n[0] in "qx"}
     violations = {
         n: r

@@ -31,9 +31,9 @@ COPIES = 3
 # scale-sensitive family (graph build+iteration, LSH banding, sketch
 # aggs, PPJoin, winnowing) keeps the opt-in run in minutes.
 HEAVY = [
-    "z588_pagerank",
-    "q60_minhash_lsh",
-    "q22_approx_count_distinct",
+    "q588_pagerank",
+    "z660_minhash_lsh",
+    "z622_approx_count_distinct",
     "z252_winnow_containment",
     "z345_split_leakage",
 ]

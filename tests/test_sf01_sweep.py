@@ -32,17 +32,17 @@ SF01_DIR = "/root/testdata/sf0.1"
 # by dedicated tests (union-find reference, recall/subset properties).
 QUADRATIC_ORACLES = {
     "z302_keep_longest_canonical",
-    "z85_cluster_dedupe",
-    "z86_ngram_jaccard",
-    "q67_embedding_dedupe",
-    "q60_minhash_lsh",
-    "q60_simhash",
-    "z74_rplsh_neardup",
+    "q85_cluster_dedupe",
+    "q86_ngram_jaccard",
+    "z667_embedding_dedupe",
+    "z660_minhash_lsh",
+    "z660_simhash",
+    "q74_rplsh_neardup",
     "z186_ivf_embedding_dedupe",
     "z18_similarity_join",
-    "z90_corpus_pipeline",
+    "q90_corpus_pipeline",
     "z185_ivf_topk",
-    "q61_topk_similarity",
+    "z661_topk_similarity",
     "z252_winnow_containment",
     "z301_duplicate_ngram_filter",
     # r5: PQ-ANN verdict and k-NN vote both rerun z61's all-pairs exact

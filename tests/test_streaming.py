@@ -67,7 +67,7 @@ def test_x07_tumbling_stream_equals_batch(spark, sf_dir, replay_dir):
     }
     want = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
-        for r in REGISTRY["q54_tumbling_window"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z654_tumbling_window"].fn(spark, sf_dir).collect()
     }
     assert got == want
 
@@ -169,7 +169,7 @@ def test_q56_session_stream_matches_batch(spark, sf_dir, replay_dir):
     }
     batch = {
         (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
-        for r in REGISTRY["q56_session_window"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z656_session_window"].fn(spark, sf_dir).collect()
     }
     assert set(streamed) <= set(batch)
     for key, val in streamed.items():
@@ -213,7 +213,7 @@ def test_x20_stream_stream_join_equals_batch(spark, sf_dir, replay_dir):
     }
     want = {
         (r["purchase_id"], r["click_id"], r["lag_us"])
-        for r in REGISTRY["z89_interval_join"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q89_interval_join"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
 
@@ -248,7 +248,7 @@ def test_streaming_neardup_equals_batch(spark, sf_dir, docs_replay_dir):
     }
     want = {
         (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
-        for r in REGISTRY["z86_ngram_jaccard"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q86_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
 

@@ -72,6 +72,28 @@ def identity_at_round(
     return cand
 
 
+def reference_round() -> int:
+    """The staleness reference point: the newest COMPLETED round as of the
+    most recent rotation or driver sweep.
+
+    A rotation for round N (RENAMES_rN.json) is planned against the
+    artifacts of rounds <= N-1, and a driver sweep for round N
+    (CORRECTNESS_r0N.json) likewise closes round N so the next rotation is
+    N+1's job. Measuring staleness against ``max(correctness rounds)``
+    directly made the suite go red the moment a green sweep landed — before
+    the next rotation could possibly exist (the round-7 boundary bug).
+    Anchoring at ``current_round - 1`` keeps the invariant checkable at
+    every commit: it only trips when a rotation (or a sweep without one)
+    actually left a due name outside the window.
+    """
+    rename_rounds = [
+        _round_of(f) for f in glob.glob(os.path.join(_ROOT, "RENAMES_r*.json"))
+    ]
+    green_rounds = list(load_green_rows())
+    cur = max(max(rename_rounds, default=1), max(green_rounds, default=1))
+    return cur - 1
+
+
 def freshness(names: list[str]) -> dict[str, int]:
     """{current name: freshest round with a green driver row; 0 = never}."""
     inverses = load_rename_inverses()

@@ -39,22 +39,22 @@ sys.path.insert(0, _ROOT)
 # forms), decontamination, IVF, corpus pipeline, profiling, percentile
 # sketches, PPJoin leakage, k-means, BPE.
 HEAVY = [
-    "z588_pagerank",
-    "z526_bfs_hops",
-    "q20_global_agg",
+    "q588_pagerank",
+    "q526_bfs_hops",
+    "z620_global_agg",
     "z252_winnow_containment",
     "z301_duplicate_ngram_filter",
-    "z74_rplsh_neardup",
-    "z75_decontaminate",
+    "q74_rplsh_neardup",
+    "q75_decontaminate",
     "z185_ivf_topk",
-    "z90_corpus_pipeline",
+    "q90_corpus_pipeline",
     "z190_column_profile",
-    "z192_approx_percentile",
+    "q192_approx_percentile",
     "z345_split_leakage",
     "z554_association_rules",
-    "q60_simhash",
-    "q60_minhash_lsh",
-    "q22_approx_count_distinct",
+    "z660_simhash",
+    "z660_minhash_lsh",
+    "z622_approx_count_distinct",
     "z341_kmeans_lloyd",
     "z556_bpe_encode",
 ]
