@@ -281,8 +281,10 @@ def _merge_sidecar(
     recorded_n = obj.get("n_queries")
     parsed = obj.get("parsed")
     if isinstance(parsed, dict):
-        recorded_total = recorded_total or parsed.get("value")
-        recorded_n = recorded_n or parsed.get("n_queries")
+        if recorded_total is None:
+            recorded_total = parsed.get("value")
+        if recorded_n is None:
+            recorded_n = parsed.get("n_queries")
     if recorded_total is None:
         m = __import__("re").search(r'"value":\s*([\d.]+)', obj.get("tail", ""))
         if m:
@@ -295,15 +297,20 @@ def _merge_sidecar(
     # the sidecar's (the exact signature of a mid-number cut). The query
     # COUNT is only trusted as a fingerprint when NO total was recoverable
     # at all — count alone cannot distinguish a later re-run's overwritten
-    # sidecar (same registry, same count, different timings).
+    # sidecar (same registry, same count, different timings). The prefix
+    # rule additionally requires >= 5 significant characters: a short
+    # prefix like "217" would also match an overwritten sidecar's 2175.3
+    # (a different run at a different scale), whereas a genuine mid-number
+    # cut of a seconds-scale total retains at least "dd.dd" of agreement.
     side_total = side.get("value")
+    rec_str = str(recorded_total)
     total_ok = (
         recorded_total is not None
         and isinstance(side_total, (int, float))
         and (
             abs(side_total - recorded_total)
             <= 1e-3 * max(abs(side_total), abs(recorded_total), 1.0)
-            or repr(side_total).startswith(str(recorded_total))
+            or (len(rec_str) >= 5 and repr(side_total).startswith(rec_str))
         )
     )
     n_only_ok = (

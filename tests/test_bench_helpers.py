@@ -132,3 +132,39 @@ def test_merge_sidecar_count_only_when_no_total(tmp_path):
     p = _write_sidecar(tmp_path, 100.0, 1, side_q)
     got = _merge_sidecar({"n_queries": 1, "tail": ""}, {}, sidecar_path=p)
     assert got == side_q
+
+
+def test_merge_sidecar_short_prefix_does_not_cross_magnitudes(tmp_path):
+    # ADVICE r7: an integer-ish recorded total ("217") is a decimal-string
+    # prefix of a 10x-larger re-run total (2175.3) — the prefix rule must
+    # not treat that as a truncation match.
+    side_q = {"q01_a": 9.0}
+    p = _write_sidecar(tmp_path, 2175.3, 1, side_q)
+    got = _merge_sidecar({"value": 217.0}, {"q01_a": 1.0}, sidecar_path=p)
+    assert got == {"q01_a": 1.0}
+
+
+def test_merge_sidecar_zero_total_is_not_missing(tmp_path):
+    # ADVICE r7: a recorded total of 0.0 must gate on the TOTAL (reject a
+    # non-zero sidecar), not fall through to parsed/count acceptance.
+    side_q = {"q01_a": 9.0}
+    p = _write_sidecar(tmp_path, 100.0, 1, side_q)
+    got = _merge_sidecar(
+        {"value": 0.0, "n_queries": 1, "parsed": {"value": 100.0}},
+        {"q01_a": 1.0},
+        sidecar_path=p,
+    )
+    assert got == {"q01_a": 1.0}
+
+
+def test_scale_tier_rejects_periodic_copy_counts():
+    # ADVICE r7: above 26 copies the alphabet rotation wraps to the
+    # identity and copies become exact duplicates — must fail loudly.
+    import pytest
+
+    from make_scale_tier import build_tier
+
+    with pytest.raises(ValueError, match=r"\[1, 26\]"):
+        build_tier(None, "src", "out", 27)
+    with pytest.raises(ValueError, match=r"\[1, 26\]"):
+        build_tier(None, "src", "out", 0)

@@ -80,6 +80,16 @@ def _copy(df: DataFrame, table: str, i: int) -> DataFrame:
 
 
 def build_tier(spark, src: str, out: str, copies: int) -> None:
+    # The per-copy transforms are periodic (text alphabet rotation is the
+    # identity at i % 26 == 0; the embedding dimension rotation collides
+    # at i % 64), so copy counts past 26 would silently introduce exact
+    # cross-copy duplicate documents — the quadratic near-dup workload
+    # this generator exists to avoid. Fail loudly instead.
+    if not 1 <= copies <= 26:
+        raise ValueError(
+            f"copies must be in [1, 26] to keep every copy's text/embedding "
+            f"transform distinct and non-identity; got {copies}"
+        )
     os.makedirs(out, exist_ok=True)
     for table, keys in _SHIFTS.items():
         base = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
