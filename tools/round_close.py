@@ -1,0 +1,155 @@
+"""Round-boundary artifact check (VERDICT r7 item 6).
+
+Twice (rounds 6 and 7) the end-of-round state depended on manual
+discipline and drifted: bench/correctness sidecars left untracked, a
+SCALE_SMOKE.json documenting a bug the very next commit had fixed, and
+a rotation test that went red the moment the driver's green sweep
+landed. This tool makes the close mechanical — ONE command the round
+ends with:
+
+    python tools/round_close.py [--skip-pytest]
+
+Checks, in order:
+
+1. **Artifacts tracked and clean** — every BENCH_r*.json,
+   CORRECTNESS_r*.json, RENAMES_r*.json, SCALE_SMOKE.json and the
+   BENCH_local.json sidecar is committed (neither untracked nor
+   modified in the working tree).
+2. **Docs mention the current round** — SURVEY.md has a round-N delta
+   section and BASELINE.md quotes a round >= N-1 table, where N is the
+   newest round seen across RENAMES/CORRECTNESS artifacts.
+3. **Scale-smoke freshness** — SCALE_SMOKE.json's last commit is no
+   older than the last commit touching any module that defines a HEAVY
+   smoke query or the shared `functions/` kernels it times (the r7
+   drift: the artifact recorded the pre-fix RP-LSH ratio while the fix
+   shipped one commit later).
+4. **pytest green** — runs the default suite unless --skip-pytest.
+
+Exit code 0 = close is clean; 1 = violations printed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import subprocess
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+ARTIFACT_GLOBS = [
+    "BENCH_r*.json",
+    "CORRECTNESS_r*.json",
+    "RENAMES_r*.json",
+    "SCALE_SMOKE.json",
+    "BENCH_local.json",
+]
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=_ROOT, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def current_round() -> int:
+    rounds = [
+        int(re.search(r"r0?(\d+)", os.path.basename(f)).group(1))
+        for pat in ("RENAMES_r*.json", "CORRECTNESS_r*.json")
+        for f in glob.glob(os.path.join(_ROOT, pat))
+    ]
+    return max(rounds)
+
+
+def check_artifacts_tracked() -> list[str]:
+    status = _git("status", "--porcelain")
+    dirty = {line[3:].strip() for line in status.splitlines()}
+    bad = []
+    for pat in ARTIFACT_GLOBS:
+        for f in glob.glob(os.path.join(_ROOT, pat)):
+            rel = os.path.relpath(f, _ROOT)
+            if rel in dirty:
+                bad.append(f"artifact not committed: {rel}")
+    return bad
+
+
+def check_docs_mention_round(n: int) -> list[str]:
+    bad = []
+    survey = open(os.path.join(_ROOT, "SURVEY.md")).read()
+    if not re.search(rf"Round-{n} delta", survey):
+        bad.append(f"SURVEY.md has no 'Round-{n} delta' section")
+    baseline = open(os.path.join(_ROOT, "BASELINE.md")).read()
+    if not re.search(rf"[Rr]ound[- ]{n}|[Rr]ound[- ]{n - 1}", baseline):
+        bad.append(f"BASELINE.md mentions neither round {n} nor {n - 1}")
+    return bad
+
+
+def _last_commit_epoch(*paths: str) -> int:
+    out = _git("log", "-1", "--format=%ct", "--", *paths).strip()
+    return int(out) if out else 0
+
+
+def smoke_gated_paths() -> list[str]:
+    """The source files whose changes invalidate SCALE_SMOKE.json: the
+    modules defining each HEAVY query plus the shared kernels."""
+    from eprints_to_hyku_data_tool_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+    from scale_smoke import HEAVY
+
+    _load_all()
+    paths = {os.path.join(_ROOT, "eprints_to_hyku_data_tool_spark", "functions")}
+    for name in HEAVY:
+        mod = sys.modules[REGISTRY[name].fn.__module__]
+        paths.add(mod.__file__)
+    paths.add(os.path.join(_ROOT, "tools", "make_scale_tier.py"))
+    paths.add(os.path.join(_ROOT, "tools", "scale_smoke.py"))
+    return sorted(os.path.relpath(p, _ROOT) for p in paths)
+
+
+def check_smoke_fresh() -> list[str]:
+    smoke_t = _last_commit_epoch("SCALE_SMOKE.json")
+    if smoke_t == 0:
+        return ["SCALE_SMOKE.json has never been committed"]
+    gated = smoke_gated_paths()
+    stale = [
+        p for p in gated if _last_commit_epoch(p) > smoke_t
+    ]
+    if stale:
+        return [
+            "SCALE_SMOKE.json is older than commits touching the code it "
+            f"gates: {stale} — re-run tools/scale_smoke.py and commit"
+        ]
+    return []
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-pytest", action="store_true")
+    args = ap.parse_args()
+
+    n = current_round()
+    problems = (
+        check_artifacts_tracked()
+        + check_docs_mention_round(n)
+        + check_smoke_fresh()
+    )
+    for p in problems:
+        print(f"ROUND_CLOSE FAIL: {p}")
+    if not args.skip_pytest:
+        rc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], cwd=_ROOT
+        ).returncode
+        if rc != 0:
+            problems.append(f"pytest exited {rc}")
+    if problems:
+        sys.exit(1)
+    print(f"ROUND_CLOSE OK (round {n})")
+
+
+if __name__ == "__main__":
+    main()
