@@ -192,34 +192,61 @@ def _band_sigs_udf():
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM bands a JOIN bands b
                ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+    -- cosine over the MICRO-QUANTIZED vectors: every dot is an exact
+    -- integer (|dot| <= 64 * (0.58e6)^2 ~ 2.1e13 < 2^53, so even a
+    -- double accumulator is exact and summation order cannot matter)
     cs AS (SELECT c.id_a, c.id_b,
-             list_dot_product(ea.v, eb.v)
-             / (sqrt(list_dot_product(ea.v, ea.v))
-                * sqrt(list_dot_product(eb.v, eb.v))) AS cos
-           FROM cand c JOIN e ea ON ea.vec_id = c.id_a
-                       JOIN e eb ON eb.vec_id = c.id_b)
+             list_dot_product(qa.vq, qb.vq)
+             / (sqrt(list_dot_product(qa.vq, qa.vq))
+                * sqrt(list_dot_product(qb.vq, qb.vq))) AS cos
+           FROM cand c JOIN q qa ON qa.vec_id = c.id_a
+                       JOIN q qb ON qb.vec_id = c.id_b)
     SELECT id_a, id_b, round(cos, 6) AS cos_sim
     FROM cs WHERE cos >= {_RP_TAU}
     """,
     doc="Random-hyperplane (sign) LSH near-dup over embeddings — the "
     "sixth dedup family, and the sub-quadratic EMBEDDING sibling of "
     "z660_minhash_lsh: 128 fixed integer hyperplanes give 128 sign "
-    "bits, banded 16x8; vectors sharing any band signature become "
-    "candidates via a (band, sig) equi-join; only candidates get the "
-    "exact cosine verify (tau=0.4, q18 margin rule). Every dot against "
-    "a hyperplane is an exact BIGINT sum over micro-quantized "
-    "components, so signatures are engine- and partitioning-"
-    "independent — the whole candidate set is deterministic, which is "
-    "what makes an LSH pipeline SQL-oracle-checkable at all. Scale "
-    "shape: signatures are row-level (zero shuffle), the bucket join "
-    "shuffles O(16n) signature rows plus a candidate set bounded by "
-    "~16/2^8 = 6% of pairs for UNRELATED vectors (8-bit bands; the "
-    "round-7 scale smoke caught the old 4-bit bands admitting 23%), "
-    "while tau-similar pairs still collide at >= 0.33; collisions "
-    "concentrate by construction, so AQE skew-split handles hot "
-    "buckets (SURVEY §4).",
+    "bits, banded 16x8; vectors sharing a band signature are verified "
+    "bucket-locally with an exact integer Gram matmul (tau=0.4, q18 "
+    "margin rule). ALL arithmetic that decides membership — plane "
+    "dots, pair dots, norms-squared — is exact BIGINT over the "
+    "micro-quantized components (|pair dot| <= ~2.1e13 < 2^53), so "
+    "candidates AND cosines are engine-, partitioning-, and "
+    "summation-order-independent — which is what makes an LSH "
+    "pipeline SQL-oracle-checkable at all. Scale shape: signatures "
+    "are row-level (zero shuffle); ONE shuffle of O(16n) ~530 B "
+    "signature+vector rows groups each (band, sig) bucket; the "
+    "~16/2^8 = 6% candidate-pair stream (the n^1.66 LSH term; the "
+    "round-7 scale smoke caught 4-bit bands admitting 23%) is "
+    "generated AND killed inside the bucket's numpy block matmul — "
+    "it never hits a shuffle, an Arrow channel, or a per-pair "
+    "expression eval. Only tau-survivors (true near-dups) leave the "
+    "worker. Hot-bucket caveat at 100 TB: a bucket must fit one "
+    "worker's Arrow group; the block loop bounds the O(block^2) "
+    "cosine buffer, and a salted sub-bucket split with cross-block "
+    "pairing is the documented mitigation if a single bucket "
+    "outgrows a worker.",
 )
 def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-8 rewrite, driven by the 10x scale smoke. The old plan
+    # materialized the candidate PAIR set (~6% of all pairs), distinct()-ed
+    # it, then attached both 64-dim vectors via two shuffle joins whose
+    # build side quietly crosses the 10 MB autoBroadcast threshold right
+    # around the 10x tier, and paid three interpreted 64-element
+    # higher-order folds per pair (Catalyst evaluates aggregate/zip_with
+    # lambdas per ELEMENT; profiled at ~95% of the 10x cost — and the
+    # flat 64-term codegen expression is 10x worse again, falling off the
+    # codegen fast path like the signature kernel's literal tree did).
+    # Now each (band, sig) bucket is verified locally in one Arrow batch:
+    # an int64 Gram matmul over the quantized vectors, blocked so the
+    # float cosine buffer stays O(_VERIFY_BLOCK^2) regardless of bucket
+    # size. Exactness: integer dots are exact and order-free; norms are
+    # IEEE sqrt of exact integers; cosine divides exact-integer-valued
+    # doubles — bit-identical on any engine, so the oracle computes the
+    # same quantized cosine (values shift vs the raw-double cosine only
+    # at ~1e-6, far inside the fixtures' 1e-4 tau margin, so membership
+    # and recall are unchanged). 10x-tier: 73 s (r7) -> ~1.5 s warm.
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).withColumn(
@@ -227,42 +254,74 @@ def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("v", lambda x: F.floor(x * 1e6 + 0.5).cast("long")),
     )
     sigs = base.select(
-        "vec_id", F.posexplode(_band_sigs_udf()(F.col("vq"))).alias("band", "sig")
+        "vec_id",
+        "vq",
+        F.posexplode(_band_sigs_udf()(F.col("vq"))).alias("band", "sig"),
     )
-    cand = (
-        sigs.alias("a")
-        .join(
-            sigs.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    # Defined as a CLOSURE, not at module level: cloudpickle serializes
+    # closures by VALUE, while a module-level function ships by reference
+    # and the executor's python worker would have to import this package
+    # (which the driver contract does not guarantee is on the worker's
+    # path — caught by the non-repo-cwd driver sim).
+    block = _VERIFY_BLOCK
+    tau = _RP_TAU
+
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All-pairs exact-integer cosine verify within one LSH bucket.
+
+        Emits (id_a < id_b, cos) for pairs meeting tau. The Gram matmul
+        runs in int64 (exact — order-independent), blocked so the float64
+        cosine buffer is bounded at ~32 MB however large the bucket; CPU
+        stays O(n_bucket^2 * d), the LSH bucket's inherent cost."""
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        if n < 2:
+            return empty
+        order = np.argsort(pdf["vec_id"].values, kind="stable")
+        ids = pdf["vec_id"].values[order]
+        vq = np.stack(pdf["vq"].values[order]).astype(np.int64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", vq, vq).astype(np.float64))
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, n, block):
+            ai = vq[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                gram = ai @ vq[j0 : j0 + block].T
+                cos = gram / np.outer(
+                    nrm[i0 : i0 + block], nrm[j0 : j0 + block]
+                )
+                ii, jj = np.nonzero(cos >= tau)
+                keep = (i0 + ii) < (j0 + jj)  # ids sorted: index == id order
+                ii, jj = ii[keep], jj[keep]
+                if len(ii):
+                    out_a.append(ids[i0 + ii])
+                    out_b.append(ids[j0 + jj])
+                    out_c.append(cos[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
         )
+
+    return (
+        sigs.groupBy("band", "sig")
+        .applyInPandas(verify_bucket, schema="id_a long, id_b long, cos double")
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
         .distinct()
     )
-    e = base.select("vec_id", "v")
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda a, z: a + z,
-    )
-    pairs = (
-        cand.join(e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn(
-            "cos",
-            dot(F.col("va"), F.col("vb"))
-            / (
-                F.sqrt(dot(F.col("va"), F.col("va")))
-                * F.sqrt(dot(F.col("vb"), F.col("vb")))
-            ),
-        )
-    )
-    return pairs.filter(F.col("cos") >= _RP_TAU).select(
-        "id_a", "id_b", F.round("cos", 6).alias("cos_sim")
-    )
+
+
+_VERIFY_BLOCK = 2048
 
 
 # --------------------------------------------------------------------------
