@@ -259,21 +259,37 @@ def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(_band_sigs_udf()(F.col("vq"))).alias("band", "sig"),
     )
 
-    # Defined as a CLOSURE, not at module level: cloudpickle serializes
-    # closures by VALUE, while a module-level function ships by reference
-    # and the executor's python worker would have to import this package
-    # (which the driver contract does not guarantee is on the worker's
-    # path — caught by the non-repo-cwd driver sim).
-    block = _VERIFY_BLOCK
-    tau = _RP_TAU
+    return (
+        sigs.groupBy("band", "sig")
+        .applyInPandas(
+            _bucket_verifier(_VERIFY_BLOCK, _RP_TAU),
+            schema="id_a long, id_b long, cos double",
+        )
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
+        .distinct()
+    )
+
+
+_VERIFY_BLOCK = 2048
+
+
+def _bucket_verifier(block: int, tau: float):
+    """Build the all-pairs exact-integer cosine verify for one LSH bucket.
+
+    Returns a CLOSURE (cloudpickle ships closures by value; a
+    module-level function ships by reference and the executor's python
+    worker would have to import this package, which the driver contract
+    does not guarantee — caught by the non-repo-cwd driver sim,
+    tests/test_driver_sim.py). Factory form so tests can drive the
+    kernel with a tiny block size and exercise the multi-block paths the
+    fixtures' small buckets never reach.
+
+    Emits (id_a < id_b, cos) for pairs meeting tau. The Gram matmul runs
+    in int64 (exact — order-independent), blocked so the float64 cosine
+    buffer is bounded however large the bucket; CPU stays
+    O(n_bucket^2 * d), the LSH bucket's inherent cost."""
 
     def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        """All-pairs exact-integer cosine verify within one LSH bucket.
-
-        Emits (id_a < id_b, cos) for pairs meeting tau. The Gram matmul
-        runs in int64 (exact — order-independent), blocked so the float64
-        cosine buffer is bounded at ~32 MB however large the bucket; CPU
-        stays O(n_bucket^2 * d), the LSH bucket's inherent cost."""
         n = len(pdf)
         empty = pd.DataFrame(
             {
@@ -313,15 +329,7 @@ def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        sigs.groupBy("band", "sig")
-        .applyInPandas(verify_bucket, schema="id_a long, id_b long, cos double")
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
-        .distinct()
-    )
-
-
-_VERIFY_BLOCK = 2048
+    return verify_bucket
 
 
 # --------------------------------------------------------------------------

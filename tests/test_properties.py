@@ -588,3 +588,67 @@ def test_ntile_bucket_property(spark, n, nbins):
     assert sorted(sizes) == list(range(len(sizes)))
 
     assert got == ref
+
+
+def test_bucket_verifier_blocking_matches_bruteforce():
+    """The q74 bucket kernel's block loop must emit exactly the pairs a
+    brute-force all-pairs scan finds, across every block-boundary case —
+    fixture buckets are far smaller than _VERIFY_BLOCK, so the
+    multi-block paths (i0 == j0 triangle, i0 < j0 rectangle, ragged last
+    block) only execute here. Ids arrive unsorted to exercise the
+    id-order/index-order invariant."""
+    import numpy as np
+    import pandas as pd
+
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import (
+        _bucket_verifier,
+    )
+
+    rng = np.random.default_rng(74)
+    n, d, tau = 23, 8, 0.4
+    vq = rng.integers(-(10**6), 10**6, size=(n, d), dtype=np.int64)
+    # plant some near-duplicates so tau-survivors exist
+    vq[7] = vq[3] + rng.integers(-1000, 1000, size=d)
+    vq[19] = vq[11]
+    ids = rng.permutation(np.arange(100, 100 + n)).astype(np.int64)
+    pdf = pd.DataFrame({"vec_id": ids, "vq": list(vq)})
+
+    nrm = np.sqrt((vq * vq).sum(axis=1).astype(np.float64))
+    expect = set()
+    for i in range(n):
+        for j in range(n):
+            if ids[i] >= ids[j]:
+                continue
+            cos = float(vq[i] @ vq[j]) / (nrm[i] * nrm[j])
+            if cos >= tau:
+                expect.add((int(ids[i]), int(ids[j]), cos))
+    assert expect, "fixture must produce at least one surviving pair"
+
+    for block in (1, 2, 4, 7, 23, 64):
+        out = _bucket_verifier(block, tau)(pdf)
+        got = {
+            (int(a), int(b), float(c))
+            for a, b, c in zip(out["id_a"], out["id_b"], out["cos"])
+        }
+        assert got == expect, f"block={block}"
+
+    # degenerate buckets
+    assert len(_bucket_verifier(4, tau)(pdf.iloc[:1])) == 0
+    assert len(_bucket_verifier(4, tau)(pdf.iloc[:0])) == 0
+
+
+def test_quantized_cosine_stays_inside_tau_margin():
+    """q74 reports cosine over MICRO-QUANTIZED vectors; the fixtures
+    guarantee no pair within 1e-4 of tau, so membership matches the
+    raw-double cosine iff quantization perturbs cos by far less. Bound
+    check on random unit-scale vectors: |cos_q - cos_raw| < 3e-6."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    v = rng.uniform(-0.6, 0.6, size=(200, 64))
+    vq = np.floor(v * 1e6 + 0.5)
+    nr = np.linalg.norm(v, axis=1)
+    nq = np.sqrt((vq * vq).sum(axis=1))
+    cr = (v @ v.T) / np.outer(nr, nr)
+    cq = (vq @ vq.T) / np.outer(nq, nq)
+    assert np.abs(cr - cq).max() < 3e-6
