@@ -127,7 +127,7 @@ def main() -> None:
         for n in base
         if not n.startswith("_build_")
         and base[n] >= 0.5
-        and big[n] / max(base[n], 1e-9) > linear_bound / 2
+        and big[n] / max(base[n], 1e-9) > args.copies / 2
     )
     for name in suspects:
         t0 = time.perf_counter()
