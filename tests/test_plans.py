@@ -864,3 +864,20 @@ def test_cluster_shaped_neardup_build(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "BatchEvalPython" not in p, p
     assert "200" in p, p
+
+
+def test_q74_rplsh_bucket_verify_plan_shape(plans):
+    import re
+
+    p = plans("q74_rplsh_neardup")
+    # The round-8 shape: candidates are generated and killed inside the
+    # per-bucket Arrow kernel — the plan must show the grouped-map node
+    # and exactly TWO shuffles (group by (band, sig); distinct over the
+    # tau-survivors), with no joins at all: the old shape's candidate
+    # self-join and two vector-attach joins are gone, so nothing can
+    # fall off a broadcast threshold at scale.
+    assert "FlatMapGroupsInPandas" in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+    assert "Join" not in p and "CartesianProduct" not in p
+    # Arrow eval mode for the signature kernel (no row-at-a-time python)
+    assert "ArrowEvalPython" in p
