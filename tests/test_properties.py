@@ -652,3 +652,21 @@ def test_quantized_cosine_stays_inside_tau_margin():
     cr = (v @ v.T) / np.outer(nr, nr)
     cq = (vq @ vq.T) / np.outer(nq, nq)
     assert np.abs(cr - cq).max() < 3e-6
+
+
+def test_rplsh_spark_path_invariant_to_verify_block(spark, sf_dir, monkeypatch):
+    """End-to-end Spark check that the bucket kernel's block loop is
+    invariant: q74 with a pathological 2-row verify block (every real
+    bucket spans many blocks, exercising triangle/rectangle/ragged
+    paths through the full Arrow round-trip) must emit exactly the
+    default-config result."""
+    from eprints_to_hyku_data_tool_spark.plans import q_embed
+
+    base = set(
+        map(tuple, q_embed.q74_rplsh_neardup(spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(q_embed, "_VERIFY_BLOCK", 2)
+    tiny = set(
+        map(tuple, q_embed.q74_rplsh_neardup(spark, sf_dir).collect())
+    )
+    assert base == tiny and len(base) > 0
