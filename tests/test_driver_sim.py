@@ -11,7 +11,10 @@ at module level and passed repo-cwd pytest while failing the non-repo
 driver sim. This test runs the sim in a subprocess from a temp cwd so
 the failure class stays caught: the flagship entry() plus every
 registered query whose module uses applyInPandas/mapInPandas executes
-end-to-end at sf0.001.
+end-to-end at sf0.001. Representatives are selected per QUERY (any
+applyInPandas/mapInPandas/pandas_udf in the fn's own source), with a
+per-module fallback for helper-hosted kernels — not per-module-first-name,
+which could shadow the at-risk kernels behind pure-Catalyst siblings.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SIM = textwrap.dedent(
     """
     import sys
-    sys.path.insert(0, {repo!r})
+    sys.path.insert(0, __REPO__)
     from pyspark.sql import SparkSession
 
     spark = (
@@ -47,26 +50,44 @@ _SIM = textwrap.dedent(
     )
 
     _load_all()
-    # Every module that hands python callables to executors (grouped-map /
-    # map-iter UDFs) gets one representative query executed end-to-end.
-    seen_modules = set()
+    # Every query that hands python callables to executors (grouped-map /
+    # map-iter / scalar-arrow UDFs) must execute end-to-end. Representatives
+    # are chosen by each query fn's OWN source, not its module's: a module's
+    # first sorted name can be a pure-Catalyst query that never exercises
+    # the pickling path (the round-8 advice gap — q237 shadowed the q74
+    # kernel). Modules whose markers live only in shared helpers (e.g. the
+    # multimodal decoders) fall back to running all their registered
+    # queries, so helper-level kernels stay covered too.
+    MARKERS = ("applyInPandas", "mapInPandas", "pandas_udf")
+    to_run = {}
+    fallback_mods = set()
     for name, spec in sorted(REGISTRY.items()):
-        mod = sys.modules[spec.fn.__module__]
-        src = inspect.getsource(mod)
-        if "applyInPandas" not in src and "mapInPandas" not in src:
+        msrc = inspect.getsource(sys.modules[spec.fn.__module__])
+        if not any(m in msrc for m in MARKERS):
             continue
-        if spec.fn.__module__ in seen_modules:
-            continue
+        try:
+            fsrc = inspect.getsource(spec.fn)
+        except (OSError, TypeError):
+            fsrc = ""
+        if any(m in fsrc for m in MARKERS):
+            to_run[name] = spec
+        else:
+            fallback_mods.add(spec.fn.__module__)
+    covered_mods = {s.fn.__module__ for s in to_run.values()}
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.fn.__module__ in fallback_mods - covered_mods:
+            to_run[name] = spec
+    assert len(to_run) >= 11, sorted(to_run)
+    for name, spec in sorted(to_run.items()):
         df = spec.fn(spark, "/root/testdata/sf0.001")
         if df.isStreaming:
             continue
         df.write.format("noop").mode("overwrite").save()
-        seen_modules.add(spec.fn.__module__)
         print("driver-sim ok:", name, flush=True)
     spark.stop()
     print("DRIVER_SIM_PASS")
     """
-).format(repo=_REPO)
+).replace("__REPO__", repr(_REPO))
 
 
 def test_entry_and_udf_queries_run_from_foreign_cwd(tmp_path):

@@ -56,11 +56,12 @@ def _git(*args: str) -> str:
 
 
 def current_round() -> int:
-    rounds = [
-        int(re.search(r"r0?(\d+)", os.path.basename(f)).group(1))
-        for pat in ("RENAMES_r*.json", "CORRECTNESS_r*.json")
-        for f in glob.glob(os.path.join(_ROOT, pat))
-    ]
+    rounds = []
+    for pat in ("RENAMES_r*.json", "CORRECTNESS_r*.json"):
+        for f in glob.glob(os.path.join(_ROOT, pat)):
+            m = re.search(r"r0?(\d+)", os.path.basename(f))
+            if m:  # tolerate stray non-round-stamped filenames
+                rounds.append(int(m.group(1)))
     return max(rounds)
 
 
@@ -78,11 +79,12 @@ def check_artifacts_tracked() -> list[str]:
 
 def check_docs_mention_round(n: int) -> list[str]:
     bad = []
+    # \b anchors so round 8 is not satisfied by a round-80 mention.
     survey = open(os.path.join(_ROOT, "SURVEY.md")).read()
-    if not re.search(rf"Round-{n} delta", survey):
+    if not re.search(rf"Round-{n}\b delta", survey):
         bad.append(f"SURVEY.md has no 'Round-{n} delta' section")
     baseline = open(os.path.join(_ROOT, "BASELINE.md")).read()
-    if not re.search(rf"[Rr]ound[- ]{n}|[Rr]ound[- ]{n - 1}", baseline):
+    if not re.search(rf"[Rr]ound[- ]{n}\b|[Rr]ound[- ]{n - 1}\b", baseline):
         bad.append(f"BASELINE.md mentions neither round {n} nor {n - 1}")
     return bad
 

@@ -114,11 +114,16 @@ def main() -> None:
     # Warm re-run for suspects (the bench.py lesson, observed on the smoke
     # too: single-pass numbers in an aged session vary 2-4x run-to-run —
     # q90_corpus_pipeline measured 16 s and 59 s at the 10x tier on
-    # IDENTICAL code in back-to-back serial runs). Any query past half the
-    # failure bound gets one warm re-run and the min is recorded: a real
+    # IDENTICAL code in back-to-back serial runs). Any query past a QUARTER
+    # of the failure bound (copies/2 vs the 2*copies bound — deliberately
+    # broad, so contention artifacts get their retry before they can fail
+    # the gate) gets one warm re-run and the min is recorded: a real
     # super-linear scaler survives the retry, a contention artifact does
     # not. `_build_*` entries are excluded — their memo makes a re-run
-    # trivially ~0 s.
+    # trivially ~0 s. A re-run that collapses >4x is additionally flagged
+    # memo-assisted in the report: the second pass likely rode a
+    # session-memoized intermediate (pair graph, co-purchase build), so its
+    # min may understate the genuine cold cost.
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
@@ -129,6 +134,7 @@ def main() -> None:
         and base[n] >= 0.5
         and big[n] / max(base[n], 1e-9) > args.copies / 2
     )
+    memo_assisted = {}
     for name in suspects:
         t0 = time.perf_counter()
         qs[name](spark, args.tier).write.format("noop").mode(
@@ -136,6 +142,11 @@ def main() -> None:
         ).save()
         rerun = time.perf_counter() - t0
         print(f"  rerun {name}: {rerun:.2f}s (was {big[name]:.2f}s)", flush=True)
+        if rerun < big[name] / 4.0:
+            memo_assisted[name] = {
+                "cold_sec": round(big[name], 3),
+                "warm_sec": round(rerun, 3),
+            }
         big[name] = min(big[name], rerun)
     spark.stop()
 
@@ -157,6 +168,7 @@ def main() -> None:
         "linear_bound": linear_bound,
         "queries": rows,
         "failures": failures,
+        "memo_assisted_reruns": memo_assisted,
     }
     with open(args.out, "w") as fh:
         json.dump(report, fh, indent=1, sort_keys=True)
