@@ -222,11 +222,15 @@ def _band_sigs_udf():
     "generated AND killed inside the bucket's numpy block matmul — "
     "it never hits a shuffle, an Arrow channel, or a per-pair "
     "expression eval. Only tau-survivors (true near-dups) leave the "
-    "worker. Hot-bucket caveat at 100 TB: a bucket must fit one "
-    "worker's Arrow group; the block loop bounds the O(block^2) "
-    "cosine buffer, and a salted sub-bucket split with cross-block "
-    "pairing is the documented mitigation if a single bucket "
-    "outgrows a worker.",
+    "worker. Hot buckets (skewed/degenerate corpora where one "
+    "(band, sig) bucket holds a large fraction of n) are SALTED: a "
+    "tiny (band, sig) count agg finds buckets past _HOT_BUCKET_ROWS, "
+    "their rows split into k = ceil(n_bucket/threshold) deterministic "
+    "hash sub-buckets, and each row replicates to its k salt-PAIR "
+    "groups so every candidate pair lands in exactly ONE group — "
+    "per-worker residency is bounded at ~2x threshold rows however "
+    "big the bucket, while the emitted pair set is provably identical "
+    "to the unsalted plan (same oracle).",
 )
 def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-8 rewrite, driven by the 10x scale smoke. The old plan
@@ -247,30 +251,110 @@ def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same quantized cosine (values shift vs the raw-double cosine only
     # at ~1e-6, far inside the fixtures' 1e-4 tau margin, so membership
     # and recall are unchanged). 10x-tier: 73 s (r7) -> ~1.5 s warm.
-    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = _rp_signatures(load_table(spark, sf_dir, "embeddings"))
+    return _salted_bucket_verify(
+        sigs, _VERIFY_BLOCK, _RP_TAU, _HOT_BUCKET_ROWS
+    )
+
+
+_VERIFY_BLOCK = 2048
+# A bucket past this many rows is salted into ceil(n/threshold)
+# sub-buckets. 16384 rows x ~530 B is a ~9 MB Arrow group and a
+# ~1.7e10-int-op Gram verify — seconds on one core, well inside any
+# executor budget; below it, salting would only add replication for
+# buckets a single worker already handles comfortably.
+_HOT_BUCKET_ROWS = 16384
+
+
+def _rp_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, vq, band, sig): one row per vector per band — the 16n
+    row-level (zero-shuffle) signature stream q74 buckets on."""
     v = F.transform("embedding", lambda x: x.cast("double"))
     base = emb.select("vec_id", v.alias("v")).withColumn(
         "vq",
         F.transform("v", lambda x: F.floor(x * 1e6 + 0.5).cast("long")),
     )
-    sigs = base.select(
+    return base.select(
         "vec_id",
         "vq",
         F.posexplode(_band_sigs_udf()(F.col("vq"))).alias("band", "sig"),
     )
 
+
+def _salted_groups(sigs: DataFrame, hot_rows: int) -> DataFrame:
+    """Assign every signature row its salted verify-group key.
+
+    The hot-bucket mitigation (the round-8 docstring design, now code):
+    a (band, sig) bucket holding more than `hot_rows` rows cannot be
+    verified as ONE applyInPandas group — grouped-map semantics make the
+    whole bucket a single worker's single Arrow group, O(n_bucket * d)
+    resident and O(n_bucket^2 * d) on one core. So:
+
+    - a tiny count agg (partial-agg shuffle of (band, sig, n) only — the
+      wide vq column never rides it) finds the hot buckets;
+    - the hot set broadcasts back (by construction it is small: at most
+      16n/hot_rows entries, and real skew means FEW buckets);
+    - each hot row gets salt s = xxhash64(vec_id) mod k,
+      k = ceil(n_bucket/hot_rows), and replicates to the k groups
+      {(min(s, j), max(s, j)) : j < k} — so a pair with salts (i, j)
+      co-locates in exactly the group (min(i,j), max(i,j)) and NO other,
+      making the union over groups exactly the bucket's pair set with
+      zero double-emits;
+    - cold buckets keep k = 1 -> the single (0, 0) group, i.e. the
+      round-8 plan unchanged.
+
+    Per-group residency is bounded by ~2*hot_rows expected rows
+    regardless of bucket size. Total verify CPU stays the bucket's
+    inherent O(n_bucket^2 * d) — salting spreads it over k(k+1)/2
+    cores instead of one — and the shuffle replication (k x on hot rows
+    only) is amortized by that same quadratic verify cost. The 2x linear
+    recompute of the signature branch (counts + main) is the standard
+    AQE-style stats-pass trade: strictly cheaper at scale than either
+    caching 16n wide rows or adding a second wide shuffle for a window
+    count."""
+    counts = sigs.groupBy("band", "sig").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    hot = counts.filter(F.col("bucket_n") > hot_rows).select(
+        "band",
+        "sig",
+        F.ceil(F.col("bucket_n") / hot_rows).cast("int").alias("k"),
+    )
+    salted = sigs.join(F.broadcast(hot), ["band", "sig"], "left")
+    k = F.coalesce(F.col("k"), F.lit(1))
+    s = F.pmod(F.xxhash64("vec_id"), k).cast("int")
+    pairs = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda j: F.struct(
+            F.least(s, j).cast("int").alias("lo"),
+            F.greatest(s, j).cast("int").alias("hi"),
+        ),
+    )
+    return salted.select(
+        "vec_id",
+        "vq",
+        "band",
+        "sig",
+        s.alias("salt"),
+        F.explode(pairs).alias("sp"),
+    ).select(
+        "vec_id", "vq", "band", "sig", "salt", "sp.lo", "sp.hi"
+    )
+
+
+def _salted_bucket_verify(
+    sigs: DataFrame, block: int, tau: float, hot_rows: int
+) -> DataFrame:
     return (
-        sigs.groupBy("band", "sig")
+        _salted_groups(sigs, hot_rows)
+        .groupBy("band", "sig", "lo", "hi")
         .applyInPandas(
-            _bucket_verifier(_VERIFY_BLOCK, _RP_TAU),
+            _bucket_verifier(block, tau),
             schema="id_a long, id_b long, cos double",
         )
         .select("id_a", "id_b", F.round("cos", 6).alias("cos_sim"))
         .distinct()
     )
-
-
-_VERIFY_BLOCK = 2048
 
 
 def _bucket_verifier(block: int, tau: float):
@@ -287,7 +371,15 @@ def _bucket_verifier(block: int, tau: float):
     Emits (id_a < id_b, cos) for pairs meeting tau. The Gram matmul runs
     in int64 (exact — order-independent), blocked so the float64 cosine
     buffer is bounded however large the bucket; CPU stays
-    O(n_bucket^2 * d), the LSH bucket's inherent cost."""
+    O(n_bucket^2 * d), the LSH bucket's inherent cost.
+
+    Salt-aware: when the frame carries the salted group key (lo, hi)
+    and lo != hi, this is the CROSS group of two sub-buckets of one hot
+    (band, sig) bucket — only different-salt pairs are emitted (the
+    equal-salt pairs belong to their diagonal (s, s) group), so the
+    union over a hot bucket's k(k+1)/2 groups reproduces its pair set
+    exactly once. Diagonal and unsalted groups keep the round-8 all-pairs
+    semantics."""
 
     def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -300,8 +392,14 @@ def _bucket_verifier(block: int, tau: float):
         )
         if n < 2:
             return empty
+        cross = (
+            "lo" in pdf.columns
+            and "hi" in pdf.columns
+            and pdf["lo"].iat[0] != pdf["hi"].iat[0]
+        )
         order = np.argsort(pdf["vec_id"].values, kind="stable")
         ids = pdf["vec_id"].values[order]
+        salts = pdf["salt"].values[order] if cross else None
         vq = np.stack(pdf["vq"].values[order]).astype(np.int64)
         nrm = np.sqrt(np.einsum("ij,ij->i", vq, vq).astype(np.float64))
         out_a, out_b, out_c = [], [], []
@@ -314,6 +412,8 @@ def _bucket_verifier(block: int, tau: float):
                 )
                 ii, jj = np.nonzero(cos >= tau)
                 keep = (i0 + ii) < (j0 + jj)  # ids sorted: index == id order
+                if cross:
+                    keep &= salts[i0 + ii] != salts[j0 + jj]
                 ii, jj = ii[keep], jj[keep]
                 if len(ii):
                     out_a.append(ids[i0 + ii])

@@ -870,14 +870,19 @@ def test_q74_rplsh_bucket_verify_plan_shape(plans):
     import re
 
     p = plans("q74_rplsh_neardup")
-    # The round-8 shape: candidates are generated and killed inside the
-    # per-bucket Arrow kernel — the plan must show the grouped-map node
-    # and exactly TWO shuffles (group by (band, sig); distinct over the
-    # tau-survivors), with no joins at all: the old shape's candidate
-    # self-join and two vector-attach joins are gone, so nothing can
-    # fall off a broadcast threshold at scale.
+    # Round-8 shape + round-9 hot-bucket salting: candidates are still
+    # generated and killed inside the per-bucket Arrow kernel
+    # (grouped-map node), and the only shuffles are (1) the tiny
+    # (band, sig, count) stats agg — the wide vq column never rides it,
+    # (2) the grouped-map bucket shuffle, (3) distinct over the
+    # tau-survivors. The hot-set attach must be a BROADCAST join (the
+    # hot set is bounded at 16n/threshold rows); a sort-merge join here
+    # would mean a fourth wide shuffle, and any vector-attach join shape
+    # regressing would show as more joins.
     assert "FlatMapGroupsInPandas" in p
-    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
-    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3, p
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin\b", p)) == 1, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p, p
     # Arrow eval mode for the signature kernel (no row-at-a-time python)
     assert "ArrowEvalPython" in p

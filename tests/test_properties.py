@@ -637,6 +637,126 @@ def test_bucket_verifier_blocking_matches_bruteforce():
     assert len(_bucket_verifier(4, tau)(pdf.iloc[:0])) == 0
 
 
+def test_bucket_verifier_cross_group_semantics():
+    """Salt-aware kernel contract (round-9 hot-bucket split): a frame
+    carrying the salted group key with lo != hi is a CROSS group — only
+    different-salt pairs may be emitted (equal-salt pairs belong to
+    their diagonal group, and double-emitting them would survive the
+    downstream distinct() with the SAME cos, silently inflating nothing
+    but masking a partitioning bug; emitting them here AND there must
+    instead be caught by this test). lo == hi and legacy salt-free
+    frames keep all-pairs semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import (
+        _bucket_verifier,
+    )
+
+    rng = np.random.default_rng(9)
+    n, d, tau = 17, 8, 0.4
+    base = rng.integers(10**5, 10**6, size=d, dtype=np.int64)
+    vq = np.stack(
+        [base + rng.integers(-500, 500, size=d) for _ in range(n)]
+    )  # all-near-dup: every pair passes tau
+    ids = np.arange(200, 200 + n, dtype=np.int64)
+    salts = (ids % 3).astype(np.int64)
+    all_pairs = {
+        (int(ids[i]), int(ids[j])) for i in range(n) for j in range(i + 1, n)
+    }
+    cross_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if salts[i] != salts[j]
+    }
+    assert cross_pairs and cross_pairs != all_pairs
+
+    def run(pdf, block=4):
+        out = _bucket_verifier(block, tau)(pdf)
+        return {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+
+    mk = lambda lo, hi: pd.DataFrame(  # noqa: E731
+        {
+            "band": 0,
+            "sig": 7,
+            "lo": lo,
+            "hi": hi,
+            "salt": salts,
+            "vec_id": ids,
+            "vq": list(vq),
+        }
+    )
+    for block in (1, 3, 16, 64):
+        assert run(mk(0, 2), block) == cross_pairs, f"block={block}"
+        assert run(mk(1, 1), block) == all_pairs, f"block={block}"
+    # legacy unsalted frame: all-pairs
+    assert (
+        run(pd.DataFrame({"vec_id": ids, "vq": list(vq)})) == all_pairs
+    )
+    # cross group where one side is empty (all rows one salt): no pairs
+    one = mk(0, 2)[salts == 0]
+    assert run(one) == set()
+
+
+def test_rplsh_salted_split_matches_unsalted(spark):
+    """End-to-end hot-bucket split: a degenerate corpus where 40 of 56
+    vectors are IDENTICAL (every band bucket for that signature holds
+    all 40 — the single-worker skew cliff the round-8 verdict named)
+    must produce, under a tiny hot threshold that forces k >= 5 salted
+    sub-buckets and a tiny verify block, EXACTLY the pair set of the
+    unsalted plan. Also pins the replication invariants: lo <= hi,
+    cold buckets stay single-group, and the salted group count for the
+    hot signature is k(k+1)/2."""
+    import numpy as np
+
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import (
+        _rp_signatures,
+        _salted_bucket_verify,
+        _salted_groups,
+    )
+
+    rng = np.random.default_rng(74)
+    hot_vec = rng.uniform(-0.5, 0.5, size=64)
+    rows = [
+        (i, [float(x) for x in hot_vec]) for i in range(40)
+    ] + [
+        (100 + i, [float(x) for x in rng.uniform(-0.5, 0.5, size=64)])
+        for i in range(16)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    sigs = _rp_signatures(emb)
+
+    unsalted = set(
+        map(tuple, _salted_bucket_verify(sigs, 2048, 0.4, 10**9).collect())
+    )
+    salted = set(
+        map(tuple, _salted_bucket_verify(sigs, 5, 0.4, 8).collect())
+    )
+    # the 40 identical vectors give C(40,2) = 780 cos=1.0 pairs at least
+    assert len(unsalted) >= 780
+    assert salted == unsalted
+
+    groups = _salted_groups(sigs, 8).toPandas()
+    assert (groups["lo"] <= groups["hi"]).all()
+    # every hot (band, sig) bucket (>= 40 rows -> k = 5) must expose
+    # exactly k(k+1)/2 = 15 distinct salt-pair groups; cold buckets one
+    sizes = groups.groupby(["band", "sig"])["vec_id"].nunique()
+    gcounts = (
+        groups[["band", "sig", "lo", "hi"]]
+        .drop_duplicates()
+        .groupby(["band", "sig"])
+        .size()
+    )
+    import math
+
+    for key, n_bucket in sizes.items():
+        k = math.ceil(n_bucket / 8) if n_bucket > 8 else 1
+        assert gcounts[key] == k * (k + 1) // 2, (key, n_bucket)
+
+
 def test_quantized_cosine_stays_inside_tau_margin():
     """q74 reports cosine over MICRO-QUANTIZED vectors; the fixtures
     guarantee no pair within 1e-4 of tau, so membership matches the
