@@ -1,0 +1,228 @@
+"""Mechanical bench-flag adjudication (VERDICT r8 item 4).
+
+Every round since r5 produced an in-suite bench regression flag, and
+every single one was refuted by the same manual procedure: re-run the
+flagged query in a FRESH session (bench-style warmup, shared builds
+pre-paid), take the min of 3, compare against the previous round's
+value. In-suite numbers in an aged 208-query session carry
+session-state contention (JIT code-cache churn, checkpoint-block GC
+pressure, python-worker turnover) that bench's own in-session warm
+re-runs bound but cannot eliminate — only a fresh session separates
+plan cost from session age (BASELINE.md records z60 r5, z196 r6, five
+r7 flags, q90 r8, all refuted this way).
+
+This tool is that procedure as one command:
+
+    python tools/adjudicate.py [--bench BENCH_local.json] [--runs 3]
+                               [--no-baseline]
+
+- reads the newest bench payload's `regressions` map (accepts either
+  the full BENCH_local.json sidecar or a driver BENCH_r*.json wrapper,
+  whose payload sits under "parsed");
+- spawns ONE fresh python/Spark session that performs bench.py's
+  warmup (full table scans + Arrow worker spin-up + shared builds),
+  then runs each flagged query `--runs` times;
+- classifies each flag against its recorded `prev`:
+      warm_min <= prev * 1.2   -> "refuted"      (contention class)
+      warm_min >  prev * 1.5   -> "confirmed"    (real regression)
+      otherwise                -> "inconclusive" (inside ambient band)
+- writes the verdicts back into the sidecar under "adjudications" and
+  appends a markdown table row per flag to BASELINE.md's
+  "Machine adjudications" section (unless --no-baseline).
+
+Exit code: 0 when no flags or all refuted; 2 when any flag is
+confirmed or inconclusive (a human should look).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = textwrap.dedent(
+    """
+    import json, sys, time
+    sys.path.insert(0, {root!r})
+    import pandas as pd
+    from eprints_to_hyku_data_tool_spark.session import get_spark
+    from eprints_to_hyku_data_tool_spark.plans.registry import (
+        REGISTRY, _load_all,
+    )
+    from eprints_to_hyku_data_tool_spark.sources.tables import TABLES
+
+    sf_dir, runs, names = sys.argv[1], int(sys.argv[2]), sys.argv[3:]
+    spark = get_spark(app_name="adjudicate", driver_memory="48g")
+    _load_all()
+    from pyspark.sql import functions as F
+
+    for t in TABLES:
+        df = spark.read.parquet(f"{{sf_dir}}/{{t}}.parquet")
+        df.count()
+        df.write.format("noop").mode("overwrite").save()
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(64).repartition(32).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    # Pre-pay the session-memoized shared intermediates so family
+    # queries measure marginals, exactly like bench.py.
+    from eprints_to_hyku_data_tool_spark.functions import copurchase, neardup
+
+    copurchase.triangles(spark, sf_dir)
+    neardup.components(spark, sf_dir)
+
+    out = {{}}
+    for name in names:
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            ts.append(round(time.perf_counter() - t0, 3))
+        out[name] = ts
+    spark.stop()
+    print("ADJUDICATE_JSON:" + json.dumps(out))
+    """
+).format(root=_ROOT)
+
+
+def load_payload(path: str) -> dict:
+    """Full bench payload from either sidecar or driver-wrapper shape."""
+    data = json.load(open(path))
+    return data.get("parsed") or data
+
+
+def classify(prev: float, warm_min: float) -> str:
+    if warm_min <= prev * 1.2:
+        return "refuted"
+    if warm_min > prev * 1.5:
+        return "confirmed"
+    return "inconclusive"
+
+
+def run_fresh_session(
+    names: list[str], sf_dir: str, runs: int
+) -> dict[str, list[float]]:
+    proc = subprocess.run(
+        [sys.executable, "-c", _RUNNER, sf_dir, str(runs), *names],
+        capture_output=True,
+        text=True,
+        cwd=_ROOT,
+        timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("ADJUDICATE_JSON:"):
+            return json.loads(line[len("ADJUDICATE_JSON:") :])
+    raise RuntimeError(
+        f"fresh-session runner failed (rc={proc.returncode}):\n"
+        + proc.stdout[-2000:]
+        + proc.stderr[-2000:]
+    )
+
+
+def adjudicate(
+    regressions: dict[str, dict],
+    warm: dict[str, list[float]],
+) -> dict[str, dict]:
+    out = {}
+    for name, flag in regressions.items():
+        runs = warm.get(name)
+        if not runs:
+            continue
+        warm_min = min(runs)
+        out[name] = {
+            "prev": flag.get("prev"),
+            "flagged": flag.get("now"),
+            "warm_runs": runs,
+            "warm_min": warm_min,
+            "verdict": classify(float(flag["prev"]), warm_min),
+        }
+    return out
+
+
+_BASELINE_HEADER = "## Machine adjudications (tools/adjudicate.py)"
+
+
+def append_baseline_rows(verdicts: dict[str, dict], label: str) -> None:
+    path = os.path.join(_ROOT, "BASELINE.md")
+    text = open(path).read()
+    if _BASELINE_HEADER not in text:
+        text += (
+            f"\n{_BASELINE_HEADER}\n\n"
+            "Fresh-session warm-standalone re-runs of in-suite bench\n"
+            "flags, recorded by the tool (procedure and thresholds in its\n"
+            "docstring). `refuted` = session-state contention, the class\n"
+            "every flag since r5 has fallen into.\n\n"
+            "| run | query | prev | flagged | warm runs | warm min |"
+            " verdict |\n"
+            "|---|---|---|---|---|---|---|\n"
+        )
+    rows = ""
+    for name, v in sorted(verdicts.items()):
+        runs = " / ".join(f"{t:.2f}" for t in v["warm_runs"])
+        rows += (
+            f"| {label} | {name} | {v['prev']:.2f} s | "
+            f"{v['flagged']:.2f} s | {runs} s | **{v['warm_min']:.2f} s** "
+            f"| {v['verdict']} |\n"
+        )
+    head, _, tail = text.rpartition(_BASELINE_HEADER)
+    # insert rows after the last table line of the section
+    open(path, "w").write(head + _BASELINE_HEADER + tail.rstrip("\n") + "\n" + rows)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", default=os.path.join(_ROOT, "BENCH_local.json"))
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--no-baseline", action="store_true")
+    ap.add_argument("--label", default="")
+    args = ap.parse_args()
+
+    payload = load_payload(args.bench)
+    regressions = payload.get("regressions") or {}
+    if not regressions:
+        print("ADJUDICATE: no regression flags in", args.bench)
+        return 0
+
+    print(f"ADJUDICATE: {len(regressions)} flag(s):", sorted(regressions))
+    warm = run_fresh_session(sorted(regressions), args.sf_dir, args.runs)
+    verdicts = adjudicate(regressions, warm)
+
+    # write back into the sidecar payload (wrapper shape preserved)
+    data = json.load(open(args.bench))
+    target = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
+    target["adjudications"] = verdicts
+    json.dump(data, open(args.bench, "w"), indent=1, sort_keys=True)
+
+    if not args.no_baseline:
+        label = args.label or os.path.basename(args.bench)
+        append_baseline_rows(verdicts, label)
+
+    bad = False
+    for name, v in sorted(verdicts.items()):
+        print(
+            f"ADJUDICATE {name}: prev {v['prev']}s, flagged {v['flagged']}s,"
+            f" warm {v['warm_runs']} -> min {v['warm_min']}s:"
+            f" {v['verdict'].upper()}"
+        )
+        bad |= v["verdict"] != "refuted"
+    return 2 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
