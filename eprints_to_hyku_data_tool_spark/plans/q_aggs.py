@@ -403,7 +403,7 @@ def z189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y49 — approx percentile (t-digest-style sketch) with a tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "q192_approx_percentile",
+    "z7192_approx_percentile",
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
@@ -424,7 +424,7 @@ def z189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with bounded state, while exact percentile materializes every "
     "group's values through the shuffle (SURVEY §2.4 Q27 scale note).",
 )
-def q192_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z7192_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias(
@@ -476,7 +476,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
 
 
 @register(
-    "q193_countmin",
+    "z7193_countmin",
     oracle=f"""
     WITH seeds(h, a, b) AS (VALUES
         {", ".join(f"({h}, {a}, {b})" for h, a, b in _CMS_SEEDS)}),
@@ -515,7 +515,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
     "comparison baseline — is what the sketch REPLACES "
     "(heavy-hitters / frequency-cap mandate).",
 )
-def q193_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z7193_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
 
     stack_cells = ", ".join(

@@ -63,7 +63,7 @@ def _grams8(tk):
 # Q75 (was Y31) — benchmark decontamination (8-gram overlap vs a held-out eval set)
 # --------------------------------------------------------------------------
 @register(
-    "q75_decontaminate",
+    "z775_decontaminate",
     oracle=f"""
     WITH g AS (
       SELECT doc_id,
@@ -105,7 +105,7 @@ def _grams8(tk):
     "sf0.1). At 100 TB the broadcast is O(eval suite), constant in "
     "corpus size (decontamination mandate).",
 )
-def q75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = docs.select("doc_id", _grams8(_tokens()).alias("grams"))
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
@@ -149,7 +149,7 @@ def q75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y32 — token-window chunking (overlapping training chunks)
 # --------------------------------------------------------------------------
 @register(
-    "q76_chunk",
+    "z776_chunk",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {_STRIDE})) AS start
@@ -169,7 +169,7 @@ def q75_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles; output size is a fixed ~n_tokens/24 multiple of the "
     "input, independent of partitioning (chunking mandate).",
 )
-def q76_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z776_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     s = t.select(
@@ -196,7 +196,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
 
 
 @register(
-    "q77_stratified_sample",
+    "z777_stratified_sample",
     oracle=f"""
     SELECT doc_id, lang, source,
            CASE WHEN lang = 'en' THEN '{_EN_LT}' ELSE '{_OTHER_LT}' END
@@ -216,7 +216,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
     "rerun-stable on any engine and partitioning (data-mixing "
     "mandate).",
 )
-def q77_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z777_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     thr = F.when(F.col("lang") == "en", _EN_LT).otherwise(_OTHER_LT)
     hx = F.substring(
@@ -537,7 +537,7 @@ _CTX = 64  # tokens per packed training sequence
 
 
 @register(
-    "q70_sequence_pack",
+    "z770_sequence_pack",
     oracle=f"""
     WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                FROM documents),
@@ -569,7 +569,7 @@ _CTX = 64  # tokens per packed training sequence
     "that is 1000 partitions wide. Token counts sum as longs -> "
     "exact at any scale (packing mandate).",
 )
-def q70_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
@@ -594,7 +594,7 @@ def q70_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q71 (was Y40) — unigram log-probability scoring (perplexity-proxy quality filter)
 # --------------------------------------------------------------------------
 @register(
-    "q71_unigram_logprob",
+    "z771_unigram_logprob",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -624,7 +624,7 @@ def q70_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order independent (the y38 rule), which is what makes a "
     "transcendental aggregate hash-stable across engines.",
 )
-def q71_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z771_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     v = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -666,7 +666,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
 
 
 @register(
-    "q72_boilerplate_lines",
+    "z772_boilerplate_lines",
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     l AS (SELECT doc_id,
@@ -703,7 +703,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
     "empty string via the left join (deletion is a row-filter "
     "decision downstream, not silent loss).",
 )
-def q72_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z772_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _tokens().alias("tk"))
     starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_LINE))
@@ -754,7 +754,7 @@ _ES_K = 200
 
 
 @register(
-    "q199_weighted_sample",
+    "z7199_weighted_sample",
     oracle=f"""
     WITH k AS (
         SELECT doc_id, lang, n_chars,
@@ -781,7 +781,7 @@ _ES_K = 200
     "2.7e-5 (sf0.01) — ~11 orders above double-ulp noise, so the "
     "selected set is stable across engines.".format(K=_ES_K),
 )
-def q199_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z7199_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") >= 1
     )

@@ -436,7 +436,7 @@ def _bucket_verifier(block: int, tau: float):
 # Y63 — nearest-centroid classification audit (exact-decimal distances)
 # --------------------------------------------------------------------------
 @register(
-    "q237_nearest_centroid",
+    "z7237_nearest_centroid",
     oracle="""
     WITH x AS (
       SELECT vec_id, label AS label_true,
@@ -483,7 +483,7 @@ def _bucket_verifier(block: int, tau: float):
     "(vector, label) distance agg, one row_number window, one tiny "
     "confusion agg (embedding-eval mandate).",
 )
-def q237_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z7237_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")

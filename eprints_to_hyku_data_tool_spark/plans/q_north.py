@@ -852,7 +852,7 @@ def z662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X15 — TF-IDF (explode + aggregate arithmetic)
 # --------------------------------------------------------------------------
 @register(
-    "q84_tfidf",
+    "z784_tfidf",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -878,7 +878,7 @@ def z662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in (no driver-side count). Output sliced to doc_id < 50; tfidf "
     "rounded 6dp (ln is not bit-portable) (SURVEY §2.11 X15).",
 )
-def q84_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z784_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1087,7 +1087,7 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "q86_ngram_jaccard",
+    "z786_ngram_jaccard",
     oracle=_NEARDUP_ORACLE,
     doc="EXACT n-gram Jaccard similarity join (fourth registered near-dup "
     "family), fully distributed: prefix-filtered inverted index over a "
@@ -1097,7 +1097,7 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
     "with zero miss probability — this is what replaces the demoted "
     "collect-based q60_neardup_jaccard at scale (SURVEY §2.11 Q60).",
 )
-def q86_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z786_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The session-memoized materialization of exactly this pipeline
     # (functions/neardup.py) — also consumed by z85/z302's clustering.
     from ..functions.neardup import verified_pairs
@@ -1152,7 +1152,7 @@ _CLUSTER_ORACLE = _CC_CTE + """
 
 
 @register(
-    "q85_cluster_dedupe",
+    "z785_cluster_dedupe",
     oracle=_CLUSTER_ORACLE,
     doc="Cluster-level dedupe: exact near-dup pairs (x17's prefix-filtered "
     "join) -> distributed connected components (alternating large-star/"
@@ -1163,7 +1163,7 @@ _CLUSTER_ORACLE = _CC_CTE + """
     "Oracle: DuckDB recursive-CTE min-label propagation over the same "
     "pair graph (LLM-pipeline mandate; r3 graph-dedup milestone).",
 )
-def q85_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z785_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shared memoized pair graph + components (functions/neardup.py).
     # The graph is built from exact-VERIFIED pairs only — candidates
     # are ~170x the true pair set at sf0.1 and would over-merge
@@ -1196,7 +1196,7 @@ def q85_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedupe, each stage the registered operator's exact logic
 # --------------------------------------------------------------------------
 @register(
-    "q90_corpus_pipeline",
+    "z790_corpus_pipeline",
     oracle="""
     WITH base AS (
       SELECT doc_id, lang, source, text,
@@ -1241,7 +1241,7 @@ def q85_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Shuffle keys: hash, shingle, doc_id — never the document body "
     "except to shingle survivors (LLM-pipeline mandate capstone).",
 )
-def q90_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z790_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")

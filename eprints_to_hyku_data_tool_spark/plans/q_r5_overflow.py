@@ -121,7 +121,7 @@ def z550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y76 — per-node local clustering coefficient
 # --------------------------------------------------------------------------
 @register(
-    "q551_clustering_coefficient",
+    "z7551_clustering_coefficient",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -162,12 +162,12 @@ def z550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers. Shuffles on top of q66's: one explode-count and one "
     "degree join — both node-keyed.",
 )
-def q551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z7551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import degrees, triangles
 
     # Shared memoized graph (functions/copurchase.py): one edge-set /
     # degree / triangle materialization per session serves the whole
-    # graph family — neither q566_triangle_count's orientation nor its
+    # graph family — neither z7566_triangle_count's orientation nor its
     # wedge join is recomputed here (r5 verdict item 6).
     deg = degrees(spark, sf_dir)
     tri = triangles(spark, sf_dir)
@@ -1285,7 +1285,7 @@ def z563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y89 — modularity of a labeled partition over the co-purchase graph
 # --------------------------------------------------------------------------
 @register(
-    "q564_modularity",
+    "z7564_modularity",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1331,7 +1331,7 @@ def z563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label-propagation output; at 100 TB it costs two broadcastable "
     "label joins + three community-keyed aggregates.",
 )
-def q564_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z7564_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import undirected_edges
 
     # Shared memoized edge set (functions/copurchase.py).
@@ -1398,7 +1398,7 @@ def _sqrt_chain_sql(expr: str) -> str:
 
 
 @register(
-    "q565_degree_powerlaw",
+    "z7565_degree_powerlaw",
     oracle=f"""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1450,7 +1450,7 @@ def _sqrt_chain_sql(expr: str) -> str:
     "the (constant) alpha column — every term of the estimate is "
     "hash-checked, not just the headline number.",
 )
-def q565_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z7565_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import degrees
 
     # Shared memoized degree table (functions/copurchase.py).

@@ -195,7 +195,7 @@ def z642_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y61 — unpivot / melt (wide -> long) + per-metric profile
 # --------------------------------------------------------------------------
 @register(
-    "q235_unpivot_melt",
+    "z7235_unpivot_melt",
     oracle="""
     SELECT metric,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -215,7 +215,7 @@ def z642_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are the source column names in both engines, sums in DECIMAL "
     "(fleet rule) (SURVEY §2.4 reshaping).",
 )
-def q235_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z7235_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ids=["l_orderkey", "l_linenumber"],

@@ -128,7 +128,7 @@ def test_x26_funnel_single_shuffle(plans):
     point of the window form vs the oracle's three-join chain."""
     import re
 
-    p = plans("q95_funnel")
+    p = plans("z795_funnel")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert len(re.findall(r"\(\d+\) Window", p)) == 3, p
 
@@ -140,44 +140,44 @@ def test_x26_funnel_single_shuffle(plans):
 # build the gap-fill grid — tiny-by-construction, like x15.
 NESTED_LOOP_WHITELIST = {
     "z14_cross_join",
-    "q84_tfidf",
-    "q92_gapfill",
+    "z784_tfidf",
+    "z792_gapfill",
     # x30 cross-joins a one-row totals aggregate back onto the strata
     # counts — broadcast, tiny by construction.
-    "q98_mix_reweight",
+    "z798_mix_reweight",
     # y34/y35 cross-join one-row corpus-stats/total aggregates (same
     # broadcast shape as x30).
     "z180_bm25",
     "z181_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
-    "q71_unigram_logprob",
+    "z771_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
-    "q191_ri_audit",
+    "z7191_ri_audit",
     # y59 cross-joins the one-row grand-total aggregate onto the
     # (lang x source) contingency cells (same shape as x30/y34).
-    "q233_chisquare",
+    "z7233_chisquare",
     # x43/x44 cross-join one-row vocab-size / bigram-total aggregates
     # (the z71 shape).
-    "z243_bigram_lm",
-    "z244_pmi_collocations",
+    "q243_bigram_lm",
+    "q244_pmi_collocations",
     # x49 pairs the per-source size table against itself with an
     # inequality condition — sources^2 rows, tiny by construction.
-    "z249_vocab_overlap",
+    "q249_vocab_overlap",
     # q21 (TPC-H Q22) cross-joins the one-row global-average-balance
     # aggregate onto customer — the canonical scalar-subquery broadcast.
-    "z321_dormant_customers",
+    "q321_dormant_customers",
     # q88's verdict join is one-row stats x one-row edge count, and the
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
     # scalar collect).
-    "q588_pagerank",
+    "z7588_pagerank",
     # q24 cross-joins the (5-row lang model dim x one-row vocab/total
     # aggregates) onto the test token stream — tiny by construction,
     # the z71/x30 broadcast-scalar shape.
-    "z324_naive_bayes",
+    "q324_naive_bayes",
     # q27 cross-joins the two one-row side-total aggregates onto the
     # 10-row bin join (same shape).
-    "z327_psi_drift",
+    "q327_psi_drift",
     # q37's FK-coverage row cross-joins two ONE-ROW count aggregates
     # (checked-total x violation-total — the z191 shape).
     "z337_expectations_audit",
@@ -209,8 +209,8 @@ NESTED_LOOP_WHITELIST = {
     "z563_benford_audit",
     # y89/y90 cross-join one-row edge-count / min-degree / totals
     # aggregates onto community- or degree-sized tables (same shape).
-    "q564_modularity",
-    "q565_degree_powerlaw",
+    "z7564_modularity",
+    "z7565_degree_powerlaw",
 }
 
 
@@ -218,7 +218,7 @@ def test_y31_eval_grams_broadcast(plans):
     """Decontamination's scale contract: the eval n-gram side is broadcast
     (benchmark-sized), so the corpus side streams map-side — the gram
     match must be a BroadcastHashJoin, never a shuffled join on grams."""
-    p = plans("q75_decontaminate")
+    p = plans("z775_decontaminate")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -237,7 +237,7 @@ def test_y36_group_sample_window_group_limit(plans):
 def test_q68_salted_exchange_partitions_on_salt(plans):
     # The whole point of salting: the build-side exchange hashes
     # (key, salt), not just the key — and the broadcast path is off.
-    p = plans("q68_skew_salted_join")
+    p = plans("z768_skew_salted_join")
     assert "__salt" in p, p
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
 
@@ -297,7 +297,7 @@ def test_q70_cumsum_is_distributed(plans):
     """Sequence packing's global running sum must ride the two-phase
     range-partition scheme (z37 rule), never a single-partition window
     over the whole corpus."""
-    p = plans("q70_sequence_pack")
+    p = plans("z770_sequence_pack")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -339,26 +339,26 @@ def test_x54_topk_uses_window_group_limit(plans):
     """Top-k tokens per source must run as WindowGroupLimit: each task
     keeps 5 rows per source BEFORE the shuffle, never the full
     vocabulary per group."""
-    assert "WindowGroupLimit" in plans("z254_topk_tokens_per_source")
+    assert "WindowGroupLimit" in plans("q254_topk_tokens_per_source")
 
 
 def test_x55_script_profile_zero_shuffle(plans):
     """The charclass profile is pure row-level expression work — its
     plan must contain no Exchange at all."""
-    assert "Exchange" not in plans("z255_script_profile")
+    assert "Exchange" not in plans("q255_script_profile")
 
 
 def test_x41_media_decode_zero_shuffle(plans):
     """Synthesize -> decode is a row-level Arrow pipeline over the scan;
     no Exchange may appear."""
-    assert "Exchange" not in plans("z241_media_decode")
+    assert "Exchange" not in plans("q241_media_decode")
 
 
 def test_y71_promo_part_join_broadcasts(plans):
     """The Q14 composite joins one month of lineitem to the part
     dimension: the dim side must broadcast (no SMJ shuffle of the fact
     table), and the shipdate month must reach the scan."""
-    p = plans("z305_promo_revenue")
+    p = plans("q305_promo_revenue")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
@@ -369,7 +369,7 @@ def test_y70_shipmode_predicates_reach_scan(plans):
     linestatus equality and both ends of the shipdate year range must
     all appear as pushed scan filters (ADVICE r4: the registry doc
     claimed this; nothing enforced it)."""
-    p = plans("z304_shipmode_priority")
+    p = plans("q304_shipmode_priority")
     assert "EqualTo(l_linestatus,F)" in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "LessThan(l_shipdate" in p, p
@@ -381,7 +381,7 @@ def test_y72_outer_join_stays_outer(plans):
     join degenerates to inner and zero-order customers vanish. The
     executed plan must keep the outer join and show NO filter on
     o_orderpriority applied after it."""
-    p = plans("z306_order_distribution")
+    p = plans("q306_order_distribution")
     assert "LeftOuter" in p, p
     # The priority predicate must appear as a pushed/scan-side filter on
     # orders (pre-join), and never in a Filter node above the join.
@@ -400,7 +400,7 @@ def test_y74_volume_shipping_broadcasts_both_nations(plans):
     distinct BHJ-on-nationkey nodes) and nothing may degrade to a
     nested-loop join (ADVICE r4: registry doc claimed dual broadcasts;
     nothing enforced it)."""
-    p = plans("z308_volume_shipping")
+    p = plans("q308_volume_shipping")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "n_nationkey" in p, p
@@ -410,7 +410,7 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
     """The Q17 decorrelation joins lineitem to its own per-part
     aggregate: the brand/size-filtered part dim must broadcast, and the
     predicates must reach the part scan."""
-    p = plans("z307_small_qty_audit")
+    p = plans("q307_small_qty_audit")
     assert "BroadcastHashJoin" in p, p
     assert "EqualTo(p_brand,Brand#23)" in p, p
     assert "LessThan(p_size,15)" in p, p
@@ -427,16 +427,16 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
 # join silently degrades to a nested loop, and scan pushdown persists.
 # --------------------------------------------------------------------------
 HEAVY_QUERIES = [
-    "q90_corpus_pipeline",
-    "q85_cluster_dedupe",
-    "q75_decontaminate",
+    "z790_corpus_pipeline",
+    "z785_cluster_dedupe",
+    "z775_decontaminate",
     "z667_embedding_dedupe",
     "z186_ivf_embedding_dedupe",
-    "z301_duplicate_ngram_filter",
+    "q301_duplicate_ngram_filter",
     "z660_minhash_lsh",
-    "q86_ngram_jaccard",
-    "z308_volume_shipping",
-    "q588_pagerank",
+    "z786_ngram_jaccard",
+    "q308_volume_shipping",
+    "z7588_pagerank",
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
     # automatic broadcasting is off and shuffles are cluster-sized.
@@ -482,7 +482,7 @@ def test_cluster_shaped_decontaminate_still_broadcasts(spark, sf_dir):
     ONLY way that survives is the explicit broadcast() hint — this test
     fails if the hint is ever dropped in favor of threshold luck."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["q75_decontaminate"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["z775_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
 
 
@@ -492,7 +492,7 @@ def test_cluster_shaped_volume_shipping_keeps_dim_broadcasts(spark, sf_dir):
     the pushed filters must still reach the scans — pushdown is a
     property of the plan, not of the session config."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["z308_volume_shipping"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["q308_volume_shipping"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -514,7 +514,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
     """The Q2-shape window rank-1 must run as WindowGroupLimit (each task
     keeps one candidate per part before the shuffle) and the part-size
     prune must reach the part scan."""
-    p = plans("z310_min_cost_supplier")
+    p = plans("q310_min_cost_supplier")
     assert "WindowGroupLimit" in p, p
     assert "LessThan(p_size,10)" in p, p
 
@@ -522,7 +522,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
 def test_q11_exists_is_semi_join_with_pushdown(plans):
     """The Q4-shape EXISTS must be a left semi join whose quantity filter
     reaches the lineitem scan — never a post-join distinct."""
-    p = plans("z311_priority_exists")
+    p = plans("q311_priority_exists")
     assert "LeftSemi" in p, p
     assert "GreaterThanOrEqual(l_quantity,48.0)" in p, p
 
@@ -530,7 +530,7 @@ def test_q11_exists_is_semi_join_with_pushdown(plans):
 def test_q15_max_joinback_is_hash_join(plans):
     """The Q15-shape scalar-MAX join-back compares exact decimals with an
     EQUI join — broadcast hash, never a nested loop over revenue."""
-    p = plans("z315_top_supplier")
+    p = plans("q315_top_supplier")
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -539,7 +539,7 @@ def test_q18_or_implications_reach_both_scans(plans):
     """The Q19-shape disjunction spans both join sides; Catalyst must
     derive each side's implication and push it: the quantity OR-range
     onto lineitem, the brand/size OR onto part."""
-    p = plans("z318_disjunctive_revenue")
+    p = plans("q318_disjunctive_revenue")
     assert "GreaterThanOrEqual(l_quantity,1.0)" in p, p
     assert "EqualTo(p_brand,Brand#12)" in p, p
     assert "EqualTo(p_brand,Brand#3)" in p, p
@@ -553,7 +553,7 @@ def test_q17_aggregates_before_joining(plans):
     not over a join."""
     import re
 
-    p = plans("z317_large_orders")
+    p = plans("q317_large_orders")
     assert p.count("HashAggregate") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
     # formatted-explain numbers nodes leaf-to-root: the group-by's
@@ -585,7 +585,7 @@ def test_q29_scd2_single_shuffle(plans):
     partitions by user_id, so exactly one plain Exchange may appear."""
     import re
 
-    p = plans("z329_scd2_history")
+    p = plans("q329_scd2_history")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert p.count("Window") >= 3, p
 
@@ -595,7 +595,7 @@ def test_q30_merge_is_full_outer_smj(plans):
     never a nested loop, and both sides shuffle exactly once."""
     import re
 
-    p = plans("z330_merge_upsert")
+    p = plans("q330_merge_upsert")
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
@@ -607,7 +607,7 @@ def test_q31_cdc_single_shuffle(plans):
     the one user_id exchange (same partition key, compatible sorts)."""
     import re
 
-    p = plans("z331_cdc_apply")
+    p = plans("q331_cdc_apply")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
 
 
@@ -617,7 +617,7 @@ def test_q34_attribution_two_shuffles(plans):
     (no self-join node may appear)."""
     import re
 
-    p = plans("z334_last_touch_attribution")
+    p = plans("q334_last_touch_attribution")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
     assert "Join" not in p, p
 

@@ -31,10 +31,10 @@ COPIES = 3
 # scale-sensitive family (graph build+iteration, LSH banding, sketch
 # aggs, PPJoin, winnowing) keeps the opt-in run in minutes.
 HEAVY = [
-    "q588_pagerank",
+    "z7588_pagerank",
     "z660_minhash_lsh",
     "z622_approx_count_distinct",
-    "z252_winnow_containment",
+    "q252_winnow_containment",
     "z345_split_leakage",
 ]
 

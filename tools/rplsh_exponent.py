@@ -1,0 +1,149 @@
+"""Measure the RP-LSH scaling exponent (VERDICT r8 item 6).
+
+The q74 docstring claims the LSH candidate-pair term grows ~ n^1.66 at
+tau=0.4 (rho = ln(1/p1)/ln(1/p2) with 16x8 banding ~ 0.66). That was
+analysis; this tool turns it into measurement. It runs q74 at the 1x
+(sf0.1), 3x, and 10x key-shifted tiers (tools/make_scale_tier.py) and
+fits two log-log slopes:
+
+- candidate exponent: exact candidate-pair count per tier
+  (sum over (band, sig) buckets of C(cnt, 2) minus the same-vector
+  band collisions counted pairwise) vs n. This is the n^1.66 claim
+  itself, measured with zero timing noise.
+- runtime exponent: warm min-of-N wall time of the full q74 plan vs n.
+  Expected BELOW the candidate exponent at these sizes: the plan also
+  carries O(n) scan/signature work and a fixed ~1 s session floor, so
+  the quadratic-ish verify term only dominates asymptotically. The
+  candidate slope is the contract; the runtime slope is the sanity
+  bound (must stay well under 2.0 and near-or-below the candidate
+  slope once the floor is subtracted).
+
+Method notes (the repo's bench lessons): ONE session, tiers smallest
+first (JVM/JIT warm by the big tiers), one untimed warmup per tier,
+then min of --runs timed runs. Run nothing else concurrently.
+
+Run:  python tools/rplsh_exponent.py \
+        [--tiers /root/testdata/sf0.1 /tmp/scale3 /tmp/scale10] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+
+def _fit_slope(xs: list[float], ys: list[float]) -> float:
+    lx = [math.log(x) for x in xs]
+    ly = [math.log(y) for y in ys]
+    n = len(lx)
+    mx, my = sum(lx) / n, sum(ly) / n
+    return sum((a - mx) * (b - my) for a, b in zip(lx, ly)) / sum(
+        (a - mx) ** 2 for a in lx
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--tiers",
+        nargs="+",
+        default=["/root/testdata/sf0.1", "/tmp/scale3", "/tmp/scale10"],
+    )
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(_ROOT, "RPLSH_EXPONENT.json"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import _rp_signatures
+    from eprints_to_hyku_data_tool_spark.session import get_spark
+    from eprints_to_hyku_data_tool_spark.sources.io import load_table
+
+    import __spark_entry__ as entry_mod
+
+    q74 = entry_mod.queries()["q74_rplsh_neardup"]
+
+    spark = get_spark(
+        app_name="rplsh-exponent",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        driver_memory="48g",
+    )
+
+    rows = []
+    for tier in args.tiers:
+        n = load_table(spark, tier, "embeddings").count()
+
+        # Exact candidate-pair count: pairs sharing >=1 band signature,
+        # counted once per (band, sig) bucket then deduped across bands
+        # is what q74 verifies; the raw per-band sum is the work the
+        # verify stage actually performs (a pair colliding in b bands is
+        # dotted b times pre-dedup in the oracle formulation, once per
+        # group in the bucket-local plan), so report BOTH.
+        sigs = _rp_signatures(load_table(spark, tier, "embeddings"))
+        per_band = (
+            sigs.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.sum(F.expr("c * (c - 1) / 2")).alias("p"))
+            .collect()[0]["p"]
+        )
+        distinct_pairs = (
+            sigs.alias("a")
+            .join(
+                sigs.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+            .count()
+        )
+
+        q74(spark, tier).write.format("noop").mode("overwrite").save()  # warmup
+        times = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            q74(spark, tier).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        rows.append(
+            {
+                "tier": tier,
+                "n": n,
+                "cand_per_band": int(per_band),
+                "cand_distinct": distinct_pairs,
+                "sec_min": round(min(times), 3),
+                "sec_all": [round(t, 3) for t in times],
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+    spark.stop()
+
+    ns = [r["n"] for r in rows]
+    report = {
+        "banding": "16 bands x 8 bits, tau=0.4",
+        "claimed_exponent": 1.66,
+        "candidate_exponent_per_band": round(
+            _fit_slope(ns, [r["cand_per_band"] for r in rows]), 3
+        ),
+        "candidate_exponent_distinct": round(
+            _fit_slope(ns, [r["cand_distinct"] for r in rows]), 3
+        ),
+        "runtime_exponent": round(
+            _fit_slope(ns, [r["sec_min"] for r in rows]), 3
+        ),
+        "tiers": rows,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+    print(json.dumps(report, indent=1, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,17 +39,17 @@ sys.path.insert(0, _ROOT)
 # forms), decontamination, IVF, corpus pipeline, profiling, percentile
 # sketches, PPJoin leakage, k-means, BPE.
 HEAVY = [
-    "q588_pagerank",
-    "q526_bfs_hops",
+    "z7588_pagerank",
+    "z7526_bfs_hops",
     "z620_global_agg",
-    "z252_winnow_containment",
-    "z301_duplicate_ngram_filter",
+    "q252_winnow_containment",
+    "q301_duplicate_ngram_filter",
     "q74_rplsh_neardup",
-    "q75_decontaminate",
+    "z775_decontaminate",
     "z185_ivf_topk",
-    "q90_corpus_pipeline",
+    "z790_corpus_pipeline",
     "z190_column_profile",
-    "q192_approx_percentile",
+    "z7192_approx_percentile",
     "z345_split_leakage",
     "z554_association_rules",
     "z660_simhash",
@@ -113,7 +113,7 @@ def main() -> None:
 
     # Warm re-run for suspects (the bench.py lesson, observed on the smoke
     # too: single-pass numbers in an aged session vary 2-4x run-to-run —
-    # q90_corpus_pipeline measured 16 s and 59 s at the 10x tier on
+    # z790_corpus_pipeline measured 16 s and 59 s at the 10x tier on
     # IDENTICAL code in back-to-back serial runs). Any query past a QUARTER
     # of the failure bound (copies/2 vs the 2*copies bound — deliberately
     # broad, so contention artifacts get their retry before they can fail
