@@ -217,8 +217,14 @@ def _band_sigs_udf():
     "pipeline SQL-oracle-checkable at all. Scale shape: signatures "
     "are row-level (zero shuffle); ONE shuffle of O(16n) ~530 B "
     "signature+vector rows groups each (band, sig) bucket; the "
-    "~16/2^8 = 6% candidate-pair stream (the n^1.66 LSH term; the "
-    "round-7 scale smoke caught 4-bit bands admitting 23%) is "
+    "~16/2^8 = 6% candidate-pair stream (MEASURED 6.85% of all "
+    "pairs, scale-constant at 1x/3x/10x — exponent 2.00, "
+    "RPLSH_EXPONENT.json: a FIXED banding config is a ~16x constant "
+    "cutdown of n^2, not sub-quadratic; the textbook n^1.66 curve is "
+    "what holding recall costs when band bits grow ~log n and band "
+    "count ~n^0.66 — at 100 TB retune _N_BANDS/_BAND_BITS, two "
+    "module constants the oracle derives from too; the round-7 "
+    "scale smoke caught 4-bit bands admitting 23%) is "
     "generated AND killed inside the bucket's numpy block matmul — "
     "it never hits a shuffle, an Arrow channel, or a per-pair "
     "expression eval. Only tau-survivors (true near-dups) leave the "

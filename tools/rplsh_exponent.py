@@ -1,10 +1,17 @@
 """Measure the RP-LSH scaling exponent (VERDICT r8 item 6).
 
-The q74 docstring claims the LSH candidate-pair term grows ~ n^1.66 at
-tau=0.4 (rho = ln(1/p1)/ln(1/p2) with 16x8 banding ~ 0.66). That was
-analysis; this tool turns it into measurement. It runs q74 at the 1x
-(sf0.1), 3x, and 10x key-shifted tiers (tools/make_scale_tier.py) and
-fits two log-log slopes:
+The q74 docstring (pre-round-9) claimed the LSH candidate-pair term
+grows ~ n^1.66 at tau=0.4 (rho = ln(1/p1)/ln(1/p2) ~ 0.66). That was
+analysis; this tool turns it into measurement — and the measurement
+REFUTED the label as stated (see RPLSH_EXPONENT.json + BASELINE.md):
+with FIXED 16x8 banding a random pair collides in >=1 band with
+probability ~16/2^8 = 6.25%, so the candidate stream is a constant
+~6-7% of ALL pairs at every scale — exponent 2.0 with a ~16x constant
+cutdown. The n^(1+rho) = n^1.66 total-work curve is what maintaining
+recall costs when band bits grow ~log n AND band count grows ~n^rho;
+a fixed config is the quadratic-with-small-constant regime of that
+family. This tool runs q74 at the 1x (sf0.1), 3x, and 10x key-shifted
+tiers (tools/make_scale_tier.py) and fits two log-log slopes:
 
 - candidate exponent: exact candidate-pair count per tier
   (sum over (band, sig) buckets of C(cnt, 2) minus the same-vector
@@ -64,7 +71,7 @@ def main() -> None:
 
     from eprints_to_hyku_data_tool_spark.plans.q_embed import _rp_signatures
     from eprints_to_hyku_data_tool_spark.session import get_spark
-    from eprints_to_hyku_data_tool_spark.sources.io import load_table
+    from eprints_to_hyku_data_tool_spark.sources.tables import load_table
 
     import __spark_entry__ as entry_mod
 
@@ -112,12 +119,17 @@ def main() -> None:
             t0 = time.perf_counter()
             q74(spark, tier).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
+        all_pairs = n * (n - 1) / 2
         rows.append(
             {
                 "tier": tier,
                 "n": n,
                 "cand_per_band": int(per_band),
                 "cand_distinct": distinct_pairs,
+                # the key diagnostic: a scale-constant rate means the
+                # candidate stream is a fixed fraction of ALL pairs
+                # (quadratic with a constant cutdown), not sub-quadratic
+                "cand_rate_of_all_pairs": round(distinct_pairs / all_pairs, 4),
                 "sec_min": round(min(times), 3),
                 "sec_all": [round(t, 3) for t in times],
             }
