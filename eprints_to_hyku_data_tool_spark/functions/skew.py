@@ -59,3 +59,67 @@ def top_heavy_keys(df: DataFrame, key: str, top_n: int = 5) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc(key))
         .limit(top_n)
     )
+
+
+def salted_pair_groups(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    id_col: str,
+    hot_rows: int,
+) -> DataFrame:
+    """Split hot PAIR-ENUMERATION groups into bounded salt-pair groups.
+
+    The generic form of q74's round-9 hot-bucket mitigation (see
+    plans/q_embed.py for the original derivation), shared by every
+    grouped-map kernel that enumerates within-group pairs
+    (LSH (band, sig) buckets, IVF cells): `groupBy(group_cols)
+    .applyInPandas(pair_kernel)` makes the whole group ONE worker's ONE
+    Arrow group — O(n_group) resident and O(n_group^2) CPU on a single
+    core, the one skew cliff grouped-map semantics hide. So:
+
+    - a tiny count agg (partial-agg shuffle of (group_cols, n) only —
+      wide payload columns never ride it) finds groups past `hot_rows`;
+    - the hot set broadcasts back (bounded at rows/hot_rows entries);
+    - each hot row gets salt s = xxhash64(id_col) mod k,
+      k = ceil(n_group/hot_rows), and replicates to the k groups
+      {(min(s, j), max(s, j)) : j < k}, so a pair with salts (i, j)
+      co-locates in exactly the group (min(i,j), max(i,j)) and NO
+      other — the union over groups is exactly the group's pair set
+      with zero double-emits;
+    - cold groups keep k = 1 -> the single (0, 0) group (plan
+      unchanged vs unsalted).
+
+    Downstream, group on (*group_cols, "lo", "hi") and make the kernel
+    salt-aware: when lo != hi only different-salt pairs may be emitted
+    (equal-salt pairs belong to their diagonal group). Per-group
+    residency is bounded at ~2*hot_rows rows however big the group;
+    total pair CPU stays the group's inherent O(n_group^2), spread over
+    k(k+1)/2 cores instead of one.
+
+    Returns df plus (salt, lo, hi) columns, rows replicated k-fold for
+    hot groups only.
+    """
+    counts = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__group_n")
+    )
+    hot = counts.filter(F.col("__group_n") > hot_rows).select(
+        *group_cols,
+        F.ceil(F.col("__group_n") / hot_rows).cast("int").alias("__k"),
+    )
+    salted = df.join(F.broadcast(hot), list(group_cols), "left")
+    k = F.coalesce(F.col("__k"), F.lit(1))
+    s = F.pmod(F.xxhash64(id_col), k).cast("int")
+    pairs = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda j: F.struct(
+            F.least(s, j).cast("int").alias("lo"),
+            F.greatest(s, j).cast("int").alias("hi"),
+        ),
+    )
+    return (
+        salted.withColumn("salt", s)
+        .withColumn("__sp", F.explode(pairs))
+        .withColumn("lo", F.col("__sp.lo"))
+        .withColumn("hi", F.col("__sp.hi"))
+        .drop("__sp", "__k")
+    )

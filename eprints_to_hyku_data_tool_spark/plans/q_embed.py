@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.skew import salted_pair_groups
 from ..sources.tables import load_table
 from .registry import register
 
@@ -317,34 +318,14 @@ def _salted_groups(sigs: DataFrame, hot_rows: int) -> DataFrame:
     recompute of the signature branch (counts + main) is the standard
     AQE-style stats-pass trade: strictly cheaper at scale than either
     caching 16n wide rows or adding a second wide shuffle for a window
-    count."""
-    counts = sigs.groupBy("band", "sig").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
-    hot = counts.filter(F.col("bucket_n") > hot_rows).select(
-        "band",
-        "sig",
-        F.ceil(F.col("bucket_n") / hot_rows).cast("int").alias("k"),
-    )
-    salted = sigs.join(F.broadcast(hot), ["band", "sig"], "left")
-    k = F.coalesce(F.col("k"), F.lit(1))
-    s = F.pmod(F.xxhash64("vec_id"), k).cast("int")
-    pairs = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda j: F.struct(
-            F.least(s, j).cast("int").alias("lo"),
-            F.greatest(s, j).cast("int").alias("hi"),
-        ),
-    )
-    return salted.select(
-        "vec_id",
-        "vq",
-        "band",
-        "sig",
-        s.alias("salt"),
-        F.explode(pairs).alias("sp"),
-    ).select(
-        "vec_id", "vq", "band", "sig", "salt", "sp.lo", "sp.hi"
+    count.
+
+    Round-9 refactor: the mechanism generalized to every pair-enumeration
+    grouped-map kernel (the IVF cells have the identical cliff) as
+    functions/skew.py::salted_pair_groups; this wrapper keeps q74's
+    column contract."""
+    return salted_pair_groups(sigs, ("band", "sig"), "vec_id", hot_rows).select(
+        "vec_id", "vq", "band", "sig", "salt", "lo", "hi"
     )
 
 

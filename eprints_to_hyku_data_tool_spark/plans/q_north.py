@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.skew import salted_pair_groups
 from ..sources.tables import load_table
 from .registry import register
 
@@ -920,11 +921,21 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEAR-UNIFORM fixture (the IVF worst case; clustered real corpora
     pay ~n_assign*nlist^-1 of the all-pairs cost at much higher
     recall). Every emitted drop is exact-verified, so the drop set is a
-    strict subset of q67's. Task memory: one cell = ~n_assign*n/nlist
-    vectors, tuned via nlist; no driver collect (centroids are
-    nlist x dim) (assignment dedup mandate; the registered
-    z186_ivf_embedding_dedupe wraps this in a driver-checkable
-    subset + recall verdict)."""
+    strict subset of q67's. Task memory: ~n_assign*n/nlist vectors per
+    cell when assignment is balanced, and BOUNDED at ~2x
+    _IVF_HOT_CELL_ROWS when it is not — clustered corpora (the
+    realistic case: embeddings cluster, which is IVF's premise) can
+    put a large fraction of n in one cell, the same grouped-map skew
+    cliff q74's (band, sig) buckets had (round-8 verdict), so cells
+    past the threshold are salted into k sub-cells with cross-sub-cell
+    pairing (functions/skew.py::salted_pair_groups; pair set provably
+    identical to unsalted — q74's argument). The verify matmul is
+    blocked over ROWS of the pre-normalized matrix, so the similarity
+    buffer is O(block^2) however big the cell while every pair's
+    cosine is the same IEEE dot either way. No driver collect
+    (centroids are nlist x dim) (assignment dedup mandate; the
+    registered z186_ivf_embedding_dedupe wraps this in a
+    driver-checkable subset + recall verdict)."""
     NLIST, N_ASSIGN, TAU = 16, 3, 0.4
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -933,25 +944,7 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select(
         "vec_id", "embedding", F.explode(nearest_cells("embedding")).alias("cell")
     )
-
-    pair_schema = "id_a bigint, id_b bigint"
-
-    def cell_pairs(key, pdf):
-        import numpy as _np
-
-        m = _np.stack(pdf["embedding"].values).astype(_np.float64)
-        norms = _np.linalg.norm(m, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        m /= norms
-        ids = pdf["vec_id"].to_numpy(dtype=_np.int64)
-        sims = m @ m.T
-        ia, ib = _np.nonzero(sims >= TAU)
-        keep = ids[ia] < ids[ib]
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
-
-    pairs = (
-        assigned.groupBy("cell").applyInPandas(cell_pairs, pair_schema).distinct()
-    )
+    pairs = _ivf_cell_pairs(assigned, TAU, _IVF_BLOCK, _IVF_HOT_CELL_ROWS)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     return (
         emb.select("vec_id", "label")
@@ -962,6 +955,89 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("is_dropped", F.lit(False)).alias("is_dropped"),
         )
     )
+
+
+_IVF_BLOCK = 2048
+# Same budget rationale as q74's _HOT_BUCKET_ROWS: 16384 float64 rows x
+# 64 dims is an ~8 MB Arrow group and a seconds-scale single-core
+# verify; past it a cell salts into ceil(n/threshold) sub-cells.
+_IVF_HOT_CELL_ROWS = 16384
+
+
+def _ivf_cell_pairs(
+    assigned: DataFrame, tau: float, block: int, hot_rows: int
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs with cosine >= tau sharing an IVF
+    cell, verified cell-locally with residency bounded via hot-cell
+    salting (the q74 mechanism, functions/skew.py::salted_pair_groups).
+    Factory-parameterized so tests can force the salted/multi-block
+    paths the fixtures' balanced cells never reach."""
+    return (
+        salted_pair_groups(assigned, ("cell",), "vec_id", hot_rows)
+        .groupBy("cell", "lo", "hi")
+        .applyInPandas(
+            _cell_verifier(block, tau), "id_a bigint, id_b bigint"
+        )
+        .distinct()
+    )
+
+
+def _cell_verifier(block: int, tau: float):
+    """Blocked, salt-aware all-pairs cosine verify for one IVF cell
+    group (CLOSURE — cloudpickle by value, the driver-sim contract).
+    Mirrors q74's _bucket_verifier semantics: a (lo != hi) frame is the
+    cross group of two sub-cells, so only different-salt pairs are
+    emitted; diagonal/unsalted frames keep all-pairs. Blocking is over
+    rows of the once-normalized matrix — each pair's cosine is the
+    same IEEE float64 dot whatever the block size."""
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as _np
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        cross = (
+            "lo" in pdf.columns
+            and "hi" in pdf.columns
+            and pdf["lo"].iat[0] != pdf["hi"].iat[0]
+        )
+        order = _np.argsort(pdf["vec_id"].values, kind="stable")
+        ids = pdf["vec_id"].values[order].astype(_np.int64)
+        salts = pdf["salt"].values[order] if cross else None
+        m = _np.stack(pdf["embedding"].values[order]).astype(_np.float64)
+        norms = _np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        m /= norms
+        out_a, out_b = [], []
+        for i0 in range(0, n, block):
+            ai = m[i0 : i0 + block]
+            for j0 in range(i0, n, block):
+                sims = ai @ m[j0 : j0 + block].T
+                ii, jj = _np.nonzero(sims >= tau)
+                keep = ids[i0 + ii] < ids[j0 + jj]
+                if cross:
+                    keep &= salts[i0 + ii] != salts[j0 + jj]
+                ii, jj = ii[keep], jj[keep]
+                if len(ii):
+                    out_a.append(ids[i0 + ii])
+                    out_b.append(ids[j0 + jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": _np.concatenate(out_a),
+                "id_b": _np.concatenate(out_b),
+            }
+        )
+
+    return cell_pairs
 
 
 @register(

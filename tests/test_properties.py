@@ -790,3 +790,110 @@ def test_rplsh_spark_path_invariant_to_verify_block(spark, sf_dir, monkeypatch):
         map(tuple, q_embed.q74_rplsh_neardup(spark, sf_dir).collect())
     )
     assert base == tiny and len(base) > 0
+
+
+def test_cell_verifier_cross_group_semantics():
+    """Float mirror of test_bucket_verifier_cross_group_semantics for
+    the IVF cell kernel (round-9: the hot-group salting generalized to
+    functions/skew.py::salted_pair_groups and retrofitted onto the IVF
+    cells, which had the identical grouped-map residency cliff): a
+    (lo != hi) frame is a CROSS group — only different-salt pairs; the
+    diagonal and legacy salt-free frames keep all-pairs; blocking never
+    changes the emitted set (row-blocked matmul of a once-normalized
+    matrix computes the identical IEEE dot per pair)."""
+    import numpy as np
+    import pandas as pd
+
+    from eprints_to_hyku_data_tool_spark.plans.q_north import _cell_verifier
+
+    rng = np.random.default_rng(186)
+    n, d, tau = 17, 8, 0.4
+    base = rng.uniform(0.1, 1.0, size=d)
+    m = np.stack(
+        [base + rng.uniform(-0.01, 0.01, size=d) for _ in range(n)]
+    )  # all-near-dup: every pair passes tau
+    ids = np.arange(300, 300 + n, dtype=np.int64)
+    salts = (ids % 3).astype(np.int64)
+    all_pairs = {
+        (int(ids[i]), int(ids[j])) for i in range(n) for j in range(i + 1, n)
+    }
+    cross_pairs = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if salts[i] != salts[j]
+    }
+    assert cross_pairs and cross_pairs != all_pairs
+
+    def run(pdf, block=4):
+        out = _cell_verifier(block, tau)(pdf)
+        return {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+
+    mk = lambda lo, hi: pd.DataFrame(  # noqa: E731
+        {
+            "cell": 3,
+            "lo": lo,
+            "hi": hi,
+            "salt": salts,
+            "vec_id": ids,
+            "embedding": list(m),
+        }
+    )
+    for block in (1, 3, 16, 64):
+        assert run(mk(0, 2), block) == cross_pairs, f"block={block}"
+        assert run(mk(1, 1), block) == all_pairs, f"block={block}"
+    assert (
+        run(pd.DataFrame({"vec_id": ids, "embedding": list(m)})) == all_pairs
+    )
+    # degenerate frames
+    assert len(_cell_verifier(4, tau)(mk(0, 2).iloc[:1])) == 0
+    assert len(_cell_verifier(4, tau)(mk(0, 2).iloc[:0])) == 0
+
+
+def test_ivf_salted_split_matches_unsalted(spark):
+    """End-to-end hot-CELL split: a degenerate assignment where one cell
+    holds 40 near-identical vectors (the clustered-corpus case IVF is
+    FOR — multi-assignment routinely concentrates a corpus's dominant
+    cluster into one cell) must produce, under a tiny hot threshold
+    forcing k = 5 sub-cells and a tiny verify block, EXACTLY the pair
+    set of the unsalted plan; cold cells stay single-group and the hot
+    cell exposes k(k+1)/2 salt-pair groups."""
+    import math
+
+    import numpy as np
+
+    from eprints_to_hyku_data_tool_spark.functions.skew import (
+        salted_pair_groups,
+    )
+    from eprints_to_hyku_data_tool_spark.plans.q_north import _ivf_cell_pairs
+
+    rng = np.random.default_rng(69)
+    hot_vec = rng.uniform(0.1, 1.0, size=16)
+    rows = [
+        (i, [float(x) for x in hot_vec + rng.uniform(-0.01, 0.01, 16)], 7)
+        for i in range(40)
+    ] + [
+        (100 + i, [float(x) for x in rng.uniform(-1.0, 1.0, size=16)], i % 4)
+        for i in range(16)
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+
+    unsalted = set(
+        map(tuple, _ivf_cell_pairs(assigned, 0.4, 2048, 10**9).collect())
+    )
+    salted = set(map(tuple, _ivf_cell_pairs(assigned, 0.4, 5, 8).collect()))
+    # the 40 near-identical vectors in cell 7 give C(40,2) = 780 pairs
+    assert len(unsalted) >= 780
+    assert salted == unsalted
+
+    groups = salted_pair_groups(assigned, ("cell",), "vec_id", 8).toPandas()
+    assert (groups["lo"] <= groups["hi"]).all()
+    sizes = groups.groupby("cell")["vec_id"].nunique()
+    gcounts = (
+        groups[["cell", "lo", "hi"]].drop_duplicates().groupby("cell").size()
+    )
+    for cell, n_cell in sizes.items():
+        k = math.ceil(n_cell / 8) if n_cell > 8 else 1
+        assert gcounts[cell] == k * (k + 1) // 2, (cell, n_cell)
