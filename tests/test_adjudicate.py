@@ -119,3 +119,58 @@ def test_end_to_end_fresh_session(tmp_path):
     v = data["adjudications"]["z01_scan_count"]
     assert v["verdict"] == "refuted" and len(v["warm_runs"]) == 3
     assert v["warm_min"] <= 100.0
+
+
+def test_build_entries_use_per_run_fresh_sessions(monkeypatch):
+    """Round-9 extension, found on the tool's FIRST live flag
+    (_build_copurchase_graph): bench's `_build_*` shared-intermediate
+    entries are session-memoized, so the query runner's in-session
+    re-runs would time the memo (~0 s) and auto-refute ANY build flag.
+    The tool must route `_build_*` names to the per-run fresh-session
+    runner and everything else to the query runner."""
+    import adjudicate as mod
+
+    calls = {}
+
+    def fake_query_runner(names, sf_dir, runs):
+        calls["query"] = names
+        return {n: [0.5] * runs for n in names}
+
+    def fake_build_runner(names, sf_dir, runs):
+        calls["build"] = names
+        return {n: [7.4] * runs for n in names}
+
+    monkeypatch.setattr(mod, "run_fresh_session", fake_query_runner)
+    monkeypatch.setattr(mod, "run_build_sessions", fake_build_runner)
+
+    regs = {
+        "_build_copurchase_graph": {"prev": 8.2, "now": 16.7},
+        "q90_x": {"prev": 0.5, "now": 2.0},
+    }
+    build_names = sorted(n for n in regs if n.startswith("_build_"))
+    query_names = sorted(n for n in regs if not n.startswith("_build_"))
+    warm = {}
+    warm.update(mod.run_fresh_session(query_names, "sf", 3))
+    warm.update(mod.run_build_sessions(build_names, "sf", 3))
+    out = mod.adjudicate(regs, warm)
+    assert calls == {
+        "query": ["q90_x"],
+        "build": ["_build_copurchase_graph"],
+    }
+    assert out["_build_copurchase_graph"]["verdict"] == "refuted"
+    assert out["q90_x"]["verdict"] == "refuted"
+
+
+def test_build_runner_template_names_every_bench_build():
+    """The _BUILD_RUNNER subprocess template must know every _build_*
+    name bench.py can emit — a new shared build added to bench without
+    a runner entry would crash adjudication on its first flag."""
+    import re
+
+    import adjudicate as mod
+
+    bench_src = open(os.path.join(_ROOT, "bench.py")).read()
+    bench_builds = set(re.findall(r'"(_build_\w+)"', bench_src))
+    assert bench_builds  # the two shared builds exist
+    for name in bench_builds:
+        assert f'"{name}"' in mod._BUILD_RUNNER, name

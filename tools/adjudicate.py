@@ -19,6 +19,10 @@ This tool is that procedure as one command:
 - reads the newest bench payload's `regressions` map (accepts either
   the full BENCH_local.json sidecar or a driver BENCH_r*.json wrapper,
   whose payload sits under "parsed");
+- `_build_*` flags (bench's one-time shared-intermediate entries) are
+  session-memoized, so they are timed in one fresh session PER RUN
+  (tables/Arrow warmed, build timed once) instead of re-run in-session
+  where the memo would measure ~0 s;
 - spawns ONE fresh python/Spark session that performs bench.py's
   warmup (full table scans + Arrow worker spin-up + shared builds),
   then runs each flagged query `--runs` times;
@@ -97,6 +101,48 @@ _RUNNER = textwrap.dedent(
 ).format(root=_ROOT)
 
 
+_BUILD_RUNNER = textwrap.dedent(
+    """
+    import json, sys, time
+    sys.path.insert(0, {root!r})
+    import pandas as pd
+    from eprints_to_hyku_data_tool_spark.session import get_spark
+    from eprints_to_hyku_data_tool_spark.sources.tables import TABLES
+
+    sf_dir, name = sys.argv[1], sys.argv[2]
+    spark = get_spark(app_name="adjudicate-build", driver_memory="48g")
+    from pyspark.sql import functions as F
+
+    for t in TABLES:
+        df = spark.read.parquet(f"{{sf_dir}}/{{t}}.parquet")
+        df.count()
+        df.write.format("noop").mode("overwrite").save()
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(64).repartition(32).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    from eprints_to_hyku_data_tool_spark.functions import copurchase, neardup
+
+    builds = {{
+        "_build_copurchase_graph": lambda: copurchase.triangles(
+            spark, sf_dir
+        ),
+        "_build_neardup_pairs": lambda: neardup.components(spark, sf_dir),
+    }}
+    t0 = time.perf_counter()
+    builds[name]()
+    out = {{name: [round(time.perf_counter() - t0, 3)]}}
+    spark.stop()
+    print("ADJUDICATE_JSON:" + json.dumps(out))
+    """
+).format(root=_ROOT)
+
+
 def load_payload(path: str) -> dict:
     """Full bench payload from either sidecar or driver-wrapper shape."""
     data = json.load(open(path))
@@ -129,6 +175,42 @@ def run_fresh_session(
         + proc.stdout[-2000:]
         + proc.stderr[-2000:]
     )
+
+
+def run_build_sessions(
+    names: list[str], sf_dir: str, runs: int
+) -> dict[str, list[float]]:
+    """Fresh-session timing for `_build_*` flags. A build is
+    session-memoized, so in-session re-runs measure the memo (~0 s) —
+    each timed run therefore gets its OWN fresh session (tables + Arrow
+    worker warmed, like bench.py's preamble, then the build timed
+    once); min-of-N still separates plan cost from ambient state, just
+    across sessions instead of within one."""
+    out: dict[str, list[float]] = {}
+    for name in names:
+        ts: list[float] = []
+        for _ in range(runs):
+            proc = subprocess.run(
+                [sys.executable, "-c", _BUILD_RUNNER, sf_dir, name],
+                capture_output=True,
+                text=True,
+                cwd=_ROOT,
+                timeout=1800,
+            )
+            got = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("ADJUDICATE_JSON:"):
+                    got = json.loads(line[len("ADJUDICATE_JSON:") :])
+            if got is None:
+                raise RuntimeError(
+                    f"build runner failed for {name} "
+                    f"(rc={proc.returncode}):\n"
+                    + proc.stdout[-2000:]
+                    + proc.stderr[-2000:]
+                )
+            ts.extend(got[name])
+        out[name] = ts
+    return out
 
 
 def adjudicate(
@@ -200,7 +282,13 @@ def main() -> int:
         return 0
 
     print(f"ADJUDICATE: {len(regressions)} flag(s):", sorted(regressions))
-    warm = run_fresh_session(sorted(regressions), args.sf_dir, args.runs)
+    build_names = sorted(n for n in regressions if n.startswith("_build_"))
+    query_names = sorted(n for n in regressions if not n.startswith("_build_"))
+    warm: dict[str, list[float]] = {}
+    if query_names:
+        warm.update(run_fresh_session(query_names, args.sf_dir, args.runs))
+    if build_names:
+        warm.update(run_build_sessions(build_names, args.sf_dir, args.runs))
     verdicts = adjudicate(regressions, warm)
 
     # write back into the sidecar payload (wrapper shape preserved)
