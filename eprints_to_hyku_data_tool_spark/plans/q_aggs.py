@@ -358,7 +358,7 @@ def z630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y46 — GROUPING SETS via the SQL entry point
 # --------------------------------------------------------------------------
 @register(
-    "z189_grouping_sets",
+    "q189_grouping_sets",
     oracle="""
     SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
            COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -380,7 +380,7 @@ def z630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL then cast (fleet rule), grouping() markers distinguish "
     "subtotal NULLs from data NULLs.",
 )
-def z189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("y46_lineitem")
     return spark.sql(
@@ -564,7 +564,7 @@ _HH_M = 256  # SpaceSaving counters per task
 
 
 @register(
-    "z434_heavyhitters",
+    "q434_heavyhitters",
     oracle=f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
@@ -589,7 +589,7 @@ _HH_M = 256  # SpaceSaving counters per task
     "KNOWN keys; this FINDS the heavy keys (frequency-cap / "
     "spam-domain mandate).".format(K=_HH_K, M=_HH_M),
 )
-def z434_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q434_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select("user_id")

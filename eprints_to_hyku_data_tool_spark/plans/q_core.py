@@ -32,7 +32,7 @@ def dec_sum(col: Column | str, alias: str, typ: str = "decimal(18,2)") -> Column
 # Q01 — full parquet scan + count/checksum
 # --------------------------------------------------------------------------
 @register(
-    "z01_scan_count",
+    "q01_scan_count",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(l_orderkey AS HUGEINT)) AS BIGINT) AS key_checksum,
@@ -41,7 +41,7 @@ def dec_sum(col: Column | str, alias: str, typ: str = "decimal(18,2)") -> Column
     """,
     doc="Full table scan with count and checksums (SURVEY §2.1 Q01).",
 )
-def z01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -63,7 +63,7 @@ def z01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q02 — projected + filtered scan (pushdown showcase)
 # --------------------------------------------------------------------------
 @register(
-    "z02_scan_pushdown",
+    "q02_scan_pushdown",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -71,7 +71,7 @@ def z01_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Projection+filter pushed to the parquet scan (SURVEY §2.1 Q02).",
 )
-def z02_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q02_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "O")
@@ -83,7 +83,7 @@ def z02_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q03 — compute + alias projection (ETL field mapping)
 # --------------------------------------------------------------------------
 @register(
-    "z03_project_compute",
+    "q03_project_compute",
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) AS net_price,
@@ -94,7 +94,7 @@ def z02_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Computed projection; row-level IEEE arithmetic is deterministic "
     "on both engines so no rounding is needed (SURVEY §2.2 Q03).",
 )
-def z03_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q03_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return li.select(
@@ -109,7 +109,7 @@ def z03_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q04 — compound predicate + global agg (TPC-H Q6 shape)
 # --------------------------------------------------------------------------
 @register(
-    "z04_compound_predicate",
+    "q04_compound_predicate",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
@@ -122,7 +122,7 @@ def z03_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="AND-of-ranges predicate + global aggregate (SURVEY §2.2 Q04).",
 )
-def z04_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q04_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     filtered = li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -145,7 +145,7 @@ def z04_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q05 — IN / LIKE / NULL-check predicates (vocabulary filtering)
 # --------------------------------------------------------------------------
 @register(
-    "z05_in_like_null",
+    "q05_in_like_null",
     oracle="""
     SELECT p_partkey, p_name, p_brand, p_type
     FROM part
@@ -171,7 +171,7 @@ def q05_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q06 — distinct projection
 # --------------------------------------------------------------------------
 @register(
-    "z06_distinct",
+    "q06_distinct",
     oracle="""
     SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
     """,
@@ -185,7 +185,7 @@ def q06_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q07 — conditional projection (CASE WHEN vocabulary mapping)
 # --------------------------------------------------------------------------
 @register(
-    "z07_case_when",
+    "q07_case_when",
     oracle="""
     SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
                 WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
@@ -325,7 +325,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 @register(
-    "z190_column_profile",
+    "q190_column_profile",
     oracle="""
     SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(l_quantity) AS BIGINT) AS n_non_null,
@@ -368,7 +368,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     "approx_count_distinct at scale for a sketch-mergeable one-pass "
     "variant (q22 trade).",
 )
-def z190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
     for c in _PROFILE_COLS:

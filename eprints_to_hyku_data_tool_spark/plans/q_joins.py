@@ -38,7 +38,7 @@ from .q_core import dec_sum
 # Q08 — inner equi join (large <-> large, sort-merge)
 # --------------------------------------------------------------------------
 @register(
-    "z08_inner_join",
+    "q08_inner_join",
     oracle="""
     SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -70,7 +70,7 @@ def q08_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q09 — broadcast hash join (vocabulary lookup chain)
 # --------------------------------------------------------------------------
 @register(
-    "z09_broadcast_join",
+    "q09_broadcast_join",
     oracle="""
     SELECT r_name, n_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -102,7 +102,7 @@ def q09_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q10 — left outer join (records without children survive)
 # --------------------------------------------------------------------------
 @register(
-    "z10_left_outer_join",
+    "q10_left_outer_join",
     oracle="""
     SELECT c_custkey, c_mktsegment,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
@@ -130,7 +130,7 @@ def q10_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q11 — full outer join (migration reconciliation of two id universes)
 # --------------------------------------------------------------------------
 @register(
-    "z11_full_outer_join",
+    "q11_full_outer_join",
     oracle="""
     WITH o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
                FROM orders GROUP BY o_custkey),
@@ -165,7 +165,7 @@ def q11_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q12 — left semi join (EXISTS)
 # --------------------------------------------------------------------------
 @register(
-    "z12_semi_join",
+    "q12_semi_join",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
@@ -189,7 +189,7 @@ def q12_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q13 — left anti join (NOT EXISTS: the "unmapped records" report)
 # --------------------------------------------------------------------------
 @register(
-    "z13_anti_join",
+    "q13_anti_join",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey
     FROM customer
@@ -210,7 +210,7 @@ def q13_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q14 — cross join (small-dim cartesian + post-filter)
 # --------------------------------------------------------------------------
 @register(
-    "z14_cross_join",
+    "q14_cross_join",
     oracle="""
     SELECT r_name, n_name
     FROM region CROSS JOIN nation
@@ -234,7 +234,7 @@ def q14_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q15 — theta / range join (equi key + date-window residual)
 # --------------------------------------------------------------------------
 @register(
-    "z15_range_join",
+    "q15_range_join",
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            CAST(COUNT(*) AS BIGINT) AS n_shipped_in_90d,
@@ -273,7 +273,7 @@ def q15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q16 — as-of join (latest 'view' at-or-before each 'purchase', per user)
 # --------------------------------------------------------------------------
 @register(
-    "z16_asof_join",
+    "q16_asof_join",
     oracle="""
     WITH p AS (SELECT event_id AS purchase_id, user_id,
                       CAST(ts AS TIMESTAMP) AS purchase_ts
@@ -335,7 +335,7 @@ def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q17 — self join / consecutive-event pairs (lag formulation)
 # --------------------------------------------------------------------------
 @register(
-    "z17_self_join_pairs",
+    "q17_self_join_pairs",
     oracle="""
     SELECT user_id, event_id, prev_event_id, prev_type, event_type,
            date_diff('microsecond', prev_ts, ts) AS gap_us
@@ -380,7 +380,7 @@ def q17_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q18 — similarity join (vector cosine >= tau) — exact fixture-scale form
 # --------------------------------------------------------------------------
 @register(
-    "z18_similarity_join",
+    "q18_similarity_join",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            a.label AS label_a, b.label AS label_b
@@ -401,7 +401,7 @@ def q17_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "definition; the sub-quadratic scale paths are the LSH/IVF families "
     "(q_north.q60/q61) (SURVEY §2.3 Q18, §4).",
 )
-def z18_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q18_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -57,7 +57,7 @@ _EV_SQL = """
 # Q29 — SCD type-2 history build
 # --------------------------------------------------------------------------
 @register(
-    "q329_scd2_history",
+    "z8329_scd2_history",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     flagged AS (
@@ -96,7 +96,7 @@ _EV_SQL = """
     "deterministic. At 100 TB this is the classic windowed-dedup "
     "posture: scales with the per-user history, never all-pairs.",
 )
-def q329_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z8329_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.select(
@@ -149,7 +149,7 @@ def q329_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q30 — MERGE INTO semantics (upsert a delta batch into a snapshot)
 # --------------------------------------------------------------------------
 @register(
-    "q330_merge_upsert",
+    "z8330_merge_upsert",
     oracle="""
     WITH target AS (
       SELECT o_orderkey,
@@ -183,7 +183,7 @@ def q329_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "file-pruning pre-filter (zone maps, q28's audit) bounds the "
     "rewrite set, which is how Delta/Iceberg execute the same plan.",
 )
-def q330_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z8330_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     target = orders.filter(F.col("o_orderkey") % 7 != 0).select(
@@ -216,7 +216,7 @@ def q330_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q31 — CDC apply (ordered upsert/delete log -> final state)
 # --------------------------------------------------------------------------
 @register(
-    "q331_cdc_apply",
+    "z8331_cdc_apply",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     log AS (
@@ -244,7 +244,7 @@ def q330_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan (cf. streaming/ops.py dedupe), the window never widens "
     "beyond a key's own history, and AQE handles hot keys.",
 )
-def q331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z8331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     log = ev.select(
         "user_id",
@@ -279,7 +279,7 @@ def q331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q32 — funnel conversion (view -> click -> purchase, ordered)
 # --------------------------------------------------------------------------
 @register(
-    "q332_funnel_conversion",
+    "z8332_funnel_conversion",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
@@ -317,7 +317,7 @@ def q331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream — no window over the full history, no per-user state "
     "beyond one timestamp.",
 )
-def q332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z8332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     s1 = (
         ev.filter(F.col("event_type") == "view")
@@ -374,7 +374,7 @@ def q332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q33 — retention cohorts (cohort week x week offset)
 # --------------------------------------------------------------------------
 @register(
-    "q333_retention_cohorts",
+    "z8333_retention_cohorts",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     days AS (SELECT user_id,
@@ -398,7 +398,7 @@ def q332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-(user, day) dedup is the map-side-combine workhorse; the "
     "final matrix is O(weeks^2) rows regardless of corpus size.",
 )
-def q333_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z8333_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     days = (
         ev.select(
@@ -421,7 +421,7 @@ def q333_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q34 — last-touch attribution
 # --------------------------------------------------------------------------
 @register(
-    "q334_last_touch_attribution",
+    "z8334_last_touch_attribution",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     tagged AS (
@@ -449,7 +449,7 @@ def q333_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incrementally under structured streaming; at 100 TB attribution "
     "is per-key-bounded exactly like sessionization (z84).",
 )
-def q334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z8334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -482,7 +482,7 @@ def q334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q35 — per-key daily gap-fill + forward fill
 # --------------------------------------------------------------------------
 @register(
-    "z335_gap_fill",
+    "q335_gap_fill",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     daily AS (
@@ -516,7 +516,7 @@ def q334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact quantized integers so the fill is hash-stable. The "
     "left join keeps is_gap as an explicit audit column.",
 )
-def z335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         "user_id",
@@ -548,7 +548,7 @@ def z335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q36 — EWMA smoothing (ordered IEEE fold, bit-identical)
 # --------------------------------------------------------------------------
 @register(
-    "z336_ewma",
+    "q336_ewma",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     series AS (
@@ -572,7 +572,7 @@ def z335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collected series is the user's own history (state bounded per "
     "key; the streaming variant keeps just the running scalar).",
 )
-def z336_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q336_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     series = ev.groupBy("user_id").agg(
         F.transform(

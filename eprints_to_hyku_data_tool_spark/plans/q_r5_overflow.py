@@ -27,7 +27,7 @@ from .registry import register
 # Y75 — STL-lite seasonal decomposition of the daily event series
 # --------------------------------------------------------------------------
 @register(
-    "z550_stl_decompose",
+    "q550_stl_decompose",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -71,7 +71,7 @@ from .registry import register
     "100 TB the series key has the cardinality of the metric "
     "catalogue — each series' window state is 7 rows.",
 )
-def z550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -199,7 +199,7 @@ def z7551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y77 — Holt linear smoothing (level + trend, two-state ordered fold)
 # --------------------------------------------------------------------------
 @register(
-    "z552_holt_linear",
+    "q552_holt_linear",
     oracle="""
     WITH RECURSIVE ev AS (
       SELECT user_id,
@@ -237,7 +237,7 @@ def z7551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming form keeps (level, trend) as O(1) state exactly like "
     "streaming_ewma.",
 )
-def z552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -282,7 +282,7 @@ def z552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y78 — per-key linear interpolation of gaps (q35's upgrade)
 # --------------------------------------------------------------------------
 @register(
-    "z553_linear_interpolate",
+    "q553_linear_interpolate",
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS d,
@@ -340,7 +340,7 @@ def z552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical cross-engine. This is the resampling primitive a "
     "time-series feature pipeline runs after q35's densification.",
 )
-def z553_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q553_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").cast("date").alias("d"),
@@ -405,7 +405,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
 
 
 @register(
-    "z554_association_rules",
+    "q554_association_rules",
     oracle=f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -445,7 +445,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
     "At 100 TB min-support pruning is what keeps the pair table "
     "manageable — exactly the a-priori downward-closure argument.",
 )
-def z554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")

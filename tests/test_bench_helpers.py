@@ -26,8 +26,8 @@ def test_raw_layout():
 
 
 def test_parsed_wrapper_layout():
-    obj = {"parsed": {"queries": {"z539_histogram": 0.4}}, "tail": ""}
-    assert _extract_queries(obj) == {"z539_histogram": 0.4}
+    obj = {"parsed": {"queries": {"q539_histogram": 0.4}}, "tail": ""}
+    assert _extract_queries(obj) == {"q539_histogram": 0.4}
 
 
 def test_tail_bracket_match_two_digit_names():
@@ -40,7 +40,7 @@ def test_tail_bracket_match_three_digit_names():
     # Round-6 rotation produces z3xx/z434 names; a compact line's worst
     # key can be one of them, and the structured-parse path must still
     # anchor (review r6: the old anchor regex required exactly 2 digits).
-    inner = {"z341_kmeans_lloyd": 3.2, "z434_heavyhitters": 1.1}
+    inner = {"q341_kmeans_lloyd": 3.2, "q434_heavyhitters": 1.1}
     tail = '..."queries": ' + json.dumps(inner) + ', "errors": []}'
     assert _extract_queries({"tail": tail}) == inner
 

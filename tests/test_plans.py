@@ -34,7 +34,7 @@ def plans(spark, sf_dir):
 
 
 def test_q02_filter_pushdown_and_pruning(plans):
-    p = plans("z02_scan_pushdown")
+    p = plans("q02_scan_pushdown")
     # The status filter reaches the parquet reader...
     assert "EqualTo(o_orderstatus,O)" in p, p
     # ...and only the needed columns are read (no o_orderdate etc.).
@@ -42,7 +42,7 @@ def test_q02_filter_pushdown_and_pruning(plans):
 
 
 def test_z04_compound_predicate_pushdown(plans):
-    p = plans("z04_compound_predicate")
+    p = plans("q04_compound_predicate")
     assert "PushedFilters" in p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "LessThan(l_quantity,24.0)" in p, p
@@ -51,7 +51,7 @@ def test_z04_compound_predicate_pushdown(plans):
 def test_q09_broadcast_hash_join(plans):
     import re
 
-    p = plans("z09_broadcast_join")
+    p = plans("q09_broadcast_join")
     # Two BHJ nodes in the tree (each also appears in the detail section).
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2, p
     assert "SortMergeJoin" not in p
@@ -69,7 +69,7 @@ def test_q38_take_ordered_and_project(plans):
 
 
 def test_q08_large_join_is_not_broadcast_nested_loop(plans):
-    p = plans("z08_inner_join")
+    p = plans("q08_inner_join")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
@@ -77,7 +77,7 @@ def test_q08_large_join_is_not_broadcast_nested_loop(plans):
 def test_q15_range_join_keeps_equi_key(plans):
     # The equi part (orderkey) must drive the join; the date range is a
     # residual condition, not a nested loop.
-    p = plans("z15_range_join")
+    p = plans("q15_range_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -139,7 +139,7 @@ def test_x26_funnel_single_shuffle(plans):
 # x23 cross-joins a one-row bounds aggregate with a 5-row type dim to
 # build the gap-fill grid — tiny-by-construction, like x15.
 NESTED_LOOP_WHITELIST = {
-    "z14_cross_join",
+    "q14_cross_join",
     "z784_tfidf",
     "z792_gapfill",
     # x30 cross-joins a one-row totals aggregate back onto the strata
@@ -147,8 +147,8 @@ NESTED_LOOP_WHITELIST = {
     "z798_mix_reweight",
     # y34/y35 cross-join one-row corpus-stats/total aggregates (same
     # broadcast shape as x30).
-    "z180_bm25",
-    "z181_vocab_zipf",
+    "q180_bm25",
+    "q181_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
     "z771_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
@@ -158,14 +158,14 @@ NESTED_LOOP_WHITELIST = {
     "z7233_chisquare",
     # x43/x44 cross-join one-row vocab-size / bigram-total aggregates
     # (the z71 shape).
-    "q243_bigram_lm",
-    "q244_pmi_collocations",
+    "z8243_bigram_lm",
+    "z8244_pmi_collocations",
     # x49 pairs the per-source size table against itself with an
     # inequality condition — sources^2 rows, tiny by construction.
-    "q249_vocab_overlap",
+    "z8249_vocab_overlap",
     # q21 (TPC-H Q22) cross-joins the one-row global-average-balance
     # aggregate onto customer — the canonical scalar-subquery broadcast.
-    "q321_dormant_customers",
+    "z8321_dormant_customers",
     # q88's verdict join is one-row stats x one-row edge count, and the
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
@@ -174,36 +174,36 @@ NESTED_LOOP_WHITELIST = {
     # q24 cross-joins the (5-row lang model dim x one-row vocab/total
     # aggregates) onto the test token stream — tiny by construction,
     # the z71/x30 broadcast-scalar shape.
-    "q324_naive_bayes",
+    "z8324_naive_bayes",
     # q27 cross-joins the two one-row side-total aggregates onto the
     # 10-row bin join (same shape).
-    "q327_psi_drift",
+    "z8327_psi_drift",
     # q37's FK-coverage row cross-joins two ONE-ROW count aggregates
     # (checked-total x violation-total — the z191 shape).
-    "z337_expectations_audit",
+    "q337_expectations_audit",
     # q39 cross-joins one-row extrema/total aggregates onto the fact
     # stream for integer bin arithmetic (the x30 broadcast-scalar shape).
-    "z539_histogram",
+    "q539_histogram",
     # q41 cross-joins the k-row (k=8) centroid table onto the point
     # stream — the assignment broadcast every distributed k-means does.
-    "z341_kmeans_lloyd",
+    "q341_kmeans_lloyd",
     # q42 cross-joins the one-row max-abs normalization scalar onto the
     # 64-row eigenvector each round (broadcast-scalar shape).
-    "z342_power_iteration",
+    "q342_power_iteration",
     # q43 cross-joins the ONE-ROW top-pair argmax onto the vocabulary
     # table each merge round (broadcast-scalar shape).
-    "z343_bpe_train",
+    "q343_bpe_train",
     # q45's verdict row is one-row split sizes x one-row leak counts.
-    "z345_split_leakage",
+    "q345_split_leakage",
     # q46 cross-joins the one-row total-count aggregate for the
     # quantile denominator (broadcast-scalar shape).
-    "z346_quantile_rank",
+    "q346_quantile_rank",
     # q47 cross-joins the one-row moments/inverse-covariance model onto
     # the fact stream — the broadcast-model scoring shape.
-    "z347_mahalanobis",
+    "q347_mahalanobis",
     # y79 cross-joins the one-row basket-count aggregate onto the rule
     # table for the lift denominator (broadcast-scalar shape).
-    "z554_association_rules",
+    "q554_association_rules",
     # y88 cross-joins the one-row digit-total aggregate onto the 9-row
     # digit table (broadcast-scalar shape).
     "z563_benford_audit",
@@ -229,7 +229,7 @@ def test_y36_group_sample_window_group_limit(plans):
     k before rows move."""
     import re
 
-    p = plans("z182_group_sample")
+    p = plans("q182_group_sample")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "WindowGroupLimit" in p, p
 
@@ -306,7 +306,7 @@ def test_y47_profile_is_single_scan(plans):
     """The profiler's contract: ALL columns' aggregates come from ONE
     pass over lineitem (the oracle scans per column; the Spark plan
     must not)."""
-    p = plans("z190_column_profile")
+    p = plans("q190_column_profile")
     # one scan NODE: each scan contributes exactly one Location line in
     # the formatted detail section ("Scan parquet" itself prints twice
     # per node — tree + detail)
@@ -316,7 +316,7 @@ def test_y47_profile_is_single_scan(plans):
 def test_y44_stats_broadcast_back(plans):
     """Per-user moment table is user-count-sized and must broadcast back
     onto the event stream, not shuffle the events for the join."""
-    p = plans("z187_anomaly_zscore")
+    p = plans("q187_anomaly_zscore")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -326,7 +326,7 @@ def test_q79_composite_plan_shape(plans):
     reach the scans, the filtered customer dimension broadcasts, the
     top-10 is TakeOrdered (no global sort), and revenue aggregates in
     decimal before the final double cast."""
-    p = plans("z179_top_revenue")
+    p = plans("q179_top_revenue")
     assert "EqualTo(c_mktsegment,BUILDING)" in p, p
     assert "LessThan(o_orderdate" in p, p
     assert "GreaterThan(l_shipdate" in p, p
@@ -339,26 +339,26 @@ def test_x54_topk_uses_window_group_limit(plans):
     """Top-k tokens per source must run as WindowGroupLimit: each task
     keeps 5 rows per source BEFORE the shuffle, never the full
     vocabulary per group."""
-    assert "WindowGroupLimit" in plans("q254_topk_tokens_per_source")
+    assert "WindowGroupLimit" in plans("z8254_topk_tokens_per_source")
 
 
 def test_x55_script_profile_zero_shuffle(plans):
     """The charclass profile is pure row-level expression work — its
     plan must contain no Exchange at all."""
-    assert "Exchange" not in plans("q255_script_profile")
+    assert "Exchange" not in plans("z8255_script_profile")
 
 
 def test_x41_media_decode_zero_shuffle(plans):
     """Synthesize -> decode is a row-level Arrow pipeline over the scan;
     no Exchange may appear."""
-    assert "Exchange" not in plans("q241_media_decode")
+    assert "Exchange" not in plans("z8241_media_decode")
 
 
 def test_y71_promo_part_join_broadcasts(plans):
     """The Q14 composite joins one month of lineitem to the part
     dimension: the dim side must broadcast (no SMJ shuffle of the fact
     table), and the shipdate month must reach the scan."""
-    p = plans("q305_promo_revenue")
+    p = plans("z8305_promo_revenue")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
@@ -369,7 +369,7 @@ def test_y70_shipmode_predicates_reach_scan(plans):
     linestatus equality and both ends of the shipdate year range must
     all appear as pushed scan filters (ADVICE r4: the registry doc
     claimed this; nothing enforced it)."""
-    p = plans("q304_shipmode_priority")
+    p = plans("z8304_shipmode_priority")
     assert "EqualTo(l_linestatus,F)" in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "LessThan(l_shipdate" in p, p
@@ -381,7 +381,7 @@ def test_y72_outer_join_stays_outer(plans):
     join degenerates to inner and zero-order customers vanish. The
     executed plan must keep the outer join and show NO filter on
     o_orderpriority applied after it."""
-    p = plans("q306_order_distribution")
+    p = plans("z8306_order_distribution")
     assert "LeftOuter" in p, p
     # The priority predicate must appear as a pushed/scan-side filter on
     # orders (pre-join), and never in a Filter node above the join.
@@ -400,7 +400,7 @@ def test_y74_volume_shipping_broadcasts_both_nations(plans):
     distinct BHJ-on-nationkey nodes) and nothing may degrade to a
     nested-loop join (ADVICE r4: registry doc claimed dual broadcasts;
     nothing enforced it)."""
-    p = plans("q308_volume_shipping")
+    p = plans("z8308_volume_shipping")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "n_nationkey" in p, p
@@ -410,7 +410,7 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
     """The Q17 decorrelation joins lineitem to its own per-part
     aggregate: the brand/size-filtered part dim must broadcast, and the
     predicates must reach the part scan."""
-    p = plans("q307_small_qty_audit")
+    p = plans("z8307_small_qty_audit")
     assert "BroadcastHashJoin" in p, p
     assert "EqualTo(p_brand,Brand#23)" in p, p
     assert "LessThan(p_size,15)" in p, p
@@ -431,18 +431,18 @@ HEAVY_QUERIES = [
     "z785_cluster_dedupe",
     "z775_decontaminate",
     "z667_embedding_dedupe",
-    "z186_ivf_embedding_dedupe",
-    "q301_duplicate_ngram_filter",
+    "q186_ivf_embedding_dedupe",
+    "z8301_duplicate_ngram_filter",
     "z660_minhash_lsh",
     "z786_ngram_jaccard",
-    "q308_volume_shipping",
+    "z8308_volume_shipping",
     "z7588_pagerank",
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
     # automatic broadcasting is off and shuffles are cluster-sized.
-    "z341_kmeans_lloyd",
-    "z343_bpe_train",
-    "z345_split_leakage",
+    "q341_kmeans_lloyd",
+    "q343_bpe_train",
+    "q345_split_leakage",
 ]
 
 # Queries whose one-row-aggregate cross joins are whitelisted above keep
@@ -492,7 +492,7 @@ def test_cluster_shaped_volume_shipping_keeps_dim_broadcasts(spark, sf_dir):
     the pushed filters must still reach the scans — pushdown is a
     property of the plan, not of the session config."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["q308_volume_shipping"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["z8308_volume_shipping"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -514,7 +514,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
     """The Q2-shape window rank-1 must run as WindowGroupLimit (each task
     keeps one candidate per part before the shuffle) and the part-size
     prune must reach the part scan."""
-    p = plans("q310_min_cost_supplier")
+    p = plans("z8310_min_cost_supplier")
     assert "WindowGroupLimit" in p, p
     assert "LessThan(p_size,10)" in p, p
 
@@ -522,7 +522,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
 def test_q11_exists_is_semi_join_with_pushdown(plans):
     """The Q4-shape EXISTS must be a left semi join whose quantity filter
     reaches the lineitem scan — never a post-join distinct."""
-    p = plans("q311_priority_exists")
+    p = plans("z8311_priority_exists")
     assert "LeftSemi" in p, p
     assert "GreaterThanOrEqual(l_quantity,48.0)" in p, p
 
@@ -530,7 +530,7 @@ def test_q11_exists_is_semi_join_with_pushdown(plans):
 def test_q15_max_joinback_is_hash_join(plans):
     """The Q15-shape scalar-MAX join-back compares exact decimals with an
     EQUI join — broadcast hash, never a nested loop over revenue."""
-    p = plans("q315_top_supplier")
+    p = plans("z8315_top_supplier")
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -539,7 +539,7 @@ def test_q18_or_implications_reach_both_scans(plans):
     """The Q19-shape disjunction spans both join sides; Catalyst must
     derive each side's implication and push it: the quantity OR-range
     onto lineitem, the brand/size OR onto part."""
-    p = plans("q318_disjunctive_revenue")
+    p = plans("z8318_disjunctive_revenue")
     assert "GreaterThanOrEqual(l_quantity,1.0)" in p, p
     assert "EqualTo(p_brand,Brand#12)" in p, p
     assert "EqualTo(p_brand,Brand#3)" in p, p
@@ -553,7 +553,7 @@ def test_q17_aggregates_before_joining(plans):
     not over a join."""
     import re
 
-    p = plans("q317_large_orders")
+    p = plans("z8317_large_orders")
     assert p.count("HashAggregate") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
     # formatted-explain numbers nodes leaf-to-root: the group-by's
@@ -585,7 +585,7 @@ def test_q29_scd2_single_shuffle(plans):
     partitions by user_id, so exactly one plain Exchange may appear."""
     import re
 
-    p = plans("q329_scd2_history")
+    p = plans("z8329_scd2_history")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert p.count("Window") >= 3, p
 
@@ -595,7 +595,7 @@ def test_q30_merge_is_full_outer_smj(plans):
     never a nested loop, and both sides shuffle exactly once."""
     import re
 
-    p = plans("q330_merge_upsert")
+    p = plans("z8330_merge_upsert")
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
@@ -607,7 +607,7 @@ def test_q31_cdc_single_shuffle(plans):
     the one user_id exchange (same partition key, compatible sorts)."""
     import re
 
-    p = plans("q331_cdc_apply")
+    p = plans("z8331_cdc_apply")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
 
 
@@ -617,7 +617,7 @@ def test_q34_attribution_two_shuffles(plans):
     (no self-join node may appear)."""
     import re
 
-    p = plans("q334_last_touch_attribution")
+    p = plans("z8334_last_touch_attribution")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
     assert "Join" not in p, p
 
@@ -626,7 +626,7 @@ def test_z335_gap_fill_no_nested_loop(plans):
     """Calendar densification joins the exploded per-user calendar back
     to the daily aggregate on (user_id, day) — an equi-join that must
     never degrade to a nested loop or cartesian product."""
-    p = plans("z335_gap_fill")
+    p = plans("q335_gap_fill")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
 
@@ -637,7 +637,7 @@ def test_z336_ewma_single_shuffle(plans):
     Python evaluator node)."""
     import re
 
-    p = plans("z336_ewma")
+    p = plans("q336_ewma")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "Python" not in p, p
 
@@ -650,7 +650,7 @@ def test_q37_expectations_fold_rules_into_scans(plans):
     table per aggregate branch, never one scan per rule: 6 rules over 2
     tables may not produce 6+ fact scans) and the FK rule must be a
     left-anti join, not a nested loop over the fact."""
-    p = plans("z337_expectations_audit")
+    p = plans("q337_expectations_audit")
     assert "LeftAnti" in p, p
     assert p.count("Location: InMemoryFileIndex") <= 5, p
 
@@ -658,7 +658,7 @@ def test_q37_expectations_fold_rules_into_scans(plans):
 def test_q38_drift_is_single_scan_two_groups(plans):
     """The drift monitor reads events ONCE and aggregates by the 2-value
     half flag; per-metric rows come from stack(), not re-scans."""
-    p = plans("z338_schema_drift")
+    p = plans("q338_schema_drift")
     assert p.count("Location: InMemoryFileIndex") == 1, p
 
 
@@ -666,7 +666,7 @@ def test_q39_equidepth_is_distributed(plans):
     """Exact equi-depth bucketing must ride the two-phase global-position
     engine (z37 rule): range partitioner + per-partition ranks, never a
     single-partition ntile window over the fact table."""
-    p = plans("z539_histogram")
+    p = plans("q539_histogram")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
     assert "ntile" not in p, p
@@ -714,7 +714,7 @@ def test_q40_ols_is_one_aggregation(plans):
     wire) and no join of any kind."""
     import re
 
-    p = plans("z340_ols_normal_eq")
+    p = plans("q340_ols_normal_eq")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p  # map-side partials
@@ -724,7 +724,7 @@ def test_q41_kmeans_assignment_broadcasts_centroids(plans):
     """Assignment must broadcast the k-row centroid table against the
     point stream (never shuffle the points by centroid), and the
     exact-integer distance fold must stay JVM-side (no Python node)."""
-    p = plans("z341_kmeans_lloyd")
+    p = plans("q341_kmeans_lloyd")
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
@@ -737,7 +737,7 @@ def test_z342_power_iteration_plan_is_linear_in_rounds(plans):
     aggregates, and the matvec fold is codegen (no Python)."""
     import re
 
-    p = plans("z342_power_iteration")
+    p = plans("q342_power_iteration")
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) <= 6, p
     assert "Python" not in p, p
 
@@ -751,7 +751,7 @@ def test_z344_feature_hashing_two_aggregations(plans):
     256-value bucket key — exactly two plain exchanges, no join."""
     import re
 
-    p = plans("z344_feature_hashing")
+    p = plans("q344_feature_hashing")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
     assert "Join" not in p.replace("BroadcastNestedLoopJoin", ""), p
 
@@ -759,7 +759,7 @@ def test_z344_feature_hashing_two_aggregations(plans):
 def test_z346_quantile_rank_is_distributed(plans):
     """The rank transform must ride the two-phase global-position
     engine (z37 rule), never a single-partition window."""
-    p = plans("z346_quantile_rank")
+    p = plans("q346_quantile_rank")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -771,7 +771,7 @@ def test_z347_mahalanobis_no_fact_shuffle(plans):
     TakeOrdered, not a global sort."""
     import re
 
-    p = plans("z347_mahalanobis")
+    p = plans("q347_mahalanobis")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p, p
@@ -781,7 +781,7 @@ def test_q48_als_joins_stay_hashed(plans):
     """The ALS half-step's two joins (ratings build, item-factor attach)
     ride equi keys — broadcast or shuffled hash, never a nested loop —
     and the per-user solve is a partial-agg shuffle on user_id."""
-    p = plans("z348_als_step")
+    p = plans("q348_als_step")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 2, p
@@ -794,7 +794,7 @@ def test_z349_reconcile_is_fingerprint_smj(plans):
     computed — and classification is one conditional aggregation."""
     import re
 
-    p = plans("z349_reconcile")
+    p = plans("q349_reconcile")
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3, p
@@ -869,7 +869,7 @@ def test_cluster_shaped_neardup_build(spark, sf_dir):
 def test_q74_rplsh_bucket_verify_plan_shape(plans):
     import re
 
-    p = plans("q74_rplsh_neardup")
+    p = plans("z874_rplsh_neardup")
     # Round-8 shape + round-9 hot-bucket salting: candidates are still
     # generated and killed inside the per-bucket Arrow kernel
     # (grouped-map node), and the only shuffles are (1) the tiny

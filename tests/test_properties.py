@@ -211,7 +211,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     """ivf_topk_approx (nprobe=10/16, sample-trained quantizer) must
     keep recall@5 >= 0.8 against the exact q61 top-k (measured 0.85 at
     sf0.01; the fixture's embeddings are near-uniform, a worst case for
-    IVF). The registered z185_ivf_topk emits this same comparison as a
+    IVF). The registered q185_ivf_topk emits this same comparison as a
     driver-checkable verdict; this test checks the raw pair sets."""
     from eprints_to_hyku_data_tool_spark.plans.q_north import ivf_topk_approx
 
@@ -347,10 +347,10 @@ def test_int8_quantize_reconstruction_bound(spark, sf_dir):
     error <= amax/254 + micro-unit rounding slack (the absmax scheme's
     theoretical bound)."""
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
-        z173_int8_quantize,
+        q173_int8_quantize,
     )
 
-    for r in z173_int8_quantize(spark, sf_dir).collect():
+    for r in q173_int8_quantize(spark, sf_dir).collect():
         assert r["q_min"] >= -127 and r["q_max"] <= 127, r["vec_id"]
         n_dims = len(r["q_vec"])
         # recon_err_e6 sums per-element |err| in 1e-6 units
@@ -365,19 +365,19 @@ def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
     the fixture must be non-trivial (sign-LSH with 16x8 bands — 128
     planes — finds a reasonable share of the exact tau=0.4 pairs)."""
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
-        q74_rplsh_neardup,
+        z874_rplsh_neardup,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_joins import (
-        z18_similarity_join,
+        q18_similarity_join,
     )
 
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in q74_rplsh_neardup(spark, sf_dir).collect()
+        for r in z874_rplsh_neardup(spark, sf_dir).collect()
     }
     exact = {
         (r["id_a"], r["id_b"])
-        for r in z18_similarity_join(spark, sf_dir).collect()
+        for r in q18_similarity_join(spark, sf_dir).collect()
     }
     assert lsh <= exact, sorted(lsh - exact)[:5]
     assert len(lsh) > 0
@@ -497,16 +497,16 @@ def test_corr_matrix_bounds_and_partition_invariance(spark, sf_dir):
     bit-IDENTICAL under different shuffle partitioning (the whole point
     of exact integer moments — float covariance would drift with
     summation order)."""
-    from eprints_to_hyku_data_tool_spark.plans.q_r4 import q250_corr_matrix
+    from eprints_to_hyku_data_tool_spark.plans.q_r4 import z8250_corr_matrix
 
-    rows = {r["pair"]: r["corr"] for r in q250_corr_matrix(spark, sf_dir).collect()}
+    rows = {r["pair"]: r["corr"] for r in z8250_corr_matrix(spark, sf_dir).collect()}
     assert len(rows) == 6 and all(-1.0 <= v <= 1.0 for v in rows.values()), rows
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
         rows2 = {
             r["pair"]: r["corr"]
-            for r in q250_corr_matrix(spark, sf_dir).collect()
+            for r in z8250_corr_matrix(spark, sf_dir).collect()
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -516,14 +516,14 @@ def test_corr_matrix_bounds_and_partition_invariance(spark, sf_dir):
 def test_entropy_and_gini_ranges(spark, sf_dir):
     """x53 entropy in [0, log2(alphabet)]; x56 gini in [0, 1)."""
     from eprints_to_hyku_data_tool_spark.plans.q_r4 import (
-        q253_char_entropy,
-        q256_length_gini,
+        z8253_char_entropy,
+        z8256_length_gini,
     )
     import math
 
-    for r in q253_char_entropy(spark, sf_dir).collect():
+    for r in z8253_char_entropy(spark, sf_dir).collect():
         assert 0.0 <= r["entropy_bits"] <= math.log2(max(r["distinct_chars"], 2)) + 1e-6, r
-    for r in q256_length_gini(spark, sf_dir).collect():
+    for r in z8256_length_gini(spark, sf_dir).collect():
         assert 0.0 <= r["gini"] < 1.0, r
 
 
@@ -531,9 +531,9 @@ def test_mad_outlier_counts_bounded(spark, sf_dir):
     """x47: outliers must be a minority under the 3*MAD rule on any
     unimodal-ish data, and med/mad must be actual data values (lower
     median contract)."""
-    from eprints_to_hyku_data_tool_spark.plans.q_r4 import q247_mad_outliers
+    from eprints_to_hyku_data_tool_spark.plans.q_r4 import z8247_mad_outliers
 
-    rows = q247_mad_outliers(spark, sf_dir).collect()
+    rows = z8247_mad_outliers(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0 <= r["n_outliers"] < r["n"] / 2, r
@@ -783,11 +783,11 @@ def test_rplsh_spark_path_invariant_to_verify_block(spark, sf_dir, monkeypatch):
     from eprints_to_hyku_data_tool_spark.plans import q_embed
 
     base = set(
-        map(tuple, q_embed.q74_rplsh_neardup(spark, sf_dir).collect())
+        map(tuple, q_embed.z874_rplsh_neardup(spark, sf_dir).collect())
     )
     monkeypatch.setattr(q_embed, "_VERIFY_BLOCK", 2)
     tiny = set(
-        map(tuple, q_embed.q74_rplsh_neardup(spark, sf_dir).collect())
+        map(tuple, q_embed.z874_rplsh_neardup(spark, sf_dir).collect())
     )
     assert base == tiny and len(base) > 0
 

@@ -70,15 +70,15 @@ def test_priority_tier_fits_driver_window():
 # possible by design; the component is covered by the named test module
 # instead of a registered query.
 SECTION2_MAP = {
-    "Q01": "z01_scan_count", "Q02": "z02_scan_pushdown",
-    "Q03": "z03_project_compute", "Q04": "z04_compound_predicate",
-    "Q05": "z05_in_like_null", "Q06": "z06_distinct",
-    "Q07": "z07_case_when", "Q08": "z08_inner_join",
-    "Q09": "z09_broadcast_join", "Q10": "z10_left_outer_join",
-    "Q11": "z11_full_outer_join", "Q12": "z12_semi_join",
-    "Q13": "z13_anti_join", "Q14": "z14_cross_join",
-    "Q15": "z15_range_join", "Q16": "z16_asof_join",
-    "Q17": "z17_self_join_pairs", "Q18": "z18_similarity_join",
+    "Q01": "q01_scan_count", "Q02": "q02_scan_pushdown",
+    "Q03": "q03_project_compute", "Q04": "q04_compound_predicate",
+    "Q05": "q05_in_like_null", "Q06": "q06_distinct",
+    "Q07": "q07_case_when", "Q08": "q08_inner_join",
+    "Q09": "q09_broadcast_join", "Q10": "q10_left_outer_join",
+    "Q11": "q11_full_outer_join", "Q12": "q12_semi_join",
+    "Q13": "q13_anti_join", "Q14": "q14_cross_join",
+    "Q15": "q15_range_join", "Q16": "q16_asof_join",
+    "Q17": "q17_self_join_pairs", "Q18": "q18_similarity_join",
     "Q19": "z619_groupby_multi_agg", "Q20": "z620_global_agg",
     "Q21": "z621_count_distinct", "Q22": "z622_approx_count_distinct",
     "Q23": "z623_rollup", "Q24": "z624_cube", "Q25": "z625_bulkrax_fold",

@@ -34,8 +34,8 @@ HEAVY = [
     "z7588_pagerank",
     "z660_minhash_lsh",
     "z622_approx_count_distinct",
-    "q252_winnow_containment",
-    "z345_split_leakage",
+    "z8252_winnow_containment",
+    "q345_split_leakage",
 ]
 
 

@@ -31,26 +31,26 @@ SF01_DIR = "/root/testdata/sf0.1"
 # sf0.1); the Spark implementations stay sub-quadratic and are verified
 # by dedicated tests (union-find reference, recall/subset properties).
 QUADRATIC_ORACLES = {
-    "q302_keep_longest_canonical",
+    "z8302_keep_longest_canonical",
     "z785_cluster_dedupe",
     "z786_ngram_jaccard",
     "z667_embedding_dedupe",
     "z660_minhash_lsh",
     "z660_simhash",
-    "q74_rplsh_neardup",
-    "z186_ivf_embedding_dedupe",
-    "z18_similarity_join",
+    "z874_rplsh_neardup",
+    "q186_ivf_embedding_dedupe",
+    "q18_similarity_join",
     "z790_corpus_pipeline",
-    "z185_ivf_topk",
+    "q185_ivf_topk",
     "z661_topk_similarity",
-    "q252_winnow_containment",
-    "q301_duplicate_ngram_filter",
+    "z8252_winnow_containment",
+    "z8301_duplicate_ngram_filter",
     # r5: PQ-ANN verdict and k-NN vote both rerun z61's all-pairs exact
     # oracle; their Spark sides were hand-verified green at sf0.1 and
     # the PQ recall margin (0.98 vs the 0.8 verdict bar) is asserted in
     # tests/test_r5_llm.py.
-    "q323_pq_ann",
-    "q325_knn_classifier",
+    "z8323_pq_ann",
+    "z8325_knn_classifier",
 }
 
 SWEEP = sorted(

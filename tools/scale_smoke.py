@@ -42,20 +42,20 @@ HEAVY = [
     "z7588_pagerank",
     "z7526_bfs_hops",
     "z620_global_agg",
-    "q252_winnow_containment",
-    "q301_duplicate_ngram_filter",
-    "q74_rplsh_neardup",
+    "z8252_winnow_containment",
+    "z8301_duplicate_ngram_filter",
+    "z874_rplsh_neardup",
     "z775_decontaminate",
-    "z185_ivf_topk",
+    "q185_ivf_topk",
     "z790_corpus_pipeline",
-    "z190_column_profile",
+    "q190_column_profile",
     "z7192_approx_percentile",
-    "z345_split_leakage",
-    "z554_association_rules",
+    "q345_split_leakage",
+    "q554_association_rules",
     "z660_simhash",
     "z660_minhash_lsh",
     "z622_approx_count_distinct",
-    "z341_kmeans_lloyd",
+    "q341_kmeans_lloyd",
     "z556_bpe_encode",
 ]
 
