@@ -17,6 +17,10 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+# Columns salted_pair_groups adds (plus its internals): inputs carrying
+# any of these would be silently overwritten, so they are rejected.
+_RESERVED = {"salt", "lo", "hi", "__k", "__sp", "__group_n"}
+
 
 def salted_join(
     large: DataFrame,
@@ -99,6 +103,12 @@ def salted_pair_groups(
     Returns df plus (salt, lo, hi) columns, rows replicated k-fold for
     hot groups only.
     """
+    clash = _RESERVED & set(df.columns)
+    if clash:
+        raise ValueError(
+            "salted_pair_groups would silently overwrite input column(s) "
+            f"{sorted(clash)}; rename them before salting"
+        )
     counts = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__group_n")
     )
@@ -123,3 +133,67 @@ def salted_pair_groups(
         .withColumn("hi", F.col("__sp.hi"))
         .drop("__sp", "__k")
     )
+
+
+def salted_apply_pairs(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    id_col: str,
+    hot_rows: int,
+    kernel,
+    schema: str,
+) -> DataFrame:
+    """salted_pair_groups + groupBy + applyInPandas with the exactness
+    contract ENFORCED by construction (code-review r9: a salt-unaware
+    kernel grouping on (group_cols, lo, hi) double-emits every
+    equal-salt pair k times, and nothing but a docstring stopped it).
+
+    `kernel(pdf, pair_keep)` is a driver-built closure receiving, per
+    Arrow group, the frame AND a ready-made pair filter:
+    ``pair_keep(i_idx, j_idx) -> bool array`` over positional index
+    pairs INTO pdf (after any reordering, pass the original positions,
+    e.g. ``pair_keep(order[ii], order[jj])``). On a cross group
+    (lo != hi) it admits only different-salt pairs; on diagonal or cold
+    groups it admits everything — the caller cannot forget the rule
+    because the rule is not in the caller.
+
+    The wrapper (make_group_runner) is a CLOSURE built at driver time,
+    so cloudpickle ships it — and the captured kernel — by value;
+    executors never import this package (the non-repo-cwd driver-sim
+    contract).
+    """
+    return (
+        salted_pair_groups(df, group_cols, id_col, hot_rows)
+        .groupBy(*group_cols, "lo", "hi")
+        .applyInPandas(make_group_runner(kernel), schema)
+    )
+
+
+def make_group_runner(kernel):
+    """The per-group executor wrapper salted_apply_pairs ships: builds
+    the pair_keep filter from the frame's (lo, hi, salt) columns and
+    hands it to the kernel. Exposed as a factory (returning a closure —
+    by-value pickling) so tests can drive a kernel exactly as the
+    production wrapper does, including legacy salt-free frames (no
+    lo/hi columns -> admit-all filter)."""
+    import numpy as _np
+
+    def run_group(pdf):
+        if (
+            len(pdf)
+            and "lo" in pdf.columns
+            and pdf["lo"].iat[0] != pdf["hi"].iat[0]
+        ):
+            salts = pdf["salt"].to_numpy()
+
+            def pair_keep(i_idx, j_idx):
+                return salts[i_idx] != salts[j_idx]
+
+        else:
+
+            def pair_keep(i_idx, j_idx):
+                return _np.ones(len(i_idx), dtype=bool)
+
+        return kernel(pdf, pair_keep)
+
+    return run_group

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.skew import salted_pair_groups
+from ..functions.skew import salted_apply_pairs, salted_pair_groups
 from ..sources.tables import load_table
 from .registry import register
 
@@ -333,9 +333,11 @@ def _salted_bucket_verify(
     sigs: DataFrame, block: int, tau: float, hot_rows: int
 ) -> DataFrame:
     return (
-        _salted_groups(sigs, hot_rows)
-        .groupBy("band", "sig", "lo", "hi")
-        .applyInPandas(
+        salted_apply_pairs(
+            sigs.select("vec_id", "vq", "band", "sig"),
+            ("band", "sig"),
+            "vec_id",
+            hot_rows,
             _bucket_verifier(block, tau),
             schema="id_a long, id_b long, cos double",
         )
@@ -360,15 +362,13 @@ def _bucket_verifier(block: int, tau: float):
     buffer is bounded however large the bucket; CPU stays
     O(n_bucket^2 * d), the LSH bucket's inherent cost.
 
-    Salt-aware: when the frame carries the salted group key (lo, hi)
-    and lo != hi, this is the CROSS group of two sub-buckets of one hot
-    (band, sig) bucket — only different-salt pairs are emitted (the
-    equal-salt pairs belong to their diagonal (s, s) group), so the
-    union over a hot bucket's k(k+1)/2 groups reproduces its pair set
-    exactly once. Diagonal and unsalted groups keep the round-8 all-pairs
-    semantics."""
+    Salt-awareness is not this kernel's job anymore: the pair-emission
+    rule (cross groups admit only different-salt pairs) lives in
+    functions/skew.py::salted_apply_pairs, which hands every kernel a
+    ready-made `pair_keep` filter — a salt-unaware kernel is now
+    unwritable against this API (code-review r9)."""
 
-    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    def verify_bucket(pdf: pd.DataFrame, pair_keep) -> pd.DataFrame:
         n = len(pdf)
         empty = pd.DataFrame(
             {
@@ -379,14 +379,8 @@ def _bucket_verifier(block: int, tau: float):
         )
         if n < 2:
             return empty
-        cross = (
-            "lo" in pdf.columns
-            and "hi" in pdf.columns
-            and pdf["lo"].iat[0] != pdf["hi"].iat[0]
-        )
         order = np.argsort(pdf["vec_id"].values, kind="stable")
         ids = pdf["vec_id"].values[order]
-        salts = pdf["salt"].values[order] if cross else None
         vq = np.stack(pdf["vq"].values[order]).astype(np.int64)
         nrm = np.sqrt(np.einsum("ij,ij->i", vq, vq).astype(np.float64))
         out_a, out_b, out_c = [], [], []
@@ -399,8 +393,7 @@ def _bucket_verifier(block: int, tau: float):
                 )
                 ii, jj = np.nonzero(cos >= tau)
                 keep = (i0 + ii) < (j0 + jj)  # ids sorted: index == id order
-                if cross:
-                    keep &= salts[i0 + ii] != salts[j0 + jj]
+                keep &= pair_keep(order[i0 + ii], order[j0 + jj])
                 ii, jj = ii[keep], jj[keep]
                 if len(ii):
                     out_a.append(ids[i0 + ii])

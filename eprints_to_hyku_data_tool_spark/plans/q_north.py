@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.skew import salted_pair_groups
+from ..functions.skew import salted_apply_pairs, salted_pair_groups
 from ..sources.tables import load_table
 from .registry import register
 
@@ -969,29 +969,30 @@ def _ivf_cell_pairs(
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs with cosine >= tau sharing an IVF
     cell, verified cell-locally with residency bounded via hot-cell
-    salting (the q74 mechanism, functions/skew.py::salted_pair_groups).
+    salting (the q74 mechanism, functions/skew.py::salted_apply_pairs).
     Factory-parameterized so tests can force the salted/multi-block
     paths the fixtures' balanced cells never reach."""
-    return (
-        salted_pair_groups(assigned, ("cell",), "vec_id", hot_rows)
-        .groupBy("cell", "lo", "hi")
-        .applyInPandas(
-            _cell_verifier(block, tau), "id_a bigint, id_b bigint"
-        )
-        .distinct()
-    )
+    return salted_apply_pairs(
+        assigned,
+        ("cell",),
+        "vec_id",
+        hot_rows,
+        _cell_verifier(block, tau),
+        "id_a bigint, id_b bigint",
+    ).distinct()
 
 
 def _cell_verifier(block: int, tau: float):
-    """Blocked, salt-aware all-pairs cosine verify for one IVF cell
-    group (CLOSURE — cloudpickle by value, the driver-sim contract).
-    Mirrors q74's _bucket_verifier semantics: a (lo != hi) frame is the
-    cross group of two sub-cells, so only different-salt pairs are
-    emitted; diagonal/unsalted frames keep all-pairs. Blocking is over
-    rows of the once-normalized matrix — each pair's cosine is the
-    same IEEE float64 dot whatever the block size."""
+    """Blocked all-pairs cosine verify for one IVF cell group (CLOSURE
+    — cloudpickle by value, the driver-sim contract). The salt
+    exactness rule (cross groups admit only different-salt pairs) is
+    applied through the `pair_keep` filter that
+    functions/skew.py::salted_apply_pairs supplies — the kernel cannot
+    forget it (code-review r9). Blocking is over rows of the
+    once-normalized matrix — each pair's cosine is the same IEEE
+    float64 dot whatever the block size."""
 
-    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def cell_pairs(pdf: pd.DataFrame, pair_keep) -> pd.DataFrame:
         import numpy as _np
 
         empty = pd.DataFrame(
@@ -1003,14 +1004,8 @@ def _cell_verifier(block: int, tau: float):
         n = len(pdf)
         if n < 2:
             return empty
-        cross = (
-            "lo" in pdf.columns
-            and "hi" in pdf.columns
-            and pdf["lo"].iat[0] != pdf["hi"].iat[0]
-        )
         order = _np.argsort(pdf["vec_id"].values, kind="stable")
         ids = pdf["vec_id"].values[order].astype(_np.int64)
-        salts = pdf["salt"].values[order] if cross else None
         m = _np.stack(pdf["embedding"].values[order]).astype(_np.float64)
         norms = _np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0.0] = 1.0
@@ -1022,8 +1017,7 @@ def _cell_verifier(block: int, tau: float):
                 sims = ai @ m[j0 : j0 + block].T
                 ii, jj = _np.nonzero(sims >= tau)
                 keep = ids[i0 + ii] < ids[j0 + jj]
-                if cross:
-                    keep &= salts[i0 + ii] != salts[j0 + jj]
+                keep &= pair_keep(order[i0 + ii], order[j0 + jj])
                 ii, jj = ii[keep], jj[keep]
                 if len(ii):
                     out_a.append(ids[i0 + ii])

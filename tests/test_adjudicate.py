@@ -81,6 +81,32 @@ def test_append_baseline_rows_creates_section(tmp_path, monkeypatch):
     assert "| r9 | q90 |" in text
 
 
+def test_append_baseline_rows_inserts_inside_table(tmp_path, monkeypatch):
+    """Rows must land at the end of the adjudication TABLE, not at
+    end-of-file: a section written below 'Machine adjudications' would
+    otherwise swallow every later verdict row (code review r9)."""
+    import adjudicate as mod
+
+    monkeypatch.setattr(mod, "_ROOT", str(tmp_path))
+    (tmp_path / "BASELINE.md").write_text("# BASELINE\n")
+    verdicts = {
+        "q90": {
+            "prev": 3.39,
+            "flagged": 8.04,
+            "warm_runs": [3.26],
+            "warm_min": 3.26,
+            "verdict": "refuted",
+        }
+    }
+    append_baseline_rows(verdicts, "r9")
+    path = tmp_path / "BASELINE.md"
+    path.write_text(path.read_text() + "\n## Later section\n\nprose.\n")
+    append_baseline_rows(verdicts, "r10")
+    text = path.read_text()
+    assert text.index("| r10 | q90 |") < text.index("## Later section")
+    assert text.index("| r9 | q90 |") < text.index("| r10 | q90 |")
+
+
 @pytest.mark.skipif(
     not os.path.isdir("/root/testdata/sf0.001"), reason="no testdata"
 )

@@ -600,6 +600,9 @@ def test_bucket_verifier_blocking_matches_bruteforce():
     import numpy as np
     import pandas as pd
 
+    from eprints_to_hyku_data_tool_spark.functions.skew import (
+        make_group_runner,
+    )
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
         _bucket_verifier,
     )
@@ -625,7 +628,7 @@ def test_bucket_verifier_blocking_matches_bruteforce():
     assert expect, "fixture must produce at least one surviving pair"
 
     for block in (1, 2, 4, 7, 23, 64):
-        out = _bucket_verifier(block, tau)(pdf)
+        out = make_group_runner(_bucket_verifier(block, tau))(pdf)
         got = {
             (int(a), int(b), float(c))
             for a, b, c in zip(out["id_a"], out["id_b"], out["cos"])
@@ -633,8 +636,8 @@ def test_bucket_verifier_blocking_matches_bruteforce():
         assert got == expect, f"block={block}"
 
     # degenerate buckets
-    assert len(_bucket_verifier(4, tau)(pdf.iloc[:1])) == 0
-    assert len(_bucket_verifier(4, tau)(pdf.iloc[:0])) == 0
+    assert len(make_group_runner(_bucket_verifier(4, tau))(pdf.iloc[:1])) == 0
+    assert len(make_group_runner(_bucket_verifier(4, tau))(pdf.iloc[:0])) == 0
 
 
 def test_bucket_verifier_cross_group_semantics():
@@ -649,6 +652,9 @@ def test_bucket_verifier_cross_group_semantics():
     import numpy as np
     import pandas as pd
 
+    from eprints_to_hyku_data_tool_spark.functions.skew import (
+        make_group_runner,
+    )
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
         _bucket_verifier,
     )
@@ -673,7 +679,7 @@ def test_bucket_verifier_cross_group_semantics():
     assert cross_pairs and cross_pairs != all_pairs
 
     def run(pdf, block=4):
-        out = _bucket_verifier(block, tau)(pdf)
+        out = make_group_runner(_bucket_verifier(block, tau))(pdf)
         return {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
 
     mk = lambda lo, hi: pd.DataFrame(  # noqa: E731
@@ -804,6 +810,9 @@ def test_cell_verifier_cross_group_semantics():
     import numpy as np
     import pandas as pd
 
+    from eprints_to_hyku_data_tool_spark.functions.skew import (
+        make_group_runner,
+    )
     from eprints_to_hyku_data_tool_spark.plans.q_north import _cell_verifier
 
     rng = np.random.default_rng(186)
@@ -826,7 +835,7 @@ def test_cell_verifier_cross_group_semantics():
     assert cross_pairs and cross_pairs != all_pairs
 
     def run(pdf, block=4):
-        out = _cell_verifier(block, tau)(pdf)
+        out = make_group_runner(_cell_verifier(block, tau))(pdf)
         return {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
 
     mk = lambda lo, hi: pd.DataFrame(  # noqa: E731
@@ -846,8 +855,8 @@ def test_cell_verifier_cross_group_semantics():
         run(pd.DataFrame({"vec_id": ids, "embedding": list(m)})) == all_pairs
     )
     # degenerate frames
-    assert len(_cell_verifier(4, tau)(mk(0, 2).iloc[:1])) == 0
-    assert len(_cell_verifier(4, tau)(mk(0, 2).iloc[:0])) == 0
+    assert len(make_group_runner(_cell_verifier(4, tau))(mk(0, 2).iloc[:1])) == 0
+    assert len(make_group_runner(_cell_verifier(4, tau))(mk(0, 2).iloc[:0])) == 0
 
 
 def test_ivf_salted_split_matches_unsalted(spark):

@@ -64,3 +64,48 @@ def test_canon_negative_zero_folds():
 def test_canon_datetime_vs_timestamp_agree():
     d = datetime.datetime(2024, 1, 1, 0, 0, 7, 179575)
     assert canon_value(d) == canon_value(pd.Timestamp(d))
+
+
+def test_salted_pair_groups_rejects_reserved_columns(spark):
+    """salted_pair_groups adds salt/lo/hi (and internals); an input
+    already carrying one would be silently overwritten and the
+    downstream pair filter would read the wrong salt — rejected loudly
+    instead (code-review r10)."""
+    import pytest
+
+    from eprints_to_hyku_data_tool_spark.functions.skew import (
+        salted_pair_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 0)], "vec_id long, cell int, salt int"
+    )
+    with pytest.raises(ValueError, match="salt"):
+        salted_pair_groups(df, ("cell",), "vec_id", 8)
+
+
+def test_make_group_runner_supplies_pair_filter():
+    """The exactness rule lives in the wrapper, not the kernel: a
+    kernel that emits every index pair it is HANDED still produces the
+    cross-group/diagonal semantics, because pair_keep filters for it."""
+    import numpy as np
+    import pandas as pd
+
+    from eprints_to_hyku_data_tool_spark.functions.skew import (
+        make_group_runner,
+    )
+
+    def naive_kernel(pdf, pair_keep):
+        n = len(pdf)
+        ii, jj = np.triu_indices(n, k=1)
+        m = pair_keep(ii, jj)
+        return pd.DataFrame({"i": ii[m], "j": jj[m]})
+
+    run = make_group_runner(naive_kernel)
+    base = {"salt": [0, 0, 1], "vec_id": [1, 2, 3]}
+    cross = run(pd.DataFrame({**base, "lo": 0, "hi": 1}))
+    assert set(zip(cross["i"], cross["j"])) == {(0, 2), (1, 2)}
+    diag = run(pd.DataFrame({**base, "lo": 0, "hi": 0}))
+    assert set(zip(diag["i"], diag["j"])) == {(0, 1), (0, 2), (1, 2)}
+    legacy = run(pd.DataFrame({"vec_id": [1, 2, 3]}))
+    assert len(legacy) == 3

@@ -258,9 +258,19 @@ def append_baseline_rows(verdicts: dict[str, dict], label: str) -> None:
             f"{v['flagged']:.2f} s | {runs} s | **{v['warm_min']:.2f} s** "
             f"| {v['verdict']} |\n"
         )
+    # Insert at the end of the section's TABLE, not end-of-file: any
+    # section added below "Machine adjudications" would otherwise
+    # swallow new verdict rows (code review r9). The table ends at the
+    # first non-"|" line after the header (or EOF).
     head, _, tail = text.rpartition(_BASELINE_HEADER)
-    # insert rows after the last table line of the section
-    open(path, "w").write(head + _BASELINE_HEADER + tail.rstrip("\n") + "\n" + rows)
+    lines = tail.split("\n")
+    last_row = 0
+    for i, ln in enumerate(lines):
+        if ln.startswith("|"):
+            last_row = i
+    insert_at = last_row + 1 if last_row else len(lines)
+    lines[insert_at:insert_at] = rows.rstrip("\n").split("\n")
+    open(path, "w").write(head + _BASELINE_HEADER + "\n".join(lines))
 
 
 def main() -> int:
@@ -295,7 +305,14 @@ def main() -> int:
     data = json.load(open(args.bench))
     target = data.get("parsed") if isinstance(data.get("parsed"), dict) else data
     target["adjudications"] = verdicts
-    json.dump(data, open(args.bench, "w"), indent=1, sort_keys=True)
+    # Serialize BEFORE touching the file, then rename atomically — an
+    # exception mid-dump into an already-truncated sidecar would destroy
+    # the round's bench record (code review r9).
+    blob = json.dumps(data, indent=1, sort_keys=True)
+    tmp = args.bench + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(blob)
+    os.replace(tmp, args.bench)
 
     if not args.no_baseline:
         label = args.label or os.path.basename(args.bench)

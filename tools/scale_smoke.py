@@ -143,11 +143,20 @@ def main() -> None:
         rerun = time.perf_counter() - t0
         print(f"  rerun {name}: {rerun:.2f}s (was {big[name]:.2f}s)", flush=True)
         if rerun < big[name] / 4.0:
+            # A >4x collapse means the re-run almost certainly rode a
+            # session-memoized intermediate, so its min would let a
+            # genuinely regressed memo-backed query PASS the linear
+            # gate with only a report-level flag (code review r9).
+            # Fail-safe: the gate judges the COLD time for these; the
+            # warm number is recorded for the human reading the report,
+            # and a cold contention artifact then fails loudly into a
+            # fresh-session adjudication instead of passing silently.
             memo_assisted[name] = {
                 "cold_sec": round(big[name], 3),
                 "warm_sec": round(rerun, 3),
             }
-        big[name] = min(big[name], rerun)
+        else:
+            big[name] = min(big[name], rerun)
     spark.stop()
 
     rows = {}
@@ -159,6 +168,10 @@ def main() -> None:
             "x10_sec": round(big[name], 3),
             "ratio": round(ratio, 2),
         }
+        if name in memo_assisted:
+            rows[name]["memo_assisted_warm_sec"] = memo_assisted[name][
+                "warm_sec"
+            ]
         # Sub-second sf0.1 timings are noise-dominated; require a
         # meaningful baseline before judging its ratio.
         if base[name] >= 0.5 and ratio > linear_bound:
