@@ -90,6 +90,96 @@ _SIM = textwrap.dedent(
 ).replace("__REPO__", repr(_REPO))
 
 
+_SALTED_SIM = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, __REPO__)
+    import numpy as np
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    # The salted sub-bucket kernels only activate past the hot-group
+    # thresholds (_HOT_BUCKET_ROWS / _IVF_HOT_CELL_ROWS), which fixture
+    # corpora never reach — so the general sim above never ships the
+    # salted wrapper closures. Force them with the tiny-threshold
+    # fixtures the property tests use, from this foreign cwd, and pin
+    # the pair-set equality too (a pickling break OR a wrapper that
+    # loses the salt rule would both fail here).
+    from eprints_to_hyku_data_tool_spark.plans.q_north import _ivf_cell_pairs
+
+    rng = np.random.default_rng(69)
+    hot_vec = rng.uniform(0.1, 1.0, size=16)
+    rows = [
+        (i, [float(x) for x in hot_vec + rng.uniform(-0.01, 0.01, 16)], 7)
+        for i in range(40)
+    ] + [
+        (100 + i, [float(x) for x in rng.uniform(-1.0, 1.0, size=16)], i % 4)
+        for i in range(16)
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cell int"
+    )
+    unsalted = set(
+        map(tuple, _ivf_cell_pairs(assigned, 0.4, 2048, 10**9).collect())
+    )
+    salted = set(map(tuple, _ivf_cell_pairs(assigned, 0.4, 5, 8).collect()))
+    assert len(unsalted) >= 780 and salted == unsalted
+    print("driver-sim ok: forced-hot ivf cells", flush=True)
+
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import (
+        _salted_bucket_verify,
+    )
+
+    base = rng.integers(10**5, 10**6, size=8)
+    sigs_rows = [
+        (
+            i,
+            [int(x) for x in base + rng.integers(-500, 500, size=8)],
+            int(b),
+            3,
+        )
+        for i in range(30)
+        for b in range(2)
+    ]
+    sigs = spark.createDataFrame(
+        sigs_rows, "vec_id long, vq array<long>, band int, sig long"
+    )
+    plain = set(
+        map(tuple, _salted_bucket_verify(sigs, 2048, 0.4, 10**9).collect())
+    )
+    split = set(map(tuple, _salted_bucket_verify(sigs, 5, 0.4, 8).collect()))
+    assert len(plain) > 0 and split == plain
+    print("driver-sim ok: forced-hot rplsh buckets", flush=True)
+    spark.stop()
+    print("DRIVER_SIM_SALTED_PASS")
+    """
+).replace("__REPO__", repr(_REPO))
+
+
+def test_forced_hot_salted_kernels_run_from_foreign_cwd(tmp_path):
+    """VERDICT r9 item 6: the salted grouped-map kernels (wrapper +
+    pair_keep closures) must survive cloudpickle from a non-repo cwd,
+    and their forced-hot pair sets must equal the unsalted plan's."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _SALTED_SIM],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0 and "DRIVER_SIM_SALTED_PASS" in proc.stdout, (
+        proc.stdout[-2000:] + "\n--- stderr ---\n" + proc.stderr[-3000:]
+    )
+
+
 def test_entry_and_udf_queries_run_from_foreign_cwd(tmp_path):
     env = dict(os.environ)
     # The sim must rely on sys.path.insert alone, like the driver does.
