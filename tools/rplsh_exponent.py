@@ -65,11 +65,21 @@ def main() -> None:
     )
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default=os.path.join(_ROOT, "RPLSH_EXPONENT.json"))
+    ap.add_argument(
+        "--recall",
+        action="store_true",
+        help="also brute-force the exact tau-pair count per tier "
+        "(driver-side numpy over the collected corpus — tool-only, "
+        "fine at smoke tiers) and record recall = q74 pairs / exact",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
 
-    from eprints_to_hyku_data_tool_spark.plans.q_embed import _rp_signatures
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import (
+        _rp_signatures,
+        derive_banding,
+    )
     from eprints_to_hyku_data_tool_spark.session import get_spark
     from eprints_to_hyku_data_tool_spark.sources.tables import load_table
 
@@ -83,17 +93,7 @@ def main() -> None:
         driver_memory="48g",
     )
 
-    rows = []
-    for tier in args.tiers:
-        n = load_table(spark, tier, "embeddings").count()
-
-        # Exact candidate-pair count: pairs sharing >=1 band signature,
-        # counted once per (band, sig) bucket then deduped across bands
-        # is what q74 verifies; the raw per-band sum is the work the
-        # verify stage actually performs (a pair colliding in b bands is
-        # dotted b times pre-dedup in the oracle formulation, once per
-        # group in the bucket-local plan), so report BOTH.
-        sigs = _rp_signatures(load_table(spark, tier, "embeddings"))
+    def _cand_counts(sigs):
         per_band = (
             sigs.groupBy("band", "sig")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -112,6 +112,69 @@ def main() -> None:
             .distinct()
             .count()
         )
+        return int(per_band), distinct_pairs
+
+    rows = []
+    for tier in args.tiers:
+        n = load_table(spark, tier, "embeddings").count()
+
+        # Exact candidate-pair count: pairs sharing >=1 band signature,
+        # counted once per (band, sig) bucket then deduped across bands
+        # is what q74 verifies; the raw per-band sum is the work the
+        # verify stage actually performs (a pair colliding in b bands is
+        # dotted b times pre-dedup in the oracle formulation, once per
+        # group in the bucket-local plan), so report BOTH.
+        sigs = _rp_signatures(load_table(spark, tier, "embeddings"))
+        per_band, distinct_pairs = _cand_counts(sigs)
+
+        # Same counts under the SIZE-DRIVEN banding (round 10): at the
+        # anchor tiers this is the identical config; past the anchor
+        # the derived rate must fall BELOW the fixed-config 6.85%
+        # floor — the r9 verdict's acceptance criterion for making the
+        # n^(1+rho) claim honestly.
+        d_bands, d_bits = derive_banding(n)
+        d_sigs = _rp_signatures(
+            load_table(spark, tier, "embeddings"), d_bands, d_bits
+        )
+        d_per_band, d_distinct = _cand_counts(d_sigs)
+
+        recall = None
+        if args.recall:
+            # Exact tau-pair count over the SAME micro-quantized cosine
+            # q74 uses (floor(x*1e6+0.5) components), blocked numpy on
+            # the driver — this is measurement tooling, not a plan, so
+            # a bounded collect at smoke tiers is fine.
+            import numpy as np
+
+            pdf = (
+                load_table(spark, tier, "embeddings")
+                .select("vec_id", "embedding")
+                .toPandas()
+            )
+            ids = pdf["vec_id"].to_numpy()
+            vq = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                * 1e6
+                + 0.5
+            )
+            nrm = np.sqrt((vq * vq).sum(1))
+            exact = 0
+            B = 4096
+            for i0 in range(0, len(ids), B):
+                for j0 in range(0, len(ids), B):
+                    if j0 + B <= i0:
+                        continue
+                    cos = (vq[i0 : i0 + B] @ vq[j0 : j0 + B].T) / np.outer(
+                        nrm[i0 : i0 + B], nrm[j0 : j0 + B]
+                    )
+                    ii, jj = np.nonzero(cos >= 0.4)
+                    exact += int((ids[i0 + ii] < ids[j0 + jj]).sum())
+            found = q74(spark, tier).count()
+            recall = {
+                "exact_tau_pairs": exact,
+                "lsh_found_pairs": found,
+                "recall": round(found / max(exact, 1), 3),
+            }
 
         q74(spark, tier).write.format("noop").mode("overwrite").save()  # warmup
         times = []
@@ -130,22 +193,43 @@ def main() -> None:
                 # candidate stream is a fixed fraction of ALL pairs
                 # (quadratic with a constant cutdown), not sub-quadratic
                 "cand_rate_of_all_pairs": round(distinct_pairs / all_pairs, 4),
+                "derived_config": f"{d_bands}x{d_bits}",
+                "derived_cand_per_band": d_per_band,
+                "derived_cand_distinct": d_distinct,
+                "derived_cand_rate": round(d_distinct / all_pairs, 4),
                 "sec_min": round(min(times), 3),
                 "sec_all": [round(t, 3) for t in times],
             }
         )
+        if recall is not None:
+            rows[-1]["derived_recall"] = recall
         print(json.dumps(rows[-1]), flush=True)
     spark.stop()
 
     ns = [r["n"] for r in rows]
     report = {
-        "banding": "16 bands x 8 bits, tau=0.4",
+        "banding": (
+            "fixed = 16 bands x 8 bits; derived = derive_banding(n) "
+            "(anchor 2048, bits 8+e, bands [16,26,41]<<2*(e//3)), "
+            "tau=0.4"
+        ),
         "claimed_exponent": 1.66,
         "candidate_exponent_per_band": round(
             _fit_slope(ns, [r["cand_per_band"] for r in rows]), 3
         ),
         "candidate_exponent_distinct": round(
             _fit_slope(ns, [r["cand_distinct"] for r in rows]), 3
+        ),
+        "derived_candidate_exponent_distinct": round(
+            _fit_slope(ns, [r["derived_cand_distinct"] for r in rows]), 3
+        ),
+        # the r9 verdict's acceptance bar: past the anchor, the derived
+        # config's candidate rate must drop below the fixed config's
+        # scale-constant ~6.85% floor
+        "derived_rate_below_fixed_floor": all(
+            r["derived_cand_rate"] < 0.0683
+            for r in rows
+            if r["n"] > 2048
         ),
         "runtime_exponent": round(
             _fit_slope(ns, [r["sec_min"] for r in rows]), 3
