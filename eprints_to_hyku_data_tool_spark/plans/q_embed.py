@@ -218,7 +218,7 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
 
 
 @register(
-    "z874_rplsh_neardup",
+    "q74_rplsh_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -309,7 +309,7 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
     "big the bucket, while the emitted pair set is provably identical "
     "to the unsalted plan (same oracle).",
 )
-def z874_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-8 rewrite, driven by the 10x scale smoke. The old plan
     # materialized the candidate PAIR set (~6% of all pairs), distinct()-ed
     # it, then attached both 64-dim vectors via two shuffle joins whose

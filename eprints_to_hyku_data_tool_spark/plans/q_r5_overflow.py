@@ -405,7 +405,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
 
 
 @register(
-    "q554_association_rules",
+    "z554_association_rules",
     oracle=f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -445,7 +445,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
     "At 100 TB min-support pruning is what keeps the pair table "
     "manageable — exactly the a-priori downward-closure argument.",
 )
-def q554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")

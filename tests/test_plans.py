@@ -203,7 +203,7 @@ NESTED_LOOP_WHITELIST = {
     "q347_mahalanobis",
     # y79 cross-joins the one-row basket-count aggregate onto the rule
     # table for the lift denominator (broadcast-scalar shape).
-    "q554_association_rules",
+    "z554_association_rules",
     # y88 cross-joins the one-row digit-total aggregate onto the 9-row
     # digit table (broadcast-scalar shape).
     "z563_benford_audit",
@@ -869,7 +869,7 @@ def test_cluster_shaped_neardup_build(spark, sf_dir):
 def test_q74_rplsh_bucket_verify_plan_shape(plans):
     import re
 
-    p = plans("z874_rplsh_neardup")
+    p = plans("q74_rplsh_neardup")
     # Round-8 shape + round-9 hot-bucket salting: candidates are still
     # generated and killed inside the per-bucket Arrow kernel
     # (grouped-map node), and the only shuffles are (1) the tiny

@@ -365,7 +365,7 @@ def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
     the fixture must be non-trivial (sign-LSH with 16x8 bands — 128
     planes — finds a reasonable share of the exact tau=0.4 pairs)."""
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
-        z874_rplsh_neardup,
+        q74_rplsh_neardup,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_joins import (
         q18_similarity_join,
@@ -373,7 +373,7 @@ def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
 
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in z874_rplsh_neardup(spark, sf_dir).collect()
+        for r in q74_rplsh_neardup(spark, sf_dir).collect()
     }
     exact = {
         (r["id_a"], r["id_b"])
@@ -789,11 +789,11 @@ def test_rplsh_spark_path_invariant_to_verify_block(spark, sf_dir, monkeypatch):
     from eprints_to_hyku_data_tool_spark.plans import q_embed
 
     base = set(
-        map(tuple, q_embed.z874_rplsh_neardup(spark, sf_dir).collect())
+        map(tuple, q_embed.q74_rplsh_neardup(spark, sf_dir).collect())
     )
     monkeypatch.setattr(q_embed, "_VERIFY_BLOCK", 2)
     tiny = set(
-        map(tuple, q_embed.z874_rplsh_neardup(spark, sf_dir).collect())
+        map(tuple, q_embed.q74_rplsh_neardup(spark, sf_dir).collect())
     )
     assert base == tiny and len(base) > 0
 
@@ -1010,8 +1010,8 @@ def test_rplsh_derived_config_parity_above_anchor(spark, tmp_path):
     )
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
-    sdf = qs["z874_rplsh_neardup"](spark, str(tmp_path))
+    sdf = qs["q74_rplsh_neardup"](spark, str(tmp_path))
     from .parity import assert_parity
 
-    assert_parity(sdf, osql["z874_rplsh_neardup"], con, "z874-derived")
+    assert_parity(sdf, osql["q74_rplsh_neardup"], con, "z874-derived")
     assert sdf.count() > 0

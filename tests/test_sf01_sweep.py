@@ -37,7 +37,7 @@ QUADRATIC_ORACLES = {
     "z667_embedding_dedupe",
     "z660_minhash_lsh",
     "z660_simhash",
-    "z874_rplsh_neardup",
+    "q74_rplsh_neardup",
     "q186_ivf_embedding_dedupe",
     "q18_similarity_join",
     "z790_corpus_pipeline",

@@ -44,14 +44,14 @@ HEAVY = [
     "z620_global_agg",
     "z8252_winnow_containment",
     "z8301_duplicate_ngram_filter",
-    "z874_rplsh_neardup",
+    "q74_rplsh_neardup",
     "z775_decontaminate",
     "q185_ivf_topk",
     "z790_corpus_pipeline",
     "q190_column_profile",
     "z7192_approx_percentile",
     "q345_split_leakage",
-    "q554_association_rules",
+    "z554_association_rules",
     "z660_simhash",
     "z660_minhash_lsh",
     "z622_approx_count_distinct",
