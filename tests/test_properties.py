@@ -1015,3 +1015,45 @@ def test_rplsh_derived_config_parity_above_anchor(spark, tmp_path):
 
     assert_parity(sdf, osql["q74_rplsh_neardup"], con, "z874-derived")
     assert sdf.count() > 0
+
+
+def test_derive_banding_sql_formula_agrees_with_python():
+    """The z874 oracle's params CTE and derive_banding() must agree at
+    EVERY corpus size, not just the fixture and the one tested derived
+    point — run the exact SQL fragment from the registered oracle
+    against synthetic counts and compare. Guards both ladders drifting
+    apart in a future retune."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import (
+        derive_banding,
+    )
+
+    sql = entry_mod.oracle_sql()["q74_rplsh_neardup"]
+    # lift the params CTE verbatim out of the registered oracle
+    start = sql.index("params AS (")
+    depth = 0
+    for i in range(start + len("params AS "), len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                params_cte = sql[start : i + 1]
+                break
+    con = duckdb.connect()
+    for n in (1, 2, 500, 2000, 2048, 2049, 4096, 6000, 20000,
+              10**6, 10**9, 7 * 10**9):
+        con.execute(
+            f"CREATE OR REPLACE VIEW embeddings AS "
+            f"SELECT 1 AS x FROM range({min(n, 1)})"
+        )
+        # a COUNT(*)-equals-n stand-in without materializing n rows
+        cte = params_cte.replace(
+            "(SELECT COUNT(*) FROM embeddings)", str(n)
+        )
+        bits, bands = con.execute(
+            f"WITH {cte} SELECT bits, bands FROM params"
+        ).fetchone()
+        assert (int(bands), int(bits)) == derive_banding(n), n
