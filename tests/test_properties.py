@@ -1057,3 +1057,44 @@ def test_derive_banding_sql_formula_agrees_with_python():
             f"WITH {cte} SELECT bits, bands FROM params"
         ).fetchone()
         assert (int(bands), int(bits)) == derive_banding(n), n
+
+
+def test_consolidated_verify_invariant_under_group_count(spark):
+    """The coarse verify's pair set must be invariant to n_groups — in
+    particular n_groups=1 forces EVERY bucket (hot-salted cross and
+    diagonal runs included) into one multi-run frame, the run-splitting
+    path fixture-scale gid hashing barely exercises; n_groups=7 gives
+    mixed frames. Both must equal the effectively-per-bucket plan AND
+    the unsalted plan."""
+    import numpy as np
+
+    from eprints_to_hyku_data_tool_spark.plans.q_embed import (
+        _rp_signatures,
+        _salted_bucket_verify,
+    )
+
+    rng = np.random.default_rng(74)
+    hot_vec = rng.uniform(-0.5, 0.5, size=64)
+    rows = [(i, [float(x) for x in hot_vec]) for i in range(40)] + [
+        (100 + i, [float(x) for x in rng.uniform(-0.5, 0.5, size=64)])
+        for i in range(16)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = _rp_signatures(emb)
+
+    def run(hot_rows, n_groups):
+        return set(
+            map(
+                tuple,
+                _salted_bucket_verify(
+                    sigs, 5, 0.4, hot_rows, n_groups
+                ).collect(),
+            )
+        )
+
+    unsalted_many = run(10**9, 4096)
+    assert len(unsalted_many) >= 780
+    assert run(10**9, 1) == unsalted_many
+    assert run(8, 1) == unsalted_many
+    assert run(8, 7) == unsalted_many
+    assert run(8, 4096) == unsalted_many
