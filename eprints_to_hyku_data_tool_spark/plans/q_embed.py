@@ -228,9 +228,20 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
     -- engines band identically at every corpus size by construction
     params AS (
       SELECT CAST(8 + e AS BIGINT) AS bits,
-             CAST((CASE e % 3 WHEN 0 THEN 16 WHEN 1 THEN 26 ELSE 41 END)
-                  * (CAST(1 AS BIGINT) << (2 * (e // 3))) AS BIGINT)
-               AS bands
+             -- the plane enumeration below is capped at 8192; a corpus
+             -- deriving more planes must FAIL loudly, never silently
+             -- truncate its banding (no-silent-caps rule)
+             CASE WHEN (8 + e)
+                       * ((CASE e % 3 WHEN 0 THEN 16 WHEN 1 THEN 26
+                           ELSE 41 END)
+                          * (CAST(1 AS BIGINT) << (2 * (e // 3)))) > 8192
+                  THEN error('derived plane count exceeds the oracle '
+                             'range(0, 8192) cap — raise the cap')
+                  ELSE CAST((CASE e % 3 WHEN 0 THEN 16 WHEN 1 THEN 26
+                             ELSE 41 END)
+                            * (CAST(1 AS BIGINT) << (2 * (e // 3)))
+                            AS BIGINT)
+             END AS bands
       FROM (SELECT MIN(r.range) AS e
             FROM range(0, 40) r
             WHERE {_RP_ANCHOR} * (CAST(1 AS BIGINT) << r.range)

@@ -1024,6 +1024,7 @@ def test_derive_banding_sql_formula_agrees_with_python():
     against synthetic counts and compare. Guards both ladders drifting
     apart in a future retune."""
     import duckdb
+    import pytest
 
     import __spark_entry__ as entry_mod
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
@@ -1043,20 +1044,28 @@ def test_derive_banding_sql_formula_agrees_with_python():
                 params_cte = sql[start : i + 1]
                 break
     con = duckdb.connect()
-    for n in (1, 2, 500, 2000, 2048, 2049, 4096, 6000, 20000,
-              10**6, 10**9, 7 * 10**9):
-        con.execute(
-            f"CREATE OR REPLACE VIEW embeddings AS "
-            f"SELECT 1 AS x FROM range({min(n, 1)})"
-        )
+
+    def sql_params(n):
         # a COUNT(*)-equals-n stand-in without materializing n rows
         cte = params_cte.replace(
             "(SELECT COUNT(*) FROM embeddings)", str(n)
         )
-        bits, bands = con.execute(
+        return con.execute(
             f"WITH {cte} SELECT bits, bands FROM params"
         ).fetchone()
+
+    for n in (1, 2, 500, 2000, 2048, 2049, 4096, 6000, 20000,
+              2048 * 128):
+        bits, bands = sql_params(n)
         assert (int(bands), int(bits)) == derive_banding(n), n
+    # past the oracle's 8192-plane enumeration cap (e >= 8, i.e.
+    # n > 2048 * 2^7) the oracle must FAIL LOUDLY, never silently
+    # truncate its banding (no-silent-caps rule)
+    for n in (10**6, 10**9):
+        bands, bits = derive_banding(n)
+        assert bands * bits > 8192  # the cap is genuinely exceeded
+        with pytest.raises(Exception, match="plane count exceeds"):
+            sql_params(n)
 
 
 def test_consolidated_verify_invariant_under_group_count(spark):
