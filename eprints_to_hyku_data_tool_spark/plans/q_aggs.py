@@ -28,7 +28,7 @@ from .q_core import dec_sum
 # Q22 — approx count-distinct (HLL) with a checkable tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "z622_approx_count_distinct",
+    "q622_approx_count_distinct",
     oracle="""
     SELECT l_suppkey,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -48,7 +48,7 @@ from .q_core import dec_sum
     "every raw row update a 16KB HLL++ buffer through the Expand "
     "(measured 60s at sf0.1 vs 4s for this form).",
 )
-def z622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
     return (
@@ -72,7 +72,7 @@ def z622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q23 — ROLLUP (hierarchical subtotals)
 # --------------------------------------------------------------------------
 @register(
-    "z623_rollup",
+    "q623_rollup",
     oracle="""
     SELECT COALESCE(r_name, '(all)') AS region_name,
            COALESCE(n_name, '(all)') AS nation_name,
@@ -89,7 +89,7 @@ def z622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(real NULLs vs subtotal NULLs are distinguishable) "
     "(SURVEY §2.4 Q23).",
 )
-def z623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -119,7 +119,7 @@ def z623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q24 — CUBE (all grouping combinations)
 # --------------------------------------------------------------------------
 @register(
-    "z624_cube",
+    "q624_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, '(all)') AS status,
            COALESCE(o_orderpriority, '(all)') AS priority,
@@ -132,7 +132,7 @@ def z623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CUBE over (status, priority): all four grouping-set combinations "
     "in one pass (Expand + single shuffle) (SURVEY §2.4 Q24).",
 )
-def z624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
@@ -155,7 +155,7 @@ def z624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q25 — collect_list -> sorted delimited string (THE Bulkrax fold)
 # --------------------------------------------------------------------------
 @register(
-    "z625_bulkrax_fold",
+    "q625_bulkrax_fold",
     oracle="""
     SELECT l_orderkey,
            string_agg(p_name, '|' ORDER BY p_name) AS part_names,
@@ -168,7 +168,7 @@ def z624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed engine — sort_array makes it canonical), joined with "
     "'|' for the flat CSV cell (SURVEY §1.1, §2.4 Q25).",
 )
-def z625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (
@@ -187,7 +187,7 @@ def z625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q26 — pivot (crosstab QA report)
 # --------------------------------------------------------------------------
 @register(
-    "z626_pivot",
+    "q626_pivot",
     oracle="""
     SELECT c_mktsegment,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -201,7 +201,7 @@ def z625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "deterministic plan at scale (no pre-pass to discover values) "
     "(SURVEY §2.4 Q26).",
 )
-def z626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     pivoted = (
@@ -222,7 +222,7 @@ def z626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q27 — percentiles / median (exact)
 # --------------------------------------------------------------------------
 @register(
-    "z627_percentiles",
+    "q627_percentiles",
     oracle="""
     SELECT c_mktsegment,
            round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
@@ -238,7 +238,7 @@ def z626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_approx is the 100 TB variant (mergeable sketch, not "
     "hashable) — exercised in tests (SURVEY §2.4 Q27).",
 )
-def z627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
@@ -257,7 +257,7 @@ def z627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q28 — statistical aggregates
 # --------------------------------------------------------------------------
 @register(
-    "z628_stats",
+    "q628_stats",
     oracle="""
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS qty_stddev,
@@ -271,7 +271,7 @@ def z627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "return flag. Rounded on both sides — single-pass moment merges are "
     "partition-order dependent in the low bits (SURVEY §2.4 Q28).",
 )
-def z628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
@@ -289,7 +289,7 @@ def z628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q29 — filtered / conditional aggregation
 # --------------------------------------------------------------------------
 @register(
-    "z629_conditional_agg",
+    "q629_conditional_agg",
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -307,7 +307,7 @@ def z628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counters — error rate and purchase value in one pass over events "
     "(SURVEY §2.4 Q29).",
 )
-def z629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
     cnt = F.count(F.lit(1))
@@ -330,7 +330,7 @@ def z629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q30 — mixed distinct + plain aggregates
 # --------------------------------------------------------------------------
 @register(
-    "z630_mixed_distinct",
+    "q630_mixed_distinct",
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -344,7 +344,7 @@ def z629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an Expand (one row replica per distinct column) + two-phase "
     "aggregate (SURVEY §2.4 Q30).",
 )
-def z630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         dec_sum("l_quantity", "sum_qty"),
@@ -358,7 +358,7 @@ def z630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y46 — GROUPING SETS via the SQL entry point
 # --------------------------------------------------------------------------
 @register(
-    "q189_grouping_sets",
+    "z9189_grouping_sets",
     oracle="""
     SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
            COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -380,7 +380,7 @@ def z630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL then cast (fleet rule), grouping() markers distinguish "
     "subtotal NULLs from data NULLs.",
 )
-def q189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("y46_lineitem")
     return spark.sql(
@@ -564,7 +564,7 @@ _HH_M = 256  # SpaceSaving counters per task
 
 
 @register(
-    "q434_heavyhitters",
+    "z9434_heavyhitters",
     oracle=f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
@@ -589,7 +589,7 @@ _HH_M = 256  # SpaceSaving counters per task
     "KNOWN keys; this FINDS the heavy keys (frequency-cap / "
     "spam-domain mandate).".format(K=_HH_K, M=_HH_M),
 )
-def q434_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9434_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select("user_id")

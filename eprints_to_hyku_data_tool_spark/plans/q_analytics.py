@@ -350,7 +350,7 @@ def z7588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y44 — per-user z-score anomaly flags (exact-moment discipline)
 # --------------------------------------------------------------------------
 @register(
-    "q187_anomaly_zscore",
+    "z9187_anomaly_zscore",
     oracle="""
     WITH s AS (SELECT user_id,
                       CAST(COUNT(*) AS BIGINT) AS n,
@@ -382,7 +382,7 @@ def z7588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join-back onto the event stream); degenerate users (n<2 or zero "
     "variance) are excluded on both sides.",
 )
-def q187_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9187_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     s = ev.groupBy("user_id").agg(

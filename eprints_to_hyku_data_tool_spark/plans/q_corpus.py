@@ -242,7 +242,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
 
 
 @register(
-    "q180_bm25",
+    "z9180_bm25",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
@@ -277,7 +277,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
     "Per-row output (doc, term, tf, dl, score) avoids cross-term "
     "summation-order divergence entirely.",
 )
-def q180_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9180_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     d = t.select("doc_id", F.size("tk").cast("long").alias("dl"))
@@ -328,7 +328,7 @@ _VOCAB_TOP = 100
 
 
 @register(
-    "q181_vocab_zipf",
+    "z9181_vocab_zipf",
     oracle=f"""
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -354,7 +354,7 @@ _VOCAB_TOP = 100
     "one-row broadcast like x30. Ties broken by token for "
     "determinism.",
 )
-def q181_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9181_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = (
         docs.select(F.explode(_tokens()).alias("token"))
@@ -390,7 +390,7 @@ _GROUP_K = 5
 
 
 @register(
-    "q182_group_sample",
+    "z9182_group_sample",
     oracle=f"""
     SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
     FROM (SELECT doc_id, lang, source,
@@ -410,7 +410,7 @@ _GROUP_K = 5
     "WindowGroupLimit cuts each group to k BEFORE and after the "
     "exchange, so only candidate rows move (plan-asserted).",
 )
-def q182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string"))),
@@ -431,7 +431,7 @@ def q182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y37 — per-stratum length-band outlier filter (p05/p95 fences)
 # --------------------------------------------------------------------------
 @register(
-    "q183_length_band",
+    "z9183_length_band",
     oracle="""
     WITH b AS (SELECT lang,
                       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 4)
@@ -454,7 +454,7 @@ def q182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB swap percentile -> percentile_approx(..., 10000): same "
     "plan shape, sketch-mergeable, documented trade.",
 )
-def q183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = docs.groupBy("lang").agg(
         F.round(
@@ -485,7 +485,7 @@ def q183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y38 — per-label embedding centroids (elementwise mean, order-exact)
 # --------------------------------------------------------------------------
 @register(
-    "q184_label_centroids",
+    "z9184_label_centroids",
     oracle="""
     WITH e AS (
       SELECT label,
@@ -512,7 +512,7 @@ def q183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output cells regardless of corpus size. The final mean is a "
     "single double division per cell.",
 )
-def q184_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9184_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label",

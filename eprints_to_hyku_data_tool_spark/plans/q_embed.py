@@ -30,7 +30,7 @@ from .registry import register
 
 
 @register(
-    "q173_int8_quantize",
+    "z9173_int8_quantize",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -65,7 +65,7 @@ from .registry import register
     "order-independent; floor(x+0.5) rounding (not ROUND) removes the "
     "half-up/half-even cross-engine tie hazard (quantization mandate).",
 )
-def q173_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9173_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     d = emb.select("vec_id", v.alias("v")).withColumn(
@@ -129,6 +129,13 @@ def q173_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # RPLSH_EXPONENT.json's derived-config section.
 _RP_ANCHOR = 2048
 _RP_TAU = 0.4  # same tau + 1e-4 fixture margin as q18/q67
+# Shared plane-count ceiling: the SQL oracle enumerates range(0, 8192)
+# planes and error()s past it; derive_banding raises at the same
+# boundary so a Spark-only run cannot silently cross into duplicate
+# planes (_plane_weights period = 131^2 = 17161). 8192 covers e <= 7,
+# i.e. corpora to ~262k vectors; past that, extend the family (more
+# decorrelated blocks) BEFORE raising the cap.
+_RP_PLANE_CAP = 8192
 # The anchor point's geometry (what fixtures run, and the fallback
 # callers that predate size-driving still get):
 _N_BANDS = 16
@@ -145,7 +152,21 @@ def derive_banding(n: int) -> tuple[int, int]:
     e = 0
     while (_RP_ANCHOR << e) < n:
         e += 1
-    return (16, 26, 41)[e % 3] << (2 * (e // 3)), 8 + e
+    bands, bits = (16, 26, 41)[e % 3] << (2 * (e // 3)), 8 + e
+    # Python-side mirror of the oracle's error() branch (code review
+    # r10): the SQL oracle enumerates range(0, 8192) planes and raises
+    # past that, but a Spark-only run would otherwise sail past the cap
+    # into _plane_weights' period (131^2 = 17161 — plane p and p+17161
+    # are identical), silently degrading recall with duplicate bits.
+    # No silent caps: fail loudly in BOTH engines at the same boundary.
+    if bands * bits > _RP_PLANE_CAP:
+        raise ValueError(
+            f"derived banding {bands}x{bits} needs {bands * bits} planes"
+            f" > the shared {_RP_PLANE_CAP}-plane cap (corpus n={n}, e={e});"
+            " extend the plane family before raising the cap —"
+            " _plane_weights repeats with period 131^2 = 17161"
+        )
+    return bands, bits
 
 
 def _plane_weights(p: int) -> list[int]:
@@ -218,7 +239,7 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
 
 
 @register(
-    "q74_rplsh_neardup",
+    "z974_rplsh_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -228,15 +249,19 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
     -- engines band identically at every corpus size by construction
     params AS (
       SELECT CAST(8 + e AS BIGINT) AS bits,
-             -- the plane enumeration below is capped at 8192; a corpus
-             -- deriving more planes must FAIL loudly, never silently
-             -- truncate its banding (no-silent-caps rule)
+             -- the plane enumeration below is capped at
+             -- {_RP_PLANE_CAP}; a corpus deriving more planes must FAIL
+             -- loudly, never silently truncate its banding
+             -- (no-silent-caps rule; derive_banding raises at the SAME
+             -- boundary Python-side)
              CASE WHEN (8 + e)
                        * ((CASE e % 3 WHEN 0 THEN 16 WHEN 1 THEN 26
                            ELSE 41 END)
-                          * (CAST(1 AS BIGINT) << (2 * (e // 3)))) > 8192
+                          * (CAST(1 AS BIGINT) << (2 * (e // 3))))
+                      > {_RP_PLANE_CAP}
                   THEN error('derived plane count exceeds the oracle '
-                             'range(0, 8192) cap — raise the cap')
+                             'range(0, {_RP_PLANE_CAP}) cap — raise '
+                             'the cap')
                   ELSE CAST((CASE e % 3 WHEN 0 THEN 16 WHEN 1 THEN 26
                              ELSE 41 END)
                             * (CAST(1 AS BIGINT) << (2 * (e // 3)))
@@ -258,7 +283,7 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
                                      * ((d - 1) * (d - 1) * 29
                                         + (d - 1) * 97)) % 131) - 65)))
                  AS BIGINT) >= 0 THEN 1 ELSE 0 END AS bit
-             FROM q CROSS JOIN params CROSS JOIN range(0, 8192) p
+             FROM q CROSS JOIN params CROSS JOIN range(0, {_RP_PLANE_CAP}) p
              WHERE p.range < params.bands * params.bits),
     bands AS (SELECT vec_id, CAST(p // s AS INT) AS band,
                      CAST(SUM(bit * (CAST(1 AS BIGINT) << (p % s)))
@@ -320,7 +345,7 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
     "big the bucket, while the emitted pair set is provably identical "
     "to the unsalted plan (same oracle).",
 )
-def q74_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z974_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-8 rewrite, driven by the 10x scale smoke. The old plan
     # materialized the candidate PAIR set (~6% of all pairs), distinct()-ed
     # it, then attached both 64-dim vectors via two shuffle joins whose

@@ -558,7 +558,7 @@ def z661_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF coarse quantizer, shared by q185_ivf_topk and q186_ivf_embedding_dedupe
+# IVF coarse quantizer, shared by z9185_ivf_topk and z9186_ivf_embedding_dedupe
 # --------------------------------------------------------------------------
 IVF_SAMPLE = 256
 
@@ -628,7 +628,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     full scan. This is the 100 TB path: assignments are a (cell, vec)
     table bucketed by cell, probes fan out as a tiny broadcast join on
     cell; the corpus is scanned ONCE (no ML fit passes). Approximate by
-    construction; the registered q185_ivf_topk wraps this in a driver-
+    construction; the registered z9185_ivf_topk wraps this in a driver-
     checkable recall verdict, and tests/test_properties.py asserts
     recall@5 >= 0.8 pair-for-pair (SURVEY §2.11 Q61 scale variant)."""
     import numpy as np
@@ -707,7 +707,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q185_ivf_topk",
+    "z9185_ivf_topk",
     oracle=f"""
     WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
                FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}),
@@ -736,7 +736,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extra exact-scan at fixture scale; at 100 TB this is the standard "
     "offline recall audit run on a sampled probe set.",
 )
-def q185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = z661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
@@ -934,7 +934,7 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer is O(block^2) however big the cell while every pair's
     cosine is the same IEEE dot either way. No driver collect
     (centroids are nlist x dim) (assignment dedup mandate; the
-    registered q186_ivf_embedding_dedupe wraps this in a
+    registered z9186_ivf_embedding_dedupe wraps this in a
     driver-checkable subset + recall verdict)."""
     NLIST, N_ASSIGN, TAU = 16, 3, 0.4
 
@@ -1035,7 +1035,7 @@ def _cell_verifier(block: int, tau: float):
 
 
 @register(
-    "q186_ivf_embedding_dedupe",
+    "z9186_ivf_embedding_dedupe",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -1062,7 +1062,7 @@ def _cell_verifier(block: int, tau: float):
     "oracle recomputes independently. Approx values never enter the "
     "hashed output.",
 )
-def q186_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9186_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = z667_embedding_dedupe(spark, sf_dir).select(
         "vec_id", F.col("is_dropped").alias("ex")
     )

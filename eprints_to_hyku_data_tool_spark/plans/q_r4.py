@@ -1059,7 +1059,7 @@ def z8257_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg -> top-k
 # --------------------------------------------------------------------------
 @register(
-    "q179_top_revenue",
+    "z9179_top_revenue",
     oracle="""
     SELECT l.l_orderkey,
            CAST(o.o_orderdate AS DATE) AS o_orderdate,
@@ -1088,7 +1088,7 @@ def z8257_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "machinery in one Catalyst plan — the end-to-end smoke a new "
     "deployment runs first.",
 )
-def q179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )

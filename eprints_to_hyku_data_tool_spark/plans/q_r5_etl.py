@@ -482,7 +482,7 @@ def z8334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q35 — per-key daily gap-fill + forward fill
 # --------------------------------------------------------------------------
 @register(
-    "q335_gap_fill",
+    "z9335_gap_fill",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     daily AS (
@@ -516,7 +516,7 @@ def z8334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact quantized integers so the fill is hash-stable. The "
     "left join keeps is_gap as an explicit audit column.",
 )
-def q335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         "user_id",
@@ -548,7 +548,7 @@ def q335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q36 — EWMA smoothing (ordered IEEE fold, bit-identical)
 # --------------------------------------------------------------------------
 @register(
-    "q336_ewma",
+    "z9336_ewma",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     series AS (
@@ -572,7 +572,7 @@ def q335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collected series is the user's own history (state bounded per "
     "key; the streaming variant keeps just the running scalar).",
 )
-def q336_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9336_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     series = ev.groupBy("user_id").agg(
         F.transform(

@@ -27,7 +27,7 @@ from .registry import register
 # Y75 — STL-lite seasonal decomposition of the daily event series
 # --------------------------------------------------------------------------
 @register(
-    "q550_stl_decompose",
+    "z9550_stl_decompose",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -71,7 +71,7 @@ from .registry import register
     "100 TB the series key has the cardinality of the metric "
     "catalogue — each series' window state is 7 rows.",
 )
-def q550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -199,7 +199,7 @@ def z7551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y77 — Holt linear smoothing (level + trend, two-state ordered fold)
 # --------------------------------------------------------------------------
 @register(
-    "q552_holt_linear",
+    "z9552_holt_linear",
     oracle="""
     WITH RECURSIVE ev AS (
       SELECT user_id,
@@ -237,7 +237,7 @@ def z7551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming form keeps (level, trend) as O(1) state exactly like "
     "streaming_ewma.",
 )
-def q552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -282,7 +282,7 @@ def q552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y78 — per-key linear interpolation of gaps (q35's upgrade)
 # --------------------------------------------------------------------------
 @register(
-    "q553_linear_interpolate",
+    "z9553_linear_interpolate",
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS d,
@@ -340,7 +340,7 @@ def q552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical cross-engine. This is the resampling primitive a "
     "time-series feature pipeline runs after q35's densification.",
 )
-def q553_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9553_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").cast("date").alias("d"),
@@ -405,7 +405,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
 
 
 @register(
-    "z554_association_rules",
+    "q554_association_rules",
     oracle=f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -445,7 +445,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
     "At 100 TB min-support pruning is what keeps the pair table "
     "manageable — exactly the a-priori downward-closure argument.",
 )
-def z554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
@@ -498,7 +498,7 @@ _GD_R2 = 200 * 200
 
 
 @register(
-    "z555_grid_distance_join",
+    "q555_grid_distance_join",
     oracle=f"""
     WITH pts AS (
       SELECT c_custkey AS id,
@@ -535,7 +535,7 @@ _GD_R2 = 200 * 200
     "fan-out is bounded by local point density — the same "
     "bucketing-beats-all-pairs argument as the LSH dedup family.",
 )
-def z555_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q555_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     md5 = F.md5(F.col("c_custkey").cast("string").cast("binary"))
     pts = cust.select(
@@ -617,7 +617,7 @@ def _bpe_encode_oracle() -> str:
 
 
 @register(
-    "z556_bpe_encode",
+    "q556_bpe_encode",
     oracle=_bpe_encode_oracle(),
     doc="BPE ENCODE — the apply side of q43's training: the learned "
     "3-merge vocabulary maps every distinct word to its final symbol "
@@ -631,7 +631,7 @@ def _bpe_encode_oracle() -> str:
     "(_bpe_learn / _bpe_cte), so the two stay consistent by "
     "construction.",
 )
-def z556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_r5_pipeline import _bpe_learn
 
     vocab_words, _ = _bpe_learn(spark, sf_dir)
@@ -663,7 +663,7 @@ def z556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y82 — 2-D skyline (Pareto frontier): cheapest-for-its-recency orders
 # --------------------------------------------------------------------------
 @register(
-    "z557_skyline_2d",
+    "q557_skyline_2d",
     oracle="""
     WITH o AS (
       SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
@@ -693,7 +693,7 @@ def z556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reduce per group -> scan-side filter against a broadcast "
     "cutoff) generalizes to any 2-D skyline at 100 TB.",
 )
-def z557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("d"),
@@ -721,7 +721,7 @@ def z557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y83 — Kaplan-Meier survival curve (signup -> first purchase)
 # --------------------------------------------------------------------------
 @register(
-    "z558_kaplan_meier",
+    "q558_kaplan_meier",
     oracle="""
     WITH s AS (
       SELECT user_id, MIN(ts) AS t0 FROM events
@@ -785,7 +785,7 @@ def z557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Time-to-event analytics is the conversion-latency readout every "
     "funnel (q32) eventually needs.",
 )
-def z558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     s = (
         ev.filter(F.col("event_type") == "signup")
@@ -867,7 +867,7 @@ def z558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y84 — user-journey Markov transition matrix
 # --------------------------------------------------------------------------
 @register(
-    "z559_markov_transitions",
+    "q559_markov_transitions",
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type,
@@ -896,7 +896,7 @@ def z558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed shuffles total (user window, 25-cell count); the matrix "
     "size depends on the state alphabet, not the corpus.",
 )
-def z559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -933,7 +933,7 @@ def z559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y85 — RFM segmentation (recency / frequency / monetary quintiles)
 # --------------------------------------------------------------------------
 @register(
-    "z560_rfm_segments",
+    "q560_rfm_segments",
     oracle="""
     WITH rfm AS (
       SELECT user_id,
@@ -973,7 +973,7 @@ def z559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keeps the compact window form because its input is the reduced "
     "dimension, and the oracle pins the identical quintile semantics.",
 )
-def z560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     rfm = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1030,7 +1030,7 @@ def z560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y86 — top user-journey paths (3-step sequence mining)
 # --------------------------------------------------------------------------
 @register(
-    "z561_top_paths",
+    "q561_top_paths",
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type,
@@ -1057,7 +1057,7 @@ def z560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assumption breaks). Path cardinality is bounded by |states|^3, "
     "so the count shuffle is tiny regardless of corpus size.",
 )
-def z561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1084,7 +1084,7 @@ def z561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y87 — CUSUM changepoint detection per series
 # --------------------------------------------------------------------------
 @register(
-    "z562_cusum_changepoint",
+    "q562_cusum_changepoint",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1135,7 +1135,7 @@ def z561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-scale rollup shuffle; everything after lives on the "
     "(series x day) dimension.",
 )
-def z562_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q562_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -1214,7 +1214,7 @@ def _benford_case(col: str) -> str:
 
 
 @register(
-    "z563_benford_audit",
+    "q563_benford_audit",
     oracle=f"""
     WITH o AS (
       SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
@@ -1247,7 +1247,7 @@ def _benford_case(col: str) -> str:
     "the synthetic fixture is NOT Benford-distributed, which is "
     "precisely what the audit is built to surface.",
 )
-def z563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.substring(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))

@@ -151,7 +151,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "q343_bpe_train",
+    "z9343_bpe_train",
     oracle=_bpe_oracle(),
     doc="Byte-pair-encoding tokenizer training (Sennrich scheme): the "
     "corpus reduces to a (word, frequency) vocabulary table ONCE, "
@@ -170,7 +170,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     "— which is exactly how production BPE trainers scale. Rounds "
     "are lazily checkpointed (q88 lineage discipline).",
 )
-def q343_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9343_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, merge_rows = _bpe_learn(spark, sf_dir)
     out = merge_rows[0]
     for mr in merge_rows[1:]:
@@ -185,7 +185,7 @@ _FH_BUCKETS = 256
 
 
 @register(
-    "q344_feature_hashing",
+    "z9344_feature_hashing",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -217,7 +217,7 @@ _FH_BUCKETS = 256
     "out-of-core featurizer; bucket count is a constant, so the "
     "reduce side never grows with the corpus.",
 )
-def q344_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9344_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split("text", " ")).alias("tok")
@@ -247,7 +247,7 @@ def q344_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q45 — train/test split + near-dup leakage audit
 # --------------------------------------------------------------------------
 @register(
-    "q345_split_leakage",
+    "z9345_split_leakage",
     oracle="""
     WITH split AS (
       SELECT doc_id,
@@ -292,7 +292,7 @@ def q344_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles + two id-keyed split joins; at 100 TB the pair set is "
     "near-dup-sized, not corpus-sized.",
 )
-def q345_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9345_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_north import doc_shingles, exact_jaccard_pairs, verify_jaccard_candidates
 
     docs = load_table(spark, sf_dir, "documents")
@@ -348,7 +348,7 @@ def q345_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q46 — quantile-rank normalization (distributed rank transform)
 # --------------------------------------------------------------------------
 @register(
-    "q346_quantile_rank",
+    "z9346_quantile_rank",
     oracle="""
     WITH o AS (
       SELECT o_orderkey,
@@ -376,7 +376,7 @@ def q345_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any global sort, and the approximate path (z192 KLL quantiles + "
     "broadcast bucket map) is registered beside it.",
 )
-def q346_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9346_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -404,7 +404,7 @@ def q346_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q47 — Mahalanobis outlier scoring (moments -> Cramer inverse -> top-k)
 # --------------------------------------------------------------------------
 @register(
-    "q347_mahalanobis",
+    "z9347_mahalanobis",
     oracle="""
     WITH q AS (
       SELECT l_orderkey, l_linenumber,
@@ -486,7 +486,7 @@ def q346_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast + a second scan for scoring — no shuffle of the fact "
     "table at all.",
 )
-def q347_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9347_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
         "l_orderkey",
@@ -587,7 +587,7 @@ _ALS_LAMBDA = 1  # ridge regularizer, exact integer
 
 
 @register(
-    "q348_als_step",
+    "z9348_als_step",
     oracle=f"""
     WITH r AS (
       SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
@@ -632,7 +632,7 @@ _ALS_LAMBDA = 1  # ridge regularizer, exact integer
     "is O(d^3) independent of every other user. The full algorithm "
     "alternates this step with its item-side mirror.",
 )
-def q348_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9348_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
@@ -692,7 +692,7 @@ def q348_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q49 — migration reconciliation diff (source vs migrated snapshot)
 # --------------------------------------------------------------------------
 @register(
-    "q349_reconcile",
+    "z9349_reconcile",
     oracle="""
     WITH src AS (
       SELECT o_orderkey,
@@ -740,7 +740,7 @@ def q348_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one cent). At 100 TB this is the cheapest possible full audit: "
     "two scans, one key-hash shuffle, one summary row out.",
 )
-def q349_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z9349_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
 

@@ -30,7 +30,7 @@ from .registry import register
 # Q57 — scalar pandas UDF (vectorized text metric)
 # --------------------------------------------------------------------------
 @register(
-    "z657_scalar_pandas_udf",
+    "q657_scalar_pandas_udf",
     oracle="""
     SELECT doc_id, lang,
            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -42,7 +42,7 @@ from .registry import register
     "bit-identical to the SQL re-expression — no rounding needed "
     "(SURVEY §2.10 Q57).",
 )
-def z657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def type_token_ratio(text: pd.Series) -> pd.Series:
         # Distinct words / total words, one Arrow batch at a time.
@@ -57,7 +57,7 @@ def z657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q58 — grouped-map UDF (applyInPandas)
 # --------------------------------------------------------------------------
 @register(
-    "z658_grouped_map",
+    "q658_grouped_map",
     oracle="""
     SELECT doc_id, lang,
            round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
@@ -72,7 +72,7 @@ def z657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UDF raises once a group exceeds MAX_GROUP_ROWS instead of OOMing "
     "an executor (SURVEY §2.10 Q58; r2 verdict item 10).",
 )
-def z658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     # ~10M rows x 3 narrow columns ~= hundreds of MB as pandas — the order

@@ -25,7 +25,7 @@ from .registry import register
 # Q31 — row_number keep-first dedupe (the canonical ETL dedupe)
 # --------------------------------------------------------------------------
 @register(
-    "z631_keepfirst_dedupe",
+    "q631_keepfirst_dedupe",
     oracle="""
     SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
     FROM (SELECT user_id, event_type, event_id, ts,
@@ -38,7 +38,7 @@ from .registry import register
     "event_id tie-break. One shuffle on the dedupe key; this exact shape "
     "is the 100 TB exact-dedup plan (and Q59's engine) (SURVEY §2.5 Q31).",
 )
-def z631_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q631_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
@@ -52,7 +52,7 @@ def z631_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q32 — rank / dense_rank top-k per group
 # --------------------------------------------------------------------------
 @register(
-    "z632_topk_per_group",
+    "q632_topk_per_group",
     oracle="""
     SELECT c_mktsegment, o_orderkey, o_totalprice, price_rank
     FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -66,7 +66,7 @@ def z631_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Shuffles once on segment after a broadcast-able customer join "
     "(SURVEY §2.5 Q32).",
 )
-def z632_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q632_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"))
@@ -82,7 +82,7 @@ def z632_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q33 — lag / lead (inter-event gaps)
 # --------------------------------------------------------------------------
 @register(
-    "z633_lag_lead",
+    "q633_lag_lead",
     oracle="""
     SELECT user_id, event_id, event_type,
            date_diff('microsecond', prev_ts, ts)  AS gap_from_prev_us,
@@ -96,7 +96,7 @@ def z632_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="lag/lead inter-event gaps per user (first/last rows keep NULL "
     "gaps). Sessionization building block (SURVEY §2.5 Q33).",
 )
-def z633_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q633_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -116,7 +116,7 @@ def z633_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q34 — running aggregate (rows frame)
 # --------------------------------------------------------------------------
 @register(
-    "z634_running_sum",
+    "q634_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -129,7 +129,7 @@ def z633_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orderkey tie-break). Decimal accumulation keeps the running sum "
     "bit-stable across engines (SURVEY §2.5 Q34).",
 )
-def z634_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q634_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -151,7 +151,7 @@ def z634_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q35 — range frame (time-based trailing window)
 # --------------------------------------------------------------------------
 @register(
-    "z635_range_frame",
+    "q635_range_frame",
     oracle="""
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
            CAST(COUNT(*) OVER w AS BIGINT) AS trailing_7d_events,
@@ -164,7 +164,7 @@ def z634_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "microseconds (identical frame boundaries in both engines; count/max "
     "are tie-order independent) (SURVEY §2.5 Q35).",
 )
-def z635_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q635_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.unix_micros("ts")
     )
@@ -186,7 +186,7 @@ def z635_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q36 — ntile / first_value / last_value
 # --------------------------------------------------------------------------
 @register(
-    "z636_ntile_first_last",
+    "q636_ntile_first_last",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
            NTILE(4) OVER (PARTITION BY c_nationkey
@@ -203,7 +203,7 @@ def z635_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "would make last_value = current row in both engines) "
     "(SURVEY §2.5 Q36).",
 )
-def z636_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q636_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w_ntile = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     w_full = (

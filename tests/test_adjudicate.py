@@ -107,6 +107,36 @@ def test_append_baseline_rows_inserts_inside_table(tmp_path, monkeypatch):
     assert text.index("| r9 | q90 |") < text.index("| r10 | q90 |")
 
 
+def test_append_baseline_rows_ignores_later_tables(tmp_path, monkeypatch):
+    """A later section containing its own markdown TABLE must not
+    capture new verdict rows — the scan stops at the end of the first
+    contiguous '|' run after the header, never at the global last '|'
+    line (code review r10)."""
+    import adjudicate as mod
+
+    monkeypatch.setattr(mod, "_ROOT", str(tmp_path))
+    (tmp_path / "BASELINE.md").write_text("# BASELINE\n")
+    verdicts = {
+        "q90": {
+            "prev": 3.39,
+            "flagged": 8.04,
+            "warm_runs": [3.26],
+            "warm_min": 3.26,
+            "verdict": "refuted",
+        }
+    }
+    append_baseline_rows(verdicts, "r9")
+    path = tmp_path / "BASELINE.md"
+    path.write_text(
+        path.read_text()
+        + "\n## Later section\n\n| other | table |\n|---|---|\n| x | y |\n"
+    )
+    append_baseline_rows(verdicts, "r10")
+    text = path.read_text()
+    assert text.index("| r10 | q90 |") < text.index("## Later section")
+    assert text.index("| r9 | q90 |") < text.index("| r10 | q90 |")
+
+
 @pytest.mark.skipif(
     not os.path.isdir("/root/testdata/sf0.001"), reason="no testdata"
 )
@@ -119,7 +149,7 @@ def test_end_to_end_fresh_session(tmp_path):
         json.dumps(
             {
                 "regressions": {
-                    "q01_scan_count": {"prev": 100.0, "now": 400.0}
+                    "z901_scan_count": {"prev": 100.0, "now": 400.0}
                 }
             }
         )
@@ -142,7 +172,7 @@ def test_end_to_end_fresh_session(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     data = json.loads(side.read_text())
-    v = data["adjudications"]["q01_scan_count"]
+    v = data["adjudications"]["z901_scan_count"]
     assert v["verdict"] == "refuted" and len(v["warm_runs"]) == 3
     assert v["warm_min"] <= 100.0
 

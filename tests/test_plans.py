@@ -34,7 +34,7 @@ def plans(spark, sf_dir):
 
 
 def test_q02_filter_pushdown_and_pruning(plans):
-    p = plans("q02_scan_pushdown")
+    p = plans("z902_scan_pushdown")
     # The status filter reaches the parquet reader...
     assert "EqualTo(o_orderstatus,O)" in p, p
     # ...and only the needed columns are read (no o_orderdate etc.).
@@ -42,7 +42,7 @@ def test_q02_filter_pushdown_and_pruning(plans):
 
 
 def test_z04_compound_predicate_pushdown(plans):
-    p = plans("q04_compound_predicate")
+    p = plans("z904_compound_predicate")
     assert "PushedFilters" in p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "LessThan(l_quantity,24.0)" in p, p
@@ -51,25 +51,25 @@ def test_z04_compound_predicate_pushdown(plans):
 def test_q09_broadcast_hash_join(plans):
     import re
 
-    p = plans("q09_broadcast_join")
+    p = plans("z909_broadcast_join")
     # Two BHJ nodes in the tree (each also appears in the detail section).
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2, p
     assert "SortMergeJoin" not in p
 
 
 def test_q25_dim_join_broadcasts(plans):
-    p = plans("z625_bulkrax_fold")
+    p = plans("q625_bulkrax_fold")
     assert "BroadcastHashJoin" in p, p
 
 
 def test_q38_take_ordered_and_project(plans):
-    p = plans("z638_global_topk")
+    p = plans("q638_global_topk")
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p  # no global sort
 
 
 def test_q08_large_join_is_not_broadcast_nested_loop(plans):
-    p = plans("q08_inner_join")
+    p = plans("z908_inner_join")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
@@ -77,7 +77,7 @@ def test_q08_large_join_is_not_broadcast_nested_loop(plans):
 def test_q15_range_join_keeps_equi_key(plans):
     # The equi part (orderkey) must drive the join; the date range is a
     # residual condition, not a nested loop.
-    p = plans("q15_range_join")
+    p = plans("z915_range_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -93,7 +93,7 @@ def test_q60_minhash_no_cartesian(plans):
 def test_q31_single_shuffle_on_dedupe_key(plans):
     import re
 
-    p = plans("z631_keepfirst_dedupe")
+    p = plans("q631_keepfirst_dedupe")
     # Exactly one shuffle: the window's hashpartitioning on the dedupe key
     # (plain Exchange nodes; BroadcastExchange would not match).
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
@@ -104,12 +104,12 @@ def test_q31_single_shuffle_on_dedupe_key(plans):
 
 def test_q19_partial_aggregation(plans):
     # Map-side partial agg before the exchange (two HashAggregate levels).
-    p = plans("z619_groupby_multi_agg")
+    p = plans("q619_groupby_multi_agg")
     assert p.count("HashAggregate") >= 2, p
 
 
 def test_q37_global_position_is_distributed(plans):
-    p = plans("z637_multikey_sort")
+    p = plans("q637_multikey_sort")
     # the data flows through a range partitioner + per-partition ranks,
     # not a single-partition global window
     assert "rangepartitioning" in p, p
@@ -117,7 +117,7 @@ def test_q37_global_position_is_distributed(plans):
 
 
 def test_q57_udf_is_arrow_batched(plans):
-    p = plans("z657_scalar_pandas_udf")
+    p = plans("q657_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p  # row-at-a-time python UDF forbidden
 
@@ -139,7 +139,7 @@ def test_x26_funnel_single_shuffle(plans):
 # x23 cross-joins a one-row bounds aggregate with a 5-row type dim to
 # build the gap-fill grid — tiny-by-construction, like x15.
 NESTED_LOOP_WHITELIST = {
-    "q14_cross_join",
+    "z914_cross_join",
     "z784_tfidf",
     "z792_gapfill",
     # x30 cross-joins a one-row totals aggregate back onto the strata
@@ -147,8 +147,8 @@ NESTED_LOOP_WHITELIST = {
     "z798_mix_reweight",
     # y34/y35 cross-join one-row corpus-stats/total aggregates (same
     # broadcast shape as x30).
-    "q180_bm25",
-    "q181_vocab_zipf",
+    "z9180_bm25",
+    "z9181_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
     "z771_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
@@ -180,33 +180,33 @@ NESTED_LOOP_WHITELIST = {
     "z8327_psi_drift",
     # q37's FK-coverage row cross-joins two ONE-ROW count aggregates
     # (checked-total x violation-total — the z191 shape).
-    "q337_expectations_audit",
+    "z9337_expectations_audit",
     # q39 cross-joins one-row extrema/total aggregates onto the fact
     # stream for integer bin arithmetic (the x30 broadcast-scalar shape).
-    "q539_histogram",
+    "z9539_histogram",
     # q41 cross-joins the k-row (k=8) centroid table onto the point
     # stream — the assignment broadcast every distributed k-means does.
-    "q341_kmeans_lloyd",
+    "z9341_kmeans_lloyd",
     # q42 cross-joins the one-row max-abs normalization scalar onto the
     # 64-row eigenvector each round (broadcast-scalar shape).
-    "q342_power_iteration",
+    "z9342_power_iteration",
     # q43 cross-joins the ONE-ROW top-pair argmax onto the vocabulary
     # table each merge round (broadcast-scalar shape).
-    "q343_bpe_train",
+    "z9343_bpe_train",
     # q45's verdict row is one-row split sizes x one-row leak counts.
-    "q345_split_leakage",
+    "z9345_split_leakage",
     # q46 cross-joins the one-row total-count aggregate for the
     # quantile denominator (broadcast-scalar shape).
-    "q346_quantile_rank",
+    "z9346_quantile_rank",
     # q47 cross-joins the one-row moments/inverse-covariance model onto
     # the fact stream — the broadcast-model scoring shape.
-    "q347_mahalanobis",
+    "z9347_mahalanobis",
     # y79 cross-joins the one-row basket-count aggregate onto the rule
     # table for the lift denominator (broadcast-scalar shape).
-    "z554_association_rules",
+    "q554_association_rules",
     # y88 cross-joins the one-row digit-total aggregate onto the 9-row
     # digit table (broadcast-scalar shape).
-    "z563_benford_audit",
+    "q563_benford_audit",
     # y89/y90 cross-join one-row edge-count / min-degree / totals
     # aggregates onto community- or degree-sized tables (same shape).
     "z7564_modularity",
@@ -229,7 +229,7 @@ def test_y36_group_sample_window_group_limit(plans):
     k before rows move."""
     import re
 
-    p = plans("q182_group_sample")
+    p = plans("z9182_group_sample")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "WindowGroupLimit" in p, p
 
@@ -306,7 +306,7 @@ def test_y47_profile_is_single_scan(plans):
     """The profiler's contract: ALL columns' aggregates come from ONE
     pass over lineitem (the oracle scans per column; the Spark plan
     must not)."""
-    p = plans("q190_column_profile")
+    p = plans("z9190_column_profile")
     # one scan NODE: each scan contributes exactly one Location line in
     # the formatted detail section ("Scan parquet" itself prints twice
     # per node — tree + detail)
@@ -316,7 +316,7 @@ def test_y47_profile_is_single_scan(plans):
 def test_y44_stats_broadcast_back(plans):
     """Per-user moment table is user-count-sized and must broadcast back
     onto the event stream, not shuffle the events for the join."""
-    p = plans("q187_anomaly_zscore")
+    p = plans("z9187_anomaly_zscore")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -326,7 +326,7 @@ def test_q79_composite_plan_shape(plans):
     reach the scans, the filtered customer dimension broadcasts, the
     top-10 is TakeOrdered (no global sort), and revenue aggregates in
     decimal before the final double cast."""
-    p = plans("q179_top_revenue")
+    p = plans("z9179_top_revenue")
     assert "EqualTo(c_mktsegment,BUILDING)" in p, p
     assert "LessThan(o_orderdate" in p, p
     assert "GreaterThan(l_shipdate" in p, p
@@ -431,7 +431,7 @@ HEAVY_QUERIES = [
     "z785_cluster_dedupe",
     "z775_decontaminate",
     "z667_embedding_dedupe",
-    "q186_ivf_embedding_dedupe",
+    "z9186_ivf_embedding_dedupe",
     "z8301_duplicate_ngram_filter",
     "z660_minhash_lsh",
     "z786_ngram_jaccard",
@@ -440,9 +440,9 @@ HEAVY_QUERIES = [
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
     # automatic broadcasting is off and shuffles are cluster-sized.
-    "q341_kmeans_lloyd",
-    "q343_bpe_train",
-    "q345_split_leakage",
+    "z9341_kmeans_lloyd",
+    "z9343_bpe_train",
+    "z9345_split_leakage",
 ]
 
 # Queries whose one-row-aggregate cross joins are whitelisted above keep
@@ -503,7 +503,7 @@ def test_cluster_shaped_shuffle_partition_count_is_respected(spark, sf_dir):
     exchanges (i.e. our plans don't pin partitioning constants that
     would fight a cluster deployment's sizing)."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["z619_groupby_multi_agg"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["q619_groupby_multi_agg"].fn(spark, sf_dir))
     assert "200" in p, p
 
 
@@ -626,7 +626,7 @@ def test_z335_gap_fill_no_nested_loop(plans):
     """Calendar densification joins the exploded per-user calendar back
     to the daily aggregate on (user_id, day) — an equi-join that must
     never degrade to a nested loop or cartesian product."""
-    p = plans("q335_gap_fill")
+    p = plans("z9335_gap_fill")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
 
@@ -637,7 +637,7 @@ def test_z336_ewma_single_shuffle(plans):
     Python evaluator node)."""
     import re
 
-    p = plans("q336_ewma")
+    p = plans("z9336_ewma")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "Python" not in p, p
 
@@ -650,7 +650,7 @@ def test_q37_expectations_fold_rules_into_scans(plans):
     table per aggregate branch, never one scan per rule: 6 rules over 2
     tables may not produce 6+ fact scans) and the FK rule must be a
     left-anti join, not a nested loop over the fact."""
-    p = plans("q337_expectations_audit")
+    p = plans("z9337_expectations_audit")
     assert "LeftAnti" in p, p
     assert p.count("Location: InMemoryFileIndex") <= 5, p
 
@@ -658,7 +658,7 @@ def test_q37_expectations_fold_rules_into_scans(plans):
 def test_q38_drift_is_single_scan_two_groups(plans):
     """The drift monitor reads events ONCE and aggregates by the 2-value
     half flag; per-metric rows come from stack(), not re-scans."""
-    p = plans("q338_schema_drift")
+    p = plans("z9338_schema_drift")
     assert p.count("Location: InMemoryFileIndex") == 1, p
 
 
@@ -666,7 +666,7 @@ def test_q39_equidepth_is_distributed(plans):
     """Exact equi-depth bucketing must ride the two-phase global-position
     engine (z37 rule): range partitioner + per-partition ranks, never a
     single-partition ntile window over the fact table."""
-    p = plans("q539_histogram")
+    p = plans("z9539_histogram")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
     assert "ntile" not in p, p
@@ -714,7 +714,7 @@ def test_q40_ols_is_one_aggregation(plans):
     wire) and no join of any kind."""
     import re
 
-    p = plans("q340_ols_normal_eq")
+    p = plans("z9340_ols_normal_eq")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p  # map-side partials
@@ -724,7 +724,7 @@ def test_q41_kmeans_assignment_broadcasts_centroids(plans):
     """Assignment must broadcast the k-row centroid table against the
     point stream (never shuffle the points by centroid), and the
     exact-integer distance fold must stay JVM-side (no Python node)."""
-    p = plans("q341_kmeans_lloyd")
+    p = plans("z9341_kmeans_lloyd")
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
@@ -737,7 +737,7 @@ def test_z342_power_iteration_plan_is_linear_in_rounds(plans):
     aggregates, and the matvec fold is codegen (no Python)."""
     import re
 
-    p = plans("q342_power_iteration")
+    p = plans("z9342_power_iteration")
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) <= 6, p
     assert "Python" not in p, p
 
@@ -751,7 +751,7 @@ def test_z344_feature_hashing_two_aggregations(plans):
     256-value bucket key — exactly two plain exchanges, no join."""
     import re
 
-    p = plans("q344_feature_hashing")
+    p = plans("z9344_feature_hashing")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
     assert "Join" not in p.replace("BroadcastNestedLoopJoin", ""), p
 
@@ -759,7 +759,7 @@ def test_z344_feature_hashing_two_aggregations(plans):
 def test_z346_quantile_rank_is_distributed(plans):
     """The rank transform must ride the two-phase global-position
     engine (z37 rule), never a single-partition window."""
-    p = plans("q346_quantile_rank")
+    p = plans("z9346_quantile_rank")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -771,7 +771,7 @@ def test_z347_mahalanobis_no_fact_shuffle(plans):
     TakeOrdered, not a global sort."""
     import re
 
-    p = plans("q347_mahalanobis")
+    p = plans("z9347_mahalanobis")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p, p
@@ -781,7 +781,7 @@ def test_q48_als_joins_stay_hashed(plans):
     """The ALS half-step's two joins (ratings build, item-factor attach)
     ride equi keys — broadcast or shuffled hash, never a nested loop —
     and the per-user solve is a partial-agg shuffle on user_id."""
-    p = plans("q348_als_step")
+    p = plans("z9348_als_step")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 2, p
@@ -794,7 +794,7 @@ def test_z349_reconcile_is_fingerprint_smj(plans):
     computed — and classification is one conditional aggregation."""
     import re
 
-    p = plans("q349_reconcile")
+    p = plans("z9349_reconcile")
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3, p
@@ -869,7 +869,7 @@ def test_cluster_shaped_neardup_build(spark, sf_dir):
 def test_q74_rplsh_bucket_verify_plan_shape(plans):
     import re
 
-    p = plans("q74_rplsh_neardup")
+    p = plans("z974_rplsh_neardup")
     # Round-8 shape + round-9 hot-bucket salting: candidates are still
     # generated and killed inside the per-bucket Arrow kernel
     # (grouped-map node), and the only shuffles are (1) the tiny

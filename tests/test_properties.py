@@ -211,7 +211,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     """ivf_topk_approx (nprobe=10/16, sample-trained quantizer) must
     keep recall@5 >= 0.8 against the exact q61 top-k (measured 0.85 at
     sf0.01; the fixture's embeddings are near-uniform, a worst case for
-    IVF). The registered q185_ivf_topk emits this same comparison as a
+    IVF). The registered z9185_ivf_topk emits this same comparison as a
     driver-checkable verdict; this test checks the raw pair sets."""
     from eprints_to_hyku_data_tool_spark.plans.q_north import ivf_topk_approx
 
@@ -347,10 +347,10 @@ def test_int8_quantize_reconstruction_bound(spark, sf_dir):
     error <= amax/254 + micro-unit rounding slack (the absmax scheme's
     theoretical bound)."""
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
-        q173_int8_quantize,
+        z9173_int8_quantize,
     )
 
-    for r in q173_int8_quantize(spark, sf_dir).collect():
+    for r in z9173_int8_quantize(spark, sf_dir).collect():
         assert r["q_min"] >= -127 and r["q_max"] <= 127, r["vec_id"]
         n_dims = len(r["q_vec"])
         # recon_err_e6 sums per-element |err| in 1e-6 units
@@ -365,19 +365,19 @@ def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
     the fixture must be non-trivial (sign-LSH with 16x8 bands — 128
     planes — finds a reasonable share of the exact tau=0.4 pairs)."""
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
-        q74_rplsh_neardup,
+        z974_rplsh_neardup,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_joins import (
-        q18_similarity_join,
+        z918_similarity_join,
     )
 
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in q74_rplsh_neardup(spark, sf_dir).collect()
+        for r in z974_rplsh_neardup(spark, sf_dir).collect()
     }
     exact = {
         (r["id_a"], r["id_b"])
-        for r in q18_similarity_join(spark, sf_dir).collect()
+        for r in z918_similarity_join(spark, sf_dir).collect()
     }
     assert lsh <= exact, sorted(lsh - exact)[:5]
     assert len(lsh) > 0
@@ -789,11 +789,11 @@ def test_rplsh_spark_path_invariant_to_verify_block(spark, sf_dir, monkeypatch):
     from eprints_to_hyku_data_tool_spark.plans import q_embed
 
     base = set(
-        map(tuple, q_embed.q74_rplsh_neardup(spark, sf_dir).collect())
+        map(tuple, q_embed.z974_rplsh_neardup(spark, sf_dir).collect())
     )
     monkeypatch.setattr(q_embed, "_VERIFY_BLOCK", 2)
     tiny = set(
-        map(tuple, q_embed.q74_rplsh_neardup(spark, sf_dir).collect())
+        map(tuple, q_embed.z974_rplsh_neardup(spark, sf_dir).collect())
     )
     assert base == tiny and len(base) > 0
 
@@ -929,7 +929,7 @@ def test_derive_banding_schedule():
 
     prev_floor = 1.0
     prev_bands = None
-    for e in range(0, 15):
+    for e in range(0, 8):
         bands, bits = derive_banding(2048 * (1 << e))
         floor = bands / 2.0**bits
         assert floor < prev_floor or e == 0, (e, floor)
@@ -937,6 +937,17 @@ def test_derive_banding_schedule():
             growth = bands / prev_bands
             assert abs(growth - 1.585) / 1.585 < 0.04, (e, growth)
         prev_floor, prev_bands = floor, bands
+
+    # Past e=7 the schedule needs more planes than the shared 8192 cap
+    # (the oracle's range(0, 8192) enumeration error()s there too) and
+    # _plane_weights would repeat at 131^2 — the Python side must fail
+    # loudly at the SAME boundary, not silently derive duplicate planes
+    # (code review r10).
+    import pytest
+
+    assert derive_banding(2048 * (1 << 7)) == (416, 15)  # 6240 <= cap
+    with pytest.raises(ValueError, match="8192-plane cap"):
+        derive_banding(2048 * (1 << 7) + 1)
 
 
 def test_plane_family_block_extension():
@@ -1010,10 +1021,10 @@ def test_rplsh_derived_config_parity_above_anchor(spark, tmp_path):
     )
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
-    sdf = qs["q74_rplsh_neardup"](spark, str(tmp_path))
+    sdf = qs["z974_rplsh_neardup"](spark, str(tmp_path))
     from .parity import assert_parity
 
-    assert_parity(sdf, osql["q74_rplsh_neardup"], con, "z874-derived")
+    assert_parity(sdf, osql["z974_rplsh_neardup"], con, "z874-derived")
     assert sdf.count() > 0
 
 
@@ -1031,7 +1042,7 @@ def test_derive_banding_sql_formula_agrees_with_python():
         derive_banding,
     )
 
-    sql = entry_mod.oracle_sql()["q74_rplsh_neardup"]
+    sql = entry_mod.oracle_sql()["z974_rplsh_neardup"]
     # lift the params CTE verbatim out of the registered oracle
     start = sql.index("params AS (")
     depth = 0
@@ -1058,12 +1069,13 @@ def test_derive_banding_sql_formula_agrees_with_python():
               2048 * 128):
         bits, bands = sql_params(n)
         assert (int(bands), int(bits)) == derive_banding(n), n
-    # past the oracle's 8192-plane enumeration cap (e >= 8, i.e.
-    # n > 2048 * 2^7) the oracle must FAIL LOUDLY, never silently
-    # truncate its banding (no-silent-caps rule)
+    # past the shared 8192-plane cap (e >= 8, i.e. n > 2048 * 2^7) BOTH
+    # engines must FAIL LOUDLY at the same boundary, never silently
+    # truncate or duplicate the banding (no-silent-caps rule; the
+    # Python-side mirror is code review r10)
     for n in (10**6, 10**9):
-        bands, bits = derive_banding(n)
-        assert bands * bits > 8192  # the cap is genuinely exceeded
+        with pytest.raises(ValueError, match="8192-plane cap"):
+            derive_banding(n)
         with pytest.raises(Exception, match="plane count exceeds"):
             sql_params(n)
 

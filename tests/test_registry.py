@@ -70,34 +70,34 @@ def test_priority_tier_fits_driver_window():
 # possible by design; the component is covered by the named test module
 # instead of a registered query.
 SECTION2_MAP = {
-    "Q01": "q01_scan_count", "Q02": "q02_scan_pushdown",
-    "Q03": "q03_project_compute", "Q04": "q04_compound_predicate",
-    "Q05": "q05_in_like_null", "Q06": "q06_distinct",
-    "Q07": "q07_case_when", "Q08": "q08_inner_join",
-    "Q09": "q09_broadcast_join", "Q10": "q10_left_outer_join",
-    "Q11": "q11_full_outer_join", "Q12": "q12_semi_join",
-    "Q13": "q13_anti_join", "Q14": "q14_cross_join",
-    "Q15": "q15_range_join", "Q16": "q16_asof_join",
-    "Q17": "q17_self_join_pairs", "Q18": "q18_similarity_join",
-    "Q19": "z619_groupby_multi_agg", "Q20": "z620_global_agg",
-    "Q21": "z621_count_distinct", "Q22": "z622_approx_count_distinct",
-    "Q23": "z623_rollup", "Q24": "z624_cube", "Q25": "z625_bulkrax_fold",
-    "Q26": "z626_pivot", "Q27": "z627_percentiles", "Q28": "z628_stats",
-    "Q29": "z629_conditional_agg", "Q30": "z630_mixed_distinct",
-    "Q31": "z631_keepfirst_dedupe", "Q32": "z632_topk_per_group",
-    "Q33": "z633_lag_lead", "Q34": "z634_running_sum",
-    "Q35": "z635_range_frame", "Q36": "z636_ntile_first_last",
-    "Q37": "z637_multikey_sort", "Q38": "z638_global_topk",
-    "Q39": "z639_limit_offset", "Q40": "z640_union",
-    "Q41": "z641_intersect", "Q42": "z642_except",
-    "Q43": "z643_string_kit", "Q44": "z644_regex_extract",
-    "Q45": "z645_fuzzy_match", "Q46": "z646_date_kit",
-    "Q47": "z647_math_kit", "Q48": "z648_array_kit",
-    "Q49": "z649_map_kit", "Q50": "z650_json_kit",
-    "Q51": "z651_hash_ids", "Q52": "z652_null_kit",
-    "Q53": "z653_cast_kit", "Q54": "z654_tumbling_window",
-    "Q55": "z655_sliding_window", "Q56": "z656_session_window",
-    "Q57": "z657_scalar_pandas_udf", "Q58": "z658_grouped_map",
+    "Q01": "z901_scan_count", "Q02": "z902_scan_pushdown",
+    "Q03": "z903_project_compute", "Q04": "z904_compound_predicate",
+    "Q05": "z905_in_like_null", "Q06": "z906_distinct",
+    "Q07": "z907_case_when", "Q08": "z908_inner_join",
+    "Q09": "z909_broadcast_join", "Q10": "z910_left_outer_join",
+    "Q11": "z911_full_outer_join", "Q12": "z912_semi_join",
+    "Q13": "z913_anti_join", "Q14": "z914_cross_join",
+    "Q15": "z915_range_join", "Q16": "z916_asof_join",
+    "Q17": "z917_self_join_pairs", "Q18": "z918_similarity_join",
+    "Q19": "q619_groupby_multi_agg", "Q20": "q620_global_agg",
+    "Q21": "q621_count_distinct", "Q22": "q622_approx_count_distinct",
+    "Q23": "q623_rollup", "Q24": "q624_cube", "Q25": "q625_bulkrax_fold",
+    "Q26": "q626_pivot", "Q27": "q627_percentiles", "Q28": "q628_stats",
+    "Q29": "q629_conditional_agg", "Q30": "q630_mixed_distinct",
+    "Q31": "q631_keepfirst_dedupe", "Q32": "q632_topk_per_group",
+    "Q33": "q633_lag_lead", "Q34": "q634_running_sum",
+    "Q35": "q635_range_frame", "Q36": "q636_ntile_first_last",
+    "Q37": "q637_multikey_sort", "Q38": "q638_global_topk",
+    "Q39": "q639_limit_offset", "Q40": "q640_union",
+    "Q41": "q641_intersect", "Q42": "q642_except",
+    "Q43": "q643_string_kit", "Q44": "q644_regex_extract",
+    "Q45": "q645_fuzzy_match", "Q46": "q646_date_kit",
+    "Q47": "q647_math_kit", "Q48": "q648_array_kit",
+    "Q49": "q649_map_kit", "Q50": "q650_json_kit",
+    "Q51": "q651_hash_ids", "Q52": "q652_null_kit",
+    "Q53": "q653_cast_kit", "Q54": "q654_tumbling_window",
+    "Q55": "q655_sliding_window", "Q56": "q656_session_window",
+    "Q57": "q657_scalar_pandas_udf", "Q58": "q658_grouped_map",
     "Q59": "z659_exact_dedupe", "Q60": "z660_minhash_lsh",
     "Q61": "z661_topk_similarity", "Q62": "z662_text_stats",
     "X01": None,  # CSV/ORC source — tests/test_etl.py

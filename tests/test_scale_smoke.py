@@ -33,9 +33,9 @@ COPIES = 3
 HEAVY = [
     "z7588_pagerank",
     "z660_minhash_lsh",
-    "z622_approx_count_distinct",
+    "q622_approx_count_distinct",
     "z8252_winnow_containment",
-    "q345_split_leakage",
+    "z9345_split_leakage",
 ]
 
 

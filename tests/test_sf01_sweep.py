@@ -37,11 +37,11 @@ QUADRATIC_ORACLES = {
     "z667_embedding_dedupe",
     "z660_minhash_lsh",
     "z660_simhash",
-    "q74_rplsh_neardup",
-    "q186_ivf_embedding_dedupe",
-    "q18_similarity_join",
+    "z974_rplsh_neardup",
+    "z9186_ivf_embedding_dedupe",
+    "z918_similarity_join",
     "z790_corpus_pipeline",
-    "q185_ivf_topk",
+    "z9185_ivf_topk",
     "z661_topk_similarity",
     "z8252_winnow_containment",
     "z8301_duplicate_ngram_filter",

@@ -18,7 +18,7 @@ def test_sql_equals_dataframe_api(spark, sf_dir):
     register_views(spark, sf_dir)
     cases = {
         # join + agg (Q09 shape)
-        "q09_broadcast_join": """
+        "z909_broadcast_join": """
             SELECT r_name, n_name,
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
                    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
@@ -29,7 +29,7 @@ def test_sql_equals_dataframe_api(spark, sf_dir):
             GROUP BY r_name, n_name
         """,
         # window (Q31 shape)
-        "z631_keepfirst_dedupe": """
+        "q631_keepfirst_dedupe": """
             SELECT user_id, event_type, event_id, ts
             FROM (SELECT user_id, event_type, event_id, ts,
                          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
@@ -38,7 +38,7 @@ def test_sql_equals_dataframe_api(spark, sf_dir):
             WHERE rn = 1
         """,
         # set op (Q42 shape)
-        "z642_except": """
+        "q642_except": """
             SELECT c_custkey FROM customer
             EXCEPT
             SELECT o_custkey AS c_custkey FROM orders

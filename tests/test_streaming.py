@@ -67,7 +67,7 @@ def test_x07_tumbling_stream_equals_batch(spark, sf_dir, replay_dir):
     }
     want = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
-        for r in REGISTRY["z654_tumbling_window"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q654_tumbling_window"].fn(spark, sf_dir).collect()
     }
     assert got == want
 
@@ -169,7 +169,7 @@ def test_q56_session_stream_matches_batch(spark, sf_dir, replay_dir):
     }
     batch = {
         (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
-        for r in REGISTRY["z656_session_window"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q656_session_window"].fn(spark, sf_dir).collect()
     }
     assert set(streamed) <= set(batch)
     for key, val in streamed.items():
@@ -287,7 +287,7 @@ def test_streaming_ewma_equals_batch(spark, sf_dir, replay_dir):
     """q36's incremental form: replaying the time-ordered chunks through
     the O(1)-state EWMA must land BIT-EXACTLY on the batch ordered
     fold — the multiply-add sequence is identical, so no tolerance."""
-    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import q336_ewma
+    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import z9336_ewma
 
     name = f"ewma_{uuid.uuid4().hex[:8]}"
     stream = ops.events_stream(spark, _chunks_glob(replay_dir))
@@ -304,7 +304,7 @@ def test_streaming_ewma_equals_batch(spark, sf_dir, replay_dir):
     got = {r["user_id"]: (r["n_events"], r["ewma_u"]) for r in final.collect()}
     want = {
         r["user_id"]: (r["n_events"], r["ewma_u"])
-        for r in q336_ewma(spark, sf_dir).collect()
+        for r in z9336_ewma(spark, sf_dir).collect()
     }
     assert got == want  # exact float equality, by construction
 

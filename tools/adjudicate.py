@@ -258,16 +258,22 @@ def append_baseline_rows(verdicts: dict[str, dict], label: str) -> None:
             f"{v['flagged']:.2f} s | {runs} s | **{v['warm_min']:.2f} s** "
             f"| {v['verdict']} |\n"
         )
-    # Insert at the end of the section's TABLE, not end-of-file: any
-    # section added below "Machine adjudications" would otherwise
-    # swallow new verdict rows (code review r9). The table ends at the
-    # first non-"|" line after the header (or EOF).
+    # Insert at the end of the section's FIRST table, not end-of-file:
+    # any section added below "Machine adjudications" would otherwise
+    # swallow new verdict rows (code review r9), and a later section
+    # containing its own markdown table must not capture them either
+    # (code review r10) — so stop at the first non-"|" line after the
+    # first contiguous "|" run, never scanning for a global last row.
     head, _, tail = text.rpartition(_BASELINE_HEADER)
     lines = tail.split("\n")
     last_row = 0
+    in_table = False
     for i, ln in enumerate(lines):
         if ln.startswith("|"):
             last_row = i
+            in_table = True
+        elif in_table:
+            break
     insert_at = last_row + 1 if last_row else len(lines)
     lines[insert_at:insert_at] = rows.rstrip("\n").split("\n")
     open(path, "w").write(head + _BASELINE_HEADER + "\n".join(lines))

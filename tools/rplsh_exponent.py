@@ -85,7 +85,7 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    q74 = entry_mod.queries()["q74_rplsh_neardup"]
+    q74 = entry_mod.queries()["z974_rplsh_neardup"]
 
     spark = get_spark(
         app_name="rplsh-exponent",
@@ -151,6 +151,12 @@ def main() -> None:
                 .select("vec_id", "embedding")
                 .toPandas()
             )
+            # Sort by vec_id so positional order == id order: the
+            # below-diagonal block skip assumes pairs in skipped blocks
+            # have ids[i] > ids[j]; on an unsorted scan, inverted
+            # cross-block pairs would be silently dropped, undercounting
+            # exact_tau_pairs (code review r10).
+            pdf = pdf.sort_values("vec_id", ignore_index=True)
             ids = pdf["vec_id"].to_numpy()
             vq = np.floor(
                 np.stack(pdf["embedding"].to_numpy()).astype(np.float64)

@@ -41,22 +41,22 @@ sys.path.insert(0, _ROOT)
 HEAVY = [
     "z7588_pagerank",
     "z7526_bfs_hops",
-    "z620_global_agg",
+    "q620_global_agg",
     "z8252_winnow_containment",
     "z8301_duplicate_ngram_filter",
-    "q74_rplsh_neardup",
+    "z974_rplsh_neardup",
     "z775_decontaminate",
-    "q185_ivf_topk",
+    "z9185_ivf_topk",
     "z790_corpus_pipeline",
-    "q190_column_profile",
+    "z9190_column_profile",
     "z7192_approx_percentile",
-    "q345_split_leakage",
-    "z554_association_rules",
+    "z9345_split_leakage",
+    "q554_association_rules",
     "z660_simhash",
     "z660_minhash_lsh",
-    "z622_approx_count_distinct",
-    "q341_kmeans_lloyd",
-    "z556_bpe_encode",
+    "q622_approx_count_distinct",
+    "z9341_kmeans_lloyd",
+    "q556_bpe_encode",
 ]
 
 
