@@ -43,6 +43,7 @@ def with_global_position(
             "__offset",
             F.coalesce(
                 F.sum("__n").over(
+                    # bounded-global-window: #partitions-row offsets table
                     Window.orderBy("__pid").rowsBetween(
                         Window.unboundedPreceding, -1
                     )
@@ -132,6 +133,7 @@ def with_global_cumsum(
             "__offset",
             F.coalesce(
                 F.sum("__n").over(
+                    # bounded-global-window: #partitions-row offsets table
                     Window.orderBy("__pid").rowsBetween(
                         Window.unboundedPreceding, -1
                     )

@@ -638,6 +638,7 @@ def z9434_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_events"))
     certified = (
         bucket_counts.withColumn(
+            # bounded-global-window: <= |candidates|+1 rows (MG summary)
             "n_total", F.sum("n_events").over(Window.partitionBy())
         )
         .filter(F.col("cand_key").isNotNull())

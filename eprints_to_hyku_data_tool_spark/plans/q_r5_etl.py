@@ -356,6 +356,7 @@ def z8332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # bounded-global-window: 3-row funnel-step aggregate
     w = Window.orderBy("step_no").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

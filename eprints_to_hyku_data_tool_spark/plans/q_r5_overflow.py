@@ -703,6 +703,7 @@ def q557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daymin = o.groupBy("d").agg(F.min("cents").alias("day_min"))
     w = (
+        # bounded-global-window: per-day aggregate, <= |distinct days| rows
         Window.orderBy(F.desc("d"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -822,6 +823,7 @@ def q558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_at_dur"),
         F.sum("ev").cast("long").alias("d"),
     )
+    # bounded-global-window: per-duration aggregate, <= |distinct dur| rows
     w = Window.orderBy(F.desc("dur")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -964,14 +966,14 @@ def q559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial agg, exact integers), then each dimension is scored into "
     "quintiles under a deterministic (value, user) total order and "
     "the (r, f, m) cells aggregate with a rule-based segment label — "
-    "the classic CRM cube. The ntile here runs over the USER "
-    "AGGREGATE table; at 100 TB that table is still large, so the "
-    "production path swaps each ntile for the two-phase distributed "
-    "global-position engine + the TRUE ntile mapping "
-    "(functions/ordering.py ntile_bucket, exact for every n — the "
-    "q39 path, regression-tested for non-divisible n) — this query "
-    "keeps the compact window form because its input is the reduced "
-    "dimension, and the oracle pins the identical quintile semantics.",
+    "the classic CRM cube. The ntile runs over the USER AGGREGATE "
+    "table, which at 100 TB is still large, so each score uses the "
+    "two-phase distributed global-position engine + the TRUE ntile "
+    "mapping (functions/ordering.py ntile_bucket, exact for every n — "
+    "the q39 path, regression-tested for non-divisible n): three "
+    "range shuffles of the reduced dimension, never a "
+    "single-partition ntile window; the oracle pins the identical "
+    "quintile semantics via SQL ntile.",
 )
 def q560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -986,20 +988,35 @@ def q560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary_u"),
         )
     )
-    scored = rfm.select(
+    # Each quintile score runs through the two-phase distributed
+    # global-position engine + the TRUE ntile mapping (0-based, hence
+    # +1) instead of a bare ntile window: three range shuffles of the
+    # user-aggregate table rather than three single-partition funnels —
+    # the q39/z9346 posture, bit-identical to SQL ntile for every n
+    # (ntile_bucket is regression-tested for non-divisible n).
+    from ..functions.ordering import ntile_bucket, with_global_position
+
+    total = rfm.agg(F.count(F.lit(1)).alias("n_users_total"))
+    pos = with_global_position(
+        rfm, [F.col("last_day"), F.col("user_id")], "pos_r"
+    )
+    pos = with_global_position(
+        pos, [F.col("frequency"), F.col("user_id")], "pos_f"
+    )
+    pos = with_global_position(
+        pos, [F.col("monetary_u"), F.col("user_id")], "pos_m"
+    )
+    scored = pos.crossJoin(F.broadcast(total)).select(
         "user_id",
         "frequency",
         "monetary_u",
-        F.ntile(5)
-        .over(Window.orderBy("last_day", "user_id"))
+        (ntile_bucket(F.col("pos_r"), F.col("n_users_total"), 5) + 1)
         .cast("int")
         .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy("frequency", "user_id"))
+        (ntile_bucket(F.col("pos_f"), F.col("n_users_total"), 5) + 1)
         .cast("int")
         .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_u", "user_id"))
+        (ntile_bucket(F.col("pos_m"), F.col("n_users_total"), 5) + 1)
         .cast("int")
         .alias("m_score"),
     )

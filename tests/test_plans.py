@@ -886,3 +886,60 @@ def test_q74_rplsh_bucket_verify_plan_shape(plans):
     assert "BroadcastNestedLoopJoin" not in p, p
     # Arrow eval mode for the signature kernel (no row-at-a-time python)
     assert "ArrowEvalPython" in p
+
+
+def test_no_unannotated_bare_global_windows():
+    """Every bare ``Window.orderBy(...)`` / ``Window.partitionBy()``
+    global window in package source must carry a ``bounded-global-window``
+    marker comment within the preceding 6 lines stating why its input is
+    bounded-tiny (VERDICT r10 item 6). The WindowExec warning is muted in
+    get_spark's sessions (Spark 4 constant-folds any lit() partition key
+    back to an empty spec, so the log is pure noise for these intentional
+    sites) — THIS lint is what now catches an accidental unbounded global
+    window, at source level where it can't be missed in a log tail.
+    Genuinely large inputs must use functions/ordering.py's two-phase
+    engine instead (the q560/z9346 path)."""
+    import io
+    import pathlib
+    import re
+    import tokenize
+
+    root = pathlib.Path(__file__).parent.parent / "eprints_to_hyku_data_tool_spark"
+    offenders = []
+    n_marked = 0
+    for path in sorted(root.rglob("*.py")):
+        src = path.read_text()
+        marker_lines = set()
+        code_rows = []  # (line_no, reconstructed code text)
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            if tok.type == tokenize.COMMENT:
+                if "bounded-global-window" in tok.string:
+                    marker_lines.add(tok.start[0])
+            elif tok.type == tokenize.STRING:
+                # placeholder, NOT dropped: dropping would collapse
+                # partitionBy("k") into partitionBy() false positives
+                code_rows.append((tok.start[0], "S"))
+            elif tok.type not in (
+                tokenize.NL,
+                tokenize.NEWLINE,
+                tokenize.INDENT,
+                tokenize.DEDENT,
+            ):
+                code_rows.append((tok.start[0], tok.string))
+        code_by_line: dict[int, str] = {}
+        for ln, s in code_rows:
+            code_by_line[ln] = code_by_line.get(ln, "") + s
+        for ln in sorted(code_by_line):
+            joined = code_by_line[ln] + code_by_line.get(ln + 1, "")
+            if re.search(r"Window\.(orderBy\(|partitionBy\(\))", joined):
+                if any(ln - d in marker_lines for d in range(0, 7)):
+                    n_marked += 1
+                else:
+                    offenders.append(f"{path.name}:{ln}")
+    assert not offenders, (
+        "bare global windows without a bounded-global-window marker "
+        f"(annotate the bound or use functions/ordering.py): {offenders}"
+    )
+    # the six known-intentional sites; a new marker means a new global
+    # window was deliberately added — keep this count in sync
+    assert n_marked == 6, n_marked
