@@ -934,6 +934,17 @@ def q559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Y85 — RFM segmentation (recency / frequency / monetary quintiles)
 # --------------------------------------------------------------------------
+# Size gate for the quintile-scoring plan: below this many RAW event rows
+# (a metadata-cheap parquet count, and an upper bound on distinct users)
+# the compact single-task ntile window is the faster physical plan; above
+# it the distributed global-position engine takes over. 4M rows of the
+# 3-column user aggregate is far inside one task's memory; the fixture
+# and smoke tiers (<= 2.6M events) stay on the compact branch, so every
+# recorded artifact is unchanged. Module-level so the forced-path test
+# can monkeypatch it to 0.
+_RFM_SINGLE_TASK_ROWS = 4_000_000
+
+
 @register(
     "q560_rfm_segments",
     oracle="""
@@ -967,15 +978,23 @@ def q559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quintiles under a deterministic (value, user) total order and "
     "the (r, f, m) cells aggregate with a rule-based segment label — "
     "the classic CRM cube. The ntile runs over the USER AGGREGATE "
-    "table, which at 100 TB is still large, so each score uses the "
-    "two-phase distributed global-position engine + the TRUE ntile "
-    "mapping (functions/ordering.py ntile_bucket, exact for every n — "
-    "the q39 path, regression-tested for non-divisible n): three "
-    "range shuffles of the reduced dimension, never a "
-    "single-partition ntile window; the oracle pins the identical "
-    "quintile semantics via SQL ntile.",
+    "table, which at 100 TB is still large, so the physical scoring "
+    "plan is SIZE-DRIVEN (the derive_banding posture): below the "
+    "single-task bound (raw events row count, a metadata-cheap parquet "
+    "stats pass and an upper bound on users) each score is a compact "
+    "ntile window over the reduced dimension (bounded-tiny by the "
+    "gate); above it each score runs the two-phase distributed "
+    "global-position engine + the TRUE ntile mapping "
+    "(functions/ordering.py ntile_bucket, exact for every n — the q39 "
+    "path, regression-tested for non-divisible n): three range "
+    "shuffles, never a single-partition funnel. Both branches produce "
+    "identical quintiles (SQL-ntile semantics, pinned by the oracle "
+    "and a forced-distributed equality test); the branch only picks "
+    "the physical strategy, exactly like AQE.",
 )
 def q560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.ordering import ntile_bucket, with_global_position
+
     ev = load_table(spark, sf_dir, "events")
     rfm = (
         ev.filter(F.col("event_type") == "purchase")
@@ -988,38 +1007,60 @@ def q560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("monetary_u"),
         )
     )
-    # Each quintile score runs through the two-phase distributed
-    # global-position engine + the TRUE ntile mapping (0-based, hence
-    # +1) instead of a bare ntile window: three range shuffles of the
-    # user-aggregate table rather than three single-partition funnels —
-    # the q39/z9346 posture, bit-identical to SQL ntile for every n
-    # (ntile_bucket is regression-tested for non-divisible n).
-    from ..functions.ordering import ntile_bucket, with_global_position
-
-    total = rfm.agg(F.count(F.lit(1)).alias("n_users_total"))
-    pos = with_global_position(
-        rfm, [F.col("last_day"), F.col("user_id")], "pos_r"
-    )
-    pos = with_global_position(
-        pos, [F.col("frequency"), F.col("user_id")], "pos_f"
-    )
-    pos = with_global_position(
-        pos, [F.col("monetary_u"), F.col("user_id")], "pos_m"
-    )
-    scored = pos.crossJoin(F.broadcast(total)).select(
-        "user_id",
-        "frequency",
-        "monetary_u",
-        (ntile_bucket(F.col("pos_r"), F.col("n_users_total"), 5) + 1)
-        .cast("int")
-        .alias("r_score"),
-        (ntile_bucket(F.col("pos_f"), F.col("n_users_total"), 5) + 1)
-        .cast("int")
-        .alias("f_score"),
-        (ntile_bucket(F.col("pos_m"), F.col("n_users_total"), 5) + 1)
-        .cast("int")
-        .alias("m_score"),
-    )
+    if ev.count() <= _RFM_SINGLE_TASK_ROWS:
+        # bounded-global-window: gated — users <= raw events rows <=
+        # the single-task bound, so one window task holds the dimension
+        scored = rfm.select(
+            "user_id",
+            "frequency",
+            "monetary_u",
+            F.ntile(5)
+            # bounded-global-window: same gate as above
+            .over(Window.orderBy("last_day", "user_id"))
+            .cast("int")
+            .alias("r_score"),
+            F.ntile(5)
+            # bounded-global-window: same gate as above
+            .over(Window.orderBy("frequency", "user_id"))
+            .cast("int")
+            .alias("f_score"),
+            F.ntile(5)
+            # bounded-global-window: same gate as above
+            .over(Window.orderBy("monetary_u", "user_id"))
+            .cast("int")
+            .alias("m_score"),
+        )
+    else:
+        # Past the bound: each quintile score runs through the
+        # two-phase distributed global-position engine + the TRUE ntile
+        # mapping (0-based, hence +1) — three range shuffles of the
+        # user-aggregate table rather than three single-partition
+        # funnels (the q39/z9346 posture, bit-identical to SQL ntile
+        # for every n; forced-path equality test below the fixtures).
+        total = rfm.agg(F.count(F.lit(1)).alias("n_users_total"))
+        pos = with_global_position(
+            rfm, [F.col("last_day"), F.col("user_id")], "pos_r"
+        )
+        pos = with_global_position(
+            pos, [F.col("frequency"), F.col("user_id")], "pos_f"
+        )
+        pos = with_global_position(
+            pos, [F.col("monetary_u"), F.col("user_id")], "pos_m"
+        )
+        scored = pos.crossJoin(F.broadcast(total)).select(
+            "user_id",
+            "frequency",
+            "monetary_u",
+            (ntile_bucket(F.col("pos_r"), F.col("n_users_total"), 5) + 1)
+            .cast("int")
+            .alias("r_score"),
+            (ntile_bucket(F.col("pos_f"), F.col("n_users_total"), 5) + 1)
+            .cast("int")
+            .alias("f_score"),
+            (ntile_bucket(F.col("pos_m"), F.col("n_users_total"), 5) + 1)
+            .cast("int")
+            .alias("m_score"),
+        )
     segment = (
         F.when(
             (F.col("r_score") >= 4)

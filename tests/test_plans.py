@@ -198,6 +198,10 @@ NESTED_LOOP_WHITELIST = {
     # q46 cross-joins the one-row total-count aggregate for the
     # quantile denominator (broadcast-scalar shape).
     "z9346_quantile_rank",
+    # y85 cross-joins the one-row user-count aggregate for the three
+    # distributed ntile denominators (r11: replaced the bare
+    # single-partition ntile windows with the q46 posture).
+    "q560_rfm_segments",
     # q47 cross-joins the one-row moments/inverse-covariance model onto
     # the fact stream — the broadcast-model scoring shape.
     "z9347_mahalanobis",
@@ -940,6 +944,31 @@ def test_no_unannotated_bare_global_windows():
         "bare global windows without a bounded-global-window marker "
         f"(annotate the bound or use functions/ordering.py): {offenders}"
     )
-    # the six known-intentional sites; a new marker means a new global
-    # window was deliberately added — keep this count in sync
-    assert n_marked == 6, n_marked
+    # the known-intentional sites (6 bounded-tiny aggregates + q560's 3
+    # size-gated ntile windows); a new marker means a new global window
+    # was deliberately added — keep this count in sync
+    assert n_marked == 9, n_marked
+
+
+def test_q560_forced_distributed_ntile_matches_window_form(
+    spark, sf_dir, monkeypatch
+):
+    """q560's quintile scoring is size-gated: compact ntile window below
+    _RFM_SINGLE_TASK_ROWS raw events, the two-phase distributed
+    global-position + ntile_bucket plan above it. The fixtures never
+    cross the gate, so force the distributed branch (threshold -> 0) and
+    pin bit-identical output against the default compact branch — both
+    must implement exactly SQL-ntile semantics (the branch picks a
+    physical strategy, never a result)."""
+    from eprints_to_hyku_data_tool_spark.plans import q_r5_overflow as mod
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    compact = rows(REGISTRY["q560_rfm_segments"].fn(spark, sf_dir))
+    monkeypatch.setattr(mod, "_RFM_SINGLE_TASK_ROWS", 0)
+    forced = REGISTRY["q560_rfm_segments"].fn(spark, sf_dir)
+    p = plan_text(forced)
+    # really on the distributed branch: no ntile window anywhere
+    assert "ntile" not in p, p
+    assert rows(forced) == compact
