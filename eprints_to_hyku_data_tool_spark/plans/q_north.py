@@ -146,7 +146,7 @@ def z659_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deliberately NOT registered (VERDICT r2 "What's wrong" #2): this form
 # collects the shingled corpus to the driver, which is a fixture-tier
 # cross-check, not a plan that survives 100 TB. The registered Q60 family
-# is z660_minhash_lsh + z660_simhash (fully distributed, same shared
+# is z660_minhash_lsh + q660_simhash (fully distributed, same shared
 # oracle); tests/test_properties.py keeps this brute force as an
 # independent equivalence witness against both.
 def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,6 +325,81 @@ HAMMING_TAU = 4
 # pigeonhole blocking: hamming <= 4 => at least one of 5 blocks identical
 SIMHASH_BLOCKS = [(1, 7), (8, 7), (15, 6), (21, 6), (27, 6)]  # (start, len), 1-based
 
+# -- SIZE-DRIVEN blocking (round 11) -----------------------------------------
+# The 26x warm-standalone ladder measured fixed 5-block blocking
+# super-linear across tiers (6.0x at 10x data -> 24.4x at 26x): a
+# single ~6-bit block key admits a scale-CONSTANT fraction of all pairs
+# as random collisions — the same quadratic-with-a-constant regime the
+# r9 exponent measurement proved for fixed RP-LSH banding. The fix is
+# the standard multi-table Hamming-search construction (Manku et al.,
+# WWW'07, public knowledge): split the signature into B blocks and, for
+# EVERY 4-subset T of blocks, bucket on the signature with T's bits
+# masked out. A pair at hamming <= HAMMING_TAU has its error bits in at
+# most 4 blocks, so the subset covering them yields an identical masked
+# key — candidate generation stays EXACT (deterministic pigeonhole, no
+# recall loss at any size), while the bucket key grows to
+# 32*(B-4)/B bits: ~6.4 at B=5, 16 at B=8, ~17.8 at B=9. B is derived
+# from the corpus row count (the derive_banding posture): B = 5 at the
+# anchor (where the C(5,4) = 5 keep-one-block masks are EXACTLY the
+# legacy single-block buckets, so every fixture artifact is unchanged)
+# and B = 5 + e past it, at the cost of C(B,4) replicas per doc in the
+# bucket shuffle (tiny rows: two longs + an int). The query's OUTPUT is
+# the hamming <= 4 relation over the same 32-bit signatures at every
+# corpus size — only the candidate plan is size-driven, so the
+# brute-force oracle needs no derivation at all.
+SIMHASH_ANCHOR = 8192  # next power of two above the largest fixture corpus
+# B = 12 keys 21.3 bits and replicates C(12,4) = 495x — past e = 7 the
+# key gain per step stalls while replication keeps growing: the honest
+# move is a WIDER signature, not more blocks. No silent caps: raise.
+SIMHASH_MAX_E = 7
+
+
+def _simhash_block_masks(n_blocks: int) -> list[int]:
+    """Integer bit-masks (over the 32-bit signature, bit 1 = MSB) for
+    ``n_blocks`` contiguous blocks. B = 5 is the bit-frozen legacy
+    geometry (SIMHASH_BLOCKS — artifacts depend on it); other B use the
+    balanced floor split."""
+    if n_blocks == 5:
+        blocks = SIMHASH_BLOCKS
+    else:
+        bounds = [SIMHASH_BITS * i // n_blocks for i in range(n_blocks + 1)]
+        blocks = [
+            (bounds[i] + 1, bounds[i + 1] - bounds[i])
+            for i in range(n_blocks)
+        ]
+    return [
+        ((1 << ln) - 1) << (SIMHASH_BITS - (start - 1) - ln)
+        for start, ln in blocks
+    ]
+
+
+def derive_simhash_blocking(n_docs: int) -> list[int]:
+    """Keep-masks for the size-driven pigeonhole blocking: one mask per
+    4-subset of the B(n) blocks, keeping every bit OUTSIDE the subset.
+    Bucketing on (mask_id, sig & mask) is exact for hamming <= 4 at any
+    B >= 5; at B = 5 the masks are precisely the five legacy
+    single-block keys."""
+    from itertools import combinations
+
+    e = 0
+    while (SIMHASH_ANCHOR << e) < n_docs:
+        e += 1
+    if e > SIMHASH_MAX_E:
+        raise ValueError(
+            f"simhash blocking needs B = {5 + e} blocks for n_docs="
+            f"{n_docs} > the B = {5 + SIMHASH_MAX_E} cap — widen the "
+            "signature (SIMHASH_BITS) instead of adding blocks"
+        )
+    masks = _simhash_block_masks(5 + e)
+    total = (1 << SIMHASH_BITS) - 1
+    keeps = []
+    for t in combinations(range(5 + e), HAMMING_TAU):
+        dropped = 0
+        for i in t:
+            dropped |= masks[i]
+        keeps.append(total ^ dropped)
+    return keeps
+
 _HEX_HIGH = "('8','9','a','b','c','d','e','f')"
 
 
@@ -357,19 +432,28 @@ def _simhash_oracle() -> str:
 
 
 @register(
-    "z660_simhash",
+    "q660_simhash",
     oracle=_simhash_oracle(),
     doc="SimHash near-dup detection — the third dedup family (exact Q59, "
     "MinHash z660_minhash_lsh, SimHash here): 32-bit signature = sign of "
     "per-bit +-1 sums over shingle md5 bits, pairs at hamming <= 4. "
     "Distributed shape mirrors the MinHash pipeline: one shuffle builds "
-    "signatures, pigeonhole blocking (hamming<=4 over 5 blocks forces "
-    "one identical block) buckets candidates via equi-join, verify is "
-    "bit_count(xor) on the 32-bit signatures — no all-pairs anywhere "
+    "signatures; SIZE-DRIVEN pigeonhole blocking "
+    "(derive_simhash_blocking — hamming <= 4 over B(n) blocks forces an "
+    "identical masked signature for some 4-subset mask; B = 5 at the "
+    "anchor reproduces the legacy single-block buckets bit-exactly) "
+    "buckets candidates via equi-join on (mask_id, sig & mask); verify "
+    "is bit_count(xor) on the 32-bit signatures — no all-pairs "
+    "anywhere, and candidate generation is EXACT at every corpus size "
+    "(deterministic pigeonhole, unlike tuned-recall LSH) "
     "(SURVEY §2.11 Q60 family).",
 )
-def z660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = doc_shingles(load_table(spark, sf_dir, "documents"))
+def q660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "documents")
+    # metadata-cheap parquet count drives the blocking schedule (the
+    # q560/derive_banding posture); the result set is size-invariant
+    keep_masks = derive_simhash_blocking(raw.count())
+    docs = doc_shingles(raw)
     feats = docs.select("doc_id", F.explode_outer("sh").alias("s")).filter(
         F.col("s").isNotNull()
     )
@@ -409,16 +493,19 @@ def z660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig_int", F.conv("simhash", 2, 10).cast("long")
     )
 
-    # pigeonhole blocking -> bucket pair generation (same shape as the
-    # MinHash band buckets: one groupBy, array-comprehension pairs)
+    # size-driven pigeonhole blocking -> bucket pair generation (same
+    # shape as the MinHash band buckets: one groupBy,
+    # array-comprehension pairs). Bucket key = (mask_id, sig & mask);
+    # at the fixture anchor the masks are the five legacy single-block
+    # keys, so the buckets — and the verified pair set — are unchanged.
     blocks = sig.select(
         "doc_id",
         "sig_int",
         F.posexplode(
             F.array(
                 *[
-                    F.substring("simhash", start, ln)
-                    for start, ln in SIMHASH_BLOCKS
+                    F.col("sig_int").bitwiseAND(F.lit(m))
+                    for m in keep_masks
                 ]
             )
         ).alias("block", "block_val"),
@@ -1163,7 +1250,7 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
     "family), fully distributed: prefix-filtered inverted index over a "
     "global rarity order generates candidates (no all-pairs, no "
     "collect), then the shared candidate-verify stage computes exact "
-    "intersection sizes. Same oracle as z660_minhash_lsh/z660_simhash but "
+    "intersection sizes. Same oracle as z660_minhash_lsh/q660_simhash but "
     "with zero miss probability — this is what replaces the demoted "
     "collect-based q60_neardup_jaccard at scale (SURVEY §2.11 Q60).",
 )

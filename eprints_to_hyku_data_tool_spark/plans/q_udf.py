@@ -57,7 +57,7 @@ def q657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q58 — grouped-map UDF (applyInPandas)
 # --------------------------------------------------------------------------
 @register(
-    "q658_grouped_map",
+    "z658_grouped_map",
     oracle="""
     SELECT doc_id, lang,
            round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
@@ -72,7 +72,7 @@ def q657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UDF raises once a group exceeds MAX_GROUP_ROWS instead of OOMing "
     "an executor (SURVEY §2.10 Q58; r2 verdict item 10).",
 )
-def q658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     # ~10M rows x 3 narrow columns ~= hundreds of MB as pandas — the order

@@ -972,3 +972,24 @@ def test_q560_forced_distributed_ntile_matches_window_form(
     # really on the distributed branch: no ntile window anywhere
     assert "ntile" not in p, p
     assert rows(forced) == compact
+
+
+def test_simhash_forced_multiblock_matches_anchor(spark, sf_dir, monkeypatch):
+    """q660_simhash's size-driven blocking is EXACT at every B (the
+    pigeonhole guarantee is deterministic): force the super-anchor
+    branches (B = 6 and B = 8) on the fixture corpus and pin
+    bit-identical pair sets against the anchor's legacy 5-block plan —
+    the result relation (hamming <= 4 over the same 32-bit signatures)
+    must be size-invariant by construction."""
+    from eprints_to_hyku_data_tool_spark.plans import q_north as mod
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    anchor = rows(REGISTRY["q660_simhash"].fn(spark, sf_dir))
+    assert anchor, "fixture corpus must contain near-dup pairs"
+    for forced_anchor in (2048, 256):  # n_docs=5000 -> B=6 / B=8+
+        monkeypatch.setattr(mod, "SIMHASH_ANCHOR", forced_anchor)
+        assert rows(REGISTRY["q660_simhash"].fn(spark, sf_dir)) == anchor, (
+            forced_anchor
+        )

@@ -140,7 +140,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
 
 
 def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
-    """z660_simhash extracts signature bits via conv'd hex chunks + shifts
+    """q660_simhash extracts signature bits via conv'd hex chunks + shifts
     (fast path); the reference formulation — and the DuckDB oracle — uses
     substr(md5, j, 1) IN ('8'..'f'). Both must produce identical +-1
     contributions for every (doc, shingle, bit)."""
@@ -1119,3 +1119,54 @@ def test_consolidated_verify_invariant_under_group_count(spark):
     assert run(8, 1) == unsalted_many
     assert run(8, 7) == unsalted_many
     assert run(8, 4096) == unsalted_many
+
+
+def test_derive_simhash_blocking_schedule():
+    """Size-driven SimHash blocking (round 11): at the 8192-doc anchor
+    the C(5,4) keep-masks are EXACTLY the legacy single-block keys
+    (fixture artifacts depend on those buckets); past it B grows +1 per
+    doubling, every B's blocks partition the 32 signature bits, every
+    keep-mask keeps exactly B-4 whole blocks, and the B = 12 cap raises
+    loudly (no silent caps — past it the honest fix is a wider
+    signature, not more blocks)."""
+    import pytest
+
+    from eprints_to_hyku_data_tool_spark.plans.q_north import (
+        SIMHASH_ANCHOR,
+        SIMHASH_MAX_E,
+        _simhash_block_masks,
+        derive_simhash_blocking,
+    )
+
+    legacy = _simhash_block_masks(5)
+    for n in (1, 100, 5000, 8192):
+        assert sorted(derive_simhash_blocking(n)) == sorted(legacy), n
+    # B = 5 + e, C(B, 4) masks per tier; key bits strictly grow
+    from math import comb
+
+    prev_key_bits = 0
+    for e in range(0, SIMHASH_MAX_E + 1):
+        n = SIMHASH_ANCHOR << e
+        keeps = derive_simhash_blocking(n)
+        b = 5 + e
+        assert len(keeps) == comb(b, 4), (e, len(keeps))
+        masks = _simhash_block_masks(b)
+        # blocks partition the 32 bits
+        assert sum(masks) == (1 << 32) - 1
+        acc = 0
+        for m in masks:
+            assert acc & m == 0
+            acc |= m
+        # every keep-mask is a union of exactly b-4 whole blocks
+        for k in keeps:
+            parts = [m for m in masks if k & m]
+            assert len(parts) == b - 4 and sum(parts) == k, (e, k)
+        key_bits = min(bin(k).count("1") for k in keeps)
+        # floor-split block sizes make the MIN key width plateau between
+        # some adjacent tiers (B=8 and B=9 both floor at 16) — require
+        # non-decreasing, and overall growth is asserted after the loop
+        assert key_bits >= prev_key_bits, (e, key_bits)
+        prev_key_bits = key_bits
+    assert prev_key_bits >= 20  # B = 12 keeps >= 20 of the 32 bits
+    with pytest.raises(ValueError, match="widen the signature"):
+        derive_simhash_blocking((SIMHASH_ANCHOR << SIMHASH_MAX_E) + 1)

@@ -36,7 +36,7 @@ QUADRATIC_ORACLES = {
     "z786_ngram_jaccard",
     "z667_embedding_dedupe",
     "z660_minhash_lsh",
-    "z660_simhash",
+    "q660_simhash",
     "z974_rplsh_neardup",
     "z9186_ivf_embedding_dedupe",
     "z918_similarity_join",

@@ -52,7 +52,7 @@ HEAVY = [
     "z7192_approx_percentile",
     "z9345_split_leakage",
     "q554_association_rules",
-    "z660_simhash",
+    "q660_simhash",
     "z660_minhash_lsh",
     "q622_approx_count_distinct",
     "z9341_kmeans_lloyd",
