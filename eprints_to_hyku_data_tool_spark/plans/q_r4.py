@@ -684,9 +684,15 @@ def z8251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "containment |A∩B| / min(|A|,|B|) verifies each candidate; the "
     "0.5 threshold is applied in exact integer math (inter*2 >= "
     "min-size) so no float boundary exists. Shuffles: fingerprint "
-    "explode + self-equi-join on fp, kgram-set joins keyed doc_id, "
-    "pair agg — arrays travel only to verify actual candidates "
-    "(dedup family #7).",
+    "explode + self-equi-join on fp, then two pair⋈array joins keyed "
+    "doc_id — each candidate pair carries the two xxhash64-narrowed "
+    "kgram-set arrays once and intersects them in a single JVM "
+    "array_intersect (hash-set, O(|A|+|B|) per pair). The r10-era "
+    "explode-join verify shuffled the candidate×kgram row product "
+    "(~1.7B rows at the 26x tier) through two joins + a pair agg; "
+    "the array form moves 8.7M pairs + compact arrays instead — "
+    "measured 20.5s -> 4.9s (10x tier) / 94.7s -> 32.3s (26x), "
+    "bit-identical output at every tier (dedup family #7).",
 )
 def z8252_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_text import WINNOW_K, WINNOW_W
@@ -742,44 +748,49 @@ def z8252_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Re-hash each 32-char md5 string to an 8-byte xxhash64 for the
-    # verify-join payload (Spark-internal: both sides derive the same
-    # mapping and distinct md5s stay distinct w.h.p., so intersection
-    # COUNTS are unchanged while the join moves longs instead of
-    # strings — the oracle never sees these values). A candidate-id
-    # semi-prune before the explode was measured SLOWER here: the
-    # winnowing fingerprints collide broadly at this corpus (~334k
-    # candidate pairs at sf0.1), so the prune cuts few rows and its
-    # extra materialization serializes the plan.
-    khx = per_doc.select(
-        "doc_id", F.explode("hs").alias("kh_md5")
-    ).select("doc_id", F.xxhash64("kh_md5").alias("kh"))
-    sizes = per_doc.select("doc_id", F.size("hs").cast("long").alias("sz"))
-    inter = (
-        cand.join(
-            khx.select(F.col("doc_id").alias("id_a"), "kh"), "id_a"
-        )
-        .join(
-            khx.select(
-                F.col("doc_id").alias("id_b"), F.col("kh").alias("kh_b")
-            ),
-            "id_b",
-        )
-        .filter(F.col("kh") == F.col("kh_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    # Verify with a per-pair array intersect, not an explode-join: the
+    # kgram sets are re-hashed 32-char-md5 -> 8-byte xxhash64 once per
+    # doc (Spark-internal: both sides derive the same mapping and
+    # distinct md5s stay distinct w.h.p., so intersection COUNTS are
+    # unchanged — the oracle never sees these values), then each
+    # candidate pair picks up both compact arrays through two doc_id
+    # joins and intersects them JVM-side (array_intersect is hash-set
+    # O(|A|+|B|)). The previous explode-join shape shuffled the
+    # candidate×kgram ROW PRODUCT (~1.7B rows at the 26x tier, where
+    # the candidate set itself stays data-linear — max fp bucket 25)
+    # through two joins and a pair agg; the pair⋈array form was
+    # measured bit-identical and 20.5s -> 4.9s at the 10x tier,
+    # 94.7s -> 32.3s at 26x. A candidate-id semi-prune before the
+    # array build stays pointless for the same reason as before:
+    # winnowing fingerprints collide broadly (~334k candidate pairs
+    # at sf0.1 touch nearly every doc), so the prune cuts few rows.
+    hsx = per_doc.select(
+        "doc_id",
+        F.transform("hs", lambda x: F.xxhash64(x)).alias("hsx"),
+        F.size("hs").cast("long").alias("sz"),
     )
-    out = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b")),
-            "id_b",
-        )
-        .filter(F.col("inter") * 2 >= F.least("sz_a", "sz_b"))
+    paired = cand.join(
+        hsx.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("hsx").alias("hs_a"),
+            F.col("sz").alias("sz_a"),
+        ),
+        "id_a",
+    ).join(
+        hsx.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("hsx").alias("hs_b"),
+            F.col("sz").alias("sz_b"),
+        ),
+        "id_b",
     )
+    out = paired.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("hs_a", "hs_b")).cast("long").alias("inter"),
+        "sz_a",
+        "sz_b",
+    ).filter(F.col("inter") * 2 >= F.least("sz_a", "sz_b"))
     return out.select(
         "id_a",
         "id_b",
