@@ -643,7 +643,7 @@ def z8251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X52 — containment near-dup (winnowing candidates + exact verify)
 # --------------------------------------------------------------------------
 @register(
-    "z8252_winnow_containment",
+    "q658_winnow_containment",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),
@@ -694,7 +694,7 @@ def z8251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measured 20.5s -> 4.9s (10x tier) / 94.7s -> 32.3s (26x), "
     "bit-identical output at every tier (dedup family #7).",
 )
-def z8252_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q658_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_text import WINNOW_K, WINNOW_W
 
     docs = load_table(spark, sf_dir, "documents")

@@ -30,7 +30,7 @@ from .registry import register
 # Q57 — scalar pandas UDF (vectorized text metric)
 # --------------------------------------------------------------------------
 @register(
-    "q657_scalar_pandas_udf",
+    "z657_scalar_pandas_udf",
     oracle="""
     SELECT doc_id, lang,
            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -42,7 +42,7 @@ from .registry import register
     "bit-identical to the SQL re-expression — no rounding needed "
     "(SURVEY §2.10 Q57).",
 )
-def q657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def type_token_ratio(text: pd.Series) -> pd.Series:
         # Distinct words / total words, one Arrow batch at a time.

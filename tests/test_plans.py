@@ -117,7 +117,7 @@ def test_q37_global_position_is_distributed(plans):
 
 
 def test_q57_udf_is_arrow_batched(plans):
-    p = plans("q657_scalar_pandas_udf")
+    p = plans("z657_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p  # row-at-a-time python UDF forbidden
 

@@ -97,7 +97,7 @@ SECTION2_MAP = {
     "Q51": "q651_hash_ids", "Q52": "q652_null_kit",
     "Q53": "q653_cast_kit", "Q54": "q654_tumbling_window",
     "Q55": "q655_sliding_window", "Q56": "q656_session_window",
-    "Q57": "q657_scalar_pandas_udf", "Q58": "z658_grouped_map",
+    "Q57": "z657_scalar_pandas_udf", "Q58": "z658_grouped_map",
     "Q59": "z659_exact_dedupe", "Q60": "z660_minhash_lsh",
     "Q61": "z661_topk_similarity", "Q62": "z662_text_stats",
     "X01": None,  # CSV/ORC source — tests/test_etl.py

@@ -34,7 +34,7 @@ HEAVY = [
     "z7588_pagerank",
     "z660_minhash_lsh",
     "q622_approx_count_distinct",
-    "z8252_winnow_containment",
+    "q658_winnow_containment",
     "z9345_split_leakage",
 ]
 

@@ -43,7 +43,7 @@ QUADRATIC_ORACLES = {
     "z790_corpus_pipeline",
     "z9185_ivf_topk",
     "z661_topk_similarity",
-    "z8252_winnow_containment",
+    "q658_winnow_containment",
     "z8301_duplicate_ngram_filter",
     # r5: PQ-ANN verdict and k-NN vote both rerun z61's all-pairs exact
     # oracle; their Spark sides were hand-verified green at sf0.1 and

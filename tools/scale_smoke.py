@@ -42,7 +42,7 @@ HEAVY = [
     "z7588_pagerank",
     "z7526_bfs_hops",
     "q620_global_agg",
-    "z8252_winnow_containment",
+    "q658_winnow_containment",
     "z8301_duplicate_ngram_filter",
     "z974_rplsh_neardup",
     "z775_decontaminate",
