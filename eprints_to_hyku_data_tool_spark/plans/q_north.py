@@ -283,48 +283,41 @@ def z660_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def verify_jaccard_candidates(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact Jaccard verify on (id_a, id_b) candidate pairs only: each
-    pair picks up both shingle sets through two doc_id joins, narrowed
-    to xxhash64 int64 arrays ONCE per doc before the join (Spark-
-    internal: both sides derive the same mapping and distinct shingles
-    stay distinct w.h.p., so intersection/union COUNTS are unchanged —
-    no oracle sees the hashes), and intersects them JVM-side
-    (array_intersect is hash-set O(|A|+|B|)). The r10-era form shipped
-    the string shingle arrays through Arrow to a pandas set-ops UDF —
-    the narrowing (32+-byte strings -> 8-byte longs) flips that trade:
-    measured bit-identical and 8.0 s -> 1.3 s warm at the 10x tier,
-    43 s -> 3.1 s at 26x (the winnow-verify r11 lesson applied to the
-    shared verify). Still fully distributed, no broadcast of the
-    corpus: only candidate pairs carry arrays. Shared by the
-    MinHash-LSH and prefix-filtered exact paths."""
-    hsx = docs.select(
-        "doc_id",
-        F.transform("sh", lambda x: F.xxhash64(x)).alias("shx"),
-        F.size("sh").alias("sz"),
-    )
+    pair picks up both shingle-set arrays through two doc_id joins and
+    intersects them JVM-side — `array_intersect` is a hash-set
+    O(|A|+|B|) per pair, inside whole-stage codegen. EXACT on the
+    string shingles (no hashing, no probabilistic caveat). Still fully
+    distributed, no broadcast of the corpus: only candidate pairs carry
+    arrays. Shared by the MinHash-LSH and prefix-filtered exact paths.
+
+    Shape history (r11, all bit-identical-output measurements): the
+    r10-era pandas set-ops UDF verify paid an Arrow round trip of the
+    full string arrays per pair — 31-43 s cold / ~6-8 s warm at the
+    26x tier's 1.13M candidates vs ~5 s for this form (python workers
+    make it cold-start- and ambient-sensitive; the JVM form isn't). A
+    pre-join xxhash64 narrowing (hash each doc's set to int64 ONCE,
+    join the narrow arrays) won on MATERIALIZED inputs but regressed
+    the live LSH plan 2.6 s -> 4.9 s warm (CONFIRMED by
+    tools/adjudicate.py): `docs` is an unmaterialized shingle subtree
+    re-derived per join side, and the added pre-join projection work
+    lands on BOTH re-derivations while AQE loses the skinny
+    projection it used to broadcast-plan. Computing the intersect
+    AFTER the joins keeps the join sides as the same skinny
+    (doc_id, sh) projections the r10 plan had — z660 back at 2.1-2.2 s
+    warm — while the 26x PPJoin context runs 4.8-5.9 s (pandas's warm
+    band) with no Arrow dependence."""
+    sh_a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         candidates.select("id_a", "id_b")
-        .join(
-            hsx.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("shx").alias("sh_a"),
-                F.col("sz").alias("sz_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            hsx.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("shx").alias("sh_b"),
-                F.col("sz").alias("sz_b"),
-            ),
-            "id_b",
-        )
+        .join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn(
             "inter_size", F.size(F.array_intersect("sh_a", "sh_b")).cast("int")
         )
         .withColumn(
             "union_size",
-            (F.col("sz_a") + F.col("sz_b") - F.col("inter_size")).cast("int"),
+            (F.size("sh_a") + F.size("sh_b") - F.col("inter_size")).cast("int"),
         )
         .filter(TAU_DEN * F.col("inter_size") >= TAU_NUM * F.col("union_size"))
         .select("id_a", "id_b", "inter_size", "union_size")
