@@ -750,7 +750,12 @@ def q658_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Verify with a per-pair array intersect, not an explode-join: the
     # kgram sets are re-hashed 32-char-md5 -> 8-byte xxhash64 once per
-    # doc (Spark-internal: both sides derive the same mapping and
+    # JOIN SIDE (hsx is re-derived for the id_a and id_b branches —
+    # but over the CHECKPOINTED per_doc, so only the cheap transform
+    # re-runs, never the md5/winnowing pipeline; that materialization
+    # is the precondition that made pre-join narrowing a win here and
+    # a confirmed regression in q_north's unmaterialized verify —
+    # Spark-internal: both sides derive the same mapping and
     # distinct md5s stay distinct w.h.p., so intersection COUNTS are
     # unchanged — the oracle never sees these values), then each
     # candidate pair picks up both compact arrays through two doc_id
