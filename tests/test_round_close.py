@@ -16,6 +16,7 @@ import pytest
 from round_close import (
     check_docs_mention_round,
     check_smoke_fresh,
+    code_fingerprint,
     current_round,
     smoke_gated_paths,
 )
@@ -41,6 +42,96 @@ def test_smoke_gated_paths_cover_kernels_and_tools():
     assert any(p.endswith("q_embed.py") for p in paths), (
         "the RP-LSH module (the r7 smoke-vs-artifact drift) must be gated"
     )
+
+
+_FN_V1 = '''
+def agg(df):
+    """Group and sum."""
+    # a comment
+    return df.groupBy("k").sum("v")
+'''
+
+_FN_V1_DOC_ONLY = '''
+def agg(df):
+    """Group and sum (note: hashing runs once per join side)."""
+    # a reworded comment, plus trailing whitespace below
+    return df.groupBy("k").sum("v")
+'''
+
+_FN_V2_CODE = '''
+def agg(df):
+    """Group and sum."""
+    # a comment
+    return df.groupBy("k").max("v")
+'''
+
+
+def test_fingerprint_ignores_comment_and_docstring_edits():
+    # The f107ba7 class: a comment/docstring-only touch of a smoke-gated
+    # module must not invalidate SCALE_SMOKE.json (VERDICT r11 item 5).
+    assert code_fingerprint(_FN_V1) == code_fingerprint(_FN_V1_DOC_ONLY)
+
+
+def test_fingerprint_detects_real_code_change():
+    assert code_fingerprint(_FN_V1) != code_fingerprint(_FN_V2_CODE)
+
+
+def test_fingerprint_unparseable_falls_back_to_raw():
+    # A syntax-broken file must never compare equal to a different
+    # syntax-broken file (no masking of real edits).
+    assert code_fingerprint("def broken(:") != code_fingerprint("def broke(:")
+    assert code_fingerprint("def broken(:") == code_fingerprint("def broken(:")
+
+
+def test_fingerprint_docstring_only_module():
+    # Stripping the docstring of a module/function whose body is ONLY a
+    # docstring must still parse-compare (Pass() placeholder).
+    assert code_fingerprint('"""mod doc."""') == code_fingerprint(
+        '"""different mod doc."""'
+    )
+
+
+def _tmp_git(repo: str, *args: str) -> str:
+    import subprocess
+
+    return subprocess.run(
+        ["git", *args], cwd=repo, capture_output=True, text=True, check=True
+    ).stdout
+
+
+def test_code_changed_since_ignores_comment_only_but_flags_code(
+    tmp_path, monkeypatch
+):
+    # The f107ba7 class end-to-end: a comment/docstring-only commit to a
+    # gated module after the smoke must NOT read as a code change, while
+    # a real code touch must (VERDICT r11 item 5, both directions).
+    import round_close as rc
+
+    repo = str(tmp_path)
+    _tmp_git(repo, "init", "-q")
+    _tmp_git(repo, "config", "user.email", "t@t")
+    _tmp_git(repo, "config", "user.name", "t")
+    mod = tmp_path / "mod.py"
+    mod.write_text(_FN_V1)
+    _tmp_git(repo, "add", "mod.py")
+    _tmp_git(repo, "commit", "-qm", "base")
+    base = _tmp_git(repo, "rev-parse", "HEAD").strip()
+
+    monkeypatch.setattr(rc, "_ROOT", repo)
+
+    mod.write_text(_FN_V1_DOC_ONLY)
+    _tmp_git(repo, "commit", "-aqm", "comment-only")
+    assert rc._code_changed_since(base, "mod.py") is False
+
+    mod.write_text(_FN_V2_CODE)
+    _tmp_git(repo, "commit", "-aqm", "real change")
+    assert rc._code_changed_since(base, "mod.py") is True
+
+    # A file added under the gated path since the smoke is a change.
+    (tmp_path / "new.py").write_text(_FN_V1)
+    _tmp_git(repo, "add", "new.py")
+    _tmp_git(repo, "commit", "-qm", "add file")
+    assert rc._code_changed_since(base, ".") is True
 
 
 @pytest.mark.skipif(

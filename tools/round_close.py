@@ -113,13 +113,82 @@ def smoke_gated_paths() -> list[str]:
     return sorted(os.path.relpath(p, _ROOT) for p in paths)
 
 
+def _strip_docstrings(tree: "ast.AST") -> "ast.AST":
+    """Remove leading string-constant Expr nodes (docstrings) from every
+    module/class/function body so a doc-only edit compares equal."""
+    import ast
+
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(node, (ast.Module, ast.ClassDef, ast.FunctionDef,
+                              ast.AsyncFunctionDef))
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            node.body = body[1:] or [ast.Pass()]
+    return tree
+
+
+def code_fingerprint(src: str) -> str:
+    """A comparison key for Python source that is invariant under
+    comment, whitespace, and docstring edits (VERDICT r11 item 5: a
+    comment-only commit to a smoke-gated module must not demand a 10x
+    smoke re-run). Unparseable source falls back to the raw text so a
+    real change is never masked."""
+    import ast
+
+    try:
+        return ast.dump(_strip_docstrings(ast.parse(src)))
+    except SyntaxError:
+        return src
+
+
+def _blob_at(commit: str, rel: str) -> str | None:
+    try:
+        return _git("show", f"{commit}:{rel}")
+    except subprocess.CalledProcessError:
+        return None  # file did not exist at that commit
+
+
+def _code_changed_since(commit: str, rel: str) -> bool:
+    """True iff the *code* (AST, comments/docstrings stripped) of any
+    Python file under `rel` differs between `commit` and the working
+    tree. Non-.py files and added/deleted files count as changed."""
+    changed = _git("diff", "--name-only", commit, "HEAD", "--", rel)
+    for f in changed.splitlines():
+        f = f.strip()
+        if not f:
+            continue
+        path = os.path.join(_ROOT, f)
+        if not f.endswith(".py"):
+            return True
+        old = _blob_at(commit, f)
+        if old is None or not os.path.exists(path):
+            return True
+        new = open(path).read()
+        if code_fingerprint(old) != code_fingerprint(new):
+            return True
+    return False
+
+
 def check_smoke_fresh() -> list[str]:
     smoke_t = _last_commit_epoch("SCALE_SMOKE.json")
     if smoke_t == 0:
         return ["SCALE_SMOKE.json has never been committed"]
+    smoke_commit = _git(
+        "log", "-1", "--format=%H", "--", "SCALE_SMOKE.json"
+    ).strip()
     gated = smoke_gated_paths()
+    # Commit-time is the cheap first filter; an AST compare then ignores
+    # comment/docstring-only touches (the f107ba7-class false positive).
     stale = [
-        p for p in gated if _last_commit_epoch(p) > smoke_t
+        p
+        for p in gated
+        if _last_commit_epoch(p) > smoke_t
+        and _code_changed_since(smoke_commit, p)
     ]
     if stale:
         return [
