@@ -88,7 +88,11 @@ def main() -> None:
     # stable marginal cost and the build stays visible in `value`.
     # Names start with '_' so they can never collide with the driver's
     # [qxyz]-pattern query names.
-    from eprints_to_hyku_data_tool_spark.functions import copurchase, neardup
+    from eprints_to_hyku_data_tool_spark.functions import (
+        copurchase,
+        grams,
+        neardup,
+    )
 
     shared_builds = {
         "_build_copurchase_graph": lambda: (
@@ -97,6 +101,7 @@ def main() -> None:
         "_build_neardup_pairs": lambda: (
             neardup.components(spark, sf_dir),  # builds verified_pairs too
         ),
+        "_build_doc_grams": lambda: (grams.doc_grams8(spark, sf_dir),),
     }
     for name, build in shared_builds.items():
         t0 = time.perf_counter()

@@ -28,7 +28,7 @@ from .q_core import dec_sum
 # Q22 — approx count-distinct (HLL) with a checkable tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "q622_approx_count_distinct",
+    "z10622_approx_count_distinct",
     oracle="""
     SELECT l_suppkey,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -48,7 +48,7 @@ from .q_core import dec_sum
     "every raw row update a 16KB HLL++ buffer through the Expand "
     "(measured 60s at sf0.1 vs 4s for this form).",
 )
-def q622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
     return (
@@ -72,7 +72,7 @@ def q622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q23 — ROLLUP (hierarchical subtotals)
 # --------------------------------------------------------------------------
 @register(
-    "q623_rollup",
+    "z10623_rollup",
     oracle="""
     SELECT COALESCE(r_name, '(all)') AS region_name,
            COALESCE(n_name, '(all)') AS nation_name,
@@ -89,7 +89,7 @@ def q622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(real NULLs vs subtotal NULLs are distinguishable) "
     "(SURVEY §2.4 Q23).",
 )
-def q623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -119,7 +119,7 @@ def q623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q24 — CUBE (all grouping combinations)
 # --------------------------------------------------------------------------
 @register(
-    "q624_cube",
+    "z10624_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, '(all)') AS status,
            COALESCE(o_orderpriority, '(all)') AS priority,
@@ -132,7 +132,7 @@ def q623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CUBE over (status, priority): all four grouping-set combinations "
     "in one pass (Expand + single shuffle) (SURVEY §2.4 Q24).",
 )
-def q624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
@@ -155,7 +155,7 @@ def q624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q25 — collect_list -> sorted delimited string (THE Bulkrax fold)
 # --------------------------------------------------------------------------
 @register(
-    "q625_bulkrax_fold",
+    "z10625_bulkrax_fold",
     oracle="""
     SELECT l_orderkey,
            string_agg(p_name, '|' ORDER BY p_name) AS part_names,
@@ -168,11 +168,11 @@ def q624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed engine — sort_array makes it canonical), joined with "
     "'|' for the flat CSV cell (SURVEY §1.1, §2.4 Q25).",
 )
-def q625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(
             F.concat_ws("|", F.sort_array(F.collect_list("p_name"))).alias(
@@ -198,14 +198,17 @@ def q625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Pivot: order counts per segment with status as columns. Explicit "
     "value list (F/O/P) keeps the schema static — required for a "
-    "deterministic plan at scale (no pre-pass to discover values) "
-    "(SURVEY §2.4 Q26).",
+    "deterministic plan at scale (no pre-pass to discover values). The "
+    "customer join is NOT hint-broadcast: customer scales with SF (not a "
+    "fixed dim like nation/region), so AQE decides — broadcast at "
+    "fixture scale (plan-asserted), sort-merge when it outgrows the "
+    "threshold (SURVEY §2.4 Q26).",
 )
 def q626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     pivoted = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
@@ -236,13 +239,16 @@ def q626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DuckDB quantile_cont, both linear interpolation; rounded 4dp since "
     "the interpolation arithmetic isn't bit-portable). "
     "percentile_approx is the 100 TB variant (mergeable sketch, not "
-    "hashable) — exercised in tests (SURVEY §2.4 Q27).",
+    "hashable) — exercised in tests. The customer join is NOT "
+    "hint-broadcast (customer scales with SF): AQE broadcasts at "
+    "fixture scale (plan-asserted), sort-merges past the threshold "
+    "(SURVEY §2.4 Q27).",
 )
 def q627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_price"),
@@ -257,7 +263,7 @@ def q627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q28 — statistical aggregates
 # --------------------------------------------------------------------------
 @register(
-    "q628_stats",
+    "z10628_stats",
     oracle="""
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS qty_stddev,
@@ -271,7 +277,7 @@ def q627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "return flag. Rounded on both sides — single-pass moment merges are "
     "partition-order dependent in the low bits (SURVEY §2.4 Q28).",
 )
-def q628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
@@ -289,7 +295,7 @@ def q628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q29 — filtered / conditional aggregation
 # --------------------------------------------------------------------------
 @register(
-    "q629_conditional_agg",
+    "z10629_conditional_agg",
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -307,7 +313,7 @@ def q628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counters — error rate and purchase value in one pass over events "
     "(SURVEY §2.4 Q29).",
 )
-def q629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
     cnt = F.count(F.lit(1))
@@ -330,7 +336,7 @@ def q629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q30 — mixed distinct + plain aggregates
 # --------------------------------------------------------------------------
 @register(
-    "q630_mixed_distinct",
+    "z10630_mixed_distinct",
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -344,7 +350,7 @@ def q629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an Expand (one row replica per distinct column) + two-phase "
     "aggregate (SURVEY §2.4 Q30).",
 )
-def q630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         dec_sum("l_quantity", "sum_qty"),
@@ -403,7 +409,7 @@ def z9189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y49 — approx percentile (t-digest-style sketch) with a tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "z7192_approx_percentile",
+    "q7192_approx_percentile",
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
@@ -424,7 +430,7 @@ def z9189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with bounded state, while exact percentile materializes every "
     "group's values through the shuffle (SURVEY §2.4 Q27 scale note).",
 )
-def z7192_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7192_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias(
@@ -476,7 +482,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
 
 
 @register(
-    "z7193_countmin",
+    "q7193_countmin",
     oracle=f"""
     WITH seeds(h, a, b) AS (VALUES
         {", ".join(f"({h}, {a}, {b})" for h, a, b in _CMS_SEEDS)}),
@@ -515,7 +521,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
     "comparison baseline — is what the sketch REPLACES "
     "(heavy-hitters / frequency-cap mandate).",
 )
-def z7193_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7193_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
 
     stack_cells = ", ".join(

@@ -146,7 +146,7 @@ def z796_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X28 — sessionization: assign session IDs to EVENTS (gap rule)
 # --------------------------------------------------------------------------
 @register(
-    "z7228_sessionize",
+    "q7228_sessionize",
     oracle="""
     WITH g AS (
       SELECT event_id, user_id, ts,
@@ -170,7 +170,7 @@ def z796_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_id exchange; ties broken by event_id for determinism "
     "(sessionization mandate).",
 )
-def z7228_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7228_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Full-microsecond gap (ADVICE r3): cast('long') truncates to whole
@@ -288,7 +288,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(orders * lines_per_order^2) at any scale. The rank VALUES are an
     iterative float fixpoint (not SQL-oracle-expressible);
     tests/test_graph.py checks them against an independent numpy power
-    iteration on the identical edge set. The registered z7588_pagerank
+    iteration on the identical edge set. The registered q7588_pagerank
     wraps this in a driver-checkable structure + mass verdict."""
     from ..functions.graph import pagerank
 
@@ -298,7 +298,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z7588_pagerank",
+    "q7588_pagerank",
     oracle="""
     WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
                FROM lineitem a JOIN lineitem b
@@ -325,7 +325,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline plus one count-agg per side of the tiny one-row-x-one-"
     "row join.",
 )
-def z7588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _copurchase_edges is a cheap projection of the session-memoized
     # edge checkpoint (functions/copurchase.py) — no per-query
     # materialization needed; pagerank() checkpoints its own input.
@@ -350,7 +350,7 @@ def z7588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y44 — per-user z-score anomaly flags (exact-moment discipline)
 # --------------------------------------------------------------------------
 @register(
-    "z9187_anomaly_zscore",
+    "q9187_anomaly_zscore",
     oracle="""
     WITH s AS (SELECT user_id,
                       CAST(COUNT(*) AS BIGINT) AS n,
@@ -378,11 +378,13 @@ def z7588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doubles on any engine/partitioning), so mean, sd, every z value, "
     "and the >2-sigma decision are all bit-deterministic — no rounding "
     "needed for correctness, 4dp only for display. One partial-agg "
-    "shuffle for the per-user moments (user-count-sized -> broadcast "
-    "join-back onto the event stream); degenerate users (n<2 or zero "
+    "shuffle for the per-user moments; the join-back onto the event "
+    "stream carries NO mandatory broadcast hint (the stats table scales "
+    "with the user population — AQE broadcasts it while it fits, "
+    "sort-merges past the threshold); degenerate users (n<2 or zero "
     "variance) are excluded on both sides.",
 )
-def z9187_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9187_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     s = ev.groupBy("user_id").agg(
@@ -404,7 +406,10 @@ def z9187_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (F.col("value") - F.col("mean")) / F.col("sd")
     return (
-        ev.join(F.broadcast(m), "user_id")
+        # No mandatory broadcast: the per-user stats table scales with
+        # the user population (events corpus), so a forced build side
+        # OOMs at the 100 TB mandate — AQE broadcasts it while it fits.
+        ev.join(m, "user_id")
         .select(
             "event_id",
             "user_id",
@@ -429,7 +434,7 @@ _TRI_EDGES_SQL = """
 
 
 @register(
-    "z7566_triangle_count",
+    "q7566_triangle_count",
     oracle=_TRI_EDGES_SQL
     + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
@@ -456,7 +461,7 @@ _TRI_EDGES_SQL = """
     "measured: 26 exchanges -> 5). Remaining shuffles: wedge join and "
     "closing join (SURVEY §2.13 graph family).",
 )
-def z7566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import triangles
 
     # Shared memoized materializations (functions/copurchase.py): edge
@@ -478,7 +483,7 @@ def z7566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y55 — per-group OLS regression (exact-decimal moments, y44 discipline)
 # --------------------------------------------------------------------------
 @register(
-    "z7198_group_ols",
+    "q7198_group_ols",
     oracle="""
     WITH p AS (
         SELECT user_id,
@@ -513,7 +518,7 @@ def z7566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order is partition-dependent). One map-side-combined shuffle "
     "(metric-trend mandate).",
 )
-def z7198_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7198_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p = ev.select(
         "user_id",
@@ -577,7 +582,7 @@ def _morton_duck(x: str, y: str) -> str:
 
 
 @register(
-    "z7231_zorder_layout",
+    "q7231_zorder_layout",
     oracle=f"""
     WITH d AS (
         SELECT user_id & 65535 AS xd,
@@ -607,7 +612,7 @@ def _morton_duck(x: str, y: str) -> str:
     "(SURVEY §4 layout row; X06's pruning demonstrated "
     "multi-dimensionally).".format(cs=_Z_COARSE),
 )
-def z7231_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7231_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
         F.expr("user_id & 65535").alias("xd"),
@@ -638,7 +643,7 @@ _EQD_BUCKETS = 16
 
 
 @register(
-    "z7232_equidepth_histogram",
+    "q7232_equidepth_histogram",
     oracle=f"""
     WITH b AS (
         SELECT o_totalprice,
@@ -665,7 +670,7 @@ _EQD_BUCKETS = 16
     "computes the same bucket id distributedly "
     "(functions/ordering.py).".format(B=_EQD_BUCKETS),
 )
-def z7232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     orders = load_table(spark, sf_dir, "orders")
@@ -706,7 +711,7 @@ def z7232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y59 — chi-square independence test (lang x source contingency)
 # --------------------------------------------------------------------------
 @register(
-    "z7233_chisquare",
+    "q7233_chisquare",
     oracle="""
     WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
                FROM documents GROUP BY lang, source),
@@ -732,7 +737,7 @@ def z7232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SUM(chi2_term) — left per-cell so the hashed result is "
     "summation-order independent (mix-audit mandate).",
 )
-def z7233_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7233_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
     r = o.groupBy("lang").agg(F.sum("obs").alias("row_n"))
@@ -764,7 +769,7 @@ _RAU_DAYS = 28
 
 
 @register(
-    "z7238_rolling_active_users",
+    "q7238_rolling_active_users",
     oracle=f"""
     WITH a AS (SELECT DISTINCT user_id,
                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
@@ -789,7 +794,7 @@ _RAU_DAYS = 28
     "equi; work is O(active_pairs x {N}), independent of raw event "
     "volume (engagement-metrics mandate).".format(N=_RAU_DAYS),
 )
-def z7238_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7238_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     a = ev.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
@@ -816,7 +821,7 @@ def z7238_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y65 — event-type transition matrix (first-order Markov)
 # --------------------------------------------------------------------------
 @register(
-    "z7239_transition_matrix",
+    "q7239_transition_matrix",
     oracle="""
     WITH s AS (
       SELECT user_id, event_type,
@@ -839,7 +844,7 @@ def z7238_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p = exact-count ratio (one double division per cell), so it "
     "hashes cleanly (sequence-analytics mandate).",
 )
-def z7239_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7239_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
@@ -861,7 +866,7 @@ def z7239_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y66 — session rollup (duration / size stats over x28's session ids)
 # --------------------------------------------------------------------------
 @register(
-    "z7240_session_stats",
+    "q7240_session_stats",
     oracle="""
     WITH g AS (
       SELECT event_id, user_id, ts, value,
@@ -893,7 +898,7 @@ def z7239_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emits aggregates keyed by window, not by session ordinal "
     "(sessionization mandate, rollup half).",
 )
-def z7240_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7240_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_core import dec_sum
 
     ev = load_table(spark, sf_dir, "events")

@@ -216,7 +216,7 @@ def z907_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q19 — TPC-H Q1-shaped multi-aggregate group-by (the flagship query)
 # --------------------------------------------------------------------------
 @register(
-    "q619_groupby_multi_agg",
+    "z10619_groupby_multi_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -238,7 +238,7 @@ def z907_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     " in Spark). Averages are exact-decimal sums divided by count so both "
     "engines produce bit-identical doubles (SURVEY §2.4 Q19).",
 )
-def q619_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10619_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(8,2)")
@@ -267,7 +267,7 @@ def q619_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q20 — global (no-key) aggregate
 # --------------------------------------------------------------------------
 @register(
-    "q620_global_agg",
+    "z10620_global_agg",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
@@ -278,7 +278,7 @@ def q619_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Global aggregate, no grouping key (SURVEY §2.4 Q20).",
 )
-def q620_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10620_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
     return li.agg(
@@ -296,7 +296,7 @@ def q620_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q21 — exact count-distinct per group
 # --------------------------------------------------------------------------
 @register(
-    "q621_count_distinct",
+    "z10621_count_distinct",
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
@@ -307,7 +307,7 @@ def q620_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact distinct aggregation (Spark plans an Expand + two-phase "
     "aggregate) (SURVEY §2.4 Q21).",
 )
-def q621_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10621_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -398,7 +398,7 @@ def z9190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y48 — referential-integrity audit (FK orphan counts)
 # --------------------------------------------------------------------------
 @register(
-    "z7191_ri_audit",
+    "q7191_ri_audit",
     oracle="""
     SELECT 'orders.o_custkey->customer' AS fk,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
@@ -427,20 +427,24 @@ def z9190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Referential-integrity audit: orphan counts for every child->parent "
     "FK edge in the star schema — the 'every subject code resolves' "
     "check of the EPrints->Hyku domain (SURVEY §1.1) generalized. Each "
-    "edge is one left ANTI join (parent key sides are dim-sized -> "
-    "broadcast; lineitem->orders anti-joins against a key projection), "
+    "edge is one left ANTI join against the parent's key projection, "
+    "with NO mandatory broadcast hint: parents here include orders and "
+    "customer, which scale with SF (a forced build of orders' keys OOMs "
+    "at the 100 TB mandate) — AQE broadcasts the key projections that "
+    "actually fit (all of them, at fixture scale) and sort-merges the "
+    "rest. Each edge is "
     "aggregated to a single (fk, n_child, n_orphans) row and unioned. "
     "Anti joins prune to the parent's KEY column only (ReadSchema "
     "verified by the pushdown lint), so the audit reads each parent "
     "table's key bytes, not its payload.",
 )
-def z7191_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7191_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
     def edge(name, child, child_key, parent, parent_key):
         orphans = child.join(
-            F.broadcast(parent.select(parent_key)),
+            parent.select(parent_key),
             child[child_key] == F.col(parent_key),
             "left_anti",
         )

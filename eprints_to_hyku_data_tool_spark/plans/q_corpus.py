@@ -63,7 +63,7 @@ def _grams8(tk):
 # Q75 (was Y31) — benchmark decontamination (8-gram overlap vs a held-out eval set)
 # --------------------------------------------------------------------------
 @register(
-    "z775_decontaminate",
+    "q775_decontaminate",
     oracle=f"""
     WITH g AS (
       SELECT doc_id,
@@ -102,15 +102,23 @@ def _grams8(tk):
     "n_hits (count of marks) together — the r6 rewrite of the r3 form "
     "whose hits + join-back branches each re-evaluated the 8-gram "
     "pipeline over the 52/53 training split (measured 6.0 -> ~3 s at "
-    "sf0.1). At 100 TB the broadcast is O(eval suite), constant in "
+    "sf0.1). Since r12 the gram table itself is the shared memoized "
+    "build (functions/grams.py, ridden by z8301): both branches read "
+    "one materialized (doc_id, grams) checkpoint, which removed the "
+    "double subtree evaluation behind the 18.1x cold smoke ratio. "
+    "At 100 TB the broadcast is O(eval suite), constant in "
     "corpus size (decontamination mandate).",
 )
-def z775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    g = docs.select("doc_id", _grams8(_tokens()).alias("grams"))
+def q775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.grams import doc_grams8
+
+    # Shared memoized gram table (functions/grams.py): the eval and
+    # training branches below both read the ONE materialized
+    # (doc_id, grams) checkpoint instead of each re-evaluating the
+    # tokenize->8-gram subtree (the r12 fix for the 18.1x cold smoke
+    # ratio; z8301 rides the same build).
+    g = doc_grams8(spark, sf_dir)
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
-    # Eval branch: the doc_id filter is pushed below the gram pipeline,
-    # so only 1/53 of docs pay tokenization here.
     ev = (
         g.filter(is_eval)
         .select(F.explode("grams").alias("gram"))
@@ -149,7 +157,7 @@ def z775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y32 — token-window chunking (overlapping training chunks)
 # --------------------------------------------------------------------------
 @register(
-    "z776_chunk",
+    "q776_chunk",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {_STRIDE})) AS start
@@ -169,7 +177,7 @@ def z775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles; output size is a fixed ~n_tokens/24 multiple of the "
     "input, independent of partitioning (chunking mandate).",
 )
-def z776_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q776_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     s = t.select(
@@ -196,7 +204,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
 
 
 @register(
-    "z777_stratified_sample",
+    "q777_stratified_sample",
     oracle=f"""
     SELECT doc_id, lang, source,
            CASE WHEN lang = 'en' THEN '{_EN_LT}' ELSE '{_OTHER_LT}' END
@@ -216,7 +224,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
     "rerun-stable on any engine and partitioning (data-mixing "
     "mandate).",
 )
-def z777_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q777_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     thr = F.when(F.col("lang") == "en", _EN_LT).otherwise(_OTHER_LT)
     hx = F.substring(
@@ -537,7 +545,7 @@ _CTX = 64  # tokens per packed training sequence
 
 
 @register(
-    "z770_sequence_pack",
+    "q770_sequence_pack",
     oracle=f"""
     WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                FROM documents),
@@ -569,7 +577,7 @@ _CTX = 64  # tokens per packed training sequence
     "that is 1000 partitions wide. Token counts sum as longs -> "
     "exact at any scale (packing mandate).",
 )
-def z770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
@@ -594,7 +602,7 @@ def z770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q71 (was Y40) — unigram log-probability scoring (perplexity-proxy quality filter)
 # --------------------------------------------------------------------------
 @register(
-    "z771_unigram_logprob",
+    "q771_unigram_logprob",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -615,22 +623,26 @@ def z770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Perplexity-proxy quality scoring: train a corpus unigram LM "
     "(token -> MLE probability) and score every document by its mean "
     "negative log-likelihood — the KenLM-style 'surprising documents "
-    "are low quality' filter, done relationally. Vocabulary is one "
-    "partial-agg shuffle and is vocabulary-sized, so it broadcast-"
-    "joins back onto the exploded token stream (corpus rows never "
-    "shuffle for the lookup); the corpus total is a 1-row cross join "
-    "(whitelisted). Each token's -ln p is rounded to 6dp and summed "
+    "are low quality' filter, done relationally. The vocabulary join "
+    "carries NO mandatory broadcast hint: distinct-token cardinality "
+    "grows with corpus size (Heaps' law), so at the 100 TB mandate a "
+    "forced build-side would OOM the executors — AQE promotes the "
+    "join to broadcast whenever the built vocabulary actually fits "
+    "(plan-asserted at fixture scale in tests/test_plans.py) and "
+    "falls back to sort-merge past the threshold; the corpus total "
+    "stays a 1-row broadcast cross join (whitelisted, truly bounded). "
+    "Each token's -ln p is rounded to 6dp and summed "
     "as DECIMAL(18,6) -> the per-doc sums are exact and summation-"
     "order independent (the y38 rule), which is what makes a "
     "transcendental aggregate hash-stable across engines.",
 )
-def z771_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q771_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     v = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     t = v.agg(F.sum("cnt").cast("long").alias("total"))
     s = (
-        tok.join(F.broadcast(v), "token")
+        tok.join(v, "token")
         .crossJoin(F.broadcast(t))
         .select(
             "doc_id",
@@ -666,7 +678,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
 
 
 @register(
-    "z772_boilerplate_lines",
+    "q772_boilerplate_lines",
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     l AS (SELECT doc_id,
@@ -703,7 +715,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
     "empty string via the left join (deletion is a row-filter "
     "decision downstream, not silent loss).",
 )
-def z772_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q772_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _tokens().alias("tk"))
     starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_LINE))
@@ -754,7 +766,7 @@ _ES_K = 200
 
 
 @register(
-    "z7199_weighted_sample",
+    "q7199_weighted_sample",
     oracle=f"""
     WITH k AS (
         SELECT doc_id, lang, n_chars,
@@ -781,7 +793,7 @@ _ES_K = 200
     "2.7e-5 (sf0.01) — ~11 orders above double-ulp noise, so the "
     "selected set is stable across engines.".format(K=_ES_K),
 )
-def z7199_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7199_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") >= 1
     )

@@ -412,7 +412,7 @@ def z918_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q68 — salted skew join (registered form of functions/skew.py)
 # --------------------------------------------------------------------------
 @register(
-    "z768_skew_salted_join",
+    "q768_skew_salted_join",
     oracle="""
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -431,7 +431,7 @@ def z918_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the oracle is the plain unsalted SQL join (SURVEY §4 skew row; "
     "functions/skew.py).",
 )
-def z768_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q768_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import salted_join
 
     events = load_table(spark, sf_dir, "events").select("user_id", "value")
@@ -545,7 +545,7 @@ def _bloom_bucket_sql(key: str, a: int, b: int) -> str:
 
 
 @register(
-    "z7194_bloom_prefilter",
+    "q7194_bloom_prefilter",
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -563,15 +563,19 @@ def _bloom_bucket_sql(key: str, a: int, b: int) -> str:
     "(BUILDING customers) hashes into K=2 rows of an M=4096-bucket "
     "bit set (a distinct aggregate of <= 2*|dim| tiny rows); the fact "
     "side keeps a row only if BOTH its buckets are occupied (two "
-    "broadcast left-semi joins = the bloom AND); an exact broadcast "
-    "semi-join then removes false positives. Result == the plain "
+    "broadcast left-semi joins = the bloom AND — the bit set is O(M), "
+    "bounded, so ITS hint is sound at any SF); an exact semi-join then "
+    "removes false positives, with NO mandatory hint — the dim side "
+    "scales with SF, so AQE broadcasts it while it fits (fixture scale, "
+    "plan-asserted) and sort-merges the bloom survivors past that. "
+    "Result == the plain "
     "semi-join (bloom filters have no false negatives), which is the "
     "oracle. At 100 TB the payoff is shuffle avoidance: the bit set is "
     "O(M) regardless of fact size, it pushes into the scan before any "
     "exchange, and only bloom-surviving rows pay the real join "
     "(SURVEY §4 shuffle-minimization; q68's sibling pattern).",
 )
-def z7194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -600,7 +604,7 @@ def z7194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).join(F.broadcast(occupied), f"__b{h}", "left_semi")
 
     survivors = probe.join(
-        F.broadcast(dim), probe.o_custkey == dim.c_custkey, "left_semi"
+        dim, probe.o_custkey == dim.c_custkey, "left_semi"
     )
     return survivors.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -612,7 +616,7 @@ def z7194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y62 — SCD2 dimension build (validity intervals from change events)
 # --------------------------------------------------------------------------
 @register(
-    "z7236_scd2_intervals",
+    "q7236_scd2_intervals",
     oracle="""
     WITH o AS (
         SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
@@ -643,7 +647,7 @@ def z7194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "microsecond instants, o_orderkey tiebreak makes same-day "
     "sequences deterministic (ETL/SCD mandate).",
 )
-def z7236_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7236_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     o = orders.withColumn(

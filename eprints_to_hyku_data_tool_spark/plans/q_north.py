@@ -108,7 +108,7 @@ _NEARDUP_ORACLE = """
 # Q59 — exact dedupe (normalized-text hash, keep-first)
 # --------------------------------------------------------------------------
 @register(
-    "z659_exact_dedupe",
+    "q659_exact_dedupe",
     oracle="""
     WITH d AS (SELECT doc_id, lang, source,
                       md5(lower(trim(text))) AS text_key
@@ -126,7 +126,7 @@ _NEARDUP_ORACLE = """
     "not the document body — at 100 TB the exchange carries hashes + ids "
     "only (SURVEY §2.11 Q59, composition of Q31).",
 )
-def z659_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q659_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id", "lang", "source", F.md5(F.lower(F.trim("text"))).alias("text_key")
@@ -146,7 +146,7 @@ def z659_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deliberately NOT registered (VERDICT r2 "What's wrong" #2): this form
 # collects the shingled corpus to the driver, which is a fixture-tier
 # cross-check, not a plan that survives 100 TB. The registered Q60 family
-# is z660_minhash_lsh + q660_simhash (fully distributed, same shared
+# is q660_minhash_lsh + z10660_simhash (fully distributed, same shared
 # oracle); tests/test_properties.py keeps this brute force as an
 # independent equivalence witness against both.
 def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +196,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q60b — near-dup detection, distributed MinHash-LSH pipeline (scale path)
 # --------------------------------------------------------------------------
 @register(
-    "z660_minhash_lsh",
+    "q660_minhash_lsh",
     oracle=_NEARDUP_ORACLE,
     doc="The 100 TB near-dup pipeline, fully distributed (no collect): "
     "shingle -> 64 seeded xxhash64 minhashes (one shuffle: min per "
@@ -210,7 +210,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brute-force oracle (SURVEY §2.11 Q60, §4 similarity-join row; "
     "parameter rationale at the module header).",
 )
-def z660_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q660_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     # (doc_id, shingle) exploded — the only row-multiplying step, bounded
     # by shingles-per-doc (~tokens-per-doc). explode_OUTER on purpose:
@@ -444,10 +444,10 @@ def _simhash_oracle() -> str:
 
 
 @register(
-    "q660_simhash",
+    "z10660_simhash",
     oracle=_simhash_oracle(),
     doc="SimHash near-dup detection — the third dedup family (exact Q59, "
-    "MinHash z660_minhash_lsh, SimHash here): 32-bit signature = sign of "
+    "MinHash q660_minhash_lsh, SimHash here): 32-bit signature = sign of "
     "per-bit +-1 sums over shingle md5 bits, pairs at hamming <= 4. "
     "Distributed shape mirrors the MinHash pipeline: one shuffle builds "
     "signatures; SIZE-DRIVEN pigeonhole blocking "
@@ -460,7 +460,7 @@ def _simhash_oracle() -> str:
     "(deterministic pigeonhole, unlike tuned-recall LSH) "
     "(SURVEY §2.11 Q60 family).",
 )
-def q660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = load_table(spark, sf_dir, "documents")
     # metadata-cheap parquet count drives the blocking schedule (the
     # q560/derive_banding posture); the result set is size-invariant
@@ -561,7 +561,7 @@ def q660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q61 — top-k similarity search (probe set over embeddings)
 # --------------------------------------------------------------------------
 @register(
-    "z661_topk_similarity",
+    "q661_topk_similarity",
     oracle="""
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
                     FROM embeddings ORDER BY vec_id LIMIT 50),
@@ -594,7 +594,7 @@ def q660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rank order is float-safe: measured min top-8 gap 1.9e-5 >> ulp "
     "noise (SURVEY §2.11 Q61).",
 )
-def z661_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q661_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -836,7 +836,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "offline recall audit run on a sampled probe set.",
 )
 def z9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = z661_topk_similarity(spark, sf_dir).select(
+    exact = q661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     approx = ivf_topk_approx(spark, sf_dir).select(
@@ -859,7 +859,7 @@ def z9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q67 — embedding-cosine near-dup DEDUPE (greedy keep-lowest-id)
 # --------------------------------------------------------------------------
 @register(
-    "z667_embedding_dedupe",
+    "q667_embedding_dedupe",
     oracle="""
     WITH dropped AS (
       SELECT DISTINCT b.vec_id AS vid
@@ -881,7 +881,7 @@ def z9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is a tiny semi-join side. tau margin 1e-4 (see q18) "
     "(assignment dedup mandate).",
 )
-def z667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -904,7 +904,7 @@ def z667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q62 — text statistics / language slice
 # --------------------------------------------------------------------------
 @register(
-    "z662_text_stats",
+    "q662_text_stats",
     oracle="""
     WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -927,7 +927,7 @@ def z667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Integer sums divided at the end keep avg exact "
     "(SURVEY §2.11 Q62).",
 )
-def z662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -952,7 +952,7 @@ def z662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X15 — TF-IDF (explode + aggregate arithmetic)
 # --------------------------------------------------------------------------
 @register(
-    "z784_tfidf",
+    "q784_tfidf",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -973,12 +973,16 @@ def z662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE tf.doc_id < 50
     """,
     doc="TF-IDF as pure relational algebra: term freq / doc length x "
-    "ln(N / doc freq). The doc-frequency table is corpus-wide but "
-    "vocabulary-sized (broadcast); N is a one-row aggregate cross-joined "
-    "in (no driver-side count). Output sliced to doc_id < 50; tfidf "
-    "rounded 6dp (ln is not bit-portable) (SURVEY §2.11 X15).",
+    "ln(N / doc freq). The doc-frequency join carries NO mandatory "
+    "broadcast hint: doc-freq is vocabulary-sized and vocabularies grow "
+    "with corpus size (Heaps' law), so a forced build-side OOMs at the "
+    "100 TB mandate — AQE promotes to broadcast when it actually fits "
+    "(plan-asserted at fixture scale) and sort-merges past that. N is a "
+    "one-row aggregate cross-joined in (no driver-side count; bounded, "
+    "so its hint stays). Output sliced to doc_id < 50; tfidf rounded "
+    "6dp (ln is not bit-portable) (SURVEY §2.11 X15).",
 )
-def z784_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q784_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -989,7 +993,7 @@ def z784_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     return (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(df_tbl), "token")
+        .join(df_tbl, "token")
         .crossJoin(F.broadcast(n))
         .filter(F.col("doc_id") < 50)
         .select(
@@ -1162,7 +1166,7 @@ def _cell_verifier(block: int, tau: float):
     "hashed output.",
 )
 def z9186_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = z667_embedding_dedupe(spark, sf_dir).select(
+    exact = q667_embedding_dedupe(spark, sf_dir).select(
         "vec_id", F.col("is_dropped").alias("ex")
     )
     ivf = ivf_dedupe_approx(spark, sf_dir).select(
@@ -1262,7 +1266,7 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
     "family), fully distributed: prefix-filtered inverted index over a "
     "global rarity order generates candidates (no all-pairs, no "
     "collect), then the shared candidate-verify stage computes exact "
-    "intersection sizes. Same oracle as z660_minhash_lsh/q660_simhash but "
+    "intersection sizes. Same oracle as q660_minhash_lsh/z10660_simhash but "
     "with zero miss probability — this is what replaces the demoted "
     "collect-based q60_neardup_jaccard at scale (SURVEY §2.11 Q60).",
 )

@@ -643,7 +643,7 @@ def z8251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X52 — containment near-dup (winnowing candidates + exact verify)
 # --------------------------------------------------------------------------
 @register(
-    "q658_winnow_containment",
+    "z10658_winnow_containment",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                FROM documents),
@@ -680,10 +680,14 @@ def z8251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plagiarism shape). Candidates come from z66's winnowing "
     "fingerprints (shared window-min hash => guaranteed shared "
     "substring run; sub-quadratic by construction — only docs sharing "
-    "a fingerprint ever pair), then the exact 3-gram-hash-set "
-    "containment |A∩B| / min(|A|,|B|) verifies each candidate; the "
-    "0.5 threshold is applied in exact integer math (inter*2 >= "
-    "min-size) so no float boundary exists. Shuffles: fingerprint "
+    "a fingerprint ever pair), then the 3-gram-hash-set containment "
+    "|A∩B| / min(|A|,|B|) verifies each candidate — exact w.h.p.: the "
+    "kgram sets are xxhash64-narrowed, so a 64-bit collision between "
+    "distinct md5 kgrams within one doc could perturb the intersection "
+    "(intersect the raw md5 arrays if strict exactness is ever "
+    "required); the 0.5 threshold itself is applied in exact integer "
+    "math (inter*2 >= min-size) so no float boundary exists. "
+    "Shuffles: fingerprint "
     "explode + self-equi-join on fp, then two pair⋈array joins keyed "
     "doc_id — each candidate pair carries the two xxhash64-narrowed "
     "kgram-set arrays once and intersects them in a single JVM "
@@ -694,7 +698,7 @@ def z8251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measured 20.5s -> 4.9s (10x tier) / 94.7s -> 32.3s (26x), "
     "bit-identical output at every tier (dedup family #7).",
 )
-def q658_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10658_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_text import WINNOW_K, WINNOW_W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1120,7 +1124,7 @@ def z9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             orders, li.l_orderkey == orders.o_orderkey
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(
             "l_orderkey",
             F.to_date("o_orderdate").alias("o_orderdate"),
@@ -1168,17 +1172,20 @@ def z9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gram-keyed document-frequency agg, join back, fraction + a 30% "
     "threshold applied in exact integer math (10*dup >= 3*total — no "
     "float boundary). Shuffles: gram-keyed agg + join, doc agg; grams "
-    "only ever carry (doc_id, hashable string) — scale-safe like z75 "
+    "only ever carry (doc_id, hashable string) — scale-safe like z75. "
+    "Since r12 the per-doc gram table is the shared memoized build "
+    "(functions/grams.py, ridden by q775) "
     "(corpus-hygiene mandate; overflow tier, rotation candidate).",
 )
 def z8301_duplicate_ngram_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .q_corpus import _grams8, _tokens
+    from ..functions.grams import doc_grams8
 
-    docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", F.explode(_grams8(_tokens())).alias("gram")
+    # Shared memoized gram table (functions/grams.py); q775 rides the
+    # same build.
+    g = doc_grams8(spark, sf_dir).select(
+        "doc_id", F.explode("grams").alias("gram")
     )
     df_tbl = g.groupBy("gram").agg(F.count(F.lit(1)).cast("long").alias("df"))
     p = (

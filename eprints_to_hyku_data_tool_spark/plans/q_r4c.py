@@ -119,7 +119,7 @@ def z8305_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     zero = F.lit(0).cast("decimal(18,2)")
     agg = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.sum(
                 F.when(F.col("p_type").like("PROMO%"), rev).otherwise(zero)
@@ -240,7 +240,7 @@ def z8307_small_qty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
     )
-    probe = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    probe = li.join(part, li.l_partkey == part.p_partkey)
     return (
         probe.join(
             avg_qty,

@@ -328,9 +328,9 @@ def pq_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "while production serves from the 8-bytes-per-vector code table.",
 )
 def z8323_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .q_north import z661_topk_similarity
+    from .q_north import q661_topk_similarity
 
-    exact = z661_topk_similarity(spark, sf_dir).select(
+    exact = q661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     approx = pq_topk_approx(spark, sf_dir).withColumn("hit", F.lit(1))
@@ -351,7 +351,7 @@ def z8323_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q24 — multinomial Naive Bayes language classifier (exact-count training)
 # --------------------------------------------------------------------------
 @register(
-    "z8324_naive_bayes",
+    "q8324_naive_bayes",
     oracle="""
     WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
                FROM documents),
@@ -400,7 +400,7 @@ def z8323_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical and the argmax needs no rounding tolerance. "
     "Tie-break is (score DESC, lang ASC) on both sides.",
 )
-def z8324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q8324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("toks")
     )
@@ -415,8 +415,8 @@ def z8324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntr = train.agg(F.count(F.lit(1)).alias("n"))
 
     # Model table: (lang, t, nd) joined once; voc/ntr are one-row
-    # broadcast scalars. All joins against the token stream are on the
-    # (lang, tok) model key — broadcastable at any corpus size.
+    # broadcast scalars. The (lang, tok) count model scales with the
+    # training vocabulary, so its join is left to AQE (no hint).
     lang_dim = (
         tot.join(pri, "lang")
         .crossJoin(F.broadcast(voc))
@@ -430,7 +430,12 @@ def z8324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tt.crossJoin(F.broadcast(lang_dim))
-        .join(F.broadcast(cnt), ["lang", "tok"], "left")
+        # No mandatory broadcast on the (lang, tok) model: its token
+        # axis is the training vocabulary (Heaps'-law growth), so a
+        # forced build side OOMs at the 100 TB mandate — AQE broadcasts
+        # it while it fits (fixture scale); lang_dim stays hinted (a
+        # #langs-row table, bounded).
+        .join(cnt, ["lang", "tok"], "left")
         .select(
             "doc_id",
             "lang_true",
@@ -503,11 +508,11 @@ def z8324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that side is column-pruned to 12 bytes/row.",
 )
 def z8325_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .q_north import z661_topk_similarity
+    from .q_north import q661_topk_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
-    exact = z661_topk_similarity(spark, sf_dir).select(
+    exact = q661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     votes = (
@@ -543,7 +548,7 @@ _BFS_SEEDS = 10
 
 
 @register(
-    "z7526_bfs_hops",
+    "q7526_bfs_hops",
     oracle=f"""
     WITH RECURSIVE
     edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -571,7 +576,7 @@ _BFS_SEEDS = 10
     "recursive CTE with UNION dedup. Hop counts are exact integers — "
     "no float tolerance anywhere.",
 )
-def z7526_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7526_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.checkpointing import materialize
     from .q_analytics import _copurchase_edges
 

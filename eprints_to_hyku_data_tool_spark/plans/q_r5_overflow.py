@@ -121,7 +121,7 @@ def z9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y76 — per-node local clustering coefficient
 # --------------------------------------------------------------------------
 @register(
-    "z7551_clustering_coefficient",
+    "q7551_clustering_coefficient",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -162,12 +162,12 @@ def z9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers. Shuffles on top of q66's: one explode-count and one "
     "degree join — both node-keyed.",
 )
-def z7551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import degrees, triangles
 
     # Shared memoized graph (functions/copurchase.py): one edge-set /
     # degree / triangle materialization per session serves the whole
-    # graph family — neither z7566_triangle_count's orientation nor its
+    # graph family — neither q7566_triangle_count's orientation nor its
     # wedge join is recomputed here (r5 verdict item 6).
     deg = degrees(spark, sf_dir)
     tri = triangles(spark, sf_dir)
@@ -405,7 +405,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
 
 
 @register(
-    "q554_association_rules",
+    "z10554_association_rules",
     oracle=f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -445,7 +445,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
     "At 100 TB min-support pruning is what keeps the pair table "
     "manageable — exactly the a-priori downward-closure argument.",
 )
-def q554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
@@ -498,7 +498,7 @@ _GD_R2 = 200 * 200
 
 
 @register(
-    "q555_grid_distance_join",
+    "z10555_grid_distance_join",
     oracle=f"""
     WITH pts AS (
       SELECT c_custkey AS id,
@@ -535,7 +535,7 @@ _GD_R2 = 200 * 200
     "fan-out is bounded by local point density — the same "
     "bucketing-beats-all-pairs argument as the LSH dedup family.",
 )
-def q555_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10555_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     md5 = F.md5(F.col("c_custkey").cast("string").cast("binary"))
     pts = cust.select(
@@ -626,8 +626,11 @@ def _bpe_encode_oracle() -> str:
     "compression ratio (one IEEE division of exact sums). This is how "
     "tokenizer application scales: the expensive merge chain runs "
     "once over the VOCABULARY (q43), and the corpus pass is a plain "
-    "broadcastable dictionary join — never per-document string "
-    "processing. Train (q43) and encode (y81) share one learner "
+    "dictionary join — never per-document string processing. The "
+    "dictionary join carries NO mandatory broadcast hint: the word "
+    "vocabulary grows with corpus size (Heaps' law), so AQE broadcasts "
+    "it while it fits and sort-merges past the threshold. "
+    "Train (q43) and encode (y81) share one learner "
     "(_bpe_learn / _bpe_cte), so the two stay consistent by "
     "construction.",
 )
@@ -645,7 +648,11 @@ def q556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") != "")
     )
     return (
-        dtok.join(F.broadcast(vocab), "w")
+        # No mandatory broadcast: the BPE word-vocabulary is every
+        # distinct corpus word (Heaps'-law growth), so a forced build
+        # side OOMs at the 100 TB mandate — AQE promotes to broadcast
+        # whenever the built vocab actually fits, else sort-merges.
+        dtok.join(vocab, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_words"),
@@ -663,7 +670,7 @@ def q556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y82 — 2-D skyline (Pareto frontier): cheapest-for-its-recency orders
 # --------------------------------------------------------------------------
 @register(
-    "q557_skyline_2d",
+    "z10557_skyline_2d",
     oracle="""
     WITH o AS (
       SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
@@ -693,7 +700,7 @@ def q556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reduce per group -> scan-side filter against a broadcast "
     "cutoff) generalizes to any 2-D skyline at 100 TB.",
 )
-def q557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("d"),
@@ -722,7 +729,7 @@ def q557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y83 — Kaplan-Meier survival curve (signup -> first purchase)
 # --------------------------------------------------------------------------
 @register(
-    "q558_kaplan_meier",
+    "z10558_kaplan_meier",
     oracle="""
     WITH s AS (
       SELECT user_id, MIN(ts) AS t0 FROM events
@@ -786,7 +793,7 @@ def q557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Time-to-event analytics is the conversion-latency readout every "
     "funnel (q32) eventually needs.",
 )
-def q558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     s = (
         ev.filter(F.col("event_type") == "signup")
@@ -869,7 +876,7 @@ def q558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y84 — user-journey Markov transition matrix
 # --------------------------------------------------------------------------
 @register(
-    "q559_markov_transitions",
+    "z10559_markov_transitions",
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type,
@@ -898,7 +905,7 @@ def q558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed shuffles total (user window, 25-cell count); the matrix "
     "size depends on the state alphabet, not the corpus.",
 )
-def q559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -946,7 +953,7 @@ _RFM_SINGLE_TASK_ROWS = 4_000_000
 
 
 @register(
-    "q560_rfm_segments",
+    "z10560_rfm_segments",
     oracle="""
     WITH rfm AS (
       SELECT user_id,
@@ -992,7 +999,7 @@ _RFM_SINGLE_TASK_ROWS = 4_000_000
     "and a forced-distributed equality test); the branch only picks "
     "the physical strategy, exactly like AQE.",
 )
-def q560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import ntile_bucket, with_global_position
 
     ev = load_table(spark, sf_dir, "events")
@@ -1088,7 +1095,7 @@ def q560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y86 — top user-journey paths (3-step sequence mining)
 # --------------------------------------------------------------------------
 @register(
-    "q561_top_paths",
+    "z10561_top_paths",
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type,
@@ -1115,7 +1122,7 @@ def q560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assumption breaks). Path cardinality is bounded by |states|^3, "
     "so the count shuffle is tiny regardless of corpus size.",
 )
-def q561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1142,7 +1149,7 @@ def q561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y87 — CUSUM changepoint detection per series
 # --------------------------------------------------------------------------
 @register(
-    "q562_cusum_changepoint",
+    "z10562_cusum_changepoint",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1193,7 +1200,7 @@ def q561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-scale rollup shuffle; everything after lives on the "
     "(series x day) dimension.",
 )
-def q562_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10562_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -1272,7 +1279,7 @@ def _benford_case(col: str) -> str:
 
 
 @register(
-    "q563_benford_audit",
+    "z10563_benford_audit",
     oracle=f"""
     WITH o AS (
       SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
@@ -1305,7 +1312,7 @@ def _benford_case(col: str) -> str:
     "the synthetic fixture is NOT Benford-distributed, which is "
     "precisely what the audit is built to surface.",
 )
-def q563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.substring(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
@@ -1343,7 +1350,7 @@ def q563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y89 — modularity of a labeled partition over the co-purchase graph
 # --------------------------------------------------------------------------
 @register(
-    "z7564_modularity",
+    "q7564_modularity",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1389,7 +1396,7 @@ def q563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label-propagation output; at 100 TB it costs two broadcastable "
     "label joins + three community-keyed aggregates.",
 )
-def z7564_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7564_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import undirected_edges
 
     # Shared memoized edge set (functions/copurchase.py).
@@ -1400,8 +1407,11 @@ def z7564_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lu = lbl.select(F.col("node").alias("u"), F.col("community").alias("cu"))
     lv = lbl.select(F.col("node").alias("v"), F.col("community").alias("cv"))
     e = (
-        pairs.join(F.broadcast(lu), "u")
-        .join(F.broadcast(lv), "v")
+        # No mandatory broadcast on the label sides: they are part-table
+        # projections and scale with SF — AQE broadcasts them while they
+        # fit (fixture scale) and sort-merges past the threshold.
+        pairs.join(lu, "u")
+        .join(lv, "v")
         .select("cu", "cv")
         .transform(materialize)
     )
@@ -1456,7 +1466,7 @@ def _sqrt_chain_sql(expr: str) -> str:
 
 
 @register(
-    "z7565_degree_powerlaw",
+    "q7565_degree_powerlaw",
     oracle=f"""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1508,7 +1518,7 @@ def _sqrt_chain_sql(expr: str) -> str:
     "the (constant) alpha column — every term of the estimate is "
     "hash-checked, not just the headline number.",
 )
-def z7565_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7565_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import degrees
 
     # Shared memoized degree table (functions/copurchase.py).

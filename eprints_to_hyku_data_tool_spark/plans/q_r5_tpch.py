@@ -91,7 +91,7 @@ def z8310_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("s_acctbal"), F.asc("s_suppkey")
     )
     return (
-        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
         .join(supp, pairs.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -264,7 +264,7 @@ def z8313_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit = _price() * (F.lit(1) - _disc()) - cost
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -424,7 +424,7 @@ def z8316_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(
             ok_supp, pairs.l_suppkey == ok_supp.s_suppkey, "left_semi"
         )
-        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .join(part, pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(
             F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
@@ -511,7 +511,7 @@ def z8317_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def z8318_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     arm1 = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 5)
@@ -573,7 +573,7 @@ def z8319_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     heavy = (
         li.join(
-            F.broadcast(small_parts),
+            small_parts,
             li.l_partkey == small_parts.p_partkey,
             "left_semi",
         )

@@ -26,7 +26,7 @@ from .registry import register
 # Q43 — string cleanup kit (name normalization)
 # --------------------------------------------------------------------------
 @register(
-    "q643_string_kit",
+    "z10643_string_kit",
     oracle="""
     SELECT c_custkey,
            lower(trim(c_name)) AS clean_name,
@@ -45,7 +45,7 @@ from .registry import register
     "capitalization (DuckDB has no initcap; the same formula runs on "
     "both sides) (SURVEY §2.8 Q43).",
 )
-def q643_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10643_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     clean = F.lower(F.trim(F.col("c_name")))
     return cust.select(
@@ -70,7 +70,7 @@ def q643_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q44 — regex extraction (identifier parsing)
 # --------------------------------------------------------------------------
 @register(
-    "q644_regex_extract",
+    "z10644_regex_extract",
     oracle=r"""
     SELECT p_partkey,
            regexp_extract(p_name, '^(\w+)', 1) AS first_word,
@@ -83,7 +83,7 @@ def q643_string_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "class keyword — the DOI-out-of-URL pattern. Both engines return '' "
     "on no match (SURVEY §2.8 Q44).",
 )
-def q644_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10644_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.select(
         "p_partkey",
@@ -99,7 +99,7 @@ def q644_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q45 — fuzzy string match (record-linkage kit)
 # --------------------------------------------------------------------------
 @register(
-    "q645_fuzzy_match",
+    "z10645_fuzzy_match",
     oracle="""
     SELECT c_custkey, s_suppkey, c_name, s_name,
            CAST(levenshtein(lower(c_name), lower(s_name)) AS BIGINT) AS edit_dist,
@@ -113,7 +113,7 @@ def q644_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "levenshtein. soundex is Spark-only (no DuckDB equivalent) and "
     "exercised in tests, not in the oracle (SURVEY §2.8 Q45).",
 )
-def q645_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10645_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     blk = lambda c: F.substring(F.lower(F.trim(c)), 1, 4)  # noqa: E731
@@ -136,7 +136,7 @@ def q645_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q46 — date/time kit (monthly rollup)
 # --------------------------------------------------------------------------
 @register(
-    "q646_date_kit",
+    "z10646_date_kit",
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
@@ -160,7 +160,7 @@ def q645_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_diff('day', a, b) == Spark datediff(b, a) — argument order "
     "flips), date_add, epoch micros (SURVEY §2.8 Q46).",
 )
-def q646_date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10646_date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     month_start = F.date_trunc("month", "o_orderdate").cast("date")
     return (
@@ -193,7 +193,7 @@ def q646_date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q47 — math kit
 # --------------------------------------------------------------------------
 @register(
-    "q647_math_kit",
+    "z10647_math_kit",
     oracle="""
     SELECT p_partkey,
            round(p_retailprice, 1) AS price_r1,
@@ -215,7 +215,7 @@ def q646_date_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across libm implementations (Java vs C differ in the last ulp) "
     "(SURVEY §2.8 Q47, §5 rounding rule).",
 )
-def q647_math_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10647_math_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     price = F.col("p_retailprice")
     return part.select(
@@ -237,7 +237,7 @@ def q647_math_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q48 — array kit (tokenized multi-value fields)
 # --------------------------------------------------------------------------
 @register(
-    "q648_array_kit",
+    "z10648_array_kit",
     oracle="""
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
@@ -255,7 +255,7 @@ def q647_math_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "higher-order function — the multi-valued-field toolbox "
     "(SURVEY §2.8 Q48).",
 )
-def q648_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10648_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return docs.select(
@@ -274,7 +274,7 @@ def q648_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q49 — map kit (map round-trip; oracle is the plain relational equivalent)
 # --------------------------------------------------------------------------
 @register(
-    "q649_map_kit",
+    "z10649_map_kit",
     oracle="""
     WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
                FROM events GROUP BY user_id, event_type)
@@ -287,7 +287,7 @@ def q648_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rows. The oracle is the equivalent relational form — proving the "
     "map round-trip loses nothing (SURVEY §2.8 Q49).",
 )
-def q649_map_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10649_map_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n_events")
@@ -308,7 +308,7 @@ def q649_map_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q50 — JSON kit (props extraction)
 # --------------------------------------------------------------------------
 @register(
-    "q650_json_kit",
+    "z10650_json_kit",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_band,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -322,7 +322,7 @@ def q649_map_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in tests; the oracle uses DuckDB json_extract_string "
     "(SURVEY §2.8 Q50).",
 )
-def q650_json_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10650_json_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     return (
@@ -340,7 +340,7 @@ def q650_json_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q51 — hash / id generation (Bulkrax source_identifier)
 # --------------------------------------------------------------------------
 @register(
-    "q651_hash_ids",
+    "z10651_hash_ids",
     oracle="""
     SELECT o_orderkey,
            md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,
@@ -355,7 +355,7 @@ def q650_json_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Spark-only (no DuckDB equivalent) and covered by tests "
     "(SURVEY §2.8 Q51).",
 )
-def q651_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10651_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 20 == 0
     )
@@ -373,7 +373,7 @@ def q651_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q52 — null kit
 # --------------------------------------------------------------------------
 @register(
-    "q652_null_kit",
+    "z10652_null_kit",
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -394,7 +394,7 @@ def q651_hash_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DISTINCT FROM) / isnan, folded into per-status QA counters "
     "(SURVEY §2.8 Q52).",
 )
-def q652_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10652_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     status = F.col("o_orderstatus")
     not_p = F.nullif(status, F.lit("P"))
@@ -419,7 +419,7 @@ def q652_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q53 — cast / coercion kit (stringly-typed edges)
 # --------------------------------------------------------------------------
 @register(
-    "q653_cast_kit",
+    "z10653_cast_kit",
     oracle="""
     SELECT o_orderkey,
            CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS reparsed_date,
@@ -436,7 +436,7 @@ def q652_null_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "columns hash differently per engine in the driver canonicalizer "
     "(r2's q01 regression), so final schemas are decimal-free fleet-wide.",
 )
-def q653_cast_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10653_cast_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 50 == 0
     )

@@ -26,7 +26,7 @@ from .registry import register
 # Q37 — multi-key sort with null ordering
 # --------------------------------------------------------------------------
 @register(
-    "q637_multikey_sort",
+    "z10637_multikey_sort",
     oracle="""
     SELECT o_orderkey, order_date, price_or_null,
            ROW_NUMBER() OVER (ORDER BY order_date DESC,
@@ -45,7 +45,7 @@ from .registry import register
     "ranks -> broadcast offsets), NOT a single-partition global window "
     "(SURVEY §2.6 Q37).",
 )
-def q637_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10637_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -69,7 +69,7 @@ def q637_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q38 — global top-k (TakeOrderedAndProject)
 # --------------------------------------------------------------------------
 @register(
-    "q638_global_topk",
+    "z10638_global_topk",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -80,7 +80,7 @@ def q637_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     "TakeOrderedAndProject: per-partition heaps then one tiny merge — "
     "no global sort at any scale (SURVEY §2.6 Q38).",
 )
-def q638_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10638_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -93,7 +93,7 @@ def q638_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q39 — limit / offset pagination
 # --------------------------------------------------------------------------
 @register(
-    "q639_limit_offset",
+    "z10639_limit_offset",
     oracle="""
     SELECT o_orderkey, o_orderpriority, o_totalprice
     FROM orders
@@ -103,7 +103,7 @@ def q638_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Keyset-deterministic pagination: page 5 of 25 over the unique "
     "order key (SURVEY §2.6 Q39).",
 )
-def q639_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10639_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -117,7 +117,7 @@ def q639_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q40 — UNION ALL + dedupe (merging export batches)
 # --------------------------------------------------------------------------
 @register(
-    "q640_union",
+    "z10640_union",
     oracle="""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -130,7 +130,7 @@ def q639_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a customer in both slices counts its multiplicity) "
     "(SURVEY §2.7 Q40).",
 )
-def q640_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10640_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
@@ -145,7 +145,7 @@ def q640_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q41 — INTERSECT (reconciliation)
 # --------------------------------------------------------------------------
 @register(
-    "q641_intersect",
+    "z10641_intersect",
     oracle="""
     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     INTERSECT
@@ -155,7 +155,7 @@ def q640_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "have a finished order) — distinct semantics on both engines "
     "(SURVEY §2.7 Q41).",
 )
-def q641_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10641_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == "BUILDING")
@@ -173,7 +173,7 @@ def q641_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q42 — EXCEPT (the "not yet migrated" delta report)
 # --------------------------------------------------------------------------
 @register(
-    "q642_except",
+    "z10642_except",
     oracle="""
     SELECT c_custkey FROM customer
     EXCEPT
@@ -183,7 +183,7 @@ def q641_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(SURVEY §2.7 Q42). Same result set as the Q13 anti join, via the "
     "set-operator plan (left-anti under the hood after distinct).",
 )
-def q642_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10642_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     with_orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("c_custkey")
@@ -195,7 +195,7 @@ def q642_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y61 — unpivot / melt (wide -> long) + per-metric profile
 # --------------------------------------------------------------------------
 @register(
-    "z7235_unpivot_melt",
+    "q7235_unpivot_melt",
     oracle="""
     SELECT metric,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -215,7 +215,7 @@ def q642_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are the source column names in both engines, sums in DECIMAL "
     "(fleet rule) (SURVEY §2.4 reshaping).",
 )
-def z7235_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7235_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ids=["l_orderkey", "l_linenumber"],

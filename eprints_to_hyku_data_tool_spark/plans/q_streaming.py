@@ -25,7 +25,7 @@ from .registry import register
 # Q54 — tumbling window aggregate
 # --------------------------------------------------------------------------
 @register(
-    "q654_tumbling_window",
+    "z10654_tumbling_window",
     oracle="""
     SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
@@ -39,7 +39,7 @@ from .registry import register
     "(2000-01-03) is an exact multiple of 6h from the epoch, so bucket "
     "boundaries coincide (SURVEY §2.9 Q54).",
 )
-def q654_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10654_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
@@ -62,7 +62,7 @@ def q654_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q55 — sliding window aggregate
 # --------------------------------------------------------------------------
 @register(
-    "q655_sliding_window",
+    "z10655_sliding_window",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
              - k * INTERVAL '1 hour' AS window_start,
@@ -75,7 +75,7 @@ def q654_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "overlapping windows (Spark's window() replicates rows exactly like "
     "the oracle's unnest(range(0,6)) offset join) (SURVEY §2.9 Q55).",
 )
-def q655_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10655_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
@@ -93,7 +93,7 @@ def q655_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q56 — session window (30-minute gap)
 # --------------------------------------------------------------------------
 @register(
-    "q656_session_window",
+    "z10656_session_window",
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, value,
@@ -121,7 +121,7 @@ def q655_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lag >= 30min flag + running-sum session ids (SURVEY §2.9 Q56, "
     "§7 hard-item 2).",
 )
-def q656_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10656_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(

@@ -28,7 +28,7 @@ PROFILE_TOP_K = 50
 # Q63 — language identification (corpus-trained token profiles)
 # --------------------------------------------------------------------------
 @register(
-    "z663_language_id",
+    "q663_language_id",
     oracle=f"""
     WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
                  FROM documents),
@@ -64,7 +64,7 @@ PROFILE_TOP_K = 50
     "does not actually encode lang, so is_correct hovers at chance — "
     "the machinery, not the accuracy, is the operator.",
 )
-def z663_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q663_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
@@ -112,7 +112,7 @@ def z663_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q64 — document quality scoring
 # --------------------------------------------------------------------------
 @register(
-    "z664_quality_score",
+    "q664_quality_score",
     oracle=f"""
     WITH base AS (
       SELECT doc_id, lang, n_chars,
@@ -137,7 +137,7 @@ def z663_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "All ratios are one integer/integer division (IEEE-exact both "
     "engines). Pure row-level expressions — embarrassingly parallel.",
 )
-def z664_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q664_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("long")
@@ -170,7 +170,7 @@ def z664_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q65 — token counting (whitespace + BPE-ish regex + LLM estimate)
 # --------------------------------------------------------------------------
 @register(
-    "z665_token_count",
+    "q665_token_count",
     oracle=r"""
     SELECT doc_id,
            CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
@@ -186,7 +186,7 @@ def z664_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape real BPE vocabularies assume), and the chars/4 LLM estimate. "
     "Row-level only.",
 )
-def z665_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q665_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = F.size(F.split("text", " ")).cast("long")
     bpe = F.size(
@@ -211,7 +211,7 @@ WINNOW_W = 4  # hashes per winnowing window
 
 
 @register(
-    "z666_fingerprint",
+    "q666_fingerprint",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
          kg AS (SELECT doc_id,
@@ -242,7 +242,7 @@ WINNOW_W = 4  # hashes per winnowing window
     "row-level array work; fingerprint sets are the join key for "
     "plagiarism-style matching at scale.",
 )
-def z666_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q666_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # three bound projections: toks -> kgram hashes -> window minima; each
     # stage's array is referenced multiple times by the next (the
@@ -499,7 +499,7 @@ _WS_RUN = r"[ \t\r\n]+"
 
 
 @register(
-    "z7197_text_normalize",
+    "q7197_text_normalize",
     oracle=f"""
     WITH c AS (
         SELECT doc_id, lang, text,
@@ -525,7 +525,7 @@ _WS_RUN = r"[ \t\r\n]+"
     "/ unicode classes, which differ between engines) "
     "(text-cleaning mandate; x18/x19's upstream stage).",
 )
-def z7197_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7197_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     clean = F.trim(
         F.regexp_replace(

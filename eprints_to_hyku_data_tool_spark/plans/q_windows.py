@@ -25,7 +25,7 @@ from .registry import register
 # Q31 — row_number keep-first dedupe (the canonical ETL dedupe)
 # --------------------------------------------------------------------------
 @register(
-    "q631_keepfirst_dedupe",
+    "z10631_keepfirst_dedupe",
     oracle="""
     SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts
     FROM (SELECT user_id, event_type, event_id, ts,
@@ -38,7 +38,7 @@ from .registry import register
     "event_id tie-break. One shuffle on the dedupe key; this exact shape "
     "is the 100 TB exact-dedup plan (and Q59's engine) (SURVEY §2.5 Q31).",
 )
-def q631_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10631_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
@@ -52,7 +52,7 @@ def q631_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q32 — rank / dense_rank top-k per group
 # --------------------------------------------------------------------------
 @register(
-    "q632_topk_per_group",
+    "z10632_topk_per_group",
     oracle="""
     SELECT c_mktsegment, o_orderkey, o_totalprice, price_rank
     FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -66,12 +66,12 @@ def q631_keepfirst_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Shuffles once on segment after a broadcast-able customer join "
     "(SURVEY §2.5 Q32).",
 )
-def q632_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10632_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .withColumn("price_rank", F.dense_rank().over(w))
         .filter(F.col("price_rank") <= 3)
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "price_rank")
@@ -82,7 +82,7 @@ def q632_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q33 — lag / lead (inter-event gaps)
 # --------------------------------------------------------------------------
 @register(
-    "q633_lag_lead",
+    "z10633_lag_lead",
     oracle="""
     SELECT user_id, event_id, event_type,
            date_diff('microsecond', prev_ts, ts)  AS gap_from_prev_us,
@@ -96,7 +96,7 @@ def q632_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="lag/lead inter-event gaps per user (first/last rows keep NULL "
     "gaps). Sessionization building block (SURVEY §2.5 Q33).",
 )
-def q633_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10633_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
@@ -116,7 +116,7 @@ def q633_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q34 — running aggregate (rows frame)
 # --------------------------------------------------------------------------
 @register(
-    "q634_running_sum",
+    "z10634_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -129,7 +129,7 @@ def q633_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orderkey tie-break). Decimal accumulation keeps the running sum "
     "bit-stable across engines (SURVEY §2.5 Q34).",
 )
-def q634_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10634_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -151,7 +151,7 @@ def q634_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q35 — range frame (time-based trailing window)
 # --------------------------------------------------------------------------
 @register(
-    "q635_range_frame",
+    "z10635_range_frame",
     oracle="""
     SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
            CAST(COUNT(*) OVER w AS BIGINT) AS trailing_7d_events,
@@ -164,7 +164,7 @@ def q634_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "microseconds (identical frame boundaries in both engines; count/max "
     "are tie-order independent) (SURVEY §2.5 Q35).",
 )
-def q635_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10635_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.unix_micros("ts")
     )
@@ -186,7 +186,7 @@ def q635_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q36 — ntile / first_value / last_value
 # --------------------------------------------------------------------------
 @register(
-    "q636_ntile_first_last",
+    "z10636_ntile_first_last",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
            NTILE(4) OVER (PARTITION BY c_nationkey
@@ -203,7 +203,7 @@ def q635_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "would make last_value = current row in both engines) "
     "(SURVEY §2.5 Q36).",
 )
-def q636_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z10636_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     w_ntile = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     w_full = (
@@ -225,7 +225,7 @@ def q636_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y53 — rank-function kit: percent_rank / cume_dist / nth_value
 # --------------------------------------------------------------------------
 @register(
-    "z7196_rank_kit",
+    "q7196_rank_kit",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
            round(percent_rank() OVER w, 6) AS price_pct_rank,
@@ -247,7 +247,7 @@ def q636_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Order is made total with the o_orderkey tiebreak; the relative "
     "ranks are doubles, rounded 6dp on both sides (SURVEY §2.5).",
 )
-def z7196_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q7196_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"

@@ -47,9 +47,9 @@ def test_tail_bracket_match_three_digit_names():
 
 def test_tail_scavenger_when_opening_brace_lost():
     # Truncated mid-object: no opening brace for the map survives.
-    tail = '_lsh": 4.125, "z61_topk_sim": 0.8, "z662_text_stats": 1.47}'
+    tail = '_lsh": 4.125, "z61_topk_sim": 0.8, "q662_text_stats": 1.47}'
     got = _extract_queries({"tail": tail})
-    assert got == {"z61_topk_sim": 0.8, "z662_text_stats": 1.47}
+    assert got == {"z61_topk_sim": 0.8, "q662_text_stats": 1.47}
 
 
 def test_tail_bracket_matcher_skips_regressions_object():
@@ -57,12 +57,12 @@ def test_tail_bracket_matcher_skips_regressions_object():
     # the queries map lost its brace — non-numeric entries are dropped,
     # then the scavenger recovers the surviving numeric pairs.
     tail = (
-        '"regressions": {"z660_minhash_lsh": {"prev": 4.1, "now": 7.0}}, '
+        '"regressions": {"q660_minhash_lsh": {"prev": 4.1, "now": 7.0}}, '
         '"queries2": "x"'
     )
     got = _extract_queries({"tail": tail})
-    assert "z660_minhash_lsh" not in got or isinstance(
-        got.get("z660_minhash_lsh"), float
+    assert "q660_minhash_lsh" not in got or isinstance(
+        got.get("q660_minhash_lsh"), float
     )
 
 

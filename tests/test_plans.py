@@ -58,12 +58,42 @@ def test_q09_broadcast_hash_join(plans):
 
 
 def test_q25_dim_join_broadcasts(plans):
-    p = plans("q625_bulkrax_fold")
+    p = plans("z10625_bulkrax_fold")
     assert "BroadcastHashJoin" in p, p
 
 
+def test_dehinted_joins_still_broadcast_at_fixture_scale(plans):
+    """r12 de-hinting (VERDICT r11 items 1-2 of 'What's wrong'): mandatory
+    F.broadcast hints on build sides that grow with corpus/SF were
+    dropped — the token vocabulary (q771), the doc-frequency table
+    (q784), the BPE word-vocab (q556), the naive-bayes token model
+    (q8324), the per-user stats (q9187), SF-scaling customer/part
+    projections (q626/q627/q7194/q7564), and q7191's parent key
+    projections. At the 100 TB mandate those sides outgrow any
+    broadcast; at fixture scale the optimizer must STILL pick a
+    broadcast join on its own (size estimates under the threshold,
+    AQE as backstop) — pinned here so the de-hint can't silently
+    regress local plans to shuffled joins."""
+    for name in (
+        "q771_unigram_logprob",
+        "q784_tfidf",
+        "q626_pivot",
+        "q627_percentiles",
+        "q556_bpe_encode",
+        "q8324_naive_bayes",
+        "q7191_ri_audit",
+        "q7194_bloom_prefilter",
+        # q7564_modularity is also de-hinted but its label joins sit
+        # behind a materialize() boundary, so they don't appear in the
+        # final DataFrame's plan — not assertable here.
+    ):
+        p = plans(name)
+        assert "BroadcastHashJoin" in p, (name, p)
+        assert "SortMergeJoin" not in p, (name, p)
+
+
 def test_q38_take_ordered_and_project(plans):
-    p = plans("q638_global_topk")
+    p = plans("z10638_global_topk")
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p  # no global sort
 
@@ -85,7 +115,7 @@ def test_q15_range_join_keeps_equi_key(plans):
 def test_q60_minhash_no_cartesian(plans):
     # The LSH pipeline's whole point: candidates come from a bucket
     # equi-join, never an all-pairs product.
-    p = plans("z660_minhash_lsh")
+    p = plans("q660_minhash_lsh")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -93,7 +123,7 @@ def test_q60_minhash_no_cartesian(plans):
 def test_q31_single_shuffle_on_dedupe_key(plans):
     import re
 
-    p = plans("q631_keepfirst_dedupe")
+    p = plans("z10631_keepfirst_dedupe")
     # Exactly one shuffle: the window's hashpartitioning on the dedupe key
     # (plain Exchange nodes; BroadcastExchange would not match).
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
@@ -104,12 +134,12 @@ def test_q31_single_shuffle_on_dedupe_key(plans):
 
 def test_q19_partial_aggregation(plans):
     # Map-side partial agg before the exchange (two HashAggregate levels).
-    p = plans("q619_groupby_multi_agg")
+    p = plans("z10619_groupby_multi_agg")
     assert p.count("HashAggregate") >= 2, p
 
 
 def test_q37_global_position_is_distributed(plans):
-    p = plans("q637_multikey_sort")
+    p = plans("z10637_multikey_sort")
     # the data flows through a range partitioner + per-partition ranks,
     # not a single-partition global window
     assert "rangepartitioning" in p, p
@@ -117,7 +147,7 @@ def test_q37_global_position_is_distributed(plans):
 
 
 def test_q57_udf_is_arrow_batched(plans):
-    p = plans("z657_scalar_pandas_udf")
+    p = plans("q657_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p  # row-at-a-time python UDF forbidden
 
@@ -140,7 +170,7 @@ def test_x26_funnel_single_shuffle(plans):
 # build the gap-fill grid — tiny-by-construction, like x15.
 NESTED_LOOP_WHITELIST = {
     "z914_cross_join",
-    "z784_tfidf",
+    "q784_tfidf",
     "z792_gapfill",
     # x30 cross-joins a one-row totals aggregate back onto the strata
     # counts — broadcast, tiny by construction.
@@ -150,12 +180,12 @@ NESTED_LOOP_WHITELIST = {
     "z9180_bm25",
     "z9181_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
-    "z771_unigram_logprob",
+    "q771_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
-    "z7191_ri_audit",
+    "q7191_ri_audit",
     # y59 cross-joins the one-row grand-total aggregate onto the
     # (lang x source) contingency cells (same shape as x30/y34).
-    "z7233_chisquare",
+    "q7233_chisquare",
     # x43/x44 cross-join one-row vocab-size / bigram-total aggregates
     # (the z71 shape).
     "z8243_bigram_lm",
@@ -170,11 +200,11 @@ NESTED_LOOP_WHITELIST = {
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
     # scalar collect).
-    "z7588_pagerank",
+    "q7588_pagerank",
     # q24 cross-joins the (5-row lang model dim x one-row vocab/total
     # aggregates) onto the test token stream — tiny by construction,
     # the z71/x30 broadcast-scalar shape.
-    "z8324_naive_bayes",
+    "q8324_naive_bayes",
     # q27 cross-joins the two one-row side-total aggregates onto the
     # 10-row bin join (same shape).
     "z8327_psi_drift",
@@ -201,20 +231,20 @@ NESTED_LOOP_WHITELIST = {
     # y85 cross-joins the one-row user-count aggregate for the three
     # distributed ntile denominators (r11: replaced the bare
     # single-partition ntile windows with the q46 posture).
-    "q560_rfm_segments",
+    "z10560_rfm_segments",
     # q47 cross-joins the one-row moments/inverse-covariance model onto
     # the fact stream — the broadcast-model scoring shape.
     "z9347_mahalanobis",
     # y79 cross-joins the one-row basket-count aggregate onto the rule
     # table for the lift denominator (broadcast-scalar shape).
-    "q554_association_rules",
+    "z10554_association_rules",
     # y88 cross-joins the one-row digit-total aggregate onto the 9-row
     # digit table (broadcast-scalar shape).
-    "q563_benford_audit",
+    "z10563_benford_audit",
     # y89/y90 cross-join one-row edge-count / min-degree / totals
     # aggregates onto community- or degree-sized tables (same shape).
-    "z7564_modularity",
-    "z7565_degree_powerlaw",
+    "q7564_modularity",
+    "q7565_degree_powerlaw",
 }
 
 
@@ -222,7 +252,7 @@ def test_y31_eval_grams_broadcast(plans):
     """Decontamination's scale contract: the eval n-gram side is broadcast
     (benchmark-sized), so the corpus side streams map-side — the gram
     match must be a BroadcastHashJoin, never a shuffled join on grams."""
-    p = plans("z775_decontaminate")
+    p = plans("q775_decontaminate")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -241,7 +271,7 @@ def test_y36_group_sample_window_group_limit(plans):
 def test_q68_salted_exchange_partitions_on_salt(plans):
     # The whole point of salting: the build-side exchange hashes
     # (key, salt), not just the key — and the broadcast path is off.
-    p = plans("z768_skew_salted_join")
+    p = plans("q768_skew_salted_join")
     assert "__salt" in p, p
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
 
@@ -301,7 +331,7 @@ def test_q70_cumsum_is_distributed(plans):
     """Sequence packing's global running sum must ride the two-phase
     range-partition scheme (z37 rule), never a single-partition window
     over the whole corpus."""
-    p = plans("z770_sequence_pack")
+    p = plans("q770_sequence_pack")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -320,7 +350,7 @@ def test_y47_profile_is_single_scan(plans):
 def test_y44_stats_broadcast_back(plans):
     """Per-user moment table is user-count-sized and must broadcast back
     onto the event stream, not shuffle the events for the join."""
-    p = plans("z9187_anomaly_zscore")
+    p = plans("q9187_anomaly_zscore")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -433,14 +463,14 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
 HEAVY_QUERIES = [
     "z790_corpus_pipeline",
     "z785_cluster_dedupe",
-    "z775_decontaminate",
-    "z667_embedding_dedupe",
+    "q775_decontaminate",
+    "q667_embedding_dedupe",
     "z9186_ivf_embedding_dedupe",
     "z8301_duplicate_ngram_filter",
-    "z660_minhash_lsh",
+    "q660_minhash_lsh",
     "z786_ngram_jaccard",
     "z8308_volume_shipping",
-    "z7588_pagerank",
+    "q7588_pagerank",
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
     # automatic broadcasting is off and shuffles are cluster-sized.
@@ -486,7 +516,7 @@ def test_cluster_shaped_decontaminate_still_broadcasts(spark, sf_dir):
     ONLY way that survives is the explicit broadcast() hint — this test
     fails if the hint is ever dropped in favor of threshold luck."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["z775_decontaminate"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["q775_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
 
 
@@ -507,7 +537,7 @@ def test_cluster_shaped_shuffle_partition_count_is_respected(spark, sf_dir):
     exchanges (i.e. our plans don't pin partitioning constants that
     would fight a cluster deployment's sizing)."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["q619_groupby_multi_agg"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["z10619_groupby_multi_agg"].fn(spark, sf_dir))
     assert "200" in p, p
 
 
@@ -965,9 +995,9 @@ def test_q560_forced_distributed_ntile_matches_window_form(
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    compact = rows(REGISTRY["q560_rfm_segments"].fn(spark, sf_dir))
+    compact = rows(REGISTRY["z10560_rfm_segments"].fn(spark, sf_dir))
     monkeypatch.setattr(mod, "_RFM_SINGLE_TASK_ROWS", 0)
-    forced = REGISTRY["q560_rfm_segments"].fn(spark, sf_dir)
+    forced = REGISTRY["z10560_rfm_segments"].fn(spark, sf_dir)
     p = plan_text(forced)
     # really on the distributed branch: no ntile window anywhere
     assert "ntile" not in p, p
@@ -975,7 +1005,7 @@ def test_q560_forced_distributed_ntile_matches_window_form(
 
 
 def test_simhash_forced_multiblock_matches_anchor(spark, sf_dir, monkeypatch):
-    """q660_simhash's size-driven blocking is EXACT at every B (the
+    """z10660_simhash's size-driven blocking is EXACT at every B (the
     pigeonhole guarantee is deterministic): force the super-anchor
     branches (B = 6 and B = 8) on the fixture corpus and pin
     bit-identical pair sets against the anchor's legacy 5-block plan —
@@ -986,10 +1016,10 @@ def test_simhash_forced_multiblock_matches_anchor(spark, sf_dir, monkeypatch):
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    anchor = rows(REGISTRY["q660_simhash"].fn(spark, sf_dir))
+    anchor = rows(REGISTRY["z10660_simhash"].fn(spark, sf_dir))
     assert anchor, "fixture corpus must contain near-dup pairs"
     for forced_anchor in (2048, 256):  # n_docs=5000 -> B=6 / B=8+
         monkeypatch.setattr(mod, "SIMHASH_ANCHOR", forced_anchor)
-        assert rows(REGISTRY["q660_simhash"].fn(spark, sf_dir)) == anchor, (
+        assert rows(REGISTRY["z10660_simhash"].fn(spark, sf_dir)) == anchor, (
             forced_anchor
         )

@@ -88,7 +88,7 @@ def test_jaccard_pipelines_agree(spark, sf_dir):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["z660_minhash_lsh"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q660_minhash_lsh"].fn(spark, sf_dir).collect()
     }
     assert brute == lsh and len(brute) > 0
 
@@ -140,7 +140,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
 
 
 def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
-    """q660_simhash extracts signature bits via conv'd hex chunks + shifts
+    """z10660_simhash extracts signature bits via conv'd hex chunks + shifts
     (fast path); the reference formulation — and the DuckDB oracle — uses
     substr(md5, j, 1) IN ('8'..'f'). Both must produce identical +-1
     contributions for every (doc, shingle, bit)."""
@@ -189,7 +189,7 @@ def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
 def test_exact_dedupe_is_lossless_partition(spark, sf_dir):
     """Q59 keeps exactly one representative per text_key and the copy
     counts re-add to the corpus size."""
-    out = REGISTRY["z659_exact_dedupe"].fn(spark, sf_dir)
+    out = REGISTRY["q659_exact_dedupe"].fn(spark, sf_dir)
     total = out.agg(F.sum("n_copies")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "documents").count()
 
@@ -217,7 +217,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 
     exact = {
         (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["z661_topk_similarity"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q661_topk_similarity"].fn(spark, sf_dir).collect()
     }
     ivf = {
         (r["probe_id"], r["neighbor_id"])
@@ -238,7 +238,7 @@ def test_ivf_dedupe_subset_and_recall(spark, sf_dir):
 
     exact = {
         r["vec_id"]
-        for r in REGISTRY["z667_embedding_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q667_embedding_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"]
     }
     ivf = {

@@ -79,27 +79,27 @@ SECTION2_MAP = {
     "Q13": "z913_anti_join", "Q14": "z914_cross_join",
     "Q15": "z915_range_join", "Q16": "z916_asof_join",
     "Q17": "z917_self_join_pairs", "Q18": "z918_similarity_join",
-    "Q19": "q619_groupby_multi_agg", "Q20": "q620_global_agg",
-    "Q21": "q621_count_distinct", "Q22": "q622_approx_count_distinct",
-    "Q23": "q623_rollup", "Q24": "q624_cube", "Q25": "q625_bulkrax_fold",
-    "Q26": "q626_pivot", "Q27": "q627_percentiles", "Q28": "q628_stats",
-    "Q29": "q629_conditional_agg", "Q30": "q630_mixed_distinct",
-    "Q31": "q631_keepfirst_dedupe", "Q32": "q632_topk_per_group",
-    "Q33": "q633_lag_lead", "Q34": "q634_running_sum",
-    "Q35": "q635_range_frame", "Q36": "q636_ntile_first_last",
-    "Q37": "q637_multikey_sort", "Q38": "q638_global_topk",
-    "Q39": "q639_limit_offset", "Q40": "q640_union",
-    "Q41": "q641_intersect", "Q42": "q642_except",
-    "Q43": "q643_string_kit", "Q44": "q644_regex_extract",
-    "Q45": "q645_fuzzy_match", "Q46": "q646_date_kit",
-    "Q47": "q647_math_kit", "Q48": "q648_array_kit",
-    "Q49": "q649_map_kit", "Q50": "q650_json_kit",
-    "Q51": "q651_hash_ids", "Q52": "q652_null_kit",
-    "Q53": "q653_cast_kit", "Q54": "q654_tumbling_window",
-    "Q55": "q655_sliding_window", "Q56": "q656_session_window",
-    "Q57": "z657_scalar_pandas_udf", "Q58": "z658_grouped_map",
-    "Q59": "z659_exact_dedupe", "Q60": "z660_minhash_lsh",
-    "Q61": "z661_topk_similarity", "Q62": "z662_text_stats",
+    "Q19": "z10619_groupby_multi_agg", "Q20": "z10620_global_agg",
+    "Q21": "z10621_count_distinct", "Q22": "z10622_approx_count_distinct",
+    "Q23": "z10623_rollup", "Q24": "z10624_cube", "Q25": "z10625_bulkrax_fold",
+    "Q26": "q626_pivot", "Q27": "q627_percentiles", "Q28": "z10628_stats",
+    "Q29": "z10629_conditional_agg", "Q30": "z10630_mixed_distinct",
+    "Q31": "z10631_keepfirst_dedupe", "Q32": "z10632_topk_per_group",
+    "Q33": "z10633_lag_lead", "Q34": "z10634_running_sum",
+    "Q35": "z10635_range_frame", "Q36": "z10636_ntile_first_last",
+    "Q37": "z10637_multikey_sort", "Q38": "z10638_global_topk",
+    "Q39": "z10639_limit_offset", "Q40": "z10640_union",
+    "Q41": "z10641_intersect", "Q42": "z10642_except",
+    "Q43": "z10643_string_kit", "Q44": "z10644_regex_extract",
+    "Q45": "z10645_fuzzy_match", "Q46": "z10646_date_kit",
+    "Q47": "z10647_math_kit", "Q48": "z10648_array_kit",
+    "Q49": "z10649_map_kit", "Q50": "z10650_json_kit",
+    "Q51": "z10651_hash_ids", "Q52": "z10652_null_kit",
+    "Q53": "z10653_cast_kit", "Q54": "z10654_tumbling_window",
+    "Q55": "z10655_sliding_window", "Q56": "z10656_session_window",
+    "Q57": "q657_scalar_pandas_udf", "Q58": "q658_grouped_map",
+    "Q59": "q659_exact_dedupe", "Q60": "q660_minhash_lsh",
+    "Q61": "q661_topk_similarity", "Q62": "q662_text_stats",
     "X01": None,  # CSV/ORC source — tests/test_etl.py
     "X02": None,  # JSON source — tests/test_etl.py
     "X03": None,  # XML (EP3) source — tests/test_etl.py
@@ -111,8 +111,8 @@ SECTION2_MAP = {
     "X09": None,  # streaming dedupe — tests/test_streaming.py
     "X10": None,  # stream-static join — tests/test_streaming.py
     "X11": None,  # stateful processing — tests/test_streaming.py
-    "X12": "z781_grouped_agg_udaf", "X13": "z782_mapinpandas_shred",
-    "X14": "z783_sql_registered_udf", "X15": "z784_tfidf",
+    "X12": "q781_grouped_agg_udaf", "X13": "q782_mapinpandas_shred",
+    "X14": "z783_sql_registered_udf", "X15": "q784_tfidf",
 }
 
 

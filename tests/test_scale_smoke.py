@@ -31,10 +31,10 @@ COPIES = 3
 # scale-sensitive family (graph build+iteration, LSH banding, sketch
 # aggs, PPJoin, winnowing) keeps the opt-in run in minutes.
 HEAVY = [
-    "z7588_pagerank",
-    "z660_minhash_lsh",
-    "q622_approx_count_distinct",
-    "q658_winnow_containment",
+    "q7588_pagerank",
+    "q660_minhash_lsh",
+    "z10622_approx_count_distinct",
+    "z10658_winnow_containment",
     "z9345_split_leakage",
 ]
 

@@ -34,16 +34,16 @@ QUADRATIC_ORACLES = {
     "z8302_keep_longest_canonical",
     "z785_cluster_dedupe",
     "z786_ngram_jaccard",
-    "z667_embedding_dedupe",
-    "z660_minhash_lsh",
-    "q660_simhash",
+    "q667_embedding_dedupe",
+    "q660_minhash_lsh",
+    "z10660_simhash",
     "z974_rplsh_neardup",
     "z9186_ivf_embedding_dedupe",
     "z918_similarity_join",
     "z790_corpus_pipeline",
     "z9185_ivf_topk",
-    "z661_topk_similarity",
-    "q658_winnow_containment",
+    "q661_topk_similarity",
+    "z10658_winnow_containment",
     "z8301_duplicate_ngram_filter",
     # r5: PQ-ANN verdict and k-NN vote both rerun z61's all-pairs exact
     # oracle; their Spark sides were hand-verified green at sf0.1 and

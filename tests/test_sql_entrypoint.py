@@ -29,7 +29,7 @@ def test_sql_equals_dataframe_api(spark, sf_dir):
             GROUP BY r_name, n_name
         """,
         # window (Q31 shape)
-        "q631_keepfirst_dedupe": """
+        "z10631_keepfirst_dedupe": """
             SELECT user_id, event_type, event_id, ts
             FROM (SELECT user_id, event_type, event_id, ts,
                          ROW_NUMBER() OVER (PARTITION BY user_id, event_type
@@ -38,7 +38,7 @@ def test_sql_equals_dataframe_api(spark, sf_dir):
             WHERE rn = 1
         """,
         # set op (Q42 shape)
-        "q642_except": """
+        "z10642_except": """
             SELECT c_custkey FROM customer
             EXCEPT
             SELECT o_custkey AS c_custkey FROM orders

@@ -67,7 +67,7 @@ def test_x07_tumbling_stream_equals_batch(spark, sf_dir, replay_dir):
     }
     want = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
-        for r in REGISTRY["q654_tumbling_window"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z10654_tumbling_window"].fn(spark, sf_dir).collect()
     }
     assert got == want
 
@@ -169,7 +169,7 @@ def test_q56_session_stream_matches_batch(spark, sf_dir, replay_dir):
     }
     batch = {
         (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
-        for r in REGISTRY["q656_session_window"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z10656_session_window"].fn(spark, sf_dir).collect()
     }
     assert set(streamed) <= set(batch)
     for key, val in streamed.items():

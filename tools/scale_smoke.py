@@ -39,22 +39,22 @@ sys.path.insert(0, _ROOT)
 # forms), decontamination, IVF, corpus pipeline, profiling, percentile
 # sketches, PPJoin leakage, k-means, BPE.
 HEAVY = [
-    "z7588_pagerank",
-    "z7526_bfs_hops",
-    "q620_global_agg",
-    "q658_winnow_containment",
+    "q7588_pagerank",
+    "q7526_bfs_hops",
+    "z10620_global_agg",
+    "z10658_winnow_containment",
     "z8301_duplicate_ngram_filter",
     "z974_rplsh_neardup",
-    "z775_decontaminate",
+    "q775_decontaminate",
     "z9185_ivf_topk",
     "z790_corpus_pipeline",
     "z9190_column_profile",
-    "z7192_approx_percentile",
+    "q7192_approx_percentile",
     "z9345_split_leakage",
-    "q554_association_rules",
-    "q660_simhash",
-    "z660_minhash_lsh",
-    "q622_approx_count_distinct",
+    "z10554_association_rules",
+    "z10660_simhash",
+    "q660_minhash_lsh",
+    "z10622_approx_count_distinct",
     "z9341_kmeans_lloyd",
     "q556_bpe_encode",
 ]
@@ -79,6 +79,12 @@ def _run_tier(spark, sf_dir: str) -> dict[str, float]:
     neardup.verified_pairs(spark, sf_dir)
     neardup.components(spark, sf_dir)
     out["_build_neardup_pairs"] = time.perf_counter() - t0
+
+    from eprints_to_hyku_data_tool_spark.functions import grams
+
+    t0 = time.perf_counter()
+    grams.doc_grams8(spark, sf_dir)
+    out["_build_doc_grams"] = time.perf_counter() - t0
 
     for name in HEAVY:
         t0 = time.perf_counter()
