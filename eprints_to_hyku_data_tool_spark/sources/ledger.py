@@ -1,0 +1,376 @@
+"""Ledger tables: a minimal transactional table format on parquet.
+
+The engine's MERGE/CDC/SCD2 operators (plans/q_r5_etl.py) give the
+RELATIONAL semantics of an incremental migration; what a real 100 TB
+EPrints->Hyku cutover additionally needs is those semantics ON STORAGE —
+upsert a delta batch into yesterday's snapshot without rewriting 100 TB,
+read the table as-of any version, and survive a concurrent writer. That
+is the Delta/Iceberg capability class, rebuilt here from first
+principles on plain parquet + a JSON manifest ledger, so the engine has
+no dependency beyond pyspark itself.
+
+Layout (all paths relative to the table root):
+
+    _ledger/00000000.json   -- one immutable manifest per version
+    _ledger/00000001.json
+    data/<uuid>/            -- one parquet "file group" per write job
+
+A manifest is the complete table state at a version: the schema, the
+optional stats key, and the list of live file groups with row counts and
+per-group [min,max] of the key. Data files are NEVER mutated or deleted
+by writes — a commit only adds data and one manifest — so readers need
+no locks: a snapshot read resolves one manifest and scans exactly the
+groups it lists (time travel = resolve an older manifest).
+
+Commit protocol (optimistic concurrency): the writer computes its new
+version N = latest+1, writes the manifest to a temp name, then
+``os.link(tmp, _ledger/N.json)`` — an atomic create-if-absent on POSIX.
+Two racing writers both targeting N: exactly one link succeeds, the
+loser gets ConcurrentCommitError and must re-read and retry. On a cloud
+object store the equivalent is a conditional PUT (if-none-match), which
+is how the production formats do it.
+
+MERGE is copy-on-write at file-group granularity — the property that
+makes it 100 TB-viable:
+
+  1. the source delta's [min,max] key bounds (one tiny agg) prune the
+     manifest's group list DRIVER-SIDE, O(#groups) metadata work;
+  2. untouched groups are carried into the new manifest by reference —
+     their bytes are never read, shuffled, or rewritten;
+  3. only the touched groups join the delta (a key-keyed sort-merge or
+     AQE broadcast — no hint, the delta may be any size) and are
+     rewritten as one new group.
+
+So a 1 GB delta against a 100 TB table rewrites only the groups whose
+key ranges overlap the delta — with date- or id-clustered ingest that is
+a few groups, not the table. DELETE WHERE is the same copy-on-write with
+a per-group containment probe (parquet footer stats make the probe a
+metadata scan when the predicate is on the key).
+
+``vacuum`` removes data groups no manifest references (crashed writers'
+orphans, and groups released by ``expire_history``). Bounded driver
+state throughout: manifests are O(#groups) JSON; no query data ever
+reaches the driver beyond one min/max/count row per write.
+
+Limitations vs the production formats, declared: single-key range
+stats (no multi-column Z-order pruning — functions/zorder has the
+layout side), no schema evolution (append/merge enforce the created
+schema), POSIX-atomic link (swap for a conditional PUT off-box).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LEDGER_DIR = "_ledger"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first: re-read and retry."""
+
+
+class LedgerError(ValueError):
+    """Misuse: missing table, schema mismatch, duplicate source keys."""
+
+
+# --------------------------------------------------------------------------
+# Manifest plumbing
+# --------------------------------------------------------------------------
+def _ledger_path(table: str) -> str:
+    return os.path.join(table, _LEDGER_DIR)
+
+
+def _manifest_name(version: int) -> str:
+    return f"{version:08d}.json"
+
+
+def _versions(table: str) -> list[int]:
+    d = _ledger_path(table)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(d)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+
+
+def latest_version(table: str) -> int:
+    vs = _versions(table)
+    if not vs:
+        raise LedgerError(f"not a ledger table (no {_LEDGER_DIR}): {table}")
+    return vs[-1]
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    p = os.path.join(_ledger_path(table), _manifest_name(version))
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        raise LedgerError(f"version {version} does not exist: {table}")
+
+
+def _commit(table: str, manifest: dict) -> int:
+    """Atomically publish `manifest` as version parent+1 (create-if-
+    absent via os.link); raises ConcurrentCommitError if a racing writer
+    got there first. Returns the committed version."""
+    version = manifest["version"]
+    d = _ledger_path(table)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    try:
+        os.link(tmp, os.path.join(d, _manifest_name(version)))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} was committed concurrently: {table}"
+        )
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def history(table: str) -> list[dict]:
+    """All manifests, oldest first — the audit log of the table."""
+    return [_read_manifest(table, v) for v in _versions(table)]
+
+
+# --------------------------------------------------------------------------
+# Data-group plumbing
+# --------------------------------------------------------------------------
+def _write_group(
+    spark: SparkSession, table: str, df: DataFrame, key: str | None
+) -> dict:
+    """Write df as one new parquet file group and return its manifest
+    entry (path, rows, key min/max). Stats come from re-reading the
+    written files' key column — a footer-driven metadata-ish scan — so
+    df is computed exactly once regardless of its lineage."""
+    gid = uuid.uuid4().hex
+    rel = f"{_DATA_DIR}/{gid}"
+    gpath = os.path.join(table, rel)
+    df.write.parquet(gpath)
+    written = spark.read.parquet(gpath)
+    if key is not None:
+        stats = written.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+        ).first()
+        lo, hi = stats["lo"], stats["hi"]
+    else:
+        stats = written.agg(F.count(F.lit(1)).alias("rows")).first()
+        lo = hi = None
+    return {"path": rel, "rows": stats["rows"], "min_key": lo, "max_key": hi}
+
+
+def _snapshot_df(
+    spark: SparkSession, table: str, manifest: dict, groups: list[dict]
+) -> DataFrame:
+    schema = StructType.fromJson(manifest["schema"])
+    if not groups:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table, g["path"]) for g in groups]
+    # One multi-path scan: partition pruning and footer pushdown apply
+    # across all live groups as if they were one dataset.
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def _check_schema(manifest: dict, df: DataFrame, what: str) -> None:
+    want = StructType.fromJson(manifest["schema"])
+    got = df.schema
+    if [(f.name, f.dataType) for f in want] != [
+        (f.name, f.dataType) for f in got
+    ]:
+        raise LedgerError(
+            f"{what}: schema mismatch\n  table: {want.simpleString()}"
+            f"\n  data:  {got.simpleString()}"
+        )
+
+
+def _new_manifest(parent: dict, op: str, groups: list[dict]) -> dict:
+    return {
+        "version": parent["version"] + 1,
+        "parent": parent["version"],
+        "op": op,
+        "ts": time.time(),
+        "key": parent["key"],
+        "schema": parent["schema"],
+        "groups": groups,
+    }
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+def create(
+    spark: SparkSession, table: str, df: DataFrame, key: str | None = None
+) -> int:
+    """Create a ledger table at `table` from df as version 0. `key` is
+    the stats column used for group pruning in merge/delete — pick the
+    natural clustering key (the merge key of the incremental feed)."""
+    if os.path.isdir(_ledger_path(table)) and _versions(table):
+        raise LedgerError(f"table already exists: {table}")
+    if key is not None and key not in df.columns:
+        raise LedgerError(f"key column {key!r} not in schema")
+    os.makedirs(table, exist_ok=True)
+    group = _write_group(spark, table, df, key)
+    manifest = {
+        "version": 0,
+        "parent": None,
+        "op": "create",
+        "ts": time.time(),
+        "key": key,
+        "schema": df.schema.jsonValue(),
+        "groups": [group],
+    }
+    return _commit(table, manifest)
+
+
+def read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: the table as of `version` (default: latest). Time
+    travel is free — every manifest is immutable and complete."""
+    v = latest_version(table) if version is None else version
+    manifest = _read_manifest(table, v)
+    return _snapshot_df(spark, table, manifest, manifest["groups"])
+
+
+def append(spark: SparkSession, table: str, df: DataFrame) -> int:
+    """Add rows without touching existing groups (blind append)."""
+    parent = _read_manifest(table, latest_version(table))
+    _check_schema(parent, df, "append")
+    group = _write_group(spark, table, df, parent["key"])
+    return _commit(
+        table, _new_manifest(parent, "append", parent["groups"] + [group])
+    )
+
+
+def overwrite(spark: SparkSession, table: str, df: DataFrame) -> int:
+    """Replace the table contents (a new full snapshot; old versions
+    stay readable until expire_history + vacuum)."""
+    parent = _read_manifest(table, latest_version(table))
+    _check_schema(parent, df, "overwrite")
+    group = _write_group(spark, table, df, parent["key"])
+    return _commit(table, _new_manifest(parent, "overwrite", [group]))
+
+
+def _overlaps(g: dict, lo, hi) -> bool:
+    if g["min_key"] is None or g["max_key"] is None:
+        return True  # no stats -> must assume it may contain the keys
+    return not (g["max_key"] < lo or g["min_key"] > hi)
+
+
+def merge(spark: SparkSession, table: str, source: DataFrame) -> int:
+    """MERGE INTO: WHEN MATCHED (on the table key) UPDATE to the source
+    row, WHEN NOT MATCHED INSERT it — the z8330 relational semantics,
+    executed copy-on-write on storage. Only file groups whose key range
+    overlaps the source's [min,max] are read and rewritten; everything
+    else carries over by reference."""
+    parent = _read_manifest(table, latest_version(table))
+    key = parent["key"]
+    if key is None:
+        raise LedgerError("merge requires a table created with a key")
+    _check_schema(parent, source, "merge")
+
+    # MERGE is ill-defined when two source rows hit one target row; the
+    # production formats reject it, so do we (one tiny agg).
+    dup = (
+        source.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise LedgerError("merge source has duplicate keys")
+
+    bounds = source.agg(
+        F.min(key).alias("lo"), F.max(key).alias("hi")
+    ).first()
+    if bounds["lo"] is None:  # empty source: commit a no-op version
+        return _commit(table, _new_manifest(parent, "merge", parent["groups"]))
+
+    touched = [
+        g for g in parent["groups"] if _overlaps(g, bounds["lo"], bounds["hi"])
+    ]
+    kept = [g for g in parent["groups"] if g not in touched]
+
+    tgt = _snapshot_df(spark, table, parent, touched)
+    # Upsert: target rows whose key is not in the source survive; every
+    # source row lands (update == replace-whole-row, insert == new key).
+    # No broadcast hint — the delta may be any size; AQE picks the join.
+    merged = tgt.join(
+        source.select(key), key, "left_anti"
+    ).unionByName(source)
+
+    group = _write_group(spark, table, merged, key)
+    return _commit(table, _new_manifest(parent, "merge", kept + [group]))
+
+
+def delete_where(
+    spark: SparkSession, table: str, predicate: Column | str
+) -> int:
+    """DELETE WHERE, copy-on-write: each group is probed for matches
+    (a limit-1 existence scan — parquet footer stats short-circuit it
+    when the predicate is on the stats key); only groups that contain
+    matches are rewritten without the matching rows."""
+    parent = _read_manifest(table, latest_version(table))
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    kept: list[dict] = []
+    rewritten: list[dict] = []
+    for g in parent["groups"]:
+        gdf = _snapshot_df(spark, table, parent, [g])
+        if gdf.filter(pred).limit(1).count() == 0:
+            kept.append(g)
+        else:
+            survivors = gdf.filter(~pred)
+            rewritten.append(
+                _write_group(spark, table, survivors, parent["key"])
+            )
+    return _commit(
+        table, _new_manifest(parent, "delete", kept + rewritten)
+    )
+
+
+def expire_history(table: str, keep_last: int) -> list[int]:
+    """Drop all but the newest `keep_last` manifests (their data groups
+    become vacuum-able if nothing newer references them). Returns the
+    expired versions."""
+    if keep_last < 1:
+        raise LedgerError("keep_last must be >= 1")
+    vs = _versions(table)
+    expired = vs[:-keep_last]
+    for v in expired:
+        os.unlink(os.path.join(_ledger_path(table), _manifest_name(v)))
+    return expired
+
+
+def vacuum(table: str) -> list[str]:
+    """Delete data groups referenced by NO remaining manifest — orphans
+    of crashed writers and groups released by expire_history. Safe by
+    construction: live readers resolve manifests, and every manifest's
+    groups are kept. Returns the removed relative paths."""
+    live = {
+        g["path"] for m in history(table) for g in m["groups"]
+    }
+    d = os.path.join(table, _DATA_DIR)
+    removed = []
+    for gid in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+        rel = f"{_DATA_DIR}/{gid}"
+        if rel not in live:
+            shutil.rmtree(os.path.join(d, gid))
+            removed.append(rel)
+    return removed

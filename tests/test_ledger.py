@@ -1,0 +1,246 @@
+"""Ledger tables (sources/ledger.py): the transactional parquet table
+format — snapshot isolation, time travel, copy-on-write MERGE/DELETE
+with file-group pruning, optimistic concurrency, vacuum.
+
+The MERGE correctness oracle is DuckDB executing the same upsert as
+pure SQL over the same inputs (the z8330 relational semantics); the
+SCALE property under test is copy-on-write — untouched file groups must
+carry over by reference (same path strings in the child manifest), with
+their bytes never rewritten."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eprints_to_hyku_data_tool_spark.sources import ledger
+from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+from .parity import assert_parity
+
+
+@pytest.fixture()
+def orders_slices(spark, sf_dir):
+    """A deterministic snapshot/delta pair from the orders fixture:
+    snapshot = o_orderkey < 4000; delta = updates for keys in
+    [2000, 4000) (totalprice bumped) + inserts for [4000, 5000)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    snap = orders.filter(F.col("o_orderkey") < 4000)
+    delta = (
+        orders.filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 5000)
+        )
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") < 4000, F.col("o_totalprice") + 1000.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return snap, delta
+
+
+def test_create_read_roundtrip(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    nation = load_table(spark, sf_dir, "nation")
+    v = ledger.create(spark, t, nation, key="n_nationkey")
+    assert v == 0
+    got = ledger.read(spark, t)
+    assert got.schema == nation.schema
+    assert got.exceptAll(nation).count() == 0
+    assert nation.exceptAll(got).count() == 0
+
+
+def test_create_twice_fails(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    nation = load_table(spark, sf_dir, "nation")
+    ledger.create(spark, t, nation, key="n_nationkey")
+    with pytest.raises(ledger.LedgerError, match="already exists"):
+        ledger.create(spark, t, nation, key="n_nationkey")
+
+
+def test_append_and_time_travel(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    region = load_table(spark, sf_dir, "region")
+    ledger.create(spark, t, region.filter("r_regionkey < 3"))
+    v1 = ledger.append(spark, t, region.filter("r_regionkey >= 3"))
+    assert v1 == 1
+    assert ledger.read(spark, t).count() == region.count()
+    # Time travel: version 0 is still exactly the original slice.
+    assert ledger.read(spark, t, version=0).count() == 3
+    ops = [m["op"] for m in ledger.history(t)]
+    assert ops == ["create", "append"]
+
+
+def test_append_schema_enforced(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    region = load_table(spark, sf_dir, "region")
+    ledger.create(spark, t, region)
+    with pytest.raises(ledger.LedgerError, match="schema mismatch"):
+        ledger.append(spark, t, region.select("r_regionkey"))
+
+
+def test_merge_matches_duckdb_upsert(
+    spark, sf_dir, duck, tmp_path, orders_slices
+):
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, snap, key="o_orderkey")
+    ledger.merge(spark, t, delta)
+    oracle = """
+    WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderkey < 4000),
+         delta AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                          CASE WHEN o_orderkey < 4000
+                               THEN o_totalprice + 1000.0
+                               ELSE o_totalprice END AS o_totalprice
+                   FROM orders
+                   WHERE o_orderkey >= 2000 AND o_orderkey < 5000)
+    SELECT * FROM delta
+    UNION ALL
+    SELECT s.* FROM snap s ANTI JOIN delta d USING (o_orderkey)
+    """
+    assert_parity(ledger.read(spark, t), oracle, duck, "ledger_merge")
+
+
+def test_merge_is_copy_on_write(spark, sf_dir, tmp_path, orders_slices):
+    """The 100 TB property: groups outside the delta's key range carry
+    over BY REFERENCE — same path in the child manifest, bytes never
+    rewritten — and only overlapping groups are replaced."""
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    # Three groups with disjoint key ranges via three appends.
+    ledger.create(
+        spark, t, snap.filter("o_orderkey < 1000"), key="o_orderkey"
+    )
+    ledger.append(
+        spark, t, snap.filter("o_orderkey >= 1000 AND o_orderkey < 2000")
+    )
+    ledger.append(spark, t, snap.filter("o_orderkey >= 2000"))
+    before = ledger.history(t)[-1]["groups"]
+    assert len(before) == 3
+
+    ledger.merge(spark, t, delta)  # delta keys all >= 2000
+    after = ledger.history(t)[-1]["groups"]
+    after_paths = {g["path"] for g in after}
+    # The two low-range groups survive verbatim; the third is replaced.
+    assert before[0]["path"] in after_paths
+    assert before[1]["path"] in after_paths
+    assert before[2]["path"] not in after_paths
+    assert len(after) == 3
+
+    # And the result is still the correct upsert.
+    expected = (
+        snap.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(delta)
+    )
+    got = ledger.read(spark, t)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_merge_rejects_duplicate_source_keys(
+    spark, sf_dir, tmp_path, orders_slices
+):
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, snap, key="o_orderkey")
+    with pytest.raises(ledger.LedgerError, match="duplicate keys"):
+        ledger.merge(spark, t, delta.unionByName(delta.limit(1)))
+
+
+def test_merge_requires_key(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    nation = load_table(spark, sf_dir, "nation")
+    ledger.create(spark, t, nation)  # no key
+    with pytest.raises(ledger.LedgerError, match="requires a table"):
+        ledger.merge(spark, t, nation)
+
+
+def test_delete_where_copy_on_write(spark, sf_dir, tmp_path, orders_slices):
+    snap, _ = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, snap.filter("o_orderkey < 2000"), key="o_orderkey"
+    )
+    ledger.append(spark, t, snap.filter("o_orderkey >= 2000"))
+    before = ledger.history(t)[-1]["groups"]
+
+    ledger.delete_where(spark, t, "o_orderkey >= 3000")
+    after = ledger.history(t)[-1]["groups"]
+    # Group 1 (keys < 2000) has no matches: carried over verbatim.
+    assert before[0]["path"] in {g["path"] for g in after}
+    got = ledger.read(spark, t)
+    assert got.filter("o_orderkey >= 3000").count() == 0
+    assert got.count() == snap.filter("o_orderkey < 3000").count()
+
+
+def test_concurrent_commit_conflict(spark, sf_dir, tmp_path):
+    """Two writers committing against the same parent: the second must
+    fail loudly, never silently clobber."""
+    t = str(tmp_path / "t")
+    region = load_table(spark, sf_dir, "region")
+    ledger.create(spark, t, region)
+    parent = ledger._read_manifest(t, 0)
+    m1 = ledger._new_manifest(parent, "append", parent["groups"])
+    m2 = ledger._new_manifest(parent, "append", parent["groups"])
+    ledger._commit(t, m1)
+    with pytest.raises(ledger.ConcurrentCommitError):
+        ledger._commit(t, m2)
+
+
+def test_expire_and_vacuum(spark, sf_dir, tmp_path, orders_slices):
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, snap, key="o_orderkey")
+    ledger.merge(spark, t, delta)  # v1 rewrites the only group
+    final = ledger.read(spark, t).count()
+
+    # Both versions' groups are live -> nothing to vacuum yet.
+    assert ledger.vacuum(t) == []
+    expired = ledger.expire_history(t, keep_last=1)
+    assert expired == [0]
+    removed = ledger.vacuum(t)
+    assert len(removed) >= 1  # v0's replaced group is gone
+    # Latest snapshot is untouched by the cleanup.
+    assert ledger.read(spark, t).count() == final
+    with pytest.raises(ledger.LedgerError, match="does not exist"):
+        ledger.read(spark, t, version=0)
+
+
+def test_vacuum_removes_orphan_groups(spark, sf_dir, tmp_path):
+    """A crashed writer leaves a data group no manifest references —
+    vacuum collects it without touching live groups."""
+    t = str(tmp_path / "t")
+    region = load_table(spark, sf_dir, "region")
+    ledger.create(spark, t, region)
+    orphan = ledger._write_group(spark, t, region, None)  # never committed
+    removed = ledger.vacuum(t)
+    assert removed == [orphan["path"]]
+    assert ledger.read(spark, t).count() == region.count()
+
+
+def test_empty_source_merge_is_noop_version(
+    spark, sf_dir, tmp_path, orders_slices
+):
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, snap, key="o_orderkey")
+    v = ledger.merge(spark, t, delta.filter("o_orderkey < 0"))
+    assert v == 1
+    assert (
+        ledger.history(t)[-1]["groups"] == ledger.history(t)[0]["groups"]
+    )
+
+
+def test_overwrite_new_snapshot(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    region = load_table(spark, sf_dir, "region")
+    ledger.create(spark, t, region)
+    ledger.overwrite(spark, t, region.filter("r_regionkey < 2"))
+    assert ledger.read(spark, t).count() == 2
+    assert ledger.read(spark, t, version=0).count() == region.count()
