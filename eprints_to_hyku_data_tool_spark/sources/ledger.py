@@ -198,8 +198,10 @@ def _check_schema(manifest: dict, df: DataFrame, what: str) -> None:
         )
 
 
-def _new_manifest(parent: dict, op: str, groups: list[dict]) -> dict:
-    return {
+def _new_manifest(
+    parent: dict, op: str, groups: list[dict], txn: dict | None = None
+) -> dict:
+    m = {
         "version": parent["version"] + 1,
         "parent": parent["version"],
         "op": op,
@@ -208,6 +210,22 @@ def _new_manifest(parent: dict, op: str, groups: list[dict]) -> dict:
         "schema": parent["schema"],
         "groups": groups,
     }
+    if txn is not None:
+        m["txn"] = txn
+    return m
+
+
+def latest_txn(table: str, app: str) -> int | None:
+    """The highest batch id committed under transactional identity
+    `app`, or None — how a restarted streaming writer discovers which
+    micro-batches already landed (the Delta txn-action pattern). One
+    O(#versions) manifest scan; manifests are tiny JSON."""
+    best = None
+    for m in history(table):
+        t = m.get("txn")
+        if t and t.get("app") == app:
+            best = t["batch"] if best is None else max(best, t["batch"])
+    return best
 
 
 # --------------------------------------------------------------------------
@@ -247,13 +265,19 @@ def read(
     return _snapshot_df(spark, table, manifest, manifest["groups"])
 
 
-def append(spark: SparkSession, table: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    txn: dict | None = None,
+) -> int:
     """Add rows without touching existing groups (blind append)."""
     parent = _read_manifest(table, latest_version(table))
     _check_schema(parent, df, "append")
     group = _write_group(spark, table, df, parent["key"])
     return _commit(
-        table, _new_manifest(parent, "append", parent["groups"] + [group])
+        table,
+        _new_manifest(parent, "append", parent["groups"] + [group], txn),
     )
 
 
@@ -272,7 +296,12 @@ def _overlaps(g: dict, lo, hi) -> bool:
     return not (g["max_key"] < lo or g["min_key"] > hi)
 
 
-def merge(spark: SparkSession, table: str, source: DataFrame) -> int:
+def merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    txn: dict | None = None,
+) -> int:
     """MERGE INTO: WHEN MATCHED (on the table key) UPDATE to the source
     row, WHEN NOT MATCHED INSERT it — the z8330 relational semantics,
     executed copy-on-write on storage. Only file groups whose key range
@@ -300,7 +329,9 @@ def merge(spark: SparkSession, table: str, source: DataFrame) -> int:
         F.min(key).alias("lo"), F.max(key).alias("hi")
     ).first()
     if bounds["lo"] is None:  # empty source: commit a no-op version
-        return _commit(table, _new_manifest(parent, "merge", parent["groups"]))
+        return _commit(
+            table, _new_manifest(parent, "merge", parent["groups"], txn)
+        )
 
     touched = [
         g for g in parent["groups"] if _overlaps(g, bounds["lo"], bounds["hi"])
@@ -316,7 +347,9 @@ def merge(spark: SparkSession, table: str, source: DataFrame) -> int:
     ).unionByName(source)
 
     group = _write_group(spark, table, merged, key)
-    return _commit(table, _new_manifest(parent, "merge", kept + [group]))
+    return _commit(
+        table, _new_manifest(parent, "merge", kept + [group], txn)
+    )
 
 
 def delete_where(

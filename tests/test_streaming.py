@@ -402,3 +402,73 @@ def test_streaming_quantization_is_floor_for_negative_values(spark):
         assert row["final_value_u"] == math.floor(-1.9999999 * 1e6 + 0.5)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Streaming MERGE into a ledger table (streaming/ledger_sink.py)
+# --------------------------------------------------------------------------
+def test_stream_merge_upserts_every_chunk(spark, sf_dir, replay_dir, tmp_path):
+    """End-to-end streaming upsert: a ledger table pre-seeded with
+    stale rows (value = -1) for the first chunk's keys receives the
+    full replay through merge_stream; the final snapshot must hold
+    every event exactly once with no stale value left, and each
+    micro-batch must have committed one transactional version."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.streaming import ledger_sink
+
+    ev = spark.read.schema(ops.EVENTS_STREAM_SCHEMA).parquet(
+        _chunks_glob(replay_dir)
+    )
+    t = str(tmp_path / "t")
+    seed = ev.orderBy("ts", "event_id").limit(100).withColumn(
+        "value", F.lit(-1.0)
+    )
+    ledger.create(spark, t, seed, key="event_id")
+
+    stream = ops.events_stream(spark, _chunks_glob(replay_dir))
+    q = (
+        ledger_sink.merge_stream(
+            stream, t, str(tmp_path / "ckpt"), txn_app="replay-test"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    final = ledger.read(spark, t)
+    assert final.count() == ev.count()
+    assert final.filter("value = -1.0").count() == 0
+    # One committed version per micro-batch, each carrying its txn.
+    txns = [
+        m["txn"] for m in ledger.history(t) if m.get("txn") is not None
+    ]
+    assert [x["app"] for x in txns] == ["replay-test"] * len(txns)
+    assert [x["batch"] for x in txns] == sorted(x["batch"] for x in txns)
+    assert ledger.latest_txn(t, "replay-test") == max(
+        x["batch"] for x in txns
+    )
+
+
+def test_merge_batch_skips_redelivered_batch(spark, sf_dir, tmp_path):
+    """The exactly-once core: after checkpoint recovery foreachBatch
+    re-delivers the last batch with the same id — the sink must skip
+    it (no new version), then accept the NEXT id."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.streaming import ledger_sink
+
+    nation = load_table(spark, sf_dir, "nation")
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, nation.filter("n_nationkey < 10"), key="n_nationkey"
+    )
+    batch = nation.filter("n_nationkey >= 10")
+
+    v1 = ledger_sink.merge_batch(t, batch, 0, "app")
+    assert v1 == 1
+    assert ledger_sink.merge_batch(t, batch, 0, "app") is None  # re-delivery
+    assert ledger.latest_version(t) == 1
+    v2 = ledger_sink.merge_batch(t, batch, 1, "app")
+    assert v2 == 2
+    # A different transactional identity is not fooled by app's ids.
+    assert ledger.latest_txn(t, "other-app") is None
