@@ -407,3 +407,79 @@ def vacuum(table: str) -> list[str]:
             shutil.rmtree(os.path.join(d, gid))
             removed.append(rel)
     return removed
+
+
+def compact(
+    spark: SparkSession, table: str, max_rows: int = 1_000_000
+) -> int:
+    """OPTIMIZE: rewrite runs of small file groups into fewer large
+    ones — the small-file remedy for streaming ingest, where every
+    micro-batch commit adds a tiny group and a 100 TB table would
+    otherwise accumulate millions of them (scan planning, footer reads,
+    and manifest size all degrade with group count).
+
+    Pure metadata + copy-on-write: groups with >= max_rows rows carry
+    over by reference; the small ones are bin-packed (in key order, so
+    the merged groups keep tight non-overlapping key ranges and stay
+    prunable) into bins of ~max_rows rows, and each bin is rewritten as
+    one group. Contents are untouched — the committed snapshot is
+    row-identical, only the file layout changes — so readers of older
+    versions are unaffected and vacuum reclaims the small groups once
+    their manifests expire."""
+    parent = _read_manifest(table, latest_version(table))
+    big = [g for g in parent["groups"] if g["rows"] >= max_rows]
+    small = [g for g in parent["groups"] if g["rows"] < max_rows]
+    if len(small) <= 1:  # nothing to pack
+        return _commit(
+            table, _new_manifest(parent, "compact", parent["groups"])
+        )
+
+    small.sort(key=lambda g: (g["min_key"] is None, g["min_key"]))
+    bins: list[list[dict]] = [[]]
+    acc = 0
+    for g in small:
+        if bins[-1] and acc + g["rows"] > max_rows:
+            bins.append([])
+            acc = 0
+        bins[-1].append(g)
+        acc += g["rows"]
+
+    rewritten = []
+    for b in bins:
+        if len(b) == 1:  # a lone bin member: keep it by reference
+            rewritten.append(b[0])
+            continue
+        df = _snapshot_df(spark, table, parent, b)
+        rewritten.append(_write_group(spark, table, df, parent["key"]))
+    return _commit(
+        table, _new_manifest(parent, "compact", big + rewritten)
+    )
+
+
+def changes(
+    spark: SparkSession, table: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change feed between two versions: every row with a _change_type
+    of 'insert' (present at to_version, absent at from_version) or
+    'delete' (the reverse) — an update appears as its delete + insert
+    pair, the classic CDF encoding without per-row tracking columns.
+
+    The 100 TB property: only groups that DIFFER between the two
+    manifests are scanned — groups carried by reference between the
+    versions (the vast majority under copy-on-write) contribute no
+    change and are never read. Within the differing groups the
+    delta is exact multiset difference (exceptAll both ways), a
+    key-less shuffle bounded by the rewritten data, not the table."""
+    mf = _read_manifest(table, from_version)
+    mt = _read_manifest(table, to_version)
+    pf = {g["path"] for g in mf["groups"]}
+    pt = {g["path"] for g in mt["groups"]}
+    only_old = [g for g in mf["groups"] if g["path"] not in pt]
+    only_new = [g for g in mt["groups"] if g["path"] not in pf]
+    old_df = _snapshot_df(spark, table, mf, only_old)
+    new_df = _snapshot_df(spark, table, mt, only_new)
+    return new_df.exceptAll(old_df).withColumn(
+        "_change_type", F.lit("insert")
+    ).unionByName(
+        old_df.exceptAll(new_df).withColumn("_change_type", F.lit("delete"))
+    )

@@ -244,3 +244,104 @@ def test_overwrite_new_snapshot(spark, sf_dir, tmp_path):
     ledger.overwrite(spark, t, region.filter("r_regionkey < 2"))
     assert ledger.read(spark, t).count() == 2
     assert ledger.read(spark, t, version=0).count() == region.count()
+
+
+def test_compact_bin_packs_small_groups(spark, sf_dir, tmp_path):
+    """Five tiny appends -> compact packs them into one group (big
+    groups carry over by reference), snapshot row-identical, and the
+    merged group's key range still covers its members (prunable)."""
+    t = str(tmp_path / "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 1000"), key="o_orderkey"
+    )
+    for i in range(4):
+        lo, hi = 1000 + i * 500, 1500 + i * 500
+        ledger.append(
+            spark,
+            t,
+            orders.filter(f"o_orderkey >= {lo} AND o_orderkey < {hi}"),
+        )
+    before = ledger.read(spark, t)
+    n_before = before.count()
+    groups_before = ledger.history(t)[-1]["groups"]
+    assert len(groups_before) == 5
+
+    ledger.compact(spark, t, max_rows=1_000_000)
+    after_m = ledger.history(t)[-1]
+    assert after_m["op"] == "compact"
+    assert len(after_m["groups"]) == 1
+    g = after_m["groups"][0]
+    assert g["rows"] == n_before
+    assert g["min_key"] == min(x["min_key"] for x in groups_before)
+    assert g["max_key"] == max(x["max_key"] for x in groups_before)
+    after = ledger.read(spark, t)
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+
+
+def test_compact_keeps_big_groups_by_reference(spark, sf_dir, tmp_path):
+    t = str(tmp_path / "t")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    big = orders.filter("o_orderkey < 3000")
+    ledger.create(spark, t, big, key="o_orderkey")
+    n_big = big.count()
+    ledger.append(spark, t, orders.filter("o_orderkey >= 3000 AND o_orderkey < 3100"))
+    ledger.append(spark, t, orders.filter("o_orderkey >= 3100 AND o_orderkey < 3200"))
+    before = ledger.history(t)[-1]["groups"]
+
+    # Threshold between the big group and the two small ones.
+    ledger.compact(spark, t, max_rows=n_big)
+    after = ledger.history(t)[-1]["groups"]
+    assert before[0]["path"] in {g["path"] for g in after}  # by reference
+    assert len(after) == 2  # big + one packed bin
+
+
+def test_changes_feed_matches_merge_delta(
+    spark, sf_dir, tmp_path, orders_slices
+):
+    """CDF between the pre- and post-merge versions: inserts = the
+    merged delta's new state of every touched row that changed, deletes
+    = their old state; rows identical across the merge (rewritten but
+    unchanged) appear in NEITHER side of the feed."""
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, snap, key="o_orderkey")
+    ledger.merge(spark, t, delta)
+
+    feed = ledger.changes(spark, t, 0, 1)
+    ins = feed.filter("_change_type = 'insert'").drop("_change_type")
+    del_ = feed.filter("_change_type = 'delete'").drop("_change_type")
+
+    # Expected inserts: every delta row that differs from the snapshot
+    # state (updates changed o_totalprice; inserts are brand-new keys).
+    expected_ins = delta.exceptAll(snap)
+    assert ins.exceptAll(expected_ins).count() == 0
+    assert expected_ins.exceptAll(ins).count() == 0
+    # Expected deletes: the old state of updated keys (brand-new keys
+    # have no old state).
+    expected_del = snap.join(
+        delta.select("o_orderkey"), "o_orderkey", "left_semi"
+    ).exceptAll(delta)
+    assert del_.exceptAll(expected_del).count() == 0
+    assert expected_del.exceptAll(del_).count() == 0
+
+
+def test_changes_skips_carried_groups(spark, sf_dir, tmp_path, orders_slices):
+    """Groups carried by reference between versions contribute nothing:
+    the feed across a blind append is exactly the appended rows."""
+    snap, _ = orders_slices
+    t = str(tmp_path / "t")
+    lo_df = snap.filter("o_orderkey < 2000")
+    hi_df = snap.filter("o_orderkey >= 2000")
+    ledger.create(spark, t, lo_df, key="o_orderkey")
+    ledger.append(spark, t, hi_df)
+    feed = ledger.changes(spark, t, 0, 1)
+    assert feed.filter("_change_type = 'delete'").count() == 0
+    ins = feed.filter("_change_type = 'insert'").drop("_change_type")
+    assert ins.exceptAll(hi_df).count() == 0
+    assert hi_df.exceptAll(ins).count() == 0
