@@ -256,13 +256,33 @@ def create(
 
 
 def read(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    key_between: tuple | None = None,
 ) -> DataFrame:
     """Snapshot read: the table as of `version` (default: latest). Time
-    travel is free — every manifest is immutable and complete."""
+    travel is free — every manifest is immutable and complete.
+
+    `key_between=(lo, hi)` is manifest-level data skipping: groups whose
+    [min,max] key range misses the closed interval are dropped BEFORE
+    the scan is planned (driver-side, O(#groups) metadata — at 100 TB a
+    key-ranged lookup reads a handful of groups, not the table), and
+    the residual filter is applied to the surviving rows, so the result
+    equals a plain filter of the full snapshot."""
     v = latest_version(table) if version is None else version
     manifest = _read_manifest(table, v)
-    return _snapshot_df(spark, table, manifest, manifest["groups"])
+    groups = manifest["groups"]
+    if key_between is not None:
+        key = manifest["key"]
+        if key is None:
+            raise LedgerError("key_between requires a table with a key")
+        lo, hi = key_between
+        groups = [g for g in groups if _overlaps(g, lo, hi)]
+        return _snapshot_df(spark, table, manifest, groups).filter(
+            F.col(key).between(lo, hi)
+        )
+    return _snapshot_df(spark, table, manifest, groups)
 
 
 def append(

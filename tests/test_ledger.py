@@ -345,3 +345,35 @@ def test_changes_skips_carried_groups(spark, sf_dir, tmp_path, orders_slices):
     ins = feed.filter("_change_type = 'insert'").drop("_change_type")
     assert ins.exceptAll(hi_df).count() == 0
     assert hi_df.exceptAll(ins).count() == 0
+
+
+def test_read_key_between_skips_groups(spark, sf_dir, tmp_path, orders_slices):
+    """Manifest-level data skipping: a key-ranged read must (a) return
+    exactly what a plain filter of the full snapshot returns and (b)
+    plan its scan over ONLY the groups whose ranges overlap."""
+    snap, _ = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, snap.filter("o_orderkey < 1500"), key="o_orderkey"
+    )
+    ledger.append(
+        spark, t, snap.filter("o_orderkey >= 1500 AND o_orderkey < 3000")
+    )
+    ledger.append(spark, t, snap.filter("o_orderkey >= 3000"))
+
+    got = ledger.read(spark, t, key_between=(1500, 2500))
+    want = snap.filter("o_orderkey >= 1500 AND o_orderkey <= 2500")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # The scan's input files come from the middle group only.
+    files = [r.file for r in got.select(
+        F.input_file_name().alias("file")
+    ).distinct().collect()]
+    groups = ledger.history(t)[-1]["groups"]
+    assert all(groups[1]["path"] in f for f in files), files
+
+    with pytest.raises(ledger.LedgerError, match="requires a table"):
+        t2 = str(tmp_path / "t2")
+        ledger.create(spark, t2, snap)  # keyless
+        ledger.read(spark, t2, key_between=(0, 1))
