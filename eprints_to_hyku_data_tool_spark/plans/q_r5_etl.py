@@ -608,7 +608,7 @@ def _ledger_demo_table(spark: SparkSession, sf_dir: str) -> str:
     version 0 = an orders snapshot (the four stable columns), version 1
     = MERGE of a deterministic delta (every %97 key updated with
     +1000.00 total price, every %101 key mirrored to a negative key as
-    an insert). Returns the table path; y91 reads the merged head, y92
+    an insert). Returns the table path; x91 reads the merged head, x92
     time-travels to version 0. The format itself (atomic manifests,
     copy-on-write file groups, vacuum) is sources/ledger.py, unit-tested
     in tests/test_ledger.py — these two registered queries are the
@@ -657,7 +657,7 @@ _LEDGER_DELTA_SQL = """
 
 
 @register(
-    "y91_ledger_merge",
+    "x91_ledger_merge",
     oracle=f"""
     WITH delta AS ({_LEDGER_DELTA_SQL})
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM delta
@@ -680,27 +680,27 @@ _LEDGER_DELTA_SQL = """
     "parquet scan) is lossless (stretch beyond SURVEY §2; judge-noted "
     "r11 gap).",
 )
-def y91_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x91_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import ledger
 
     return ledger.read(spark, _ledger_demo_table(spark, sf_dir))
 
 
 @register(
-    "y92_ledger_time_travel",
+    "x92_ledger_time_travel",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders
     """,
     doc="Snapshot isolation / time travel on the ledger-table format: "
-    "AFTER y91's merge committed version 1, reading version 0 must "
+    "AFTER x91's merge committed version 1, reading version 0 must "
     "still return exactly the pre-merge snapshot — manifests are "
     "immutable and complete, so historical reads cost one JSON resolve "
     "plus a normal pruned parquet scan (no undo log, no lock). Oracle: "
     "the original orders projection (stretch beyond SURVEY §2; "
     "judge-noted r11 gap).",
 )
-def y92_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x92_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import ledger
 
     return ledger.read(spark, _ledger_demo_table(spark, sf_dir), version=0)

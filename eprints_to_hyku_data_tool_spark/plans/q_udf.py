@@ -100,7 +100,7 @@ def q658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X12 — grouped-agg pandas UDAF
 # --------------------------------------------------------------------------
 @register(
-    "q781_grouped_agg_udaf",
+    "z781_grouped_agg_udaf",
     oracle="""
     SELECT l_returnflag,
            round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
@@ -113,7 +113,7 @@ def q658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flag, used directly inside groupBy().agg() alongside built-ins. "
     "Rounded 4dp (summation-order noise) (SURVEY §2.10 X12).",
 )
-def q781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def weighted_mean_price(price: pd.Series, qty: pd.Series) -> float:
         # Quantity-weighted mean price over one group (Arrow-batched).
@@ -138,7 +138,7 @@ def q781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X13 — UDTF / mapInPandas one-to-many expansion (record shredding)
 # --------------------------------------------------------------------------
 @register(
-    "q782_mapinpandas_shred",
+    "z782_mapinpandas_shred",
     oracle="""
     SELECT doc_id,
            CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INT) AS pos,
@@ -151,7 +151,7 @@ def q781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(one parent record -> many child rows), batch-at-a-time with no "
     "JVM round trip per row (SURVEY §2.10 X13).",
 )
-def q782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
 
     def shred(batches):

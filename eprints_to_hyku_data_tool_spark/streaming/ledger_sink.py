@@ -1,6 +1,6 @@
 """Exactly-once streaming upsert into a ledger table (sources/ledger.py).
 
-The batch side of the migration has MERGE on storage (y91); a live
+The batch side of the migration has MERGE on storage (x91); a live
 ingest needs the same thing fed by a stream: every micro-batch of
 changed records upserts into the serving table, and a crash/restart
 must not double-apply a batch. Structured Streaming's contract is

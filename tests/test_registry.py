@@ -111,7 +111,7 @@ SECTION2_MAP = {
     "X09": None,  # streaming dedupe — tests/test_streaming.py
     "X10": None,  # stream-static join — tests/test_streaming.py
     "X11": None,  # stateful processing — tests/test_streaming.py
-    "X12": "q781_grouped_agg_udaf", "X13": "q782_mapinpandas_shred",
+    "X12": "z781_grouped_agg_udaf", "X13": "z782_mapinpandas_shred",
     "X14": "z783_sql_registered_udf", "X15": "q784_tfidf",
 }
 

@@ -126,13 +126,18 @@ _BUILD_RUNNER = textwrap.dedent(
         "noop"
     ).mode("overwrite").save()
 
-    from eprints_to_hyku_data_tool_spark.functions import copurchase, neardup
+    from eprints_to_hyku_data_tool_spark.functions import (
+        copurchase,
+        grams,
+        neardup,
+    )
 
     builds = {{
         "_build_copurchase_graph": lambda: copurchase.triangles(
             spark, sf_dir
         ),
         "_build_neardup_pairs": lambda: neardup.components(spark, sf_dir),
+        "_build_doc_grams": lambda: grams.doc_grams8(spark, sf_dir),
     }}
     t0 = time.perf_counter()
     builds[name]()
