@@ -52,14 +52,35 @@ orphans, and groups released by ``expire_history``). Bounded driver
 state throughout: manifests are O(#groups) JSON; no query data ever
 reaches the driver beyond one min/max/count row per write.
 
-Limitations vs the production formats, declared: single-key range
-stats (no multi-column Z-order pruning — functions/zorder has the
-layout side), no schema evolution (append/merge enforce the created
-schema), POSIX-atomic link (swap for a conditional PUT off-box).
+Beyond the single stats key, tables may declare extra ``stats_cols``
+at create: every group then records per-column [min,max] for each, and
+``read(between={col: (lo, hi)})`` prunes groups on ANY stats column
+before the scan is planned (the Iceberg column-stats capability; the
+key remains the merge/clustering column). Stats columns are restricted
+to types whose min/max order survives the JSON manifest (integers,
+floats, strings, dates, timestamps — date/timestamp are stored as ISO
+strings, whose lexicographic order matches chronological order).
+
+Schema evolution (add-column): ``append``/``merge`` with
+``merge_schema=True`` accept a source that ADDS nullable columns after
+the existing ones (same names/types for every existing column; no
+drops, no type changes — the safe evolution subset). The commit
+records the widened schema; old file groups are never rewritten —
+snapshot reads pass the manifest schema to the parquet scan and the
+reader fills the missing columns with NULL, so evolution is a pure
+metadata operation (the Delta/Iceberg add-column behavior). Time
+travel to a pre-evolution version reads with that version's schema.
+
+Remaining limitations vs the production formats, declared: no column
+drops/renames/type-widening (add-column only), no multi-column Z-order
+stats clustering (functions/zorder has the layout side; stats_cols
+gives the pruning side), POSIX-atomic link (swap for a conditional PUT
+off-box).
 """
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -68,7 +89,7 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LEDGER_DIR = "_ledger"
 _DATA_DIR = "data"
@@ -149,35 +170,76 @@ def history(table: str) -> list[dict]:
 # --------------------------------------------------------------------------
 # Data-group plumbing
 # --------------------------------------------------------------------------
+# Types whose per-group min/max survive the JSON manifest with their
+# order intact. date/timestamp are stored as ISO strings (lexicographic
+# == chronological for the fixed-width format); decimal is excluded —
+# float()-coercing it rounds, and a rounded bound can prune a group
+# that actually contains matches.
+_STATS_TYPES = {
+    "byte", "short", "integer", "long", "float", "double",
+    "string", "date", "timestamp", "timestamp_ntz",
+}
+
+
+def _stat_value(v):
+    """Coerce one min/max value to its JSON-manifest form, preserving
+    order within the column's type."""
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v  # int/float/str/bool/None pass through
+
+
 def _write_group(
-    spark: SparkSession, table: str, df: DataFrame, key: str | None
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    key: str | None,
+    stats_cols: list[str] | None = None,
 ) -> dict:
     """Write df as one new parquet file group and return its manifest
-    entry (path, rows, key min/max). Stats come from re-reading the
-    written files' key column — a footer-driven metadata-ish scan — so
-    df is computed exactly once regardless of its lineage."""
+    entry (path, rows, key min/max, plus [min,max] per declared stats
+    column). Stats come from re-reading the written files — a
+    footer-driven metadata-ish scan — so df is computed exactly once
+    regardless of its lineage, and ONE agg covers every stats column."""
     gid = uuid.uuid4().hex
     rel = f"{_DATA_DIR}/{gid}"
     gpath = os.path.join(table, rel)
     df.write.parquet(gpath)
     written = spark.read.parquet(gpath)
+    aggs = [F.count(F.lit(1)).alias("rows")]
     if key is not None:
-        stats = written.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min(key).alias("lo"),
-            F.max(key).alias("hi"),
-        ).first()
-        lo, hi = stats["lo"], stats["hi"]
-    else:
-        stats = written.agg(F.count(F.lit(1)).alias("rows")).first()
-        lo = hi = None
-    return {"path": rel, "rows": stats["rows"], "min_key": lo, "max_key": hi}
+        aggs += [F.min(key).alias("__klo"), F.max(key).alias("__khi")]
+    for c in stats_cols or []:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    stats = written.agg(*aggs).first()
+    lo = _stat_value(stats["__klo"]) if key is not None else None
+    hi = _stat_value(stats["__khi"]) if key is not None else None
+    entry = {"path": rel, "rows": stats["rows"], "min_key": lo, "max_key": hi}
+    if stats_cols:
+        entry["stats"] = {
+            c: [
+                _stat_value(stats[f"__lo_{c}"]),
+                _stat_value(stats[f"__hi_{c}"]),
+            ]
+            for c in stats_cols
+        }
+    return entry
 
 
 def _snapshot_df(
-    spark: SparkSession, table: str, manifest: dict, groups: list[dict]
+    spark: SparkSession,
+    table: str,
+    manifest: dict,
+    groups: list[dict],
+    schema: StructType | None = None,
 ) -> DataFrame:
-    schema = StructType.fromJson(manifest["schema"])
+    """Scan `groups` with the manifest schema (or an explicit override —
+    used to read pre-evolution groups with a widened schema: the parquet
+    reader fills columns absent from a file with NULL, which is exactly
+    the add-column evolution contract)."""
+    schema = schema or StructType.fromJson(manifest["schema"])
     if not groups:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, g["path"]) for g in groups]
@@ -198,8 +260,46 @@ def _check_schema(manifest: dict, df: DataFrame, what: str) -> None:
         )
 
 
+def _evolve_schema(
+    manifest: dict, df: DataFrame, what: str
+) -> StructType | None:
+    """Validate df against the table schema under add-column evolution:
+    every existing column must be present with its exact type (no drops,
+    renames, or type changes — the safe subset), and any NEW columns are
+    appended as nullable. Returns the widened schema, or None when df
+    adds nothing (no evolution needed)."""
+    want = StructType.fromJson(manifest["schema"])
+    want_types = {f.name: f.dataType for f in want}
+    got_types = {f.name: f.dataType for f in df.schema}
+    missing = [n for n in want_types if n not in got_types]
+    if missing:
+        raise LedgerError(
+            f"{what}: schema evolution cannot drop columns {missing} "
+            "(add-column only)"
+        )
+    changed = [
+        n for n, t in want_types.items() if got_types[n] != t
+    ]
+    if changed:
+        raise LedgerError(
+            f"{what}: schema evolution cannot change column types "
+            f"{changed} (add-column only)"
+        )
+    new_fields = [f for f in df.schema if f.name not in want_types]
+    if not new_fields:
+        return None
+    return StructType(
+        list(want)
+        + [StructField(f.name, f.dataType, True) for f in new_fields]
+    )
+
+
 def _new_manifest(
-    parent: dict, op: str, groups: list[dict], txn: dict | None = None
+    parent: dict,
+    op: str,
+    groups: list[dict],
+    txn: dict | None = None,
+    schema: StructType | None = None,
 ) -> dict:
     m = {
         "version": parent["version"] + 1,
@@ -207,9 +307,12 @@ def _new_manifest(
         "op": op,
         "ts": time.time(),
         "key": parent["key"],
-        "schema": parent["schema"],
+        "schema": schema.jsonValue() if schema is not None
+        else parent["schema"],
         "groups": groups,
     }
+    if parent.get("stats_cols"):
+        m["stats_cols"] = parent["stats_cols"]
     if txn is not None:
         m["txn"] = txn
     return m
@@ -232,17 +335,34 @@ def latest_txn(table: str, app: str) -> int | None:
 # Public API
 # --------------------------------------------------------------------------
 def create(
-    spark: SparkSession, table: str, df: DataFrame, key: str | None = None
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    key: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Create a ledger table at `table` from df as version 0. `key` is
     the stats column used for group pruning in merge/delete — pick the
-    natural clustering key (the merge key of the incremental feed)."""
+    natural clustering key (the merge key of the incremental feed).
+    `stats_cols` declares EXTRA columns whose per-group [min,max] every
+    write records, enabling `read(between={col: ...})` data skipping on
+    non-key columns (e.g. an event-time column on an id-keyed table)."""
     if os.path.isdir(_ledger_path(table)) and _versions(table):
         raise LedgerError(f"table already exists: {table}")
     if key is not None and key not in df.columns:
         raise LedgerError(f"key column {key!r} not in schema")
+    types = {f.name: f.dataType for f in df.schema}
+    for c in stats_cols or []:
+        if c not in types:
+            raise LedgerError(f"stats column {c!r} not in schema")
+        if types[c].typeName() not in _STATS_TYPES:
+            raise LedgerError(
+                f"stats column {c!r} has type {types[c].simpleString()}; "
+                "order-preserving manifest stats require one of: "
+                + ", ".join(sorted(_STATS_TYPES))
+            )
     os.makedirs(table, exist_ok=True)
-    group = _write_group(spark, table, df, key)
+    group = _write_group(spark, table, df, key, stats_cols)
     manifest = {
         "version": 0,
         "parent": None,
@@ -252,6 +372,8 @@ def create(
         "schema": df.schema.jsonValue(),
         "groups": [group],
     }
+    if stats_cols:
+        manifest["stats_cols"] = list(stats_cols)
     return _commit(table, manifest)
 
 
@@ -260,29 +382,76 @@ def read(
     table: str,
     version: int | None = None,
     key_between: tuple | None = None,
+    between: dict | None = None,
 ) -> DataFrame:
     """Snapshot read: the table as of `version` (default: latest). Time
     travel is free — every manifest is immutable and complete.
 
-    `key_between=(lo, hi)` is manifest-level data skipping: groups whose
-    [min,max] key range misses the closed interval are dropped BEFORE
-    the scan is planned (driver-side, O(#groups) metadata — at 100 TB a
-    key-ranged lookup reads a handful of groups, not the table), and
-    the residual filter is applied to the surviving rows, so the result
-    equals a plain filter of the full snapshot."""
+    `key_between=(lo, hi)` and `between={col: (lo, hi), ...}` are
+    manifest-level data skipping: groups whose [min,max] range for the
+    key (or any declared stats column) misses the closed interval are
+    dropped BEFORE the scan is planned (driver-side, O(#groups)
+    metadata — at 100 TB a ranged lookup reads a handful of groups, not
+    the table), and the residual filters are applied to the surviving
+    rows, so the result equals a plain filter of the full snapshot.
+    Several `between` columns compose conjunctively. Groups lacking
+    stats for a column (pre-evolution groups) are conservatively kept."""
     v = latest_version(table) if version is None else version
     manifest = _read_manifest(table, v)
     groups = manifest["groups"]
+    key = manifest["key"]
+    bounds = dict(between or {})
     if key_between is not None:
-        key = manifest["key"]
         if key is None:
             raise LedgerError("key_between requires a table with a key")
-        lo, hi = key_between
-        groups = [g for g in groups if _overlaps(g, lo, hi)]
-        return _snapshot_df(spark, table, manifest, groups).filter(
-            F.col(key).between(lo, hi)
-        )
-    return _snapshot_df(spark, table, manifest, groups)
+        bounds[key] = key_between
+    if not bounds:
+        return _snapshot_df(spark, table, manifest, groups)
+
+    stats_cols = set(manifest.get("stats_cols") or [])
+    col_types = {
+        f.name: f.dataType.typeName()
+        for f in StructType.fromJson(manifest["schema"])
+    }
+    residual = []
+    for col, (lo, hi) in bounds.items():
+        if col != key and col not in stats_cols:
+            raise LedgerError(
+                f"no manifest stats for column {col!r}: declare it in "
+                "stats_cols at create, or filter the snapshot directly"
+            )
+
+        def _bound(v, col=col):
+            # A date bound on a timestamp column must be promoted to
+            # midnight BEFORE the ISO coercion: "1995-12-31" sorts
+            # before "1995-12-31 00:00:00" lexicographically, which
+            # would over-prune; Spark's residual filter coerces the
+            # same way, so prune and filter stay consistent.
+            if (
+                col_types.get(col, "").startswith("timestamp")
+                and isinstance(v, datetime.date)
+                and not isinstance(v, datetime.datetime)
+            ):
+                v = datetime.datetime.combine(v, datetime.time.min)
+            return _stat_value(v)
+
+        clo, chi = _bound(lo), _bound(hi)
+
+        def _keep(g, col=col, clo=clo, chi=chi):
+            if col == key:
+                glo, ghi = g["min_key"], g["max_key"]
+            else:
+                glo, ghi = (g.get("stats") or {}).get(col, (None, None))
+            if glo is None or ghi is None:
+                return True  # no stats -> must assume it may match
+            return not (ghi < clo or glo > chi)
+
+        groups = [g for g in groups if _keep(g)]
+        residual.append(F.col(col).between(lo, hi))
+    df = _snapshot_df(spark, table, manifest, groups)
+    for pred in residual:
+        df = df.filter(pred)
+    return df
 
 
 def append(
@@ -290,14 +459,28 @@ def append(
     table: str,
     df: DataFrame,
     txn: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
-    """Add rows without touching existing groups (blind append)."""
+    """Add rows without touching existing groups (blind append). With
+    `merge_schema=True`, df may ADD nullable columns (add-column
+    evolution): the commit records the widened schema and old groups
+    are untouched — readers fill the new columns with NULL there."""
     parent = _read_manifest(table, latest_version(table))
-    _check_schema(parent, df, "append")
-    group = _write_group(spark, table, df, parent["key"])
+    schema = None
+    if merge_schema:
+        schema = _evolve_schema(parent, df, "append")
+        if schema is not None:
+            df = df.select([f.name for f in schema])
+    else:
+        _check_schema(parent, df, "append")
+    group = _write_group(
+        spark, table, df, parent["key"], parent.get("stats_cols")
+    )
     return _commit(
         table,
-        _new_manifest(parent, "append", parent["groups"] + [group], txn),
+        _new_manifest(
+            parent, "append", parent["groups"] + [group], txn, schema
+        ),
     )
 
 
@@ -306,7 +489,9 @@ def overwrite(spark: SparkSession, table: str, df: DataFrame) -> int:
     stay readable until expire_history + vacuum)."""
     parent = _read_manifest(table, latest_version(table))
     _check_schema(parent, df, "overwrite")
-    group = _write_group(spark, table, df, parent["key"])
+    group = _write_group(
+        spark, table, df, parent["key"], parent.get("stats_cols")
+    )
     return _commit(table, _new_manifest(parent, "overwrite", [group]))
 
 
@@ -321,17 +506,27 @@ def merge(
     table: str,
     source: DataFrame,
     txn: dict | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE INTO: WHEN MATCHED (on the table key) UPDATE to the source
     row, WHEN NOT MATCHED INSERT it — the z8330 relational semantics,
     executed copy-on-write on storage. Only file groups whose key range
     overlaps the source's [min,max] are read and rewritten; everything
-    else carries over by reference."""
+    else carries over by reference. With `merge_schema=True`, source
+    may ADD nullable columns (add-column evolution): touched target
+    rows read the new columns as NULL before the upsert, untouched
+    groups stay physically narrow and read as NULL forever after."""
     parent = _read_manifest(table, latest_version(table))
     key = parent["key"]
     if key is None:
         raise LedgerError("merge requires a table created with a key")
-    _check_schema(parent, source, "merge")
+    schema = None
+    if merge_schema:
+        schema = _evolve_schema(parent, source, "merge")
+        if schema is not None:
+            source = source.select([f.name for f in schema])
+    else:
+        _check_schema(parent, source, "merge")
 
     # MERGE is ill-defined when two source rows hit one target row; the
     # production formats reject it, so do we (one tiny agg).
@@ -350,15 +545,16 @@ def merge(
     ).first()
     if bounds["lo"] is None:  # empty source: commit a no-op version
         return _commit(
-            table, _new_manifest(parent, "merge", parent["groups"], txn)
+            table,
+            _new_manifest(parent, "merge", parent["groups"], txn, schema),
         )
 
-    touched = [
-        g for g in parent["groups"] if _overlaps(g, bounds["lo"], bounds["hi"])
-    ]
+    blo = _stat_value(bounds["lo"])
+    bhi = _stat_value(bounds["hi"])
+    touched = [g for g in parent["groups"] if _overlaps(g, blo, bhi)]
     kept = [g for g in parent["groups"] if g not in touched]
 
-    tgt = _snapshot_df(spark, table, parent, touched)
+    tgt = _snapshot_df(spark, table, parent, touched, schema)
     # Upsert: target rows whose key is not in the source survive; every
     # source row lands (update == replace-whole-row, insert == new key).
     # No broadcast hint — the delta may be any size; AQE picks the join.
@@ -366,9 +562,11 @@ def merge(
         source.select(key), key, "left_anti"
     ).unionByName(source)
 
-    group = _write_group(spark, table, merged, key)
+    group = _write_group(
+        spark, table, merged, key, parent.get("stats_cols")
+    )
     return _commit(
-        table, _new_manifest(parent, "merge", kept + [group], txn)
+        table, _new_manifest(parent, "merge", kept + [group], txn, schema)
     )
 
 
@@ -391,7 +589,13 @@ def delete_where(
         else:
             survivors = gdf.filter(~pred)
             rewritten.append(
-                _write_group(spark, table, survivors, parent["key"])
+                _write_group(
+                    spark,
+                    table,
+                    survivors,
+                    parent["key"],
+                    parent.get("stats_cols"),
+                )
             )
     return _commit(
         table, _new_manifest(parent, "delete", kept + rewritten)
@@ -470,7 +674,11 @@ def compact(
             rewritten.append(b[0])
             continue
         df = _snapshot_df(spark, table, parent, b)
-        rewritten.append(_write_group(spark, table, df, parent["key"]))
+        rewritten.append(
+            _write_group(
+                spark, table, df, parent["key"], parent.get("stats_cols")
+            )
+        )
     return _commit(
         table, _new_manifest(parent, "compact", big + rewritten)
     )
@@ -496,8 +704,13 @@ def changes(
     pt = {g["path"] for g in mt["groups"]}
     only_old = [g for g in mf["groups"] if g["path"] not in pt]
     only_new = [g for g in mt["groups"] if g["path"] not in pf]
-    old_df = _snapshot_df(spark, table, mf, only_old)
-    new_df = _snapshot_df(spark, table, mt, only_new)
+    # Across an add-column evolution boundary both sides are read with
+    # the newer (wider) schema, so an old row compares as its new-schema
+    # form (new columns NULL) — a row whose only change is gaining a
+    # non-NULL value in a new column shows up as delete+insert.
+    schema = StructType.fromJson(mt["schema"])
+    old_df = _snapshot_df(spark, table, mf, only_old, schema)
+    new_df = _snapshot_df(spark, table, mt, only_new, schema)
     return new_df.exceptAll(old_df).withColumn(
         "_change_type", F.lit("insert")
     ).unionByName(

@@ -377,3 +377,253 @@ def test_read_key_between_skips_groups(spark, sf_dir, tmp_path, orders_slices):
         t2 = str(tmp_path / "t2")
         ledger.create(spark, t2, snap)  # keyless
         ledger.read(spark, t2, key_between=(0, 1))
+
+
+# --------------------------------------------------------------------------
+# Multi-column stats (stats_cols) + between pruning
+# --------------------------------------------------------------------------
+def test_stats_cols_prune_non_key_column(spark, sf_dir, tmp_path):
+    """A table keyed on o_orderkey with declared stats on o_totalprice:
+    a between-read on the NON-KEY column must (a) equal a plain filter
+    of the snapshot and (b) scan only groups whose recorded price range
+    overlaps."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    # Three groups CLUSTERED by price (so price ranges are disjoint),
+    # while the key ranges interleave — key stats alone cannot prune.
+    ledger.create(
+        spark,
+        t,
+        orders.filter("o_totalprice < 50000"),
+        key="o_orderkey",
+        stats_cols=["o_totalprice"],
+    )
+    ledger.append(
+        spark,
+        t,
+        orders.filter("o_totalprice >= 50000 AND o_totalprice < 150000"),
+    )
+    ledger.append(spark, t, orders.filter("o_totalprice >= 150000"))
+    groups = ledger.history(t)[-1]["groups"]
+    assert len(groups) == 3
+    assert all("o_totalprice" in g["stats"] for g in groups)
+
+    got = ledger.read(spark, t, between={"o_totalprice": (60000.0, 90000.0)})
+    want = ledger.read(spark, t).filter(
+        "o_totalprice >= 60000 AND o_totalprice <= 90000"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # Only the middle group's files are scanned.
+    files = [
+        r.file
+        for r in got.select(F.input_file_name().alias("file"))
+        .distinct()
+        .collect()
+    ]
+    assert files and all(groups[1]["path"] in f for f in files), files
+
+
+def test_between_composes_key_and_stats_column(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, orders, key="o_orderkey", stats_cols=["o_totalprice"]
+    )
+    got = ledger.read(
+        spark,
+        t,
+        between={"o_orderkey": (100, 3000), "o_totalprice": (0.0, 80000.0)},
+    )
+    want = orders.filter(
+        "o_orderkey BETWEEN 100 AND 3000 "
+        "AND o_totalprice BETWEEN 0 AND 80000"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_between_requires_declared_stats(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, orders, key="o_orderkey")
+    with pytest.raises(ledger.LedgerError, match="no manifest stats"):
+        ledger.read(spark, t, between={"o_totalprice": (0.0, 1.0)})
+
+
+def test_stats_cols_rejects_unorderable_type(spark, sf_dir, tmp_path):
+    """DECIMAL stats would round through the JSON manifest and could
+    prune a group that contains matches — rejected at create."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,6)").alias("price_dec"),
+    )
+    t = str(tmp_path / "t")
+    with pytest.raises(ledger.LedgerError, match="order-preserving"):
+        ledger.create(
+            spark, t, lineitem, key="l_orderkey", stats_cols=["price_dec"]
+        )
+
+
+def test_date_stats_survive_manifest_roundtrip(spark, sf_dir, tmp_path):
+    """Date stats are stored as ISO strings (lexicographic order ==
+    chronological); pruning with datetime.date bounds works and matches
+    a plain filter."""
+    import datetime
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark,
+        t,
+        orders.filter("o_orderdate < DATE '1994-01-01'"),
+        key="o_orderkey",
+        stats_cols=["o_orderdate"],
+    )
+    ledger.append(
+        spark, t, orders.filter("o_orderdate >= DATE '1994-01-01'")
+    )
+    lo = datetime.date(1995, 1, 1)
+    hi = datetime.date(1995, 12, 31)
+    got = ledger.read(spark, t, between={"o_orderdate": (lo, hi)})
+    want = orders.filter(
+        "o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # The pre-1994 group is pruned from the scan plan.
+    groups = ledger.history(t)[-1]["groups"]
+    files = [
+        r.file
+        for r in got.select(F.input_file_name().alias("file"))
+        .distinct()
+        .collect()
+    ]
+    assert files and all(groups[1]["path"] in f for f in files)
+
+
+# --------------------------------------------------------------------------
+# Schema evolution (add-column)
+# --------------------------------------------------------------------------
+def test_append_merge_schema_adds_nullable_column(spark, sf_dir, tmp_path):
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, region.filter("r_regionkey < 3"))
+    wide = region.filter("r_regionkey >= 3").withColumn(
+        "r_flag", F.lit("new")
+    )
+    ledger.append(spark, t, wide, merge_schema=True)
+
+    got = ledger.read(spark, t)
+    assert got.columns == ["r_regionkey", "r_name", "r_flag"]
+    # Old rows read the new column as NULL; new rows carry their value.
+    assert got.filter("r_regionkey < 3 AND r_flag IS NULL").count() == 3
+    assert got.filter("r_regionkey >= 3 AND r_flag = 'new'").count() == 2
+    # Time travel to the pre-evolution version keeps the narrow schema.
+    assert ledger.read(spark, t, version=0).columns == [
+        "r_regionkey", "r_name",
+    ]
+
+
+def test_merge_with_schema_evolution(spark, sf_dir, tmp_path, orders_slices):
+    """Upsert a delta that adds a column: matched rows are replaced by
+    the wide source row, unmatched target rows read NULL for the new
+    column, untouched groups stay physically narrow (copy-on-write)."""
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, snap.filter("o_orderkey < 1000"), key="o_orderkey"
+    )
+    ledger.append(spark, t, snap.filter("o_orderkey >= 1000"))
+    before = ledger.history(t)[-1]["groups"]
+
+    wide_delta = delta.withColumn("source_batch", F.lit(7))
+    ledger.merge(spark, t, wide_delta, merge_schema=True)
+
+    after = ledger.history(t)[-1]["groups"]
+    # The low-key group (keys < 1000, outside the delta's range) carries
+    # over by reference even though the table schema widened.
+    assert before[0]["path"] in {g["path"] for g in after}
+
+    got = ledger.read(spark, t)
+    assert got.columns == [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "source_batch",
+    ]
+    expected_narrow = (
+        snap.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(delta)
+    )
+    assert got.count() == expected_narrow.count()
+    # Every delta key carries batch 7; every surviving row doesn't.
+    assert (
+        got.filter("source_batch = 7").count() == wide_delta.count()
+    )
+    assert (
+        got.filter("source_batch IS NULL").count()
+        == expected_narrow.count() - wide_delta.count()
+    )
+    # Values round-trip: the narrow projection equals the pure upsert.
+    narrow = got.drop("source_batch")
+    assert narrow.exceptAll(expected_narrow).count() == 0
+    assert expected_narrow.exceptAll(narrow).count() == 0
+
+
+def test_schema_evolution_rejects_drops_and_type_changes(
+    spark, sf_dir, tmp_path
+):
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, region)
+    with pytest.raises(ledger.LedgerError, match="cannot drop"):
+        ledger.append(
+            spark, t, region.select("r_regionkey"), merge_schema=True
+        )
+    with pytest.raises(ledger.LedgerError, match="cannot change"):
+        ledger.append(
+            spark,
+            t,
+            region.withColumn(
+                "r_regionkey", F.col("r_regionkey").cast("string")
+            ),
+            merge_schema=True,
+        )
+
+
+def test_changes_across_evolution_boundary(spark, sf_dir, tmp_path):
+    """CDF spanning an add-column commit: both sides are compared under
+    the wider schema, so an updated row appears as delete(old, NULL) +
+    insert(new, value)."""
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, region, key="r_regionkey")
+    delta = (
+        region.filter("r_regionkey = 0")
+        .withColumn("r_name", F.lit("RENAMED"))
+        .withColumn("r_flag", F.lit(1))
+    )
+    ledger.merge(spark, t, delta, merge_schema=True)
+    feed = ledger.changes(spark, t, 0, 1)
+    assert feed.columns == [
+        "r_regionkey", "r_name", "r_flag", "_change_type",
+    ]
+    ins = feed.filter("_change_type = 'insert'")
+    dels = feed.filter("_change_type = 'delete'")
+    assert ins.count() == 1 and dels.count() == 1
+    assert ins.first()["r_name"] == "RENAMED" and ins.first()["r_flag"] == 1
+    assert dels.first()["r_flag"] is None
