@@ -71,10 +71,19 @@ reader fills the missing columns with NULL, so evolution is a pure
 metadata operation (the Delta/Iceberg add-column behavior). Time
 travel to a pre-evolution version reads with that version's schema.
 
+``optimize_zorder`` is OPTIMIZE ... ZORDER BY: it rewrites the snapshot
+clustered on the Morton interleave of per-column quantile-rank codes
+and cuts groups on z-value quantiles, so the per-group envelopes of
+EVERY cluster dimension tighten at once and ``between`` pruning works
+on all of them (a single-column sort gives one dimension only). One
+staged partitionBy write + two column-pruned quantile passes + one
+stats agg — no driver loop over buckets, no row data on the driver.
+
 Remaining limitations vs the production formats, declared: no column
-drops/renames/type-widening (add-column only), no multi-column Z-order
-stats clustering (functions/zorder has the layout side; stats_cols
-gives the pruning side), POSIX-atomic link (swap for a conditional PUT
+drops/renames/type-widening (add-column only), z-order cluster columns
+must be numeric/date/timestamp (rank codes need a numeric proxy; no
+string truncation codes yet), whole-snapshot optimize (no incremental
+file selection), POSIX-atomic link (swap for a conditional PUT
 off-box).
 """
 
@@ -93,6 +102,7 @@ from pyspark.sql.types import StructField, StructType
 
 _LEDGER_DIR = "_ledger"
 _DATA_DIR = "data"
+_STAGING_PREFIX = "tmp-optimize-"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -630,6 +640,12 @@ def vacuum(table: str) -> list[str]:
         if rel not in live:
             shutil.rmtree(os.path.join(d, gid))
             removed.append(rel)
+    # Crashed optimize_zorder runs leave a staging dir at the table
+    # root; no manifest ever references it, so it is always dead.
+    for name in sorted(os.listdir(table)):
+        if name.startswith(_STAGING_PREFIX):
+            shutil.rmtree(os.path.join(table, name))
+            removed.append(name)
     return removed
 
 
@@ -682,6 +698,186 @@ def compact(
     return _commit(
         table, _new_manifest(parent, "compact", big + rewritten)
     )
+
+
+def _quantile_codes(df: DataFrame, proxy: Column, bits: int) -> Column:
+    """A 0..2^bits-1 rank code for `col`: approxQuantile boundaries on a
+    numeric proxy (computed once, driver-side, O(2^bits) values), then a
+    JVM higher-order count-of-boundaries-below per row — no global
+    window, no shuffle, codegen-friendly. Rank coding (vs raw bit
+    truncation) makes the z-curve skew-proof: each code level holds
+    ~equal row mass whatever the value distribution."""
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    bnds = df.select(proxy.alias("__p")).approxQuantile(
+        "__p", probs, 0.001
+    )
+    # Dedupe (heavy hitters repeat boundaries); fewer codes is fine.
+    uniq: list[float] = []
+    for b in bnds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    if not uniq:  # empty / all-NULL column: everything codes to 0
+        return F.lit(0)
+    code = F.size(
+        F.filter(
+            F.lit(uniq).cast("array<double>"),
+            lambda b: b <= proxy,
+        )
+    )
+    return F.when(proxy.isNull(), F.lit(0)).otherwise(code)
+
+
+def _numeric_proxy(df: DataFrame, col: str) -> Column:
+    t = dict(df.dtypes)[col]
+    if t in ("date", "timestamp", "timestamp_ntz"):
+        return F.col(col).cast("timestamp").cast("long").cast("double")
+    if t in (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    ):
+        return F.col(col).cast("double")
+    raise LedgerError(
+        f"optimize_zorder: column {col!r} has type {t}; v1 clusters "
+        "numeric/date/timestamp columns only (declared limitation)"
+    )
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    table: str,
+    cluster_by: list[str],
+    target_rows: int = 1_000_000,
+    bits: int = 8,
+) -> int:
+    """OPTIMIZE ... ZORDER BY: rewrite the current snapshot clustered on
+    the Morton interleave of per-column quantile-rank codes, cutting the
+    new file groups on z-value quantiles — so every cluster dimension's
+    per-group [min,max] envelope tightens at once and `read(between=)`
+    prunes on ANY of them (single-column sort gives this for one
+    dimension only). Snapshot row-identical; the commit is a new
+    version, so time travel and vacuum behave as for compact().
+
+    The 100 TB shape: two approxQuantile passes column-pruned to the
+    cluster columns, ONE full write job (partitionBy on the z-bucket —
+    no driver loop over buckets), one column-pruned stats agg over the
+    staged output, then pure metadata moves. Driver state is O(#groups
+    + 2^bits * #cluster_by) — never row data.
+
+    Declares its v1 limits loudly: numeric/date/timestamp cluster
+    columns (rank codes need a numeric proxy), and like compact() it
+    rewrites the whole snapshot (no incremental optimize)."""
+    parent = _read_manifest(table, latest_version(table))
+    if not cluster_by:
+        raise LedgerError("optimize_zorder: cluster_by must be non-empty")
+    schema = StructType.fromJson(parent["schema"])
+    names = [f.name for f in schema]
+    for c in cluster_by:
+        if c not in names:
+            raise LedgerError(f"cluster column {c!r} not in schema")
+
+    snap = _snapshot_df(spark, table, parent, parent["groups"])
+    total = sum(g["rows"] for g in parent["groups"])
+    num_groups = max(1, -(-total // max(1, target_rows)))
+
+    # Per-column rank codes -> Morton interleave (bit j of column i
+    # lands at position j*ncols + i, the classic z-curve).
+    ncols = len(cluster_by)
+    zval = F.lit(0).cast("long")
+    for i, c in enumerate(cluster_by):
+        code = _quantile_codes(snap, _numeric_proxy(snap, c), bits)
+        for j in range(bits):
+            zval = zval + F.shiftleft(
+                F.shiftright(code, j).bitwiseAND(F.lit(1)),
+                j * ncols + i,
+            ).cast("long")
+    staged = snap.withColumn("__zval", zval)
+
+    # Cut groups on z-value quantiles: ~equal rows per group.
+    probs = [i / num_groups for i in range(1, num_groups)]
+    zb = (
+        staged.select("__zval").approxQuantile("__zval", probs, 0.001)
+        if probs
+        else []
+    )
+    uniq: list[float] = []
+    for b in zb:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    if uniq:
+        bucket = F.size(
+            F.filter(
+                F.lit(uniq).cast("array<double>"),
+                lambda b: b <= F.col("__zval"),
+            )
+        )
+    else:
+        bucket = F.lit(0)
+
+    # Not dot/underscore-prefixed: Spark's hidden-path filter would
+    # ignore it on the stats read-back. vacuum() collects crashed
+    # writers' leftover staging dirs by this prefix.
+    staging = os.path.join(table, f"{_STAGING_PREFIX}{uuid.uuid4().hex}")
+    try:
+        (
+            staged.withColumn("__zbucket", bucket)
+            .select(*names, "__zbucket", "__zval")
+            # Range-repartition on (bucket, zval) BEFORE the partitioned
+            # write: each task then feeds ~one bucket (otherwise every
+            # task opens a file in every bucket -> tasks x groups tiny
+            # files), and rows land z-sorted within each group's files
+            # so parquet row-group footer stats are tight too.
+            .repartitionByRange(
+                num_groups, F.col("__zbucket"), F.col("__zval")
+            )
+            .drop("__zval")
+            .write.partitionBy("__zbucket")
+            .parquet(staging)
+        )
+        back = spark.read.parquet(staging)
+        stats_cols = parent.get("stats_cols") or []
+        key = parent["key"]
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        if key is not None:
+            aggs += [F.min(key).alias("__klo"), F.max(key).alias("__khi")]
+        for c in stats_cols:
+            aggs += [
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+            ]
+        per_bucket = back.groupBy("__zbucket").agg(*aggs).collect()
+
+        groups = []
+        for row in sorted(per_bucket, key=lambda r: r["__zbucket"]):
+            k = row["__zbucket"]
+            gid = uuid.uuid4().hex
+            rel = f"{_DATA_DIR}/{gid}"
+            os.rename(
+                os.path.join(staging, f"__zbucket={k}"),
+                os.path.join(table, rel),
+            )
+            entry = {
+                "path": rel,
+                "rows": row["rows"],
+                "min_key": _stat_value(row["__klo"])
+                if key is not None
+                else None,
+                "max_key": _stat_value(row["__khi"])
+                if key is not None
+                else None,
+            }
+            if stats_cols:
+                entry["stats"] = {
+                    c: [
+                        _stat_value(row[f"__lo_{c}"]),
+                        _stat_value(row[f"__hi_{c}"]),
+                    ]
+                    for c in stats_cols
+                }
+            groups.append(entry)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+    return _commit(table, _new_manifest(parent, "optimize", groups))
 
 
 def changes(

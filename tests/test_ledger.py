@@ -603,6 +603,89 @@ def test_schema_evolution_rejects_drops_and_type_changes(
         )
 
 
+# --------------------------------------------------------------------------
+# OPTIMIZE ZORDER BY (multi-dimension stats clustering)
+# --------------------------------------------------------------------------
+def test_optimize_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """After z-order optimize on (o_custkey, o_totalprice), a narrow
+    between-read on EITHER column must scan a strict subset of the
+    groups — the property a single-column sort cannot give — and the
+    snapshot must be row-identical."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark,
+        t,
+        orders,
+        key="o_orderkey",
+        stats_cols=["o_custkey", "o_totalprice"],
+    )
+    n = orders.count()
+    before = ledger.read(spark, t)
+    ledger.optimize_zorder(
+        spark,
+        t,
+        cluster_by=["o_custkey", "o_totalprice"],
+        target_rows=max(1, n // 16),
+    )
+    m = ledger.history(t)[-1]
+    assert m["op"] == "optimize"
+    groups = m["groups"]
+    assert len(groups) >= 4
+    assert sum(g["rows"] for g in groups) == n
+
+    after = ledger.read(spark, t)
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+
+    def scanned_groups(df):
+        files = [
+            r.file
+            for r in df.select(F.input_file_name().alias("file"))
+            .distinct()
+            .collect()
+        ]
+        return {
+            g["path"] for g in groups if any(g["path"] in f for f in files)
+        }
+
+    # Bands inside the lower half of each distribution: a band that
+    # straddles the median crosses the z-curve's TOP bit and touches
+    # every group by construction — that is expected z-order behavior,
+    # not a pruning failure.
+    stats = orders.agg(
+        F.expr("percentile(o_custkey, 0.05)").alias("clo"),
+        F.expr("percentile(o_custkey, 0.40)").alias("chi"),
+        F.expr("percentile(o_totalprice, 0.05)").alias("plo"),
+        F.expr("percentile(o_totalprice, 0.40)").alias("phi"),
+    ).first()
+    for col, lo, hi in [
+        ("o_custkey", int(stats["clo"]), int(stats["chi"])),
+        ("o_totalprice", stats["plo"], stats["phi"]),
+    ]:
+        got = ledger.read(spark, t, between={col: (lo, hi)})
+        want = ledger.read(spark, t).filter(F.col(col).between(lo, hi))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        assert len(scanned_groups(got)) < len(groups), col
+
+
+def test_optimize_zorder_rejects_unsupported(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, orders, key="o_orderkey")
+    with pytest.raises(ledger.LedgerError, match="numeric/date/timestamp"):
+        ledger.optimize_zorder(spark, t, cluster_by=["o_orderstatus"])
+    with pytest.raises(ledger.LedgerError, match="not in schema"):
+        ledger.optimize_zorder(spark, t, cluster_by=["nope"])
+    with pytest.raises(ledger.LedgerError, match="non-empty"):
+        ledger.optimize_zorder(spark, t, cluster_by=[])
+
+
 def test_changes_across_evolution_boundary(spark, sf_dir, tmp_path):
     """CDF spanning an add-column commit: both sides are compared under
     the wider schema, so an updated row appears as delete(old, NULL) +
