@@ -81,10 +81,10 @@ stats agg — no driver loop over buckets, no row data on the driver.
 
 Remaining limitations vs the production formats, declared: no column
 drops/renames/type-widening (add-column only), z-order cluster columns
-must be numeric/date/timestamp (rank codes need a numeric proxy; no
-string truncation codes yet), whole-snapshot optimize (no incremental
-file selection), POSIX-atomic link (swap for a conditional PUT
-off-box).
+must be numeric/date/timestamp/string (strings use sampled range
+boundaries, the RangePartitioner approach), whole-snapshot optimize
+(no incremental file selection), POSIX-atomic link (swap for a
+conditional PUT off-box).
 """
 
 from __future__ import annotations
@@ -700,46 +700,74 @@ def compact(
     )
 
 
-def _quantile_codes(df: DataFrame, proxy: Column, bits: int) -> Column:
-    """A 0..2^bits-1 rank code for `col`: approxQuantile boundaries on a
-    numeric proxy (computed once, driver-side, O(2^bits) values), then a
-    JVM higher-order count-of-boundaries-below per row — no global
-    window, no shuffle, codegen-friendly. Rank coding (vs raw bit
-    truncation) makes the z-curve skew-proof: each code level holds
-    ~equal row mass whatever the value distribution."""
+def _dedupe_sorted(vals: list) -> list:
+    uniq: list = []
+    for v in vals:
+        if not uniq or v > uniq[-1]:
+            uniq.append(v)
+    return uniq
+
+
+def _rank_code(
+    df: DataFrame, col: str, bits: int, total_rows: int
+) -> Column:
+    """A 0..2^bits-1 rank code for `col`: quantile boundaries computed
+    once driver-side (O(2^bits) values), then a JVM higher-order
+    count-of-boundaries-below per row — no global window, no shuffle,
+    codegen-friendly. Rank coding (vs raw bit truncation) makes the
+    z-curve skew-proof: each code level holds ~equal row mass whatever
+    the value distribution. NULLs code to 0 (cluster first).
+
+    Numeric/date/timestamp columns use approxQuantile on a numeric
+    proxy. Strings use a RangePartitioner-style bounded random sample
+    (~64 candidates per boundary, ≤ 2^bits * 64 values on the driver) —
+    sampling quality only affects layout balance, never correctness:
+    the optimized snapshot is row-identical for ANY boundary choice."""
     n = 1 << bits
+    t = dict(df.dtypes)[col]
+    if t == "string":
+        target = n * 64
+        frac = min(1.0, 1.2 * target / max(1, total_rows))
+        vals = sorted(
+            r[0]
+            for r in df.select(col).dropna().sample(frac, seed=42).collect()
+        )
+        if not vals:
+            return F.lit(0)
+        step = max(1, len(vals) // n)
+        bnds = _dedupe_sorted(
+            [vals[i] for i in range(step, len(vals), step)]
+        )[: n - 1]
+        if not bnds:
+            return F.lit(0)
+        code = F.size(
+            F.filter(
+                F.lit(bnds).cast("array<string>"),
+                lambda b: b <= F.col(col),
+            )
+        )
+        return F.when(F.col(col).isNull(), F.lit(0)).otherwise(code)
+
+    if t in ("date", "timestamp", "timestamp_ntz"):
+        proxy = F.col(col).cast("timestamp").cast("long").cast("double")
+    elif t in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+        proxy = F.col(col).cast("double")
+    else:
+        raise LedgerError(
+            f"optimize_zorder: column {col!r} has type {t}; cluster "
+            "columns must be numeric/date/timestamp/string (declared "
+            "limitation)"
+        )
     probs = [i / n for i in range(1, n)]
-    bnds = df.select(proxy.alias("__p")).approxQuantile(
-        "__p", probs, 0.001
+    bnds = _dedupe_sorted(
+        df.select(proxy.alias("__p")).approxQuantile("__p", probs, 0.001)
     )
-    # Dedupe (heavy hitters repeat boundaries); fewer codes is fine.
-    uniq: list[float] = []
-    for b in bnds:
-        if not uniq or b > uniq[-1]:
-            uniq.append(b)
-    if not uniq:  # empty / all-NULL column: everything codes to 0
+    if not bnds:  # empty / all-NULL column: everything codes to 0
         return F.lit(0)
     code = F.size(
-        F.filter(
-            F.lit(uniq).cast("array<double>"),
-            lambda b: b <= proxy,
-        )
+        F.filter(F.lit(bnds).cast("array<double>"), lambda b: b <= proxy)
     )
     return F.when(proxy.isNull(), F.lit(0)).otherwise(code)
-
-
-def _numeric_proxy(df: DataFrame, col: str) -> Column:
-    t = dict(df.dtypes)[col]
-    if t in ("date", "timestamp", "timestamp_ntz"):
-        return F.col(col).cast("timestamp").cast("long").cast("double")
-    if t in (
-        "tinyint", "smallint", "int", "bigint", "float", "double",
-    ):
-        return F.col(col).cast("double")
-    raise LedgerError(
-        f"optimize_zorder: column {col!r} has type {t}; v1 clusters "
-        "numeric/date/timestamp columns only (declared limitation)"
-    )
 
 
 def optimize_zorder(
@@ -763,9 +791,9 @@ def optimize_zorder(
     staged output, then pure metadata moves. Driver state is O(#groups
     + 2^bits * #cluster_by) — never row data.
 
-    Declares its v1 limits loudly: numeric/date/timestamp cluster
-    columns (rank codes need a numeric proxy), and like compact() it
-    rewrites the whole snapshot (no incremental optimize)."""
+    Declares its v1 limits loudly: numeric/date/timestamp/string
+    cluster columns (see _rank_code), and like compact() it rewrites
+    the whole snapshot (no incremental optimize)."""
     parent = _read_manifest(table, latest_version(table))
     if not cluster_by:
         raise LedgerError("optimize_zorder: cluster_by must be non-empty")
@@ -784,7 +812,7 @@ def optimize_zorder(
     ncols = len(cluster_by)
     zval = F.lit(0).cast("long")
     for i, c in enumerate(cluster_by):
-        code = _quantile_codes(snap, _numeric_proxy(snap, c), bits)
+        code = _rank_code(snap, c, bits, total)
         for j in range(bits):
             zval = zval + F.shiftleft(
                 F.shiftright(code, j).bitwiseAND(F.lit(1)),

@@ -674,16 +674,58 @@ def test_optimize_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
 
 def test_optimize_zorder_rejects_unsupported(spark, sf_dir, tmp_path):
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus"
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,6)").alias("price_dec"),
     )
     t = str(tmp_path / "t")
     ledger.create(spark, t, orders, key="o_orderkey")
     with pytest.raises(ledger.LedgerError, match="numeric/date/timestamp"):
-        ledger.optimize_zorder(spark, t, cluster_by=["o_orderstatus"])
+        ledger.optimize_zorder(spark, t, cluster_by=["price_dec"])
     with pytest.raises(ledger.LedgerError, match="not in schema"):
         ledger.optimize_zorder(spark, t, cluster_by=["nope"])
     with pytest.raises(ledger.LedgerError, match="non-empty"):
         ledger.optimize_zorder(spark, t, cluster_by=[])
+
+
+def test_optimize_zorder_string_column(spark, sf_dir, tmp_path):
+    """String clustering (sampled range boundaries): after a 1-D
+    optimize on c_name, a name-range read scans a strict subset of
+    groups and equals the plain filter."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, cust, key="c_custkey", stats_cols=["c_name"]
+    )
+    n = cust.count()
+    before = ledger.read(spark, t)
+    ledger.optimize_zorder(
+        spark, t, cluster_by=["c_name"], target_rows=max(1, n // 8)
+    )
+    groups = ledger.history(t)[-1]["groups"]
+    assert len(groups) >= 4
+
+    after = ledger.read(spark, t)
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+
+    names = sorted(r.c_name for r in cust.select("c_name").collect())
+    lo, hi = names[int(0.05 * len(names))], names[int(0.30 * len(names))]
+    got = ledger.read(spark, t, between={"c_name": (lo, hi)})
+    want = ledger.read(spark, t).filter(F.col("c_name").between(lo, hi))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    files = [
+        r.file
+        for r in got.select(F.input_file_name().alias("file"))
+        .distinct()
+        .collect()
+    ]
+    scanned = {
+        g["path"] for g in groups if any(g["path"] in f for f in files)
+    }
+    assert len(scanned) < len(groups)
 
 
 def test_changes_across_evolution_boundary(spark, sf_dir, tmp_path):
