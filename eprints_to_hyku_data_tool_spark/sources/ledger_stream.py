@@ -1,0 +1,251 @@
+"""Ledger tables as a Spark data source: ``format("ledger")`` for both
+batch and STREAMING reads, via the PySpark 4 Python DataSource API.
+
+The streaming half is the capability that matters: a ledger table's
+manifest log is already an ordered, immutable commit history, so it is
+a natural streaming source — exactly the Delta streaming-source
+pattern, rebuilt on this repo's format:
+
+- **Offsets are manifest versions.** ``initialOffset`` = the table's
+  latest version when the stream starts (option ``startingVersion``
+  overrides — ``0`` replays the whole table); ``latestOffset`` = the
+  current latest manifest. Every micro-batch covers the half-open
+  version interval (start, end].
+- **Partitions are file groups.** A micro-batch's input is the set of
+  groups ADDED in its version interval — under copy-on-write that is
+  exactly the delta's bytes, never the table. One InputPartition per
+  group; executors read the group's parquet files with pyarrow and
+  yield Arrow batches (zero row-by-row Python).
+- **Append-only discipline, declared.** Like Delta's source, a commit
+  that REWRITES data (merge touching existing groups, delete, compact,
+  optimize) is not representable as an append stream; the source
+  raises unless ``ignoreChanges=true``, in which case rewritten groups
+  are re-emitted (downstream must dedupe — the documented Delta
+  ignoreChanges contract). Blind appends and create stream cleanly.
+
+Batch reads (``spark.read.format("ledger")``) are provided for API
+completeness and read the latest snapshot the same way; prefer
+``ledger.read()`` for batch work — it plans a native JVM parquet scan
+(manifest-pruned, codegen) while this path moves bytes through
+Python+Arrow, which only makes sense when micro-batch deltas are small.
+
+Exactly-once: Spark's streaming engine checkpoints the version offsets;
+re-delivered batches re-read the same immutable groups (manifests and
+groups are never mutated), so the feed is deterministic. Pair with
+streaming/ledger_sink.py's txn-id MERGE for end-to-end exactly-once
+ledger->ledger pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from . import ledger
+
+# Ops whose commit only ADDS rows (never rewrites an existing group).
+_APPEND_OPS = {"create", "append"}
+
+
+@dataclass
+class _GroupPartition(InputPartition):
+    """One ledger file group; `files` are absolute parquet paths and
+    `arrow_schema` the expected Arrow schema (pyarrow schemas pickle) —
+    pre-evolution files may lack trailing columns, which the reader
+    null-fills, and every batch is cast to this schema so Spark's Arrow
+    deserializer sees exactly the declared source types."""
+
+    files: list
+    arrow_schema: object
+
+
+def _arrow_schema(schema: StructType):
+    """Spark schema -> Arrow schema, the same mapping Spark's own Arrow
+    path uses (session tz pinned to UTC in session.py)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    try:
+        return to_arrow_schema(schema, timezone="UTC")
+    except TypeError:  # older signature without timezone
+        return to_arrow_schema(schema)
+
+
+def _group_files(table: str, group: dict) -> list:
+    root = os.path.join(table, group["path"])
+    return [
+        os.path.join(root, f)
+        for f in sorted(os.listdir(root))
+        if f.endswith(".parquet")
+    ]
+
+
+def _read_group_arrow(partition: _GroupPartition):
+    """Yield Arrow batches for one group, null-filling columns the
+    physical files predate (add-column schema evolution)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = partition.arrow_schema
+    for path in partition.files:
+        pf = pq.ParquetFile(path)
+        have = set(pf.schema_arrow.names)
+        for batch in pf.iter_batches(
+            columns=[f.name for f in want if f.name in have]
+        ):
+            tbl = pa.Table.from_batches([batch])
+            arrays = [
+                tbl.column(f.name)
+                if f.name in have
+                else pa.nulls(len(tbl), type=f.type)
+                for f in want
+            ]
+            out = pa.table(arrays, names=[f.name for f in want]).cast(
+                want, safe=False
+            )
+            yield from out.to_batches()
+
+
+class _LedgerBatchReader(DataSourceReader):
+    def __init__(self, table: str, schema: StructType):
+        manifest = ledger._read_manifest(
+            table, ledger.latest_version(table)
+        )
+        arrow = _arrow_schema(schema)
+        self._parts = [
+            _GroupPartition(_group_files(table, g), arrow)
+            for g in manifest["groups"]
+        ]
+
+    def partitions(self):
+        return self._parts
+
+    def read(self, partition):
+        yield from _read_group_arrow(partition)
+
+
+class _LedgerStreamReader(DataSourceStreamReader):
+    def __init__(self, table: str, schema: StructType, options: dict):
+        self._table = table
+        self._arrow = _arrow_schema(schema)
+        # Spark delivers reader options case-insensitively (keys arrive
+        # lowercased) — normalize before lookup.
+        opts = {str(k).lower(): v for k, v in options.items()}
+        self._ignore_changes = (
+            str(opts.get("ignorechanges", "false")).lower() == "true"
+        )
+        # An offset is the LAST PROCESSED version; batches cover
+        # (start, end]. startingVersion=V means "include V's commit",
+        # so the initial offset is V-1; default = latest (new commits
+        # only, the Delta default).
+        sv = opts.get("startingversion")
+        self._start = (
+            int(sv) - 1 if sv is not None else ledger.latest_version(table)
+        )
+
+    def initialOffset(self):
+        return {"version": self._start}
+
+    def latestOffset(self):
+        return {"version": ledger.latest_version(self._table)}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        parts = []
+        emitted = (
+            {
+                g["path"]
+                for g in ledger._read_manifest(self._table, lo)["groups"]
+            }
+            if lo >= 0
+            else set()
+        )
+        for v in range(lo + 1, hi + 1):
+            m = ledger._read_manifest(self._table, v)
+            if m["op"] not in _APPEND_OPS and not self._ignore_changes:
+                # Behavior-based, not label-based: a merge/compact that
+                # drops a previously-visible group rewrote data, which
+                # an append stream cannot represent (Delta's contract);
+                # a pure-insert merge streams cleanly.
+                replaced = emitted - {g["path"] for g in m["groups"]}
+                if replaced:
+                    raise ledger.LedgerError(
+                        f"streaming source: version {v} ({m['op']}) "
+                        "rewrites existing data; set ignoreChanges=true "
+                        "to re-emit rewritten groups (downstream must "
+                        "dedupe)"
+                    )
+            for g in m["groups"]:
+                if g["path"] not in emitted:
+                    emitted.add(g["path"])
+                    parts.append(
+                        _GroupPartition(
+                            _group_files(self._table, g), self._arrow
+                        )
+                    )
+        return parts
+
+    def read(self, partition):
+        yield from _read_group_arrow(partition)
+
+    def commit(self, end):
+        pass  # offsets live in Spark's checkpoint; manifests are immutable
+
+    def stop(self):
+        pass
+
+
+def register_ledger_source(spark) -> None:
+    """Register ``format("ledger")`` with this session. Python data
+    sources are PICKLED into python workers (planning AND reads both
+    run there), so the class must not be pickled by module reference —
+    the workers' sys.path need not include this repo. Registering the
+    two ledger modules for by-value pickling makes the source
+    self-contained wherever the session runs."""
+    # Spark serializes data sources with its VENDORED cloudpickle
+    # (pyspark.cloudpickle), not the standalone package — registering
+    # with the wrong one is a silent no-op.
+    from pyspark import cloudpickle
+
+    from . import ledger as _ledger_mod
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(_ledger_mod)
+    spark.dataSource.register(LedgerDataSource)
+
+
+class LedgerDataSource(DataSource):
+    """Register via ``register_ledger_source(spark)``, then
+    ``spark.readStream.format("ledger").load(table_path)``."""
+
+    @classmethod
+    def name(cls):
+        return "ledger"
+
+    def _table(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ledger.LedgerError(
+                "ledger source needs a table path: .load('/path/to/table')"
+            )
+        return path
+
+    def schema(self):
+        manifest = ledger._read_manifest(
+            self._table(), ledger.latest_version(self._table())
+        )
+        return StructType.fromJson(manifest["schema"])
+
+    def reader(self, schema):
+        return _LedgerBatchReader(self._table(), schema)
+
+    def streamReader(self, schema):
+        return _LedgerStreamReader(self._table(), schema, dict(self.options))

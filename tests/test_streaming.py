@@ -472,3 +472,139 @@ def test_merge_batch_skips_redelivered_batch(spark, sf_dir, tmp_path):
     assert v2 == 2
     # A different transactional identity is not fooled by app's ids.
     assert ledger.latest_txn(t, "other-app") is None
+
+
+# --------------------------------------------------------------------------
+# Ledger tables as a streaming SOURCE (sources/ledger_stream.py)
+# --------------------------------------------------------------------------
+def _start_feed(spark, table, name, **opts):
+    from eprints_to_hyku_data_tool_spark.sources.ledger_stream import (
+        register_ledger_source,
+    )
+
+    register_ledger_source(spark)
+    reader = spark.readStream.format("ledger")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return (
+        reader.load(table)
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+
+
+def test_ledger_stream_replays_and_tails(spark, sf_dir, tmp_path):
+    """format('ledger') streaming source: startingVersion=0 replays
+    every committed group, later appends arrive incrementally, and
+    pre-evolution rows null-fill added columns — all through the
+    Python DataSource API (offsets = manifest versions, partitions =
+    file groups, Arrow batches end to end)."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 2000"), key="o_orderkey"
+    )
+    # Add-column evolution BEFORE the stream starts: the stream schema
+    # is the wide one; v0 rows must null-fill.
+    ledger.append(
+        spark,
+        t,
+        orders.filter("o_orderkey >= 2000 AND o_orderkey < 3000")
+        .withColumn("src", F.lit("w")),
+        merge_schema=True,
+    )
+    n_seed = ledger.read(spark, t).count()
+    n_v0 = ledger.read(spark, t, version=0).count()
+
+    q = _start_feed(spark, t, "ledger_feed", startingVersion="0")
+    try:
+        q.processAllAvailable()
+        feed = spark.table("ledger_feed")
+        assert feed.count() == n_seed
+        assert feed.filter("src IS NULL").count() == n_v0
+        # Incremental tail: one more append arrives alone.
+        ledger.append(
+            spark,
+            t,
+            orders.filter("o_orderkey >= 3000 AND o_orderkey < 3500")
+            .withColumn("src", F.lit("x")),
+        )
+        q.processAllAvailable()
+        got = spark.table("ledger_feed")
+        want = ledger.read(spark, t)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        q.stop()
+
+
+def test_ledger_stream_batch_read_parity(spark, sf_dir, tmp_path):
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.sources.ledger_stream import (
+        register_ledger_source,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, nation, key="n_nationkey")
+    register_ledger_source(spark)
+    got = spark.read.format("ledger").load(t)
+    want = ledger.read(spark, t)
+    assert got.schema == want.schema
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_ledger_stream_rejects_rewrites_unless_ignore_changes(
+    spark, sf_dir, tmp_path
+):
+    """A merge that rewrites an existing group is not representable as
+    an append stream: the query must fail with the declared error; with
+    ignoreChanges=true the rewritten group is re-emitted instead (the
+    Delta ignoreChanges contract — downstream dedupes)."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 2000"), key="o_orderkey"
+    )
+    q = _start_feed(spark, t, "ledger_strict", startingVersion="0")
+    try:
+        q.processAllAvailable()
+        delta = orders.filter("o_orderkey < 100").withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1.0
+        )
+        ledger.merge(spark, t, delta)
+        with pytest.raises(Exception, match="rewrites existing data"):
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Same table, ignoreChanges=true: the rewritten group re-emits.
+    q2 = _start_feed(
+        spark, t, "ledger_loose", startingVersion="0", ignoreChanges="true"
+    )
+    try:
+        q2.processAllAvailable()
+        feed = spark.table("ledger_loose")
+        snap = ledger.read(spark, t)
+        # Every current row is present (possibly alongside re-emitted
+        # stale versions of rewritten rows); dedupe-by-latest is the
+        # documented downstream contract, so assert coverage not count.
+        assert feed.count() >= snap.count()
+        assert snap.join(
+            feed.select("o_orderkey").distinct(),
+            "o_orderkey",
+            "left_anti",
+        ).count() == 0
+    finally:
+        q2.stop()
