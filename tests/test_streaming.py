@@ -608,3 +608,68 @@ def test_ledger_stream_rejects_rewrites_unless_ignore_changes(
         ).count() == 0
     finally:
         q2.stop()
+
+
+def test_ledger_to_ledger_cdc_pipeline(spark, sf_dir, tmp_path):
+    """Capstone: an exactly-once ledger->ledger CDC pipeline. Source
+    table receives append commits; a ledger stream tails it, a
+    transformation runs per micro-batch, and ledger_sink upserts the
+    result transactionally into a second ledger table. The downstream
+    snapshot must equal the batch-computed transform of the upstream
+    snapshot, and every micro-batch must have committed exactly one
+    txn-stamped version."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.streaming import ledger_sink
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def transform(df):
+        # Per-row enrichment (keeps keys unique per batch, the sink's
+        # source contract).
+        return df.withColumn(
+            "price_band",
+            F.when(F.col("o_totalprice") < 100000, "low").otherwise("high"),
+        )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ledger.create(
+        spark, src, orders.filter("o_orderkey < 2000"), key="o_orderkey"
+    )
+    ledger.create(
+        spark,
+        dst,
+        transform(orders.filter("o_orderkey < 0")),  # empty, wide schema
+        key="o_orderkey",
+    )
+
+    from eprints_to_hyku_data_tool_spark.sources.ledger_stream import (
+        register_ledger_source,
+    )
+
+    register_ledger_source(spark)
+    feed = transform(
+        spark.readStream.format("ledger")
+        .option("startingVersion", "0")
+        .load(src)
+    )
+    q = ledger_sink.merge_stream(
+        feed, dst, str(tmp_path / "ckpt"), txn_app="cdc-e2e"
+    ).start()
+    try:
+        q.processAllAvailable()
+        ledger.append(spark, src, orders.filter("o_orderkey >= 2000"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = ledger.read(spark, dst)
+    want = transform(ledger.read(spark, src))
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    txns = [m["txn"] for m in ledger.history(dst) if m.get("txn")]
+    assert txns and all(x["app"] == "cdc-e2e" for x in txns)
+    assert ledger.latest_txn(dst, "cdc-e2e") == max(x["batch"] for x in txns)
