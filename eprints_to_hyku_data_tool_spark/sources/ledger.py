@@ -210,20 +210,23 @@ def _write_group(
 ) -> dict:
     """Write df as one new parquet file group and return its manifest
     entry (path, rows, key min/max, plus [min,max] per declared stats
-    column). Stats come from re-reading the written files — a
-    footer-driven metadata-ish scan — so df is computed exactly once
-    regardless of its lineage, and ONE agg covers every stats column."""
+    column). Stats ride the write itself via the Observation API — the
+    rows are aggregated as they stream through the writer, so the group
+    is written AND profiled in one pass (no re-read; at 100 TB the old
+    write-then-rescan shape doubled the write path's read volume)."""
+    from pyspark.sql import Observation
+
     gid = uuid.uuid4().hex
     rel = f"{_DATA_DIR}/{gid}"
     gpath = os.path.join(table, rel)
-    df.write.parquet(gpath)
-    written = spark.read.parquet(gpath)
     aggs = [F.count(F.lit(1)).alias("rows")]
     if key is not None:
         aggs += [F.min(key).alias("__klo"), F.max(key).alias("__khi")]
     for c in stats_cols or []:
         aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-    stats = written.agg(*aggs).first()
+    obs = Observation()
+    df.observe(obs, *aggs).write.parquet(gpath)
+    stats = obs.get
     lo = _stat_value(stats["__klo"]) if key is not None else None
     hi = _stat_value(stats["__khi"]) if key is not None else None
     entry = {"path": rel, "rows": stats["rows"], "min_key": lo, "max_key": hi}
