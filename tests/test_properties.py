@@ -1170,3 +1170,91 @@ def test_derive_simhash_blocking_schedule():
     assert prev_key_bits >= 20  # B = 12 keeps >= 20 of the 32 bits
     with pytest.raises(ValueError, match="widen the signature"):
         derive_simhash_blocking((SIMHASH_ANCHOR << SIMHASH_MAX_E) + 1)
+
+
+# --------------------------------------------------------------------------
+# Ledger-table format: model-based op-sequence property
+# --------------------------------------------------------------------------
+_ledger_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+_ledger_op = st.one_of(
+    st.tuples(st.just("append"), _ledger_rows),
+    st.tuples(
+        st.just("merge"),
+        st.dictionaries(
+            st.integers(min_value=0, max_value=25),
+            st.integers(min_value=-100, max_value=100),
+            max_size=8,
+        ),
+    ),
+    st.tuples(st.just("delete"), st.integers(min_value=2, max_value=5)),
+    st.tuples(st.just("compact"), st.just(None)),
+    st.tuples(st.just("optimize"), st.just(None)),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(init=_ledger_rows, ops=st.lists(_ledger_op, max_size=4))
+def test_ledger_op_sequences_match_model(spark, tmp_path_factory, init, ops):
+    """Model-based check of the ledger table format: any sequence of
+    append / merge / delete_where / compact / optimize_zorder commits
+    must keep the latest snapshot equal to a plain in-memory multiset
+    model, every version must stay readable (time travel), and
+    expire+vacuum at the end must not change the latest snapshot.
+    Layout ops (compact/optimize) must be row-identical no-ops in the
+    model."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+
+    t = str(tmp_path_factory.mktemp("ledgerprop") / "t")
+    schema = "k int, v int"
+    ledger.create(spark, t, spark.createDataFrame(init, schema), key="k")
+    model = list(init)
+    snapshots = [sorted(model)]
+
+    def check():
+        got = sorted(
+            (r.k, r.v) for r in ledger.read(spark, t).collect()
+        )
+        assert got == sorted(model)
+
+    check()
+    for op, arg in ops:
+        if op == "append":
+            ledger.append(spark, t, spark.createDataFrame(arg, schema))
+            model.extend(arg)
+        elif op == "merge":
+            src = spark.createDataFrame(list(arg.items()), schema)
+            ledger.merge(spark, t, src)
+            keys = set(arg)
+            model[:] = [r for r in model if r[0] not in keys]
+            model.extend(arg.items())
+        elif op == "delete":
+            ledger.delete_where(spark, t, f"k % {arg} = 0")
+            model[:] = [r for r in model if r[0] % arg != 0]
+        elif op == "compact":
+            ledger.compact(spark, t, max_rows=10)
+        elif op == "optimize":
+            ledger.optimize_zorder(spark, t, ["v"], target_rows=10)
+        check()
+        snapshots.append(sorted(model))
+
+    # Time travel: every committed version still reads as its own state.
+    for v, want in enumerate(snapshots):
+        got = sorted(
+            (r.k, r.v)
+            for r in ledger.read(spark, t, version=v).collect()
+        )
+        assert got == want, f"version {v}"
+
+    # History cleanup must not disturb the latest snapshot.
+    ledger.expire_history(t, keep_last=1)
+    ledger.vacuum(t)
+    check()
