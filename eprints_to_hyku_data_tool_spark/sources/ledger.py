@@ -779,6 +779,7 @@ def optimize_zorder(
     cluster_by: list[str],
     target_rows: int = 1_000_000,
     bits: int = 8,
+    key_between: tuple | None = None,
 ) -> int:
     """OPTIMIZE ... ZORDER BY: rewrite the current snapshot clustered on
     the Morton interleave of per-column quantile-rank codes, cutting the
@@ -794,9 +795,16 @@ def optimize_zorder(
     staged output, then pure metadata moves. Driver state is O(#groups
     + 2^bits * #cluster_by) — never row data.
 
-    Declares its v1 limits loudly: numeric/date/timestamp/string
-    cluster columns (see _rank_code), and like compact() it rewrites
-    the whole snapshot (no incremental optimize)."""
+    `key_between=(lo, hi)` makes the optimize INCREMENTAL (Delta's
+    OPTIMIZE ... WHERE): only groups whose key range overlaps the
+    interval are rewritten; all other groups carry over by reference.
+    The streaming-ingest pattern is to optimize the fresh tail of the
+    keyspace on a cadence instead of re-laying the whole table.
+
+    Declared limits: numeric/date/timestamp/string cluster columns
+    (see _rank_code); incremental selection is whole-group (a selected
+    group is rewritten in full, which preserves row identity
+    trivially)."""
     parent = _read_manifest(table, latest_version(table))
     if not cluster_by:
         raise LedgerError("optimize_zorder: cluster_by must be non-empty")
@@ -806,8 +814,22 @@ def optimize_zorder(
         if c not in names:
             raise LedgerError(f"cluster column {c!r} not in schema")
 
-    snap = _snapshot_df(spark, table, parent, parent["groups"])
-    total = sum(g["rows"] for g in parent["groups"])
+    if key_between is not None:
+        if parent["key"] is None:
+            raise LedgerError("key_between requires a table with a key")
+        klo, khi = _stat_value(key_between[0]), _stat_value(key_between[1])
+        selected = [g for g in parent["groups"] if _overlaps(g, klo, khi)]
+        untouched = [g for g in parent["groups"] if g not in selected]
+    else:
+        selected = parent["groups"]
+        untouched = []
+    if not selected:  # nothing overlaps: commit a no-op version
+        return _commit(
+            table, _new_manifest(parent, "optimize", parent["groups"])
+        )
+
+    snap = _snapshot_df(spark, table, parent, selected)
+    total = sum(g["rows"] for g in selected)
     num_groups = max(1, -(-total // max(1, target_rows)))
 
     # Per-column rank codes -> Morton interleave (bit j of column i
@@ -908,7 +930,9 @@ def optimize_zorder(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 
-    return _commit(table, _new_manifest(parent, "optimize", groups))
+    return _commit(
+        table, _new_manifest(parent, "optimize", untouched + groups)
+    )
 
 
 def changes(

@@ -752,3 +752,54 @@ def test_changes_across_evolution_boundary(spark, sf_dir, tmp_path):
     assert ins.count() == 1 and dels.count() == 1
     assert ins.first()["r_name"] == "RENAMED" and ins.first()["r_flag"] == 1
     assert dels.first()["r_flag"] is None
+
+
+def test_optimize_zorder_incremental_key_range(spark, sf_dir, tmp_path):
+    """OPTIMIZE ... WHERE: only groups overlapping the key interval are
+    rewritten; others carry over by reference; snapshot row-identical;
+    a non-overlapping interval commits a no-op version."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 3000"), key="o_orderkey"
+    )
+    # Tail: many tiny appends above key 3000 (the streaming shape).
+    for i in range(4):
+        lo, hi = 3000 + i * 500, 3500 + i * 500
+        ledger.append(
+            spark,
+            t,
+            orders.filter(f"o_orderkey >= {lo} AND o_orderkey < {hi}"),
+        )
+    before_groups = ledger.history(t)[-1]["groups"]
+    before = ledger.read(spark, t)
+    n = before.count()
+
+    ledger.optimize_zorder(
+        spark,
+        t,
+        ["o_totalprice"],
+        target_rows=n,
+        key_between=(3000, 10**9),
+    )
+    after_groups = ledger.history(t)[-1]["groups"]
+    after_paths = {g["path"] for g in after_groups}
+    # The head group (keys < 3000) is untouched; the four tail groups
+    # are gone, replaced by the packed rewrite.
+    assert before_groups[0]["path"] in after_paths
+    assert all(
+        g["path"] not in after_paths for g in before_groups[1:]
+    )
+    after = ledger.read(spark, t)
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+
+    # Non-overlapping interval: pure metadata no-op commit.
+    v = ledger.optimize_zorder(
+        spark, t, ["o_totalprice"], key_between=(10**9, 2 * 10**9)
+    )
+    assert ledger.history(t)[-1]["groups"] == after_groups
+    assert ledger.history(t)[-1]["op"] == "optimize"
+    assert v == ledger.latest_version(t)
