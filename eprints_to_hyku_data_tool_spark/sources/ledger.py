@@ -586,30 +586,52 @@ def merge(
 def delete_where(
     spark: SparkSession, table: str, predicate: Column | str
 ) -> int:
-    """DELETE WHERE, copy-on-write: each group is probed for matches
-    (a limit-1 existence scan — parquet footer stats short-circuit it
-    when the predicate is on the stats key); only groups that contain
-    matches are rewritten without the matching rows."""
+    """DELETE WHERE, copy-on-write, in TWO jobs regardless of group
+    count (a per-group driver loop would be thousands of tiny jobs at
+    100 TB):
+
+      1. PROBE — one snapshot scan with the predicate pushed down,
+         grouped by the group each row came from (``input_file_name``
+         -> group dir), yielding the set of groups that contain
+         matches. Groups without matches carry over by reference.
+      2. REWRITE — one pass over only the matched groups: survivors
+         keep their group identity through a ``partitionBy`` staged
+         write (so per-group clustering and prunable key ranges are
+         preserved), one column-pruned stats agg, then pure metadata
+         moves — the same one-write-job shape as optimize_zorder.
+
+    A group whose every row matches is simply dropped (its staged
+    partition is empty)."""
     parent = _read_manifest(table, latest_version(table))
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    groups = parent["groups"]
+    if not groups:
+        return _commit(table, _new_manifest(parent, "delete", []))
 
-    kept: list[dict] = []
-    rewritten: list[dict] = []
-    for g in parent["groups"]:
-        gdf = _snapshot_df(spark, table, parent, [g])
-        if gdf.filter(pred).limit(1).count() == 0:
-            kept.append(g)
-        else:
-            survivors = gdf.filter(~pred)
-            rewritten.append(
-                _write_group(
-                    spark,
-                    table,
-                    survivors,
-                    parent["key"],
-                    parent.get("stats_cols"),
-                )
-            )
+    # Group dir name (the uuid under data/) identifies each group in
+    # input_file_name's path: .../data/<gid>/part-....parquet
+    gid_of = {g["path"].split("/")[-1]: g for g in groups}
+    gid_col = F.element_at(F.split(F.input_file_name(), "/"), -2)
+
+    snap = _snapshot_df(spark, table, parent, groups)
+    matched_gids = {
+        r["__g"]
+        for r in snap.filter(pred)
+        .select(gid_col.alias("__g"))
+        .distinct()
+        .collect()
+    }
+    kept = [g for k, g in gid_of.items() if k not in matched_gids]
+    if not matched_gids:
+        return _commit(table, _new_manifest(parent, "delete", kept))
+
+    matched = [gid_of[k] for k in sorted(matched_gids)]
+    survivors = (
+        _snapshot_df(spark, table, parent, matched)
+        .withColumn("__g", gid_col)
+        .filter(~pred)
+    )
+    rewritten = _rewrite_partitioned(spark, table, parent, survivors, "__g")
     return _commit(
         table, _new_manifest(parent, "delete", kept + rewritten)
     )
@@ -866,26 +888,49 @@ def optimize_zorder(
     else:
         bucket = F.lit(0)
 
+    staged_out = (
+        staged.withColumn("__zbucket", bucket)
+        .select(*names, "__zbucket", "__zval")
+        # Range-repartition on (bucket, zval) BEFORE the partitioned
+        # write: each task then feeds ~one bucket (otherwise every
+        # task opens a file in every bucket -> tasks x groups tiny
+        # files), and rows land z-sorted within each group's files
+        # so parquet row-group footer stats are tight too.
+        .repartitionByRange(num_groups, F.col("__zbucket"), F.col("__zval"))
+        .drop("__zval")
+    )
+    groups = _rewrite_partitioned(
+        spark, table, parent, staged_out, "__zbucket"
+    )
+    return _commit(
+        table, _new_manifest(parent, "optimize", untouched + groups)
+    )
+
+
+def _rewrite_partitioned(
+    spark: SparkSession,
+    table: str,
+    parent: dict,
+    df: DataFrame,
+    part_col: str,
+) -> list[dict]:
+    """Shared rewrite machinery for optimize_zorder and delete_where:
+    stage `df` (table columns + `part_col`) as ONE ``partitionBy``
+    parquet write, compute every new group's stats in ONE column-pruned
+    agg over the staged output, then move each partition dir into
+    data/ as a group — metadata-only from there. One write job + one
+    agg job regardless of how many groups come out."""
     # Not dot/underscore-prefixed: Spark's hidden-path filter would
     # ignore it on the stats read-back. vacuum() collects crashed
     # writers' leftover staging dirs by this prefix.
     staging = os.path.join(table, f"{_STAGING_PREFIX}{uuid.uuid4().hex}")
     try:
-        (
-            staged.withColumn("__zbucket", bucket)
-            .select(*names, "__zbucket", "__zval")
-            # Range-repartition on (bucket, zval) BEFORE the partitioned
-            # write: each task then feeds ~one bucket (otherwise every
-            # task opens a file in every bucket -> tasks x groups tiny
-            # files), and rows land z-sorted within each group's files
-            # so parquet row-group footer stats are tight too.
-            .repartitionByRange(
-                num_groups, F.col("__zbucket"), F.col("__zval")
-            )
-            .drop("__zval")
-            .write.partitionBy("__zbucket")
-            .parquet(staging)
-        )
+        df.write.partitionBy(part_col).parquet(staging)
+        if not any(
+            name.startswith(f"{part_col}=")
+            for name in os.listdir(staging)
+        ):
+            return []  # zero surviving rows: no groups come out
         back = spark.read.parquet(staging)
         stats_cols = parent.get("stats_cols") or []
         key = parent["key"]
@@ -897,15 +942,14 @@ def optimize_zorder(
                 F.min(c).alias(f"__lo_{c}"),
                 F.max(c).alias(f"__hi_{c}"),
             ]
-        per_bucket = back.groupBy("__zbucket").agg(*aggs).collect()
+        per_part = back.groupBy(part_col).agg(*aggs).collect()
 
         groups = []
-        for row in sorted(per_bucket, key=lambda r: r["__zbucket"]):
-            k = row["__zbucket"]
+        for row in sorted(per_part, key=lambda r: str(r[part_col])):
             gid = uuid.uuid4().hex
             rel = f"{_DATA_DIR}/{gid}"
             os.rename(
-                os.path.join(staging, f"__zbucket={k}"),
+                os.path.join(staging, f"{part_col}={row[part_col]}"),
                 os.path.join(table, rel),
             )
             entry = {
@@ -929,10 +973,7 @@ def optimize_zorder(
             groups.append(entry)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-
-    return _commit(
-        table, _new_manifest(parent, "optimize", untouched + groups)
-    )
+    return groups
 
 
 def changes(
