@@ -111,6 +111,19 @@ def tier_metrics(spark, sf_dir: str, work: str) -> dict:
     out["table_bytes"] = total_b
     out["merge_write_amplification"] = round(rewritten_b / total_b, 4)
 
+    # DELETE WHERE hitting the same key slice: two jobs (probe +
+    # staged rewrite of only the matched groups).
+    out["delete_s"], _ = timed(
+        lambda: ledger.delete_where(
+            spark, t_key, f"o_orderkey >= {dlo} AND o_orderkey < {dhi}"
+        )
+    )
+    g_before_del = {g["path"] for g in groups_after}
+    g_after_del = {
+        g["path"] for g in ledger.history(t_key)[-1]["groups"]
+    }
+    out["groups_rewritten_delete"] = len(g_before_del - g_after_del)
+
     # Counterfactual: the same upsert as a full snapshot rewrite.
     upsert = orders.join(
         delta.select("o_orderkey"), "o_orderkey", "left_anti"
