@@ -687,10 +687,12 @@ def compact(
     over by reference; the small ones are bin-packed (in key order, so
     the merged groups keep tight non-overlapping key ranges and stay
     prunable) into bins of ~max_rows rows, and each bin is rewritten as
-    one group. Contents are untouched — the committed snapshot is
-    row-identical, only the file layout changes — so readers of older
-    versions are unaffected and vacuum reclaims the small groups once
-    their manifests expire."""
+    one group — ALL bins in one staged partitionBy write + one stats
+    agg (a bin-per-job driver loop would be thousands of jobs on a
+    streaming-aged table). Contents are untouched — the committed
+    snapshot is row-identical, only the file layout changes — so
+    readers of older versions are unaffected and vacuum reclaims the
+    small groups once their manifests expire."""
     parent = _read_manifest(table, latest_version(table))
     big = [g for g in parent["groups"] if g["rows"] >= max_rows]
     small = [g for g in parent["groups"] if g["rows"] < max_rows]
@@ -709,17 +711,28 @@ def compact(
         bins[-1].append(g)
         acc += g["rows"]
 
-    rewritten = []
-    for b in bins:
-        if len(b) == 1:  # a lone bin member: keep it by reference
-            rewritten.append(b[0])
-            continue
-        df = _snapshot_df(spark, table, parent, b)
-        rewritten.append(
-            _write_group(
-                spark, table, df, parent["key"], parent.get("stats_cols")
-            )
+    rewritten = [b[0] for b in bins if len(b) == 1]  # by reference
+    multi = [b for b in bins if len(b) > 1]
+    if multi:
+        # Every row's bin is a function of its source group: map the
+        # group dir uuid (from input_file_name) to its bin id with one
+        # literal map — O(#small groups) plan size, zero shuffles.
+        bin_of = {
+            g["path"].split("/")[-1]: i
+            for i, b in enumerate(multi)
+            for g in b
+        }
+        mapping = F.create_map(
+            *[F.lit(x) for kv in bin_of.items() for x in kv]
         )
+        packed = [g for b in multi for g in b]
+        df = _snapshot_df(spark, table, parent, packed).withColumn(
+            "__bin",
+            mapping[
+                F.element_at(F.split(F.input_file_name(), "/"), -2)
+            ],
+        )
+        rewritten += _rewrite_partitioned(spark, table, parent, df, "__bin")
     return _commit(
         table, _new_manifest(parent, "compact", big + rewritten)
     )
