@@ -541,21 +541,21 @@ def merge(
     else:
         _check_schema(parent, source, "merge")
 
-    # MERGE is ill-defined when two source rows hit one target row; the
-    # production formats reject it, so do we (one tiny agg).
-    dup = (
-        source.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1)
-        .limit(1)
-        .count()
-    )
-    if dup:
-        raise LedgerError("merge source has duplicate keys")
-
+    # One agg over the source covers both preflights: MERGE is
+    # ill-defined when two source rows hit one target row (the
+    # production formats reject it, so do we — count vs distinct-count
+    # detects it), and the key bounds drive the group pruning below.
     bounds = source.agg(
-        F.min(key).alias("lo"), F.max(key).alias("hi")
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key)).alias("nd"),
+        F.count(key).alias("nk"),
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
     ).first()
+    if bounds["nd"] < bounds["nk"] or bounds["nk"] < bounds["n"]:
+        # nd < nk: two rows share a key; nk < n: NULL keys (each NULL
+        # row would be an unmatchable insert — reject like a dup).
+        raise LedgerError("merge source has duplicate or NULL keys")
     if bounds["lo"] is None:  # empty source: commit a no-op version
         return _commit(
             table,

@@ -149,8 +149,18 @@ def test_merge_rejects_duplicate_source_keys(
     snap, delta = orders_slices
     t = str(tmp_path / "t")
     ledger.create(spark, t, snap, key="o_orderkey")
-    with pytest.raises(ledger.LedgerError, match="duplicate keys"):
+    with pytest.raises(ledger.LedgerError, match="duplicate or NULL"):
         ledger.merge(spark, t, delta.unionByName(delta.limit(1)))
+    # NULL keys are equally unmergeable (each would be an unmatchable
+    # insert) and share the preflight.
+    with pytest.raises(ledger.LedgerError, match="duplicate or NULL"):
+        ledger.merge(
+            spark,
+            t,
+            delta.limit(3).withColumn(
+                "o_orderkey", F.lit(None).cast("long")
+            ),
+        )
 
 
 def test_merge_requires_key(spark, sf_dir, tmp_path):
