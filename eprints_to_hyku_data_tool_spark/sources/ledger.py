@@ -43,9 +43,12 @@ makes it 100 TB-viable:
 
 So a 1 GB delta against a 100 TB table rewrites only the groups whose
 key ranges overlap the delta — with date- or id-clustered ingest that is
-a few groups, not the table. DELETE WHERE is the same copy-on-write with
-a per-group containment probe (parquet footer stats make the probe a
-metadata scan when the predicate is on the key).
+a few groups, not the table. DELETE WHERE is the same copy-on-write in
+TWO jobs regardless of group count: one pushed-down probe scan grouped
+by source group finds the matched groups, one staged partitionBy write
+rewrites only their survivors (group identity, clustering, and prunable
+key ranges preserved). compact() packs all its bins the same one-write
+way.
 
 ``vacuum`` removes data groups no manifest references (crashed writers'
 orphans, and groups released by ``expire_history``). Bounded driver
