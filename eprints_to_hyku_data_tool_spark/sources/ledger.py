@@ -476,28 +476,45 @@ def append(
     df: DataFrame,
     txn: dict | None = None,
     merge_schema: bool = False,
+    retries: int = 5,
 ) -> int:
     """Add rows without touching existing groups (blind append). With
     `merge_schema=True`, df may ADD nullable columns (add-column
     evolution): the commit records the widened schema and old groups
-    are untouched — readers fill the new columns with NULL there."""
-    parent = _read_manifest(table, latest_version(table))
-    schema = None
-    if merge_schema:
-        schema = _evolve_schema(parent, df, "append")
-        if schema is not None:
-            df = df.select([f.name for f in schema])
-    else:
-        _check_schema(parent, df, "append")
-    group = _write_group(
-        spark, table, df, parent["key"], parent.get("stats_cols")
-    )
-    return _commit(
-        table,
-        _new_manifest(
-            parent, "append", parent["groups"] + [group], txn, schema
-        ),
-    )
+    are untouched — readers fill the new columns with NULL there.
+
+    Optimistic-concurrency retry: an append conflicts with NOTHING —
+    losing the version race just means re-reading the new parent and
+    re-publishing the SAME already-written group against it (no data
+    rewrite; schema is re-validated per attempt in case a racer
+    evolved it). Up to `retries` re-attempts, then the conflict
+    propagates."""
+    df0 = df
+    group = None
+    for attempt in range(retries + 1):
+        parent = _read_manifest(table, latest_version(table))
+        schema = None
+        if merge_schema:
+            schema = _evolve_schema(parent, df0, "append")
+            if schema is not None:
+                df = df0.select([f.name for f in schema])
+        else:
+            _check_schema(parent, df0, "append")
+            df = df0
+        if group is None:  # data is written exactly once
+            group = _write_group(
+                spark, table, df, parent["key"], parent.get("stats_cols")
+            )
+        try:
+            return _commit(
+                table,
+                _new_manifest(
+                    parent, "append", parent["groups"] + [group], txn, schema
+                ),
+            )
+        except ConcurrentCommitError:
+            if attempt == retries:
+                raise
 
 
 def overwrite(spark: SparkSession, table: str, df: DataFrame) -> int:
@@ -523,6 +540,7 @@ def merge(
     source: DataFrame,
     txn: dict | None = None,
     merge_schema: bool = False,
+    retries: int = 3,
 ) -> int:
     """MERGE INTO: WHEN MATCHED (on the table key) UPDATE to the source
     row, WHEN NOT MATCHED INSERT it — the z8330 relational semantics,
@@ -531,59 +549,85 @@ def merge(
     else carries over by reference. With `merge_schema=True`, source
     may ADD nullable columns (add-column evolution): touched target
     rows read the new columns as NULL before the upsert, untouched
-    groups stay physically narrow and read as NULL forever after."""
-    parent = _read_manifest(table, latest_version(table))
-    key = parent["key"]
-    if key is None:
-        raise LedgerError("merge requires a table created with a key")
-    schema = None
-    if merge_schema:
-        schema = _evolve_schema(parent, source, "merge")
-        if schema is not None:
-            source = source.select([f.name for f in schema])
-    else:
-        _check_schema(parent, source, "merge")
+    groups stay physically narrow and read as NULL forever after.
 
-    # One agg over the source covers both preflights: MERGE is
-    # ill-defined when two source rows hit one target row (the
-    # production formats reject it, so do we — count vs distinct-count
-    # detects it), and the key bounds drive the group pruning below.
-    bounds = source.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(key)).alias("nd"),
-        F.count(key).alias("nk"),
-        F.min(key).alias("lo"),
-        F.max(key).alias("hi"),
-    ).first()
-    if bounds["nd"] < bounds["nk"] or bounds["nk"] < bounds["n"]:
-        # nd < nk: two rows share a key; nk < n: NULL keys (each NULL
-        # row would be an unmatchable insert — reject like a dup).
-        raise LedgerError("merge source has duplicate or NULL keys")
-    if bounds["lo"] is None:  # empty source: commit a no-op version
-        return _commit(
-            table,
-            _new_manifest(parent, "merge", parent["groups"], txn, schema),
-        )
+    Optimistic-concurrency retry: unlike append, a lost race
+    invalidates the merged result (a racer may have changed the touched
+    groups), so each re-attempt recomputes against the fresh parent and
+    rewrites; the failed attempt's group becomes a vacuum-able orphan.
+    The source preflight (one agg) runs once."""
+    source0 = source
+    bounds = None
+    for attempt in range(retries + 1):
+        parent = _read_manifest(table, latest_version(table))
+        key = parent["key"]
+        if key is None:
+            raise LedgerError("merge requires a table created with a key")
+        schema = None
+        if merge_schema:
+            schema = _evolve_schema(parent, source0, "merge")
+            source = (
+                source0.select([f.name for f in schema])
+                if schema is not None
+                else source0
+            )
+        else:
+            _check_schema(parent, source0, "merge")
+            source = source0
 
-    blo = _stat_value(bounds["lo"])
-    bhi = _stat_value(bounds["hi"])
-    touched = [g for g in parent["groups"] if _overlaps(g, blo, bhi)]
-    kept = [g for g in parent["groups"] if g not in touched]
+        if bounds is None:
+            # One agg over the source covers both preflights: MERGE is
+            # ill-defined when two source rows hit one target row (the
+            # production formats reject it, so do we — count vs
+            # distinct-count detects it), and the key bounds drive the
+            # group pruning below.
+            bounds = source.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col(key)).alias("nd"),
+                F.count(key).alias("nk"),
+                F.min(key).alias("lo"),
+                F.max(key).alias("hi"),
+            ).first()
+            if bounds["nd"] < bounds["nk"] or bounds["nk"] < bounds["n"]:
+                # nd < nk: two rows share a key; nk < n: NULL keys
+                # (each an unmatchable insert — reject like a dup).
+                raise LedgerError("merge source has duplicate or NULL keys")
 
-    tgt = _snapshot_df(spark, table, parent, touched, schema)
-    # Upsert: target rows whose key is not in the source survive; every
-    # source row lands (update == replace-whole-row, insert == new key).
-    # No broadcast hint — the delta may be any size; AQE picks the join.
-    merged = tgt.join(
-        source.select(key), key, "left_anti"
-    ).unionByName(source)
+        try:
+            if bounds["lo"] is None:  # empty source: no-op version
+                return _commit(
+                    table,
+                    _new_manifest(
+                        parent, "merge", parent["groups"], txn, schema
+                    ),
+                )
 
-    group = _write_group(
-        spark, table, merged, key, parent.get("stats_cols")
-    )
-    return _commit(
-        table, _new_manifest(parent, "merge", kept + [group], txn, schema)
-    )
+            blo = _stat_value(bounds["lo"])
+            bhi = _stat_value(bounds["hi"])
+            touched = [
+                g for g in parent["groups"] if _overlaps(g, blo, bhi)
+            ]
+            kept = [g for g in parent["groups"] if g not in touched]
+
+            tgt = _snapshot_df(spark, table, parent, touched, schema)
+            # Upsert: target rows whose key is not in the source
+            # survive; every source row lands (update == replace-whole-
+            # row, insert == new key). No broadcast hint — the delta
+            # may be any size; AQE picks the join.
+            merged = tgt.join(
+                source.select(key), key, "left_anti"
+            ).unionByName(source)
+
+            group = _write_group(
+                spark, table, merged, key, parent.get("stats_cols")
+            )
+            return _commit(
+                table,
+                _new_manifest(parent, "merge", kept + [group], txn, schema),
+            )
+        except ConcurrentCommitError:
+            if attempt == retries:
+                raise
 
 
 def delete_where(

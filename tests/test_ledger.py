@@ -813,3 +813,77 @@ def test_optimize_zorder_incremental_key_range(spark, sf_dir, tmp_path):
     assert ledger.history(t)[-1]["groups"] == after_groups
     assert ledger.history(t)[-1]["op"] == "optimize"
     assert v == ledger.latest_version(t)
+
+
+# --------------------------------------------------------------------------
+# Optimistic-concurrency retries
+# --------------------------------------------------------------------------
+def _racing_commit_once(state):
+    """A _commit wrapper that, before delegating the FIRST time, lets a
+    racer steal the target version — deterministically reproducing a
+    lost optimistic-concurrency race."""
+    real_commit = ledger._commit
+
+    def wrapper(table, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            parent = ledger._read_manifest(
+                table, ledger.latest_version(table)
+            )
+            real_commit(
+                table,
+                ledger._new_manifest(parent, "append", parent["groups"]),
+            )
+        return real_commit(table, manifest)
+
+    return wrapper
+
+
+def test_append_retries_and_reuses_written_group(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A lost append race re-publishes the SAME written group against
+    the new parent — no data rewrite, the append lands at the next
+    version, and nothing is lost from either writer."""
+    t = str(tmp_path / "t")
+    region = load_table(spark, sf_dir, "region")
+    ledger.create(spark, t, region.filter("r_regionkey < 3"))
+    monkeypatch.setattr(
+        ledger, "_commit", _racing_commit_once({"raced": False})
+    )
+    v = ledger.append(spark, t, region.filter("r_regionkey >= 3"))
+    assert v == 2  # the racer took version 1
+    assert [m["op"] for m in ledger.history(t)] == [
+        "create", "append", "append",
+    ]
+    assert ledger.read(spark, t).count() == region.count()
+    # Exactly one data group was written by our append (reused across
+    # the retry): create's group + the appended group.
+    assert len(ledger.history(t)[-1]["groups"]) == 2
+    assert ledger.vacuum(t) == []  # no orphans from the retry
+
+
+def test_merge_retries_by_recomputing(
+    spark, sf_dir, tmp_path, monkeypatch, orders_slices
+):
+    """A lost merge race recomputes against the fresh parent; the
+    failed attempt's group is a vacuum-able orphan and the final
+    snapshot is the correct upsert."""
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, snap, key="o_orderkey")
+    monkeypatch.setattr(
+        ledger, "_commit", _racing_commit_once({"raced": False})
+    )
+    v = ledger.merge(spark, t, delta)
+    assert v == 2
+    expected = (
+        snap.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(delta)
+    )
+    got = ledger.read(spark, t)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+    # The first attempt's written-then-unreferenced group is collected.
+    assert len(ledger.vacuum(t)) == 1
+    assert ledger.read(spark, t).count() == expected.count()
