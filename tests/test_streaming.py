@@ -673,3 +673,53 @@ def test_ledger_to_ledger_cdc_pipeline(spark, sf_dir, tmp_path):
     txns = [m["txn"] for m in ledger.history(dst) if m.get("txn")]
     assert txns and all(x["app"] == "cdc-e2e" for x in txns)
     assert ledger.latest_txn(dst, "cdc-e2e") == max(x["batch"] for x in txns)
+
+
+def test_ledger_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Offsets live in Spark's checkpoint: a stopped-and-restarted
+    query (same checkpoint, parquet sink) must deliver every row
+    exactly once across the restart — commits made while the stream
+    was down arrive after restart, nothing re-emits."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.sources.ledger_stream import (
+        register_ledger_source,
+    )
+
+    register_ledger_source(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 2000"), key="o_orderkey"
+    )
+
+    def start():
+        return (
+            spark.readStream.format("ledger")
+            .option("startingVersion", "0")
+            .load(t)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    # Committed while the stream is DOWN.
+    ledger.append(
+        spark, t, orders.filter("o_orderkey >= 2000 AND o_orderkey < 3000")
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(sink)
+    want = ledger.read(spark, t)
+    assert got.count() == want.count()  # exactly once, no re-emission
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
