@@ -887,3 +887,57 @@ def test_merge_retries_by_recomputing(
     # The first attempt's written-then-unreferenced group is collected.
     assert len(ledger.vacuum(t)) == 1
     assert ledger.read(spark, t).count() == expected.count()
+
+
+def test_concurrent_appends_all_land_with_retries(spark, sf_dir, tmp_path):
+    """REAL races, not injected: four threads each append three slices
+    concurrently. Optimistic concurrency + append retries must land all
+    twelve commits (create + 12 appends, every version a distinct
+    parent chain) with no rows lost or duplicated."""
+    import threading
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 1000"), key="o_orderkey"
+    )
+    slices = [
+        (1000 + i * 500, 1500 + i * 500) for i in range(12)
+    ]
+    errors = []
+
+    def worker(my):
+        try:
+            for lo, hi in my:
+                ledger.append(
+                    spark,
+                    t,
+                    orders.filter(
+                        f"o_orderkey >= {lo} AND o_orderkey < {hi}"
+                    ),
+                    retries=50,
+                )
+        except Exception as ex:  # pragma: no cover - failure detail
+            errors.append(ex)
+
+    threads = [
+        threading.Thread(target=worker, args=(slices[i::4],))
+        for i in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    hist = ledger.history(t)
+    assert [m["op"] for m in hist] == ["create"] + ["append"] * 12
+    # Parent chain is gapless: every commit raced to a unique version.
+    assert [m["version"] for m in hist] == list(range(13))
+    got = ledger.read(spark, t)
+    want = orders.filter("o_orderkey < 7000")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
