@@ -951,12 +951,16 @@ def optimize_zorder(
     staged_out = (
         staged.withColumn("__zbucket", bucket)
         .select(*names, "__zbucket", "__zval")
-        # Range-repartition on (bucket, zval) BEFORE the partitioned
-        # write: each task then feeds ~one bucket (otherwise every
-        # task opens a file in every bucket -> tasks x groups tiny
-        # files), and rows land z-sorted within each group's files
-        # so parquet row-group footer stats are tight too.
-        .repartitionByRange(num_groups, F.col("__zbucket"), F.col("__zval"))
+        # Repartition on the bucket BEFORE the partitioned write: each
+        # task then feeds ~one bucket (otherwise every task opens a
+        # file in every bucket -> tasks x groups tiny files). Hash
+        # repartition, not repartitionByRange — the bucket ids are
+        # already the explicit range cut, so range sampling would be a
+        # wasted extra pass. sortWithinPartitions keeps rows z-sorted
+        # inside each group's files so parquet row-group footer stats
+        # stay tight.
+        .repartition(num_groups, F.col("__zbucket"))
+        .sortWithinPartitions("__zbucket", "__zval")
         .drop("__zval")
     )
     groups = _rewrite_partitioned(
