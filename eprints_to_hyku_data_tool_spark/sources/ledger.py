@@ -684,6 +684,26 @@ def delete_where(
     )
 
 
+def restore(table: str, version: int) -> int:
+    """RESTORE: make the table's latest state equal an earlier
+    version's — committed as a NEW version referencing the old file
+    groups, so it is pure metadata (no data copied), the bad commits
+    stay in history for audit, and a restore of the restore is
+    possible. The bad-merge recovery path: history is never rewritten,
+    only extended (the Delta RESTORE semantics). The restored version's
+    schema comes along, which also undoes a schema evolution."""
+    old = _read_manifest(table, version)
+    parent = _read_manifest(table, latest_version(table))
+    m = _new_manifest(
+        parent,
+        "restore",
+        old["groups"],
+        schema=StructType.fromJson(old["schema"]),
+    )
+    m["restored_from"] = version
+    return _commit(table, m)
+
+
 def expire_history(table: str, keep_last: int) -> list[int]:
     """Drop all but the newest `keep_last` manifests (their data groups
     become vacuum-able if nothing newer references them). Returns the

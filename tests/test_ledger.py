@@ -941,3 +941,42 @@ def test_concurrent_appends_all_land_with_retries(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_restore_rolls_back_by_reference(
+    spark, sf_dir, tmp_path, orders_slices
+):
+    """RESTORE after a bad merge: the new version references version
+    0's groups verbatim (pure metadata), reads identically to the old
+    snapshot, keeps the bad commit in history for audit, and survives
+    expire+vacuum. Restoring across a schema evolution also restores
+    the narrow schema."""
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, snap, key="o_orderkey")
+    v0_groups = ledger.history(t)[-1]["groups"]
+    ledger.merge(
+        spark,
+        t,
+        delta.withColumn("oops", F.lit(1)),
+        merge_schema=True,
+    )  # the "bad" commit: changed rows AND widened schema
+
+    v = ledger.restore(t, 0)
+    assert v == 2
+    m = ledger.history(t)[-1]
+    assert m["op"] == "restore" and m["restored_from"] == 0
+    assert [g["path"] for g in m["groups"]] == [
+        g["path"] for g in v0_groups
+    ]
+    got = ledger.read(spark, t)
+    assert got.columns == snap.columns  # evolution undone
+    assert got.exceptAll(snap).count() == 0
+    assert snap.exceptAll(got).count() == 0
+
+    # The restored groups survive history cleanup (the restore manifest
+    # references them); the bad merge's group is reclaimed.
+    ledger.expire_history(t, keep_last=1)
+    removed = ledger.vacuum(t)
+    assert len(removed) == 1
+    assert ledger.read(spark, t).count() == snap.count()
