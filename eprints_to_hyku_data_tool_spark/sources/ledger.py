@@ -684,6 +684,46 @@ def delete_where(
     )
 
 
+def details(table: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL: operator-facing diagnostics of one version,
+    computed from the manifest alone (no data read). `key_overlap` is
+    the clustering-quality signal: the fraction of groups whose key
+    range overlaps the NEXT group's in key order — 0.0 means perfectly
+    disjoint ranges (every key lookup hits one group), values near 1.0
+    mean the ranges interleave and key pruning degrades to scanning
+    everything. Rises as unordered appends accumulate; compact() or a
+    key-clustered optimize_zorder() drives it back down."""
+    v = latest_version(table) if version is None else version
+    m = _read_manifest(table, v)
+    groups = m["groups"]
+    sizes = [g["rows"] for g in groups]
+    ranged = sorted(
+        (g for g in groups if g["min_key"] is not None),
+        key=lambda g: (g["min_key"], g["max_key"]),
+    )
+    overlaps = sum(
+        1
+        for a, b in zip(ranged, ranged[1:])
+        if b["min_key"] <= a["max_key"]
+    )
+    return {
+        "version": v,
+        "op": m["op"],
+        "key": m["key"],
+        "stats_cols": m.get("stats_cols") or [],
+        "num_groups": len(groups),
+        "rows": sum(sizes),
+        "min_group_rows": min(sizes) if sizes else 0,
+        "max_group_rows": max(sizes) if sizes else 0,
+        "key_overlap": round(overlaps / max(1, len(ranged) - 1), 4)
+        if len(ranged) > 1
+        else 0.0,
+        "columns": [
+            f["name"] for f in m["schema"]["fields"]
+        ],
+    }
+
+
 def restore(table: str, version: int) -> int:
     """RESTORE: make the table's latest state equal an earlier
     version's — committed as a NEW version referencing the old file

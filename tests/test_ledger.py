@@ -980,3 +980,42 @@ def test_restore_rolls_back_by_reference(
     removed = ledger.vacuum(t)
     assert len(removed) == 1
     assert ledger.read(spark, t).count() == snap.count()
+
+
+def test_details_reports_clustering_quality(spark, sf_dir, tmp_path):
+    """DESCRIBE DETAIL from the manifest alone: key_overlap is 0.0 for
+    disjoint-range appends, rises when interleaved appends accumulate,
+    and a key-clustered optimize drives it back to 0.0."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 2000"), key="o_orderkey"
+    )
+    ledger.append(
+        spark, t, orders.filter("o_orderkey >= 2000 AND o_orderkey < 4000")
+    )
+    d = ledger.details(t)
+    assert d["num_groups"] == 2 and d["key_overlap"] == 0.0
+    assert d["key"] == "o_orderkey" and d["op"] == "append"
+    assert d["rows"] == orders.filter("o_orderkey < 4000").count()
+    assert d["columns"] == ["o_orderkey", "o_totalprice"]
+
+    # Two interleaved appends (even/odd keys): every range overlaps.
+    ledger.append(
+        spark, t, orders.filter("o_orderkey >= 4000 AND o_orderkey % 2 = 0")
+    )
+    ledger.append(
+        spark, t, orders.filter("o_orderkey >= 4000 AND o_orderkey % 2 = 1")
+    )
+    assert ledger.details(t)["key_overlap"] > 0.0
+
+    n = ledger.read(spark, t).count()
+    ledger.optimize_zorder(
+        spark, t, ["o_orderkey"], target_rows=max(1, n // 8)
+    )
+    d = ledger.details(t)
+    assert d["op"] == "optimize" and d["key_overlap"] == 0.0
+    # Time travel: details of version 0 still describe the create.
+    assert ledger.details(t, version=0)["op"] == "create"
