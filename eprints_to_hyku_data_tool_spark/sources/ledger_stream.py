@@ -16,6 +16,11 @@ pattern, rebuilt on this repo's format:
   exactly the delta's bytes, never the table. One InputPartition per
   group; executors read the group's parquet files with pyarrow and
   yield Arrow batches (zero row-by-row Python).
+- **Backpressure.** ``maxVersionsPerBatch=N`` caps how many commits one
+  micro-batch covers (the version-grained maxFilesPerTrigger), so a
+  ``startingVersion=0`` replay of a long history arrives as bounded
+  batches; the cap's high-water mark follows the engine's own planned/
+  committed offsets, so it survives checkpoint restarts.
 - **Append-only discipline, declared.** Like Delta's source, a commit
   that REWRITES data (merge touching existing groups, delete, compact,
   optimize) is not representable as an append stream; the source
@@ -150,15 +155,32 @@ class _LedgerStreamReader(DataSourceStreamReader):
         self._start = (
             int(sv) - 1 if sv is not None else ledger.latest_version(table)
         )
+        # Backpressure (maxFilesPerTrigger's version-grained analog):
+        # cap how many COMMITS one micro-batch may cover, so a
+        # startingVersion=0 replay of a long history arrives as bounded
+        # batches instead of one giant first batch. 0/absent = no cap.
+        self._max_versions = int(opts.get("maxversionsperbatch", 0))
+        self._last_seen = self._start
 
     def initialOffset(self):
         return {"version": self._start}
 
     def latestOffset(self):
-        return {"version": ledger.latest_version(self._table)}
+        latest = ledger.latest_version(self._table)
+        if self._max_versions > 0:
+            # _last_seen advances only when a batch is actually planned
+            # or committed (partitions/commit), so repeated polls return
+            # the same capped offset — the cap is exact per batch.
+            latest = min(latest, self._last_seen + self._max_versions)
+        return {"version": latest}
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
+        # The engine's offsets are authoritative (after a checkpoint
+        # restart they resume PAST self._start) — keep the backpressure
+        # high-water mark in step or a capped latestOffset could lag
+        # the committed offset forever.
+        self._last_seen = max(self._last_seen, hi)
         parts = []
         emitted = (
             {
@@ -197,7 +219,9 @@ class _LedgerStreamReader(DataSourceStreamReader):
         yield from _read_group_arrow(partition)
 
     def commit(self, end):
-        pass  # offsets live in Spark's checkpoint; manifests are immutable
+        # Offsets live in Spark's checkpoint; manifests are immutable.
+        # Track the committed high-water mark for the backpressure cap.
+        self._last_seen = max(self._last_seen, end["version"])
 
     def stop(self):
         pass

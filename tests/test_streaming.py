@@ -723,3 +723,48 @@ def test_ledger_stream_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert got.count() == want.count()  # exactly once, no re-emission
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_ledger_stream_max_versions_per_batch(spark, sf_dir, tmp_path):
+    """Backpressure: a 4-commit replay with maxVersionsPerBatch=1 must
+    arrive as (at least) four micro-batches, one commit each, and still
+    deliver every row exactly once."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 1000"), key="o_orderkey"
+    )
+    for i in range(3):
+        lo, hi = 1000 + i * 500, 1500 + i * 500
+        ledger.append(
+            spark,
+            t,
+            orders.filter(f"o_orderkey >= {lo} AND o_orderkey < {hi}"),
+        )
+
+    q = _start_feed(
+        spark,
+        t,
+        "ledger_paced",
+        startingVersion="0",
+        maxVersionsPerBatch="1",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("ledger_paced")
+        want = ledger.read(spark, t)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        # One commit per non-empty micro-batch: four data-bearing
+        # batches (create + 3 appends).
+        data_batches = [
+            p for p in q.recentProgress if p["numInputRows"] > 0
+        ]
+        assert len(data_batches) >= 4
+        assert max(p["numInputRows"] for p in data_batches) <= 1000
+    finally:
+        q.stop()
