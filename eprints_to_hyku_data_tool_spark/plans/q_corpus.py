@@ -157,7 +157,7 @@ def q775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y32 — token-window chunking (overlapping training chunks)
 # --------------------------------------------------------------------------
 @register(
-    "q776_chunk",
+    "z776_chunk",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {_STRIDE})) AS start
@@ -177,7 +177,7 @@ def q775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles; output size is a fixed ~n_tokens/24 multiple of the "
     "input, independent of partitioning (chunking mandate).",
 )
-def q776_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z776_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     s = t.select(
@@ -204,7 +204,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
 
 
 @register(
-    "q777_stratified_sample",
+    "z777_stratified_sample",
     oracle=f"""
     SELECT doc_id, lang, source,
            CASE WHEN lang = 'en' THEN '{_EN_LT}' ELSE '{_OTHER_LT}' END
@@ -224,7 +224,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
     "rerun-stable on any engine and partitioning (data-mixing "
     "mandate).",
 )
-def q777_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z777_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     thr = F.when(F.col("lang") == "en", _EN_LT).otherwise(_OTHER_LT)
     hx = F.substring(
@@ -678,7 +678,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
 
 
 @register(
-    "q772_boilerplate_lines",
+    "z772_boilerplate_lines",
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     l AS (SELECT doc_id,
@@ -715,7 +715,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
     "empty string via the left join (deletion is a row-filter "
     "decision downstream, not silent loss).",
 )
-def q772_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z772_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _tokens().alias("tk"))
     starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_LINE))
