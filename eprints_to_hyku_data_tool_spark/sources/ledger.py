@@ -438,17 +438,25 @@ def read(
             )
 
         def _bound(v, col=col):
-            # A date bound on a timestamp column must be promoted to
-            # midnight BEFORE the ISO coercion: "1995-12-31" sorts
-            # before "1995-12-31 00:00:00" lexicographically, which
-            # would over-prune; Spark's residual filter coerces the
-            # same way, so prune and filter stay consistent.
+            # Mixed-precision bounds must match the column's stored
+            # stat format or lexicographic pruning diverges from the
+            # residual filter. A date bound on a TIMESTAMP column is
+            # promoted to midnight ("1995-12-31" sorts before
+            # "1995-12-31 00:00:00" and would over-prune). A datetime
+            # bound on a DATE column is truncated to its date — for
+            # the lower bound that is conservative (keeps extra
+            # groups), for the upper bound it is exact (a date matches
+            # `<= ts` iff date <= ts.date() under Spark's
+            # date->midnight coercion).
+            t = col_types.get(col, "")
             if (
-                col_types.get(col, "").startswith("timestamp")
+                t.startswith("timestamp")
                 and isinstance(v, datetime.date)
                 and not isinstance(v, datetime.datetime)
             ):
                 v = datetime.datetime.combine(v, datetime.time.min)
+            elif t == "date" and isinstance(v, datetime.datetime):
+                v = v.date()
             return _stat_value(v)
 
         clo, chi = _bound(lo), _bound(hi)
@@ -675,8 +683,16 @@ def delete_where(
     matched = [gid_of[k] for k in sorted(matched_gids)]
     survivors = (
         _snapshot_df(spark, table, parent, matched)
-        .withColumn("__g", gid_col)
-        .filter(~pred)
+        # Letter-prefix the partition value: an all-digit gid would
+        # round-trip through partition-type inference as a NUMBER and
+        # the staged dir name would no longer match on os.rename.
+        .withColumn("__g", F.concat(F.lit("g"), gid_col))
+        # SQL DELETE removes rows where pred is TRUE; a NULL predicate
+        # KEEPS the row. A bare ~pred turns NULL into NULL (filtered
+        # out), silently deleting NULL-predicate rows — and only in
+        # groups containing a true match, making results depend on
+        # physical layout.
+        .filter(~F.coalesce(pred, F.lit(False)))
     )
     rewritten = _rewrite_partitioned(spark, table, parent, survivors, "__g")
     return _commit(
@@ -757,7 +773,7 @@ def expire_history(table: str, keep_last: int) -> list[int]:
     return expired
 
 
-def vacuum(table: str) -> list[str]:
+def vacuum(table: str, staging_retention_s: float = 24 * 3600) -> list[str]:
     """Delete data groups referenced by NO remaining manifest — orphans
     of crashed writers and groups released by expire_history. Safe by
     construction: live readers resolve manifests, and every manifest's
@@ -772,11 +788,18 @@ def vacuum(table: str) -> list[str]:
         if rel not in live:
             shutil.rmtree(os.path.join(d, gid))
             removed.append(rel)
-    # Crashed optimize_zorder runs leave a staging dir at the table
-    # root; no manifest ever references it, so it is always dead.
+    # Crashed rewrite runs leave a staging dir at the table root; no
+    # manifest ever references one, but a CONCURRENTLY RUNNING
+    # optimize/compact/delete owns its staging dir until it commits —
+    # only collect dirs older than the retention window (the
+    # production-vacuum posture; pass 0 to force-collect in tests).
+    now = time.time()
     for name in sorted(os.listdir(table)):
-        if name.startswith(_STAGING_PREFIX):
-            shutil.rmtree(os.path.join(table, name))
+        p = os.path.join(table, name)
+        if name.startswith(_STAGING_PREFIX) and (
+            now - os.path.getmtime(p) >= staging_retention_s
+        ):
+            shutil.rmtree(p)
             removed.append(name)
     return removed
 
@@ -977,27 +1000,32 @@ def optimize_zorder(
     # Per-column rank codes -> Morton interleave (bit j of column i
     # lands at position j*ncols + i, the classic z-curve).
     ncols = len(cluster_by)
+    if ncols * bits > 63:
+        raise LedgerError(
+            f"optimize_zorder: {ncols} columns x {bits} bits exceeds the "
+            "63-bit z-value budget; lower bits or cluster fewer columns"
+        )
     zval = F.lit(0).cast("long")
     for i, c in enumerate(cluster_by):
         code = _rank_code(snap, c, bits, total)
         for j in range(bits):
+            # Cast the bit to LONG before the shift: shifting the
+            # IntegerType bit wraps at position 31 (and Java masks the
+            # shift amount to 5 bits), silently corrupting the z-order
+            # for ncols*bits > 31.
             zval = zval + F.shiftleft(
-                F.shiftright(code, j).bitwiseAND(F.lit(1)),
+                F.shiftright(code, j).bitwiseAND(F.lit(1)).cast("long"),
                 j * ncols + i,
-            ).cast("long")
+            )
     staged = snap.withColumn("__zval", zval)
 
     # Cut groups on z-value quantiles: ~equal rows per group.
     probs = [i / num_groups for i in range(1, num_groups)]
-    zb = (
+    uniq = _dedupe_sorted(
         staged.select("__zval").approxQuantile("__zval", probs, 0.001)
         if probs
         else []
     )
-    uniq: list[float] = []
-    for b in zb:
-        if not uniq or b > uniq[-1]:
-            uniq.append(b)
     if uniq:
         bucket = F.size(
             F.filter(

@@ -160,27 +160,40 @@ class _LedgerStreamReader(DataSourceStreamReader):
         # startingVersion=0 replay of a long history arrives as bounded
         # batches instead of one giant first batch. 0/absent = no cap.
         self._max_versions = int(opts.get("maxversionsperbatch", 0))
-        self._last_seen = self._start
+        # The cap's base must be an ENGINE-authoritative offset or the
+        # stream's own start. Measured engine behavior (probed, pyspark
+        # 4.1): on a FRESH stream the first call is latestOffset —
+        # before initialOffset — so the base falls back to self._start,
+        # which IS the fresh stream's initial offset; on a checkpoint
+        # RESTART the engine calls partitions(checkpointed, ...) to
+        # recover the last batch BEFORE any latestOffset poll, so
+        # _base is already the committed offset and a capped
+        # latestOffset can never regress below it (regressing would
+        # re-deliver committed versions).
+        self._base: int | None = None
 
     def initialOffset(self):
+        self._base = (
+            self._start if self._base is None else max(self._base, self._start)
+        )
         return {"version": self._start}
 
     def latestOffset(self):
         latest = ledger.latest_version(self._table)
         if self._max_versions > 0:
-            # _last_seen advances only when a batch is actually planned
-            # or committed (partitions/commit), so repeated polls return
+            base = self._base if self._base is not None else self._start
+            # _base advances only when a batch is actually planned or
+            # committed (partitions/commit), so repeated polls return
             # the same capped offset — the cap is exact per batch.
-            latest = min(latest, self._last_seen + self._max_versions)
+            latest = min(latest, base + self._max_versions)
         return {"version": latest}
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
         # The engine's offsets are authoritative (after a checkpoint
-        # restart they resume PAST self._start) — keep the backpressure
-        # high-water mark in step or a capped latestOffset could lag
-        # the committed offset forever.
-        self._last_seen = max(self._last_seen, hi)
+        # restart they resume PAST self._start) — they establish and
+        # advance the backpressure base.
+        self._base = hi if self._base is None else max(self._base, hi)
         parts = []
         emitted = (
             {
@@ -221,7 +234,8 @@ class _LedgerStreamReader(DataSourceStreamReader):
     def commit(self, end):
         # Offsets live in Spark's checkpoint; manifests are immutable.
         # Track the committed high-water mark for the backpressure cap.
-        self._last_seen = max(self._last_seen, end["version"])
+        v = end["version"]
+        self._base = v if self._base is None else max(self._base, v)
 
     def stop(self):
         pass

@@ -1019,3 +1019,91 @@ def test_details_reports_clustering_quality(spark, sf_dir, tmp_path):
     assert d["op"] == "optimize" and d["key_overlap"] == 0.0
     # Time travel: details of version 0 still describe the create.
     assert ledger.details(t, version=0)["op"] == "create"
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, sf_dir, tmp_path):
+    """SQL DELETE removes rows where the predicate is TRUE; a NULL
+    predicate keeps the row. The survivor rewrite must not turn
+    NOT(NULL)=NULL into a silent drop — and the result must not depend
+    on whether a NULL row shares a group with a true match."""
+    rows = [(1, "x"), (2, None), (3, "y"), (4, None)]
+    df = spark.createDataFrame(rows, "k int, c string")
+    t = str(tmp_path / "t")
+    # One group containing both a match and NULL rows.
+    ledger.create(spark, t, df, key="k")
+    ledger.delete_where(spark, t, "c = 'x'")
+    got = sorted((r.k, r.c) for r in ledger.read(spark, t).collect())
+    assert got == [(2, None), (3, "y"), (4, None)]
+
+
+def test_read_between_datetime_bound_on_date_column(spark, sf_dir, tmp_path):
+    """A datetime bound on a DATE stats column must prune consistently
+    with Spark's residual coercion (date -> midnight): rows on the
+    boundary date must survive."""
+    import datetime
+
+    rows = [
+        (1, datetime.date(2020, 1, 4)),
+        (2, datetime.date(2020, 1, 5)),
+        (3, datetime.date(2020, 1, 7)),
+    ]
+    df = spark.createDataFrame(rows, "k int, d date")
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, df, key="k", stats_cols=["d"])
+    lo = datetime.datetime(2020, 1, 5, 0, 0, 0)
+    hi = datetime.datetime(2020, 1, 6, 12, 0, 0)
+    got = ledger.read(spark, t, between={"d": (lo, hi)})
+    want = ledger.read(spark, t).filter(F.col("d").between(lo, hi))
+    a = sorted(r.k for r in got.collect())
+    b = sorted(r.k for r in want.collect())
+    assert a == b == [2]
+
+
+def test_optimize_zorder_four_columns_past_int_bits(
+    spark, sf_dir, tmp_path
+):
+    """4 columns x 8 bits = 32 interleaved bits: the z-value must be
+    built in LONG arithmetic (an int shift wraps at 31). Row identity
+    and non-degenerate grouping are the assertions."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, orders, key="o_orderkey")
+    n = orders.count()
+    before = ledger.read(spark, t)
+    ledger.optimize_zorder(
+        spark,
+        t,
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+        target_rows=max(1, n // 8),
+    )
+    after = ledger.read(spark, t)
+    assert after.exceptAll(before).count() == 0
+    assert before.exceptAll(after).count() == 0
+    groups = ledger.history(t)[-1]["groups"]
+    assert len(groups) >= 4
+    # With a sane 32-bit z-value the groups are ~equal-row cuts, not
+    # one giant bucket of wrapped-negative z-values.
+    sizes = sorted(g["rows"] for g in groups)
+    assert sizes[-1] < n  # no single group swallowed everything
+    with pytest.raises(ledger.LedgerError, match="63-bit"):
+        ledger.optimize_zorder(
+            spark, t, ["o_orderkey"] * 8, bits=8
+        )
+
+
+def test_vacuum_spares_recent_staging_dirs(spark, sf_dir, tmp_path):
+    """A staging dir younger than the retention window belongs to a
+    possibly-RUNNING rewrite and must survive vacuum; retention 0
+    force-collects it."""
+    region = load_table(spark, sf_dir, "region")
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, region)
+    staging = os.path.join(t, f"{ledger._STAGING_PREFIX}live")
+    os.makedirs(staging)
+    assert ledger.vacuum(t) == []  # default retention spares it
+    assert os.path.isdir(staging)
+    removed = ledger.vacuum(t, staging_retention_s=0)
+    assert removed == [f"{ledger._STAGING_PREFIX}live"]
+    assert not os.path.isdir(staging)

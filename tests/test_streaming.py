@@ -768,3 +768,62 @@ def test_ledger_stream_max_versions_per_batch(spark, sf_dir, tmp_path):
         assert max(p["numInputRows"] for p in data_batches) <= 1000
     finally:
         q.stop()
+
+
+def test_ledger_stream_cap_survives_restart(spark, sf_dir, tmp_path):
+    """maxVersionsPerBatch + checkpoint restart: the reconstructed
+    reader has no engine offset yet, so the cap must be SUSPENDED until
+    the engine reveals one — otherwise latestOffset would regress below
+    the committed offset and re-deliver every version. Exactly-once
+    across the restart is the assertion."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.sources.ledger_stream import (
+        register_ledger_source,
+    )
+
+    register_ledger_source(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 1000"), key="o_orderkey"
+    )
+    for i in range(3):
+        lo, hi = 1000 + i * 500, 1500 + i * 500
+        ledger.append(
+            spark,
+            t,
+            orders.filter(f"o_orderkey >= {lo} AND o_orderkey < {hi}"),
+        )
+
+    def start():
+        return (
+            spark.readStream.format("ledger")
+            .option("startingVersion", "0")
+            .option("maxVersionsPerBatch", "1")
+            .load(t)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    ledger.append(
+        spark, t, orders.filter("o_orderkey >= 2500 AND o_orderkey < 3000")
+    )
+    ledger.append(spark, t, orders.filter("o_orderkey >= 3000"))
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = spark.read.parquet(sink)
+    want = ledger.read(spark, t)
+    assert got.count() == want.count()  # no re-delivery, nothing lost
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
