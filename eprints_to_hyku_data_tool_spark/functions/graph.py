@@ -181,6 +181,11 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # An empty edge set (e.g. a near-dup graph at a tau matching
+        # nothing) must yield an empty (node, rank) result, not a
+        # driver-side ZeroDivisionError from 1.0 / n.
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Carry the out-degree ON the edge rows, once — the per-iteration
     # loop then touches only (edges_d x ranks), not a 3-way join. The

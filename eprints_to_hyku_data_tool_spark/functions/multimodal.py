@@ -44,7 +44,12 @@ def synthesize_media(docs: DataFrame, mime: str = "image/fake") -> DataFrame:
     documents fixture (payload = utf-8 text bytes; dimensions from
     n_chars). Stands in for reading real media files; the downstream
     plumbing neither knows nor cares."""
-    width = F.least(F.col("n_chars").cast("int"), F.lit(64))
+    # greatest(..., 1): an empty document (n_chars = 0) would make
+    # width 0 and the height division a DIVIDE_BY_ZERO under Spark 4's
+    # default ANSI mode, killing the whole job for one empty doc.
+    width = F.greatest(
+        F.least(F.col("n_chars").cast("int"), F.lit(64)), F.lit(1)
+    )
     height = (F.col("n_chars").cast("int") / width).cast("int") + 1
     return docs.select(
         "doc_id",
@@ -298,7 +303,16 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 for idx in range(0, n, every_n):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
-                    out["frame"].append(payload[idx * step : (idx + 1) * step])
+                    # The LAST frame extends to the payload end: with
+                    # len(payload) % n != 0 a fixed-step slice would
+                    # silently drop the tail bytes from every frame
+                    # partition ('n_frames equal slices' contract).
+                    hi = (
+                        len(payload)
+                        if idx == n - 1
+                        else (idx + 1) * step
+                    )
+                    out["frame"].append(payload[idx * step : hi])
             yield pd.DataFrame(out).astype(
                 {"doc_id": "int64", "frame_idx": "int32"}
             )
@@ -351,7 +365,12 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 out["n_samples"].append(n)
                 out["duration_s"].append(n / rate if rate else 0.0)
                 out["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
-                out["peak"].append(int(np.abs(samples).max()) if n else 0)
+                # Widen before abs: np.abs(int16 -32768) overflows back
+                # to -32768, silently reporting a wrong (possibly
+                # negative) peak for full-scale negative samples.
+                out["peak"].append(
+                    int(np.abs(samples.astype(np.int64)).max()) if n else 0
+                )
                 out["zero_crossing_rate"].append(
                     float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
                     if n > 1

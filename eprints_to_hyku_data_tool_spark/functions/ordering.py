@@ -56,7 +56,11 @@ def with_global_position(
     return (
         local.join(F.broadcast(counts), "__pid")
         .withColumn(
-            position_col, (F.col("__offset") + F.col("__rank")).cast("int")
+            # LONG, not int: this helper exists precisely for inputs
+            # too big for a single-task global sort — an int cast would
+            # CAST_OVERFLOW (ANSI) at 2^31 rows, exactly the scale it
+            # targets (with_global_cumsum already casts long).
+            position_col, (F.col("__offset") + F.col("__rank")).cast("long")
         )
         .drop("__pid", "__rank", "__offset")
     )

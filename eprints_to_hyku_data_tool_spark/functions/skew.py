@@ -36,7 +36,21 @@ def salted_join(
     across buckets — any per-row value works and CANNOT change the join
     result, so a seeded rand() is fine (the result set is identical for
     every salt assignment; only the partitioning differs).
+
+    Only LARGE-side-preserving join modes are valid: the small side is
+    replicated n_salts times, so any mode that preserves small-side
+    rows (right/full outer) would emit one null-extended row per salt
+    bucket the large side missed — silently wrong counts. Rejected
+    loudly here.
     """
+    mode = how.lower().replace("_", "")
+    if mode not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join: join mode {how!r} preserves replicated "
+            "small-side rows and would produce spurious null-extended "
+            "results; use inner/left/left_semi/left_anti (salt the "
+            "other side for right-preserving joins)"
+        )
     salted_large = large.withColumn(
         SALT_COL, (F.rand(seed=42) * n_salts).cast("int")
     )

@@ -316,3 +316,12 @@ def test_reliable_checkpoint_switch(spark, sf_dir, tmp_path, monkeypatch):
     # the reliable store was actually written
     found = any(files for _, _, files in os.walk(ckpt))
     assert found, f"no checkpoint files under {ckpt}"
+
+
+def test_pagerank_empty_graph(spark):
+    from eprints_to_hyku_data_tool_spark.functions.graph import pagerank
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    out = pagerank(empty)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
