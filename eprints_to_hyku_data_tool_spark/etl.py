@@ -79,7 +79,7 @@ def resolve_subjects(eprints: DataFrame, subject_map: DataFrame) -> DataFrame:
     Returns (eprintid, subject) with subject = '|'-joined labels.
     """
     exploded = eprints.select(
-        "eprintid", F.posexplode_outer("subjects").alias("pos", "code")
+        "eprintid", F.posexplode("subjects").alias("pos", "code")
     )
     resolved = exploded.join(F.broadcast(subject_map), "code", "inner")
     refolded = (

@@ -26,15 +26,18 @@ def read_csv(
     multi_line: bool = True,
     delimiter: str = ",",
     quote: str = '"',
+    escape: str | None = None,
 ) -> DataFrame:
     """X01: EPrints flat CSV export. multiLine=True because EPrints
-    abstracts embed newlines inside quoted fields."""
+    abstracts embed newlines inside quoted fields. escape defaults to
+    the QUOTE character (RFC4180 doubled-quote unescaping) — a caller
+    overriding quote gets a matched pair, not a stale '\"' escape."""
     reader = (
         spark.read.option("header", header)
         .option("multiLine", multi_line)
         .option("sep", delimiter)
         .option("quote", quote)
-        .option("escape", '"')
+        .option("escape", escape if escape is not None else quote)
     )
     if schema is not None:
         reader = reader.schema(schema)
@@ -99,13 +102,23 @@ def read_jdbc(
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # Defaulting bounds (e.g. 0..2^31) makes the stride so wide
+            # that every real row lands in partition 0 — the entire
+            # table silently serializes through ONE connection, the
+            # exact failure this parameter exists to avoid. Demand real
+            # bounds (one SELECT min(),max() round-trip on the source).
+            raise ValueError(
+                "read_jdbc: partition_column requires explicit "
+                "lower_bound/upper_bound (query the source's "
+                "min/max first) — default bounds would collapse the "
+                "parallel read into a single task"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", num_partitions)
-            .option("lowerBound", lower_bound if lower_bound is not None else 0)
-            .option(
-                "upperBound", upper_bound if upper_bound is not None else 1 << 31
-            )
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
         )
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)

@@ -14,10 +14,12 @@ manifest publish, so there is no window where data landed but the batch
 id did not.
 
 Concurrency: a ConcurrentCommitError (another writer raced this table)
-propagates and fails the stream; the restart re-delivers the batch and
-the idempotence check decides whether it already landed. State is
-bounded: the sink holds nothing between batches — recovery state IS the
-table's manifest history.
+loops the sink back to RE-READ latest_txn before re-attempting — the
+idempotence check and the commit form one optimistic transaction, so a
+zombie driver that applied this very batch in the race window is
+detected instead of double-applied; only a persistent race (attempts
+exhausted) fails the stream. Recovery state IS the table's manifest
+history (the in-process high-water cache is an optimization only).
 
 Source contract: each micro-batch must be key-unique (one change per
 key per batch — the CDC "latest change wins per batch" compaction from
@@ -33,19 +35,38 @@ from ..sources import ledger
 
 
 def merge_batch(
-    table: str, batch_df: DataFrame, batch_id: int, txn_app: str
+    table: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    txn_app: str,
+    attempts: int = 5,
 ) -> int | None:
     """Apply one micro-batch as a transactional MERGE; returns the
     committed version, or None if this batch id already landed under
-    `txn_app` (checkpoint-recovery re-delivery)."""
-    last = ledger.latest_txn(table, txn_app)
-    if last is not None and batch_id <= last:
-        return None
-    return ledger.merge(
-        batch_df.sparkSession,
-        table,
-        batch_df,
-        txn={"app": txn_app, "batch": batch_id},
+    `txn_app` (checkpoint-recovery re-delivery).
+
+    The idempotence check and the commit form ONE optimistic
+    transaction: merge runs with retries=0, and a ConcurrentCommitError
+    loops back to RE-READ latest_txn before re-attempting. Letting
+    ledger.merge retry internally would re-commit without re-checking
+    the txn — a zombie driver that raced this batch in between would
+    then be double-applied (the check-then-act hole)."""
+    for _ in range(attempts):
+        last = ledger.latest_txn(table, txn_app)
+        if last is not None and batch_id <= last:
+            return None
+        try:
+            return ledger.merge(
+                batch_df.sparkSession,
+                table,
+                batch_df,
+                txn={"app": txn_app, "batch": batch_id},
+                retries=0,
+            )
+        except ledger.ConcurrentCommitError:
+            continue  # the racer may have been OUR zombie: re-check
+    raise ledger.ConcurrentCommitError(
+        f"merge_batch: {attempts} straight version races on {table}"
     )
 
 
@@ -54,11 +75,23 @@ def merge_stream(
 ):
     """writeStream into a ledger table with exactly-once upserts: wire
     `merge_batch` through foreachBatch. Caller starts the returned
-    writer (``.start()``) and owns the checkpoint dir."""
+    writer (``.start()``) and owns the checkpoint dir.
+
+    A closure-cached high-water mark short-circuits the storage-side
+    latest_txn scan for batch ids already known applied in THIS
+    process (a long-lived stream otherwise re-reads the whole manifest
+    history every trigger — O(versions^2) cumulative); the first batch
+    after any (re)start still consults storage."""
+    hwm: dict = {"last": None}
+
+    def apply(df: DataFrame, bid: int) -> None:
+        if hwm["last"] is not None and bid <= hwm["last"]:
+            return
+        merge_batch(table, df, bid, txn_app)
+        hwm["last"] = bid
+
     return (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: merge_batch(table, df, bid, txn_app)
-        )
+        stream.writeStream.foreachBatch(apply)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )

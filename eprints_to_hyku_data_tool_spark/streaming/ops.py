@@ -265,18 +265,34 @@ def streaming_neardup(stream: DataFrame) -> DataFrame:
     )
 
     toks = stream.select("doc_id", F.split("text", " ").alias("toks"))
-    sh = toks.select("doc_id", shingle_expr(F.col("toks")).alias("sh"))
+    # Docs with fewer than SHINGLE_K tokens have an EMPTY shingle set:
+    # every array_min minhash is NULL, xxhash64 skips NULL children, so
+    # ALL such docs would share one band hash per band and the state
+    # kernel's 5*0 >= 4*0 check would emit degenerate (0,0) pairs — the
+    # batch path (q_north) drops shingle-less docs before banding, and
+    # the stream must match it.
+    sh = toks.select(
+        "doc_id", shingle_expr(F.col("toks")).alias("sh")
+    ).filter(F.size("sh") > 0)
     # Row-local minhash: min over the shingle array per seed (the batch
     # path explodes + groupBys for shuffle locality; a stream avoids the
-    # shuffle entirely).
-    sig = sh.select(
+    # shuffle entirely). The string is hashed ONCE into a projected
+    # base-hash array; the 64 per-seed minhashes re-hash the fixed
+    # 8-byte base — the same one-string-hash-per-shingle shape the
+    # batch path measured as the hot-spot fix (string bytes dominate
+    # xxhash64 cost; 64 independent lambdas defeat subexpression
+    # elimination, so the sharing must be an explicit projection).
+    based = sh.select(
+        "doc_id",
+        "sh",
+        F.transform("sh", lambda s: F.xxhash64(s)).alias("bh"),
+    )
+    sig = based.select(
         "doc_id",
         "sh",
         *[
             F.array_min(
-                F.transform(
-                    "sh", lambda s: F.xxhash64(F.xxhash64(s), F.lit(seed))
-                )
+                F.transform("bh", lambda b: F.xxhash64(b, F.lit(seed)))
             ).alias(f"h{seed}")
             for seed in range(N_HASHES)
         ],

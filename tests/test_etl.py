@@ -124,12 +124,24 @@ def test_x04_jdbc_reader_is_configured(spark):
             "jdbc:mysql://localhost:1/none",
             "eprints",
             partition_column="eprintid",
+            lower_bound=0,
+            upper_bound=100_000,
             properties={"driver": "org.example.NoDriver"},
         )
     # failure must be the missing driver/endpoint, not our option plumbing
     assert "NoDriver" in str(exc_info.value) or "No suitable driver" in str(
         exc_info.value
     )
+    # Partitioned reads demand REAL bounds: the old silent 0..2^31
+    # default made the stride so wide that the whole table read through
+    # one task.
+    with pytest.raises(ValueError, match="explicit"):
+        eio.read_jdbc(
+            spark,
+            "jdbc:mysql://localhost:1/none",
+            "eprints",
+            partition_column="eprintid",
+        )
 
 
 def test_x04_jdbc_roundtrip_derby(spark, sf_dir, tmp_path):

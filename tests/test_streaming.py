@@ -827,3 +827,85 @@ def test_ledger_stream_cap_survives_restart(spark, sf_dir, tmp_path):
     assert got.count() == want.count()  # no re-delivery, nothing lost
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_neardup_ignores_shingleless_docs(spark, sf_dir, tmp_path):
+    """Docs with fewer than SHINGLE_K tokens have EMPTY shingle sets:
+    all minhashes are NULL and every such doc would share a band hash
+    (xxhash64 skips NULL children), emitting degenerate (0,0) pairs the
+    batch path never produces. They must be dropped before banding."""
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "hi there",             # 2 tokens: shingle-less
+                "ok",                   # 1 token: shingle-less
+                "a b c d e f g h i j",  # real doc
+                "a b c d e f g h i k",  # near-dup of doc 3
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [8, 2, 19, 19],
+        }
+    )
+    src = str(tmp_path / "chunks")
+    spark.createDataFrame(rows, schema=ops.DOCS_STREAM_SCHEMA).coalesce(
+        1
+    ).write.parquet(f"{src}/chunk=0")
+    name = f"ndz_{uuid.uuid4().hex[:8]}"
+    stream = ops.docs_stream(spark, f"{src}/chunk=*")
+    _run_to_memory(ops.streaming_neardup(stream), name, "append")
+    got = spark.table(name).collect()
+    # No pair may involve the shingle-less docs or a zero-size union.
+    assert all(r["union_size"] > 0 for r in got)
+    assert all(r["id_a"] not in (1, 2) and r["id_b"] not in (1, 2) for r in got)
+
+
+def test_merge_batch_zombie_race_is_idempotent(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Check-then-act hole (review finding): a zombie driver commits
+    the SAME batch between the sink's latest_txn read and its commit.
+    The raced commit must loop back through the idempotence check and
+    return None — never double-apply the batch."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.streaming import ledger_sink
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = str(tmp_path / "t")
+    ledger.create(
+        spark, t, orders.filter("o_orderkey < 2000"), key="o_orderkey"
+    )
+    batch = orders.filter(
+        "o_orderkey >= 2000 AND o_orderkey < 2500"
+    )
+
+    real_commit = ledger._commit
+    state = {"raced": False}
+
+    def zombie(table_, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            parent = ledger._read_manifest(
+                table_, ledger.latest_version(table_)
+            )
+            real_commit(
+                table_,
+                ledger._new_manifest(
+                    parent,
+                    "merge",
+                    parent["groups"],
+                    txn={"app": "zombie-test", "batch": 7},
+                ),
+            )
+        return real_commit(table_, manifest)
+
+    monkeypatch.setattr(ledger, "_commit", zombie)
+    out = ledger_sink.merge_batch(t, batch, 7, "zombie-test")
+    assert out is None  # the zombie's commit was detected, not repeated
+    txns = [m["txn"] for m in ledger.history(t) if m.get("txn")]
+    assert len([x for x in txns if x["batch"] == 7]) == 1
