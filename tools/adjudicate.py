@@ -78,12 +78,20 @@ _RUNNER = textwrap.dedent(
         "noop"
     ).mode("overwrite").save()
 
-    # Pre-pay the session-memoized shared intermediates so family
-    # queries measure marginals, exactly like bench.py.
-    from eprints_to_hyku_data_tool_spark.functions import copurchase, neardup
+    # Pre-pay ALL THREE session-memoized shared intermediates so family
+    # queries measure marginals, exactly like bench.py (grams was
+    # missing here once: a grams-family flag then paid the one-time
+    # doc_grams8 build inside its first timed run and could be wrongly
+    # 'confirmed').
+    from eprints_to_hyku_data_tool_spark.functions import (
+        copurchase,
+        grams,
+        neardup,
+    )
 
     copurchase.triangles(spark, sf_dir)
     neardup.components(spark, sf_dir)
+    grams.doc_grams8(spark, sf_dir)
 
     out = {{}}
     for name in names:
@@ -149,8 +157,31 @@ _BUILD_RUNNER = textwrap.dedent(
 
 
 def load_payload(path: str) -> dict:
-    """Full bench payload from either sidecar or driver-wrapper shape."""
+    """Full bench payload from either sidecar or driver-wrapper shape.
+
+    A driver wrapper with parsed:null (the truncated-stdout case) must
+    NOT silently fall back to the wrapper dict — it has no
+    'regressions' key, so the tool would print 'no regression flags'
+    and exit 0 while flags sit unadjudicated in the tail text. Try to
+    scavenge a payload from the wrapper's raw tail; otherwise fail
+    loudly."""
     data = json.load(open(path))
+    if "parsed" in data and data["parsed"] is None:
+        for key in ("tail", "stdout", "raw"):
+            text = data.get(key)
+            if not isinstance(text, str):
+                continue
+            for line in reversed(text.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        return json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+        raise SystemExit(
+            f"ADJUDICATE: {path} has parsed:null and no scavengeable "
+            "payload line — cannot adjudicate; re-run bench"
+        )
     return data.get("parsed") or data
 
 

@@ -107,16 +107,20 @@ def build_tier(spark, src: str, out: str, copies: int) -> None:
         import glob as _g
         import shutil
 
+        # A stale dst from a previous run with a DIFFERENT --copies must
+        # go first in BOTH branches: moving a single part into a
+        # surviving dst DIRECTORY would nest it beside the old parts and
+        # spark.read would union old+new rows — silent tier corruption.
+        if os.path.isfile(dst):
+            os.remove(dst)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
         parts = sorted(_g.glob(os.path.join(tmp, "part-*.parquet")))
         if len(parts) == 1:
             shutil.move(parts[0], dst)
             shutil.rmtree(tmp)
         else:
             # multi-part: keep the directory, readable by spark.read too
-            if os.path.isfile(dst):
-                os.remove(dst)
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
             shutil.move(tmp, dst)
         n = spark.read.parquet(dst).count()
         print(f"{table}: {n} rows -> {dst}", flush=True)

@@ -46,6 +46,9 @@ ARTIFACT_GLOBS = [
     "RENAMES_r*.json",
     "SCALE_SMOKE.json",
     "BENCH_local.json",
+    # Same committed-evidence class as the smoke (r12 additions):
+    "LEDGER_BENCH.json",
+    "RPLSH_EXPONENT.json",
 ]
 
 
@@ -155,20 +158,22 @@ def _blob_at(commit: str, rel: str) -> str | None:
 
 def _code_changed_since(commit: str, rel: str) -> bool:
     """True iff the *code* (AST, comments/docstrings stripped) of any
-    Python file under `rel` differs between `commit` and the working
-    tree. Non-.py files and added/deleted files count as changed."""
+    Python file under `rel` differs between `commit` and HEAD — both
+    sides from git, never the working tree (a dirty tree could mask a
+    committed change; the artifacts-clean check guards the tree
+    separately). Non-.py files and added/deleted files count as
+    changed."""
     changed = _git("diff", "--name-only", commit, "HEAD", "--", rel)
     for f in changed.splitlines():
         f = f.strip()
         if not f:
             continue
-        path = os.path.join(_ROOT, f)
         if not f.endswith(".py"):
             return True
         old = _blob_at(commit, f)
-        if old is None or not os.path.exists(path):
+        new = _blob_at("HEAD", f)
+        if old is None or new is None:
             return True
-        new = open(path).read()
         if code_fingerprint(old) != code_fingerprint(new):
             return True
     return False
@@ -209,14 +214,16 @@ def main() -> None:
         + check_docs_mention_round(n)
         + check_smoke_fresh()
     )
-    for p in problems:
-        print(f"ROUND_CLOSE FAIL: {p}")
     if not args.skip_pytest:
         rc = subprocess.run(
             [sys.executable, "-m", "pytest", "tests/", "-x", "-q"], cwd=_ROOT
         ).returncode
         if rc != 0:
             problems.append(f"pytest exited {rc}")
+    # Print AFTER every check has run (a late pytest failure used to be
+    # appended past the printing loop and exit 1 with no FAIL line).
+    for p in problems:
+        print(f"ROUND_CLOSE FAIL: {p}")
     if problems:
         sys.exit(1)
     print(f"ROUND_CLOSE OK (round {n})")

@@ -231,11 +231,17 @@ def main() -> None:
         ),
         # the r9 verdict's acceptance bar: past the anchor, the derived
         # config's candidate rate must drop below the fixed config's
-        # scale-constant ~6.85% floor
-        "derived_rate_below_fixed_floor": all(
-            r["derived_cand_rate"] < 0.0683
-            for r in rows
-            if r["n"] > 2048
+        # scale-constant ~6.85% floor. None (not True) when NO tier
+        # exceeds the anchor — a vacuous all() over zero tiers would
+        # record the bar as passed without ever measuring it.
+        "derived_rate_below_fixed_floor": (
+            all(
+                r["derived_cand_rate"] < 0.0683
+                for r in rows
+                if r["n"] > 2048
+            )
+            if any(r["n"] > 2048 for r in rows)
+            else None
         ),
         "runtime_exponent": round(
             _fit_slope(ns, [r["sec_min"] for r in rows]), 3

@@ -165,6 +165,29 @@ def main() -> None:
             big[name] = min(big[name], rerun)
     spark.stop()
 
+    # `_build_*` entries get no in-session retry (the memo makes one
+    # ~0 s), but they ARE the most contention-exposed timings (bench.py
+    # grew warm_rerun_flagged_builds for exactly this) — so a build
+    # whose ratio would fail the gate gets ONE fresh-subprocess
+    # re-measure (tables warmed, build timed cold, the adjudicator's
+    # own runner) before the verdict; a real super-linear build
+    # survives it, a contention artifact does not.
+    for name in sorted(base):
+        if not name.startswith("_build_"):
+            continue
+        ratio = big[name] / max(base[name], 1e-9)
+        if base[name] >= 0.5 and ratio > linear_bound:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from adjudicate import run_build_sessions
+
+            fresh = run_build_sessions([name], args.tier, 1)[name][0]
+            print(
+                f"  fresh build rerun {name}: {fresh:.2f}s "
+                f"(was {big[name]:.2f}s)",
+                flush=True,
+            )
+            big[name] = min(big[name], fresh)
+
     rows = {}
     failures = []
     for name in base:
