@@ -44,7 +44,10 @@ def salted_join(
     loudly here.
     """
     mode = how.lower().replace("_", "")
-    if mode not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+    if mode not in {
+        "inner", "left", "leftouter", "leftsemi", "leftanti",
+        "semi", "anti",
+    }:
         raise ValueError(
             f"salted_join: join mode {how!r} preserves replicated "
             "small-side rows and would produce spurious null-extended "

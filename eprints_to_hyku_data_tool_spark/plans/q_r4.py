@@ -640,7 +640,7 @@ def z8251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X52 — containment near-dup (winnowing candidates + exact verify)
+# X52 — containment near-dup (winnowing candidates + w.h.p.-exact verify)
 # --------------------------------------------------------------------------
 @register(
     "z10658_winnow_containment",

@@ -277,37 +277,50 @@ def _check_schema(manifest: dict, df: DataFrame, what: str) -> None:
 
 
 def _evolve_schema(
-    manifest: dict, df: DataFrame, what: str
-) -> StructType | None:
-    """Validate df against the table schema under add-column evolution:
-    every existing column must be present with its exact type (no drops,
-    renames, or type changes — the safe subset), and any NEW columns are
-    appended as nullable. Returns the widened schema, or None when df
-    adds nothing (no evolution needed)."""
+    manifest: dict, df: DataFrame, what: str, base_cols: set | None = None
+) -> tuple[StructType | None, DataFrame]:
+    """Validate df against the table schema under add-column evolution
+    and align it: every column the caller's ORIGINAL table schema had
+    must be present with its exact type (no drops, renames, or type
+    changes — the safe subset), and any NEW df columns are appended as
+    nullable. Table columns df lacks that are NOT in `base_cols` (the
+    schema the caller first validated against) were added by a
+    CONCURRENT writer between optimistic retries — those are NULL-filled
+    with their table type, the same semantics readers give pre-evolution
+    groups, instead of being misreported as drops. Returns
+    (widened_schema_or_None, aligned_df); the schema is None when df
+    adds nothing beyond the table."""
     want = StructType.fromJson(manifest["schema"])
     want_types = {f.name: f.dataType for f in want}
     got_types = {f.name: f.dataType for f in df.schema}
+    if base_cols is None:
+        base_cols = set(want_types)
     missing = [n for n in want_types if n not in got_types]
-    if missing:
+    dropped = [n for n in missing if n in base_cols]
+    if dropped:
         raise LedgerError(
-            f"{what}: schema evolution cannot drop columns {missing} "
+            f"{what}: schema evolution cannot drop columns {dropped} "
             "(add-column only)"
         )
     changed = [
-        n for n, t in want_types.items() if got_types[n] != t
+        n for n, t in want_types.items()
+        if n in got_types and got_types[n] != t
     ]
     if changed:
         raise LedgerError(
             f"{what}: schema evolution cannot change column types "
             f"{changed} (add-column only)"
         )
+    for f in want:
+        if f.name in missing:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
     new_fields = [f for f in df.schema if f.name not in want_types]
-    if not new_fields:
-        return None
-    return StructType(
+    final = StructType(
         list(want)
         + [StructField(f.name, f.dataType, True) for f in new_fields]
     )
+    df = df.select([f.name for f in final])
+    return (final if new_fields else None), df
 
 
 def _new_manifest(
@@ -420,7 +433,15 @@ def read(
     if key_between is not None:
         if key is None:
             raise LedgerError("key_between requires a table with a key")
-        bounds[key] = key_between
+        if key in bounds:
+            # Two bounds for the same column would silently shadow one
+            # another; intersect the closed intervals instead so both
+            # constraints prune and filter.
+            blo, bhi = bounds[key]
+            klo, khi = key_between
+            bounds[key] = (max(blo, klo), min(bhi, khi))
+        else:
+            bounds[key] = key_between
     if not bounds:
         return _snapshot_df(spark, table, manifest, groups)
 
@@ -499,13 +520,16 @@ def append(
     propagates."""
     df0 = df
     group = None
+    base_cols = None
     for attempt in range(retries + 1):
         parent = _read_manifest(table, latest_version(table))
         schema = None
         if merge_schema:
-            schema = _evolve_schema(parent, df0, "append")
-            if schema is not None:
-                df = df0.select([f.name for f in schema])
+            if base_cols is None:
+                base_cols = {
+                    f["name"] for f in parent["schema"]["fields"]
+                }
+            schema, df = _evolve_schema(parent, df0, "append", base_cols)
         else:
             _check_schema(parent, df0, "append")
             df = df0
@@ -566,6 +590,7 @@ def merge(
     The source preflight (one agg) runs once."""
     source0 = source
     bounds = None
+    base_cols = None
     for attempt in range(retries + 1):
         parent = _read_manifest(table, latest_version(table))
         key = parent["key"]
@@ -573,11 +598,12 @@ def merge(
             raise LedgerError("merge requires a table created with a key")
         schema = None
         if merge_schema:
-            schema = _evolve_schema(parent, source0, "merge")
-            source = (
-                source0.select([f.name for f in schema])
-                if schema is not None
-                else source0
+            if base_cols is None:
+                base_cols = {
+                    f["name"] for f in parent["schema"]["fields"]
+                }
+            schema, source = _evolve_schema(
+                parent, source0, "merge", base_cols
             )
         else:
             _check_schema(parent, source0, "merge")
@@ -797,11 +823,29 @@ def vacuum(table: str, staging_retention_s: float = 24 * 3600) -> list[str]:
     for name in sorted(os.listdir(table)):
         p = os.path.join(table, name)
         if name.startswith(_STAGING_PREFIX) and (
-            now - os.path.getmtime(p) >= staging_retention_s
+            now - _newest_mtime(p) >= staging_retention_s
         ):
             shutil.rmtree(p)
             removed.append(name)
     return removed
+
+
+def _newest_mtime(root: str) -> float:
+    """The newest mtime anywhere under `root`. The top-level dir mtime
+    is set when partition subdirs are created at the START of a staged
+    rewrite and file writes inside them do not touch it — keying
+    retention off it alone could vacuum the live staging dir of a
+    rewrite still running past the window."""
+    newest = os.path.getmtime(root)
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for entry in [dirpath] + [
+            os.path.join(dirpath, f) for f in filenames
+        ]:
+            try:
+                newest = max(newest, os.path.getmtime(entry))
+            except OSError:
+                pass  # racing writer may move files mid-walk
+    return newest
 
 
 def compact(

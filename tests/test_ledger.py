@@ -1107,3 +1107,155 @@ def test_vacuum_spares_recent_staging_dirs(spark, sf_dir, tmp_path):
     removed = ledger.vacuum(t, staging_retention_s=0)
     assert removed == [f"{ledger._STAGING_PREFIX}live"]
     assert not os.path.isdir(staging)
+
+
+def test_vacuum_keys_retention_off_newest_inner_mtime(
+    spark, sf_dir, tmp_path
+):
+    """A long rewrite creates its partition subdirs at the START, so the
+    top-level staging mtime can age past the retention window while
+    executors are still writing files inside — retention must key off
+    the NEWEST mtime found anywhere under the dir (ADVICE r12)."""
+    region = load_table(spark, sf_dir, "region")
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, region)
+    staging = os.path.join(t, f"{ledger._STAGING_PREFIX}slow")
+    sub = os.path.join(staging, "part=0")
+    os.makedirs(sub)
+    # Age the dirs past the window, then land a FRESH executor file.
+    old = ledger.time.time() - 7200
+    os.utime(staging, (old, old))
+    os.utime(sub, (old, old))
+    fresh = os.path.join(sub, "data.parquet")
+    with open(fresh, "w") as f:
+        f.write("x")
+    assert ledger.vacuum(t, staging_retention_s=3600) == []
+    assert os.path.isdir(staging)  # in-flight rewrite spared
+    # Now genuinely abandoned: EVERYTHING under it ages past the window
+    # (creating the file refreshed its parent dir's mtime too).
+    for p in (fresh, sub, staging):
+        os.utime(p, (old, old))
+    assert ledger.vacuum(t, staging_retention_s=3600) == [
+        f"{ledger._STAGING_PREFIX}slow"
+    ]
+
+
+def test_read_intersects_key_between_and_between(
+    spark, sf_dir, tmp_path, orders_slices
+):
+    """Passing BOTH key_between and between[key] must intersect the two
+    closed intervals, not silently drop one (ADVICE r12)."""
+    snap, _ = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, snap, key="o_orderkey")
+    got = ledger.read(
+        spark,
+        t,
+        key_between=(0, 2999),
+        between={"o_orderkey": (1500, 5000)},
+    )
+    want = snap.filter("o_orderkey BETWEEN 1500 AND 2999")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # Disjoint intervals intersect to empty, never to either operand.
+    assert (
+        ledger.read(
+            spark,
+            t,
+            key_between=(0, 100),
+            between={"o_orderkey": (3000, 3999)},
+        ).count()
+        == 0
+    )
+
+
+def _evolving_racer_commit_once(state, spark):
+    """Like _racing_commit_once, but the racer's stolen commit WIDENS
+    the schema with its own new column — the concurrent-evolution race
+    the retry loop must survive (ADVICE r12)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    real_commit = ledger._commit
+
+    def wrapper(table, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            parent = ledger._read_manifest(
+                table, ledger.latest_version(table)
+            )
+            widened = StructType(
+                list(StructType.fromJson(parent["schema"]))
+                + [StructField("racer_col", LongType(), True)]
+            )
+            real_commit(
+                table,
+                ledger._new_manifest(
+                    parent, "append", parent["groups"], schema=widened
+                ),
+            )
+        return real_commit(table, manifest)
+
+    return wrapper
+
+
+def test_append_retry_survives_concurrent_evolution(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Retry after a racer added a DIFFERENT new column: the racer's
+    column is not a 'drop' — it is NULL-filled for our rows (the same
+    semantics readers give pre-evolution groups) and both new columns
+    land in the final schema."""
+    t = str(tmp_path / "t")
+    region = load_table(spark, sf_dir, "region")
+    ledger.create(spark, t, region.filter("r_regionkey < 3"))
+    monkeypatch.setattr(
+        ledger,
+        "_commit",
+        _evolving_racer_commit_once({"raced": False}, spark),
+    )
+    v = ledger.append(
+        spark,
+        t,
+        region.filter("r_regionkey >= 3").withColumn(
+            "my_col", F.lit(7).cast("long")
+        ),
+        merge_schema=True,
+    )
+    assert v == 2  # the racer took version 1
+    got = ledger.read(spark, t)
+    assert {"racer_col", "my_col"} <= set(got.columns)
+    assert got.filter("racer_col IS NOT NULL").count() == 0
+    assert got.filter("my_col = 7").count() == 2
+    assert got.count() == region.count()
+
+
+def test_merge_retry_survives_concurrent_evolution(
+    spark, sf_dir, tmp_path, monkeypatch, orders_slices
+):
+    """The merge twin: the recomputed attempt reads the fresh parent's
+    widened schema and NULL-fills the racer's column in the source."""
+    snap, delta = orders_slices
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, snap, key="o_orderkey")
+    monkeypatch.setattr(
+        ledger,
+        "_commit",
+        _evolving_racer_commit_once({"raced": False}, spark),
+    )
+    v = ledger.merge(
+        spark,
+        t,
+        delta.withColumn("my_col", F.lit(1).cast("long")),
+        merge_schema=True,
+    )
+    assert v == 2
+    got = ledger.read(spark, t)
+    assert {"racer_col", "my_col"} <= set(got.columns)
+    expected_n = (
+        snap.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+        .count()
+        + delta.count()
+    )
+    assert got.count() == expected_n
+    assert got.filter("racer_col IS NOT NULL").count() == 0
+    assert got.filter("my_col = 1").count() == delta.count()

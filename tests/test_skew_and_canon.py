@@ -32,6 +32,25 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     )
 
 
+def test_salted_join_accepts_spark_mode_aliases(spark):
+    """Spark's 'semi'/'anti' aliases are large-side-preserving and must
+    pass the mode allowlist; right/full stay rejected (ADVICE r12)."""
+    import pytest
+
+    large = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    small = spark.createDataFrame([(1,)], "sk long")
+    assert (
+        salted_join(large, small, "k", "sk", n_salts=2, how="semi").count()
+        == 1
+    )
+    assert (
+        salted_join(large, small, "k", "sk", n_salts=2, how="anti").count()
+        == 1
+    )
+    with pytest.raises(ValueError, match="preserves replicated"):
+        salted_join(large, small, "k", "sk", how="right")
+
+
 def test_top_heavy_keys_shape(spark, sf_dir):
     out = top_heavy_keys(load_table(spark, sf_dir, "events"), "user_id", 3)
     rows = out.collect()

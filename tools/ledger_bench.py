@@ -100,8 +100,9 @@ def tier_metrics(spark, sf_dir: str, work: str) -> dict:
     out["groups_total"] = len(groups_before)
     out["groups_rewritten"] = len(before_paths - after_paths)
     # Byte accounting — the 100 TB-relevant number: a merge's write
-    # amplification is (bytes of replaced groups) / (table bytes);
-    # full rewrite is 1.0 by definition.
+    # amplification is (bytes WRITTEN by the merge — the new post-merge
+    # groups: replaced survivors plus the inserted delta) / (table
+    # bytes); a full snapshot rewrite is ~1.0 by definition.
     total_b = sum(group_bytes(t_key, g) for g in groups_before)
     rewritten_b = sum(
         group_bytes(t_key, g)
