@@ -187,7 +187,7 @@ def z10625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q26 — pivot (crosstab QA report)
 # --------------------------------------------------------------------------
 @register(
-    "q626_pivot",
+    "z11626_pivot",
     oracle="""
     SELECT c_mktsegment,
            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -204,7 +204,7 @@ def z10625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixture scale (plan-asserted), sort-merge when it outgrows the "
     "threshold (SURVEY §2.4 Q26).",
 )
-def q626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     pivoted = (
@@ -225,7 +225,7 @@ def q626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q27 — percentiles / median (exact)
 # --------------------------------------------------------------------------
 @register(
-    "q627_percentiles",
+    "z11627_percentiles",
     oracle="""
     SELECT c_mktsegment,
            round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
@@ -244,7 +244,7 @@ def q626_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixture scale (plan-asserted), sort-merges past the threshold "
     "(SURVEY §2.4 Q27).",
 )
-def q627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
@@ -409,7 +409,7 @@ def z9189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y49 — approx percentile (t-digest-style sketch) with a tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "q7192_approx_percentile",
+    "z117192_approx_percentile",
     oracle="""
     SELECT l_returnflag,
            round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
@@ -430,7 +430,7 @@ def z9189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with bounded state, while exact percentile materializes every "
     "group's values through the shuffle (SURVEY §2.4 Q27 scale note).",
 )
-def q7192_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117192_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias(
@@ -482,7 +482,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
 
 
 @register(
-    "q7193_countmin",
+    "z117193_countmin",
     oracle=f"""
     WITH seeds(h, a, b) AS (VALUES
         {", ".join(f"({h}, {a}, {b})" for h, a, b in _CMS_SEEDS)}),
@@ -521,7 +521,7 @@ def _cms_bucket_sql(key: str, a: int, b: int) -> str:
     "comparison baseline — is what the sketch REPLACES "
     "(heavy-hitters / frequency-cap mandate).",
 )
-def q7193_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117193_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
 
     stack_cells = ", ".join(

@@ -22,7 +22,7 @@ FUNNEL_STEP_HOURS = 24
 # X26 — ordered funnel (view -> click -> purchase, each within 24h)
 # --------------------------------------------------------------------------
 @register(
-    "z795_funnel",
+    "q795_funnel",
     oracle=f"""
     WITH v AS (SELECT user_id,
                       MIN(CASE WHEN event_type='view' THEN ts END) AS t_view
@@ -54,7 +54,7 @@ FUNNEL_STEP_HOURS = 24
     "tests/test_plans.py). Fixture: 150 users -> 60 clicked -> 25 "
     "completed (funnel/sessionization mandate).",
 )
-def z795_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q795_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     W = Window.partitionBy("user_id")
     step = F.expr(f"INTERVAL {FUNNEL_STEP_HOURS} HOURS")
@@ -100,7 +100,7 @@ def z795_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X27 — cohort retention (first-purchase-day cohorts x day offset)
 # --------------------------------------------------------------------------
 @register(
-    "z796_cohort_retention",
+    "q796_cohort_retention",
     oracle="""
     WITH f AS (SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
                FROM events WHERE event_type='purchase' GROUP BY user_id),
@@ -120,7 +120,7 @@ def z795_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on bounded-cardinality columns; the matrix is O(days^2) regardless "
     "of event volume (retention mandate).",
 )
-def z796_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q796_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -146,7 +146,7 @@ def z796_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X28 — sessionization: assign session IDs to EVENTS (gap rule)
 # --------------------------------------------------------------------------
 @register(
-    "q7228_sessionize",
+    "z117228_sessionize",
     oracle="""
     WITH g AS (
       SELECT event_id, user_id, ts,
@@ -170,7 +170,7 @@ def z796_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_id exchange; ties broken by event_id for determinism "
     "(sessionization mandate).",
 )
-def q7228_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117228_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Full-microsecond gap (ADVICE r3): cast('long') truncates to whole
@@ -194,7 +194,7 @@ def q7228_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X29 — histogram / binning (fixed-width buckets, identical arithmetic)
 # --------------------------------------------------------------------------
 @register(
-    "z797_histogram",
+    "q797_histogram",
     oracle="""
     SELECT CAST(LEAST(GREATEST(CAST(FLOOR(value / 25) AS INT), 0), 19) AS INT)
              AS bucket,
@@ -208,7 +208,7 @@ def q7228_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "divergence by construction. One partial-agg shuffle on a 20-value "
     "key; decimal-exact per-bucket sums as in q54.",
 )
-def z797_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q797_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = F.least(
         F.greatest(F.floor(F.col("value") / 25).cast("int"), F.lit(0)),
@@ -226,7 +226,7 @@ def z797_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X30 — training-mix reweighting (per-stratum sampling weights)
 # --------------------------------------------------------------------------
 @register(
-    "z798_mix_reweight",
+    "q798_mix_reweight",
     oracle="""
     WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
                FROM documents GROUP BY lang, source),
@@ -244,7 +244,7 @@ def z797_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed-order IEEE division chains mirrored exactly. Output is "
     "O(strata), independent of corpus size (data-mixing mandate).",
 )
-def z798_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q798_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(
@@ -288,7 +288,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(orders * lines_per_order^2) at any scale. The rank VALUES are an
     iterative float fixpoint (not SQL-oracle-expressible);
     tests/test_graph.py checks them against an independent numpy power
-    iteration on the identical edge set. The registered q7588_pagerank
+    iteration on the identical edge set. The registered z117588_pagerank
     wraps this in a driver-checkable structure + mass verdict."""
     from ..functions.graph import pagerank
 
@@ -298,7 +298,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q7588_pagerank",
+    "z117588_pagerank",
     oracle="""
     WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
                FROM lineitem a JOIN lineitem b
@@ -325,7 +325,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline plus one count-agg per side of the tiny one-row-x-one-"
     "row join.",
 )
-def q7588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _copurchase_edges is a cheap projection of the session-memoized
     # edge checkpoint (functions/copurchase.py) — no per-query
     # materialization needed; pagerank() checkpoints its own input.
@@ -350,7 +350,7 @@ def q7588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y44 — per-user z-score anomaly flags (exact-moment discipline)
 # --------------------------------------------------------------------------
 @register(
-    "q9187_anomaly_zscore",
+    "z119187_anomaly_zscore",
     oracle="""
     WITH s AS (SELECT user_id,
                       CAST(COUNT(*) AS BIGINT) AS n,
@@ -384,7 +384,7 @@ def q7588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort-merges past the threshold); degenerate users (n<2 or zero "
     "variance) are excluded on both sides.",
 )
-def q9187_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z119187_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,6)")
     s = ev.groupBy("user_id").agg(
@@ -434,7 +434,7 @@ _TRI_EDGES_SQL = """
 
 
 @register(
-    "q7566_triangle_count",
+    "z117566_triangle_count",
     oracle=_TRI_EDGES_SQL
     + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
@@ -461,7 +461,7 @@ _TRI_EDGES_SQL = """
     "measured: 26 exchanges -> 5). Remaining shuffles: wedge join and "
     "closing join (SURVEY §2.13 graph family).",
 )
-def q7566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import triangles
 
     # Shared memoized materializations (functions/copurchase.py): edge
@@ -483,7 +483,7 @@ def q7566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y55 — per-group OLS regression (exact-decimal moments, y44 discipline)
 # --------------------------------------------------------------------------
 @register(
-    "q7198_group_ols",
+    "z117198_group_ols",
     oracle="""
     WITH p AS (
         SELECT user_id,
@@ -518,7 +518,7 @@ def q7566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order is partition-dependent). One map-side-combined shuffle "
     "(metric-trend mandate).",
 )
-def q7198_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117198_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p = ev.select(
         "user_id",
@@ -582,7 +582,7 @@ def _morton_duck(x: str, y: str) -> str:
 
 
 @register(
-    "q7231_zorder_layout",
+    "z117231_zorder_layout",
     oracle=f"""
     WITH d AS (
         SELECT user_id & 65535 AS xd,
@@ -612,7 +612,7 @@ def _morton_duck(x: str, y: str) -> str:
     "(SURVEY §4 layout row; X06's pruning demonstrated "
     "multi-dimensionally).".format(cs=_Z_COARSE),
 )
-def q7231_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117231_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
         F.expr("user_id & 65535").alias("xd"),
@@ -643,7 +643,7 @@ _EQD_BUCKETS = 16
 
 
 @register(
-    "q7232_equidepth_histogram",
+    "z117232_equidepth_histogram",
     oracle=f"""
     WITH b AS (
         SELECT o_totalprice,
@@ -670,7 +670,7 @@ _EQD_BUCKETS = 16
     "computes the same bucket id distributedly "
     "(functions/ordering.py).".format(B=_EQD_BUCKETS),
 )
-def q7232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     orders = load_table(spark, sf_dir, "orders")
@@ -711,7 +711,7 @@ def q7232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y59 — chi-square independence test (lang x source contingency)
 # --------------------------------------------------------------------------
 @register(
-    "q7233_chisquare",
+    "z117233_chisquare",
     oracle="""
     WITH o AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
                FROM documents GROUP BY lang, source),
@@ -737,7 +737,7 @@ def q7232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SUM(chi2_term) — left per-cell so the hashed result is "
     "summation-order independent (mix-audit mandate).",
 )
-def q7233_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117233_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     o = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
     r = o.groupBy("lang").agg(F.sum("obs").alias("row_n"))
@@ -769,7 +769,7 @@ _RAU_DAYS = 28
 
 
 @register(
-    "q7238_rolling_active_users",
+    "z117238_rolling_active_users",
     oracle=f"""
     WITH a AS (SELECT DISTINCT user_id,
                       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
@@ -794,7 +794,7 @@ _RAU_DAYS = 28
     "equi; work is O(active_pairs x {N}), independent of raw event "
     "volume (engagement-metrics mandate).".format(N=_RAU_DAYS),
 )
-def q7238_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117238_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     a = ev.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
@@ -821,7 +821,7 @@ def q7238_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y65 — event-type transition matrix (first-order Markov)
 # --------------------------------------------------------------------------
 @register(
-    "q7239_transition_matrix",
+    "z117239_transition_matrix",
     oracle="""
     WITH s AS (
       SELECT user_id, event_type,
@@ -844,7 +844,7 @@ def q7238_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p = exact-count ratio (one double division per cell), so it "
     "hashes cleanly (sequence-analytics mandate).",
 )
-def q7239_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117239_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = ev.select(
@@ -866,7 +866,7 @@ def q7239_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y66 — session rollup (duration / size stats over x28's session ids)
 # --------------------------------------------------------------------------
 @register(
-    "q7240_session_stats",
+    "z117240_session_stats",
     oracle="""
     WITH g AS (
       SELECT event_id, user_id, ts, value,
@@ -898,7 +898,7 @@ def q7239_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emits aggregates keyed by window, not by session ordinal "
     "(sessionization mandate, rollup half).",
 )
-def q7240_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117240_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_core import dec_sum
 
     ev = load_table(spark, sf_dir, "events")

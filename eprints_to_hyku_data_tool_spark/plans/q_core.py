@@ -398,7 +398,7 @@ def z9190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y48 — referential-integrity audit (FK orphan counts)
 # --------------------------------------------------------------------------
 @register(
-    "q7191_ri_audit",
+    "z117191_ri_audit",
     oracle="""
     SELECT 'orders.o_custkey->customer' AS fk,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
@@ -438,7 +438,7 @@ def z9190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verified by the pushdown lint), so the audit reads each parent "
     "table's key bytes, not its payload.",
 )
-def q7191_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117191_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 

@@ -63,7 +63,7 @@ def _grams8(tk):
 # Q75 (was Y31) — benchmark decontamination (8-gram overlap vs a held-out eval set)
 # --------------------------------------------------------------------------
 @register(
-    "q775_decontaminate",
+    "z11775_decontaminate",
     oracle=f"""
     WITH g AS (
       SELECT doc_id,
@@ -109,7 +109,7 @@ def _grams8(tk):
     "At 100 TB the broadcast is O(eval suite), constant in "
     "corpus size (decontamination mandate).",
 )
-def q775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.grams import doc_grams8
 
     # Shared memoized gram table (functions/grams.py): the eval and
@@ -157,7 +157,7 @@ def q775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y32 — token-window chunking (overlapping training chunks)
 # --------------------------------------------------------------------------
 @register(
-    "z776_chunk",
+    "q776_chunk",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {_STRIDE})) AS start
@@ -177,7 +177,7 @@ def q775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles; output size is a fixed ~n_tokens/24 multiple of the "
     "input, independent of partitioning (chunking mandate).",
 )
-def z776_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q776_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     s = t.select(
@@ -204,7 +204,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
 
 
 @register(
-    "z777_stratified_sample",
+    "q777_stratified_sample",
     oracle=f"""
     SELECT doc_id, lang, source,
            CASE WHEN lang = 'en' THEN '{_EN_LT}' ELSE '{_OTHER_LT}' END
@@ -224,7 +224,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
     "rerun-stable on any engine and partitioning (data-mixing "
     "mandate).",
 )
-def z777_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q777_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     thr = F.when(F.col("lang") == "en", _EN_LT).otherwise(_OTHER_LT)
     hx = F.substring(
@@ -545,7 +545,7 @@ _CTX = 64  # tokens per packed training sequence
 
 
 @register(
-    "q770_sequence_pack",
+    "z11770_sequence_pack",
     oracle=f"""
     WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                FROM documents),
@@ -577,7 +577,7 @@ _CTX = 64  # tokens per packed training sequence
     "that is 1000 partitions wide. Token counts sum as longs -> "
     "exact at any scale (packing mandate).",
 )
-def q770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
@@ -602,7 +602,7 @@ def q770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q71 (was Y40) — unigram log-probability scoring (perplexity-proxy quality filter)
 # --------------------------------------------------------------------------
 @register(
-    "q771_unigram_logprob",
+    "z11771_unigram_logprob",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -636,7 +636,7 @@ def q770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order independent (the y38 rule), which is what makes a "
     "transcendental aggregate hash-stable across engines.",
 )
-def q771_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11771_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     v = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -678,7 +678,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
 
 
 @register(
-    "z772_boilerplate_lines",
+    "q772_boilerplate_lines",
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     l AS (SELECT doc_id,
@@ -715,7 +715,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
     "empty string via the left join (deletion is a row-filter "
     "decision downstream, not silent loss).",
 )
-def z772_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q772_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _tokens().alias("tk"))
     starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_LINE))
@@ -766,7 +766,7 @@ _ES_K = 200
 
 
 @register(
-    "q7199_weighted_sample",
+    "z117199_weighted_sample",
     oracle=f"""
     WITH k AS (
         SELECT doc_id, lang, n_chars,
@@ -793,7 +793,7 @@ _ES_K = 200
     "2.7e-5 (sf0.01) — ~11 orders above double-ulp noise, so the "
     "selected set is stable across engines.".format(K=_ES_K),
 )
-def q7199_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117199_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("n_chars") >= 1
     )

@@ -306,7 +306,7 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
     """,
     doc="Random-hyperplane (sign) LSH near-dup over embeddings — the "
     "sixth dedup family, and the sub-quadratic EMBEDDING sibling of "
-    "q660_minhash_lsh: 128 fixed integer hyperplanes give 128 sign "
+    "z11660_minhash_lsh: 128 fixed integer hyperplanes give 128 sign "
     "bits, banded 16x8; vectors sharing a band signature are verified "
     "bucket-locally with an exact integer Gram matmul (tau=0.4, q18 "
     "margin rule). ALL arithmetic that decides membership — plane "
@@ -658,7 +658,7 @@ def _bucket_verifier(block: int, tau: float):
 # Y63 — nearest-centroid classification audit (exact-decimal distances)
 # --------------------------------------------------------------------------
 @register(
-    "q7237_nearest_centroid",
+    "z117237_nearest_centroid",
     oracle="""
     WITH x AS (
       SELECT vec_id, label AS label_true,
@@ -705,7 +705,7 @@ def _bucket_verifier(block: int, tau: float):
     "(vector, label) distance agg, one row_number window, one tiny "
     "confusion agg (embedding-eval mandate).",
 )
-def q7237_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117237_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")

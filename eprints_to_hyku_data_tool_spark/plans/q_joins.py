@@ -412,7 +412,7 @@ def z918_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q68 — salted skew join (registered form of functions/skew.py)
 # --------------------------------------------------------------------------
 @register(
-    "q768_skew_salted_join",
+    "z11768_skew_salted_join",
     oracle="""
     SELECT c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -431,7 +431,7 @@ def z918_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the oracle is the plain unsalted SQL join (SURVEY §4 skew row; "
     "functions/skew.py).",
 )
-def q768_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11768_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.skew import salted_join
 
     events = load_table(spark, sf_dir, "events").select("user_id", "value")
@@ -455,7 +455,7 @@ def q768_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X25 — MERGE / upsert semantics (CDC apply) as one declarative plan
 # --------------------------------------------------------------------------
 @register(
-    "z794_merge_upsert",
+    "q794_merge_upsert",
     oracle="""
     WITH changes AS (
       SELECT o_custkey AS key,
@@ -488,7 +488,7 @@ def q768_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition-overwrite writer (exercises all three action branches: "
     "1497/30/3 at sf0.01). Decimal-exact spend sums as in q54.",
 )
-def z794_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q794_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     changes = (
@@ -545,7 +545,7 @@ def _bloom_bucket_sql(key: str, a: int, b: int) -> str:
 
 
 @register(
-    "q7194_bloom_prefilter",
+    "z117194_bloom_prefilter",
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -575,7 +575,7 @@ def _bloom_bucket_sql(key: str, a: int, b: int) -> str:
     "exchange, and only bloom-surviving rows pay the real join "
     "(SURVEY §4 shuffle-minimization; q68's sibling pattern).",
 )
-def q7194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -616,7 +616,7 @@ def q7194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y62 — SCD2 dimension build (validity intervals from change events)
 # --------------------------------------------------------------------------
 @register(
-    "q7236_scd2_intervals",
+    "z117236_scd2_intervals",
     oracle="""
     WITH o AS (
         SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
@@ -647,7 +647,7 @@ def q7194_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "microsecond instants, o_orderkey tiebreak makes same-day "
     "sequences deterministic (ETL/SCD mandate).",
 )
-def q7236_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117236_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     o = orders.withColumn(

@@ -108,7 +108,7 @@ _NEARDUP_ORACLE = """
 # Q59 — exact dedupe (normalized-text hash, keep-first)
 # --------------------------------------------------------------------------
 @register(
-    "q659_exact_dedupe",
+    "z11659_exact_dedupe",
     oracle="""
     WITH d AS (SELECT doc_id, lang, source,
                       md5(lower(trim(text))) AS text_key
@@ -126,7 +126,7 @@ _NEARDUP_ORACLE = """
     "not the document body — at 100 TB the exchange carries hashes + ids "
     "only (SURVEY §2.11 Q59, composition of Q31).",
 )
-def q659_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11659_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id", "lang", "source", F.md5(F.lower(F.trim("text"))).alias("text_key")
@@ -146,7 +146,7 @@ def q659_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deliberately NOT registered (VERDICT r2 "What's wrong" #2): this form
 # collects the shingled corpus to the driver, which is a fixture-tier
 # cross-check, not a plan that survives 100 TB. The registered Q60 family
-# is q660_minhash_lsh + z10660_simhash (fully distributed, same shared
+# is z11660_minhash_lsh + z10660_simhash (fully distributed, same shared
 # oracle); tests/test_properties.py keeps this brute force as an
 # independent equivalence witness against both.
 def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +196,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q60b — near-dup detection, distributed MinHash-LSH pipeline (scale path)
 # --------------------------------------------------------------------------
 @register(
-    "q660_minhash_lsh",
+    "z11660_minhash_lsh",
     oracle=_NEARDUP_ORACLE,
     doc="The 100 TB near-dup pipeline, fully distributed (no collect): "
     "shingle -> 64 seeded xxhash64 minhashes (one shuffle: min per "
@@ -210,7 +210,7 @@ def q60_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brute-force oracle (SURVEY §2.11 Q60, §4 similarity-join row; "
     "parameter rationale at the module header).",
 )
-def q660_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11660_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = doc_shingles(load_table(spark, sf_dir, "documents"))
     # (doc_id, shingle) exploded — the only row-multiplying step, bounded
     # by shingles-per-doc (~tokens-per-doc). explode_OUTER on purpose:
@@ -447,7 +447,7 @@ def _simhash_oracle() -> str:
     "z10660_simhash",
     oracle=_simhash_oracle(),
     doc="SimHash near-dup detection — the third dedup family (exact Q59, "
-    "MinHash q660_minhash_lsh, SimHash here): 32-bit signature = sign of "
+    "MinHash z11660_minhash_lsh, SimHash here): 32-bit signature = sign of "
     "per-bit +-1 sums over shingle md5 bits, pairs at hamming <= 4. "
     "Distributed shape mirrors the MinHash pipeline: one shuffle builds "
     "signatures; SIZE-DRIVEN pigeonhole blocking "
@@ -561,7 +561,7 @@ def z10660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q61 — top-k similarity search (probe set over embeddings)
 # --------------------------------------------------------------------------
 @register(
-    "q661_topk_similarity",
+    "z11661_topk_similarity",
     oracle="""
     WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe
                     FROM embeddings ORDER BY vec_id LIMIT 50),
@@ -594,7 +594,7 @@ def z10660_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Rank order is float-safe: measured min top-8 gap 1.9e-5 >> ulp "
     "noise (SURVEY §2.11 Q61).",
 )
-def q661_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11661_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -836,7 +836,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "offline recall audit run on a sampled probe set.",
 )
 def z9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q661_topk_similarity(spark, sf_dir).select(
+    exact = z11661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     approx = ivf_topk_approx(spark, sf_dir).select(
@@ -859,7 +859,7 @@ def z9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q67 — embedding-cosine near-dup DEDUPE (greedy keep-lowest-id)
 # --------------------------------------------------------------------------
 @register(
-    "q667_embedding_dedupe",
+    "z11667_embedding_dedupe",
     oracle="""
     WITH dropped AS (
       SELECT DISTINCT b.vec_id AS vid
@@ -881,7 +881,7 @@ def z9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is a tiny semi-join side. tau margin 1e-4 (see q18) "
     "(assignment dedup mandate).",
 )
-def q667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -904,7 +904,7 @@ def q667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q62 — text statistics / language slice
 # --------------------------------------------------------------------------
 @register(
-    "q662_text_stats",
+    "z11662_text_stats",
     oracle="""
     WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -927,7 +927,7 @@ def q667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Integer sums divided at the end keep avg exact "
     "(SURVEY §2.11 Q62).",
 )
-def q662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -952,7 +952,7 @@ def q662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X15 — TF-IDF (explode + aggregate arithmetic)
 # --------------------------------------------------------------------------
 @register(
-    "q784_tfidf",
+    "z11784_tfidf",
     oracle="""
     WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -982,7 +982,7 @@ def q662_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so its hint stays). Output sliced to doc_id < 50; tfidf rounded "
     "6dp (ln is not bit-portable) (SURVEY §2.11 X15).",
 )
-def q784_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11784_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1166,7 +1166,7 @@ def _cell_verifier(block: int, tau: float):
     "hashed output.",
 )
 def z9186_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q667_embedding_dedupe(spark, sf_dir).select(
+    exact = z11667_embedding_dedupe(spark, sf_dir).select(
         "vec_id", F.col("is_dropped").alias("ex")
     )
     ivf = ivf_dedupe_approx(spark, sf_dir).select(
@@ -1260,17 +1260,17 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "z786_ngram_jaccard",
+    "q786_ngram_jaccard",
     oracle=_NEARDUP_ORACLE,
     doc="EXACT n-gram Jaccard similarity join (fourth registered near-dup "
     "family), fully distributed: prefix-filtered inverted index over a "
     "global rarity order generates candidates (no all-pairs, no "
     "collect), then the shared candidate-verify stage computes exact "
-    "intersection sizes. Same oracle as q660_minhash_lsh/z10660_simhash but "
+    "intersection sizes. Same oracle as z11660_minhash_lsh/z10660_simhash but "
     "with zero miss probability — this is what replaces the demoted "
     "collect-based q60_neardup_jaccard at scale (SURVEY §2.11 Q60).",
 )
-def z786_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q786_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The session-memoized materialization of exactly this pipeline
     # (functions/neardup.py) — also consumed by z85/z302's clustering.
     from ..functions.neardup import verified_pairs
@@ -1325,7 +1325,7 @@ _CLUSTER_ORACLE = _CC_CTE + """
 
 
 @register(
-    "z785_cluster_dedupe",
+    "q785_cluster_dedupe",
     oracle=_CLUSTER_ORACLE,
     doc="Cluster-level dedupe: exact near-dup pairs (x17's prefix-filtered "
     "join) -> distributed connected components (alternating large-star/"
@@ -1336,7 +1336,7 @@ _CLUSTER_ORACLE = _CC_CTE + """
     "Oracle: DuckDB recursive-CTE min-label propagation over the same "
     "pair graph (LLM-pipeline mandate; r3 graph-dedup milestone).",
 )
-def z785_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q785_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shared memoized pair graph + components (functions/neardup.py).
     # The graph is built from exact-VERIFIED pairs only — candidates
     # are ~170x the true pair set at sf0.1 and would over-merge
@@ -1369,7 +1369,7 @@ def z785_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedupe, each stage the registered operator's exact logic
 # --------------------------------------------------------------------------
 @register(
-    "z790_corpus_pipeline",
+    "q790_corpus_pipeline",
     oracle="""
     WITH base AS (
       SELECT doc_id, lang, source, text,
@@ -1414,7 +1414,7 @@ def z785_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Shuffle keys: hash, shingle, doc_id — never the document body "
     "except to shingle survivors (LLM-pipeline mandate capstone).",
 )
-def z790_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q790_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_text import STOPWORDS
 
     docs = load_table(spark, sf_dir, "documents")

@@ -657,7 +657,7 @@ _LEDGER_DELTA_SQL = """
 
 
 @register(
-    "x91_ledger_merge",
+    "z1191_ledger_merge",
     oracle=f"""
     WITH delta AS ({_LEDGER_DELTA_SQL})
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM delta
@@ -680,14 +680,14 @@ _LEDGER_DELTA_SQL = """
     "parquet scan) is lossless (stretch beyond SURVEY §2; judge-noted "
     "r11 gap).",
 )
-def x91_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z1191_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import ledger
 
     return ledger.read(spark, _ledger_demo_table(spark, sf_dir))
 
 
 @register(
-    "x92_ledger_time_travel",
+    "z1192_ledger_time_travel",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders
@@ -700,7 +700,7 @@ def x91_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the original orders projection (stretch beyond SURVEY §2; "
     "judge-noted r11 gap).",
 )
-def x92_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z1192_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import ledger
 
     return ledger.read(spark, _ledger_demo_table(spark, sf_dir), version=0)
@@ -752,7 +752,7 @@ def _ledger_evolved_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 @register(
-    "x93_ledger_schema_evolution",
+    "z1193_ledger_schema_evolution",
     oracle=f"""
     WITH delta AS ({_LEDGER_DELTA_SQL})
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -773,7 +773,7 @@ def _ledger_evolved_table(spark: SparkSession, sf_dir: str) -> str:
     "Matching rows+schema+hash proves old-group NULL-fill, new-group "
     "values, and the widened read schema all at once.",
 )
-def x93_ledger_schema_evolution(
+def z1193_ledger_schema_evolution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..sources import ledger
@@ -782,7 +782,7 @@ def x93_ledger_schema_evolution(
 
 
 @register(
-    "x94_ledger_zorder_prune",
+    "z1194_ledger_zorder_prune",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders
@@ -802,7 +802,7 @@ def x93_ledger_schema_evolution(
     "never do — the driver hash checks rows, the unit tests check the "
     "pruning.",
 )
-def x94_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z1194_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
@@ -834,7 +834,7 @@ def x94_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x95_ledger_restore",
+    "z1195_ledger_restore",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders
@@ -849,7 +849,7 @@ def x94_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "HEAD that moved back). Runs on a throwaway copy of the y93 table "
     "so the shared demo fixture keeps its history.",
 )
-def x95_ledger_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z1195_ledger_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 

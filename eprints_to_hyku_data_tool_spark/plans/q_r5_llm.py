@@ -328,9 +328,9 @@ def pq_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "while production serves from the 8-bytes-per-vector code table.",
 )
 def z8323_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .q_north import q661_topk_similarity
+    from .q_north import z11661_topk_similarity
 
-    exact = q661_topk_similarity(spark, sf_dir).select(
+    exact = z11661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     approx = pq_topk_approx(spark, sf_dir).withColumn("hit", F.lit(1))
@@ -351,7 +351,7 @@ def z8323_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q24 — multinomial Naive Bayes language classifier (exact-count training)
 # --------------------------------------------------------------------------
 @register(
-    "q8324_naive_bayes",
+    "z118324_naive_bayes",
     oracle="""
     WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
                FROM documents),
@@ -400,7 +400,7 @@ def z8323_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical and the argmax needs no rounding tolerance. "
     "Tie-break is (score DESC, lang ASC) on both sides.",
 )
-def q8324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z118324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("toks")
     )
@@ -508,11 +508,11 @@ def q8324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that side is column-pruned to 12 bytes/row.",
 )
 def z8325_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .q_north import q661_topk_similarity
+    from .q_north import z11661_topk_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", F.col("label").cast("int").alias("label"))
-    exact = q661_topk_similarity(spark, sf_dir).select(
+    exact = z11661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     votes = (
@@ -548,7 +548,7 @@ _BFS_SEEDS = 10
 
 
 @register(
-    "q7526_bfs_hops",
+    "z117526_bfs_hops",
     oracle=f"""
     WITH RECURSIVE
     edges AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -576,7 +576,7 @@ _BFS_SEEDS = 10
     "recursive CTE with UNION dedup. Hop counts are exact integers — "
     "no float tolerance anywhere.",
 )
-def q7526_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117526_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.checkpointing import materialize
     from .q_analytics import _copurchase_edges
 

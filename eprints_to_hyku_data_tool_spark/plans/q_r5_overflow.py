@@ -121,7 +121,7 @@ def z9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y76 — per-node local clustering coefficient
 # --------------------------------------------------------------------------
 @register(
-    "q7551_clustering_coefficient",
+    "z117551_clustering_coefficient",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -162,12 +162,12 @@ def z9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers. Shuffles on top of q66's: one explode-count and one "
     "degree join — both node-keyed.",
 )
-def q7551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import degrees, triangles
 
     # Shared memoized graph (functions/copurchase.py): one edge-set /
     # degree / triangle materialization per session serves the whole
-    # graph family — neither q7566_triangle_count's orientation nor its
+    # graph family — neither z117566_triangle_count's orientation nor its
     # wedge join is recomputed here (r5 verdict item 6).
     deg = degrees(spark, sf_dir)
     tri = triangles(spark, sf_dir)
@@ -617,7 +617,7 @@ def _bpe_encode_oracle() -> str:
 
 
 @register(
-    "q556_bpe_encode",
+    "z11556_bpe_encode",
     oracle=_bpe_encode_oracle(),
     doc="BPE ENCODE — the apply side of q43's training: the learned "
     "3-merge vocabulary maps every distinct word to its final symbol "
@@ -634,7 +634,7 @@ def _bpe_encode_oracle() -> str:
     "(_bpe_learn / _bpe_cte), so the two stay consistent by "
     "construction.",
 )
-def q556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_r5_pipeline import _bpe_learn
 
     vocab_words, _ = _bpe_learn(spark, sf_dir)
@@ -953,7 +953,7 @@ _RFM_SINGLE_TASK_ROWS = 4_000_000
 
 
 @register(
-    "z10560_rfm_segments",
+    "q10560_rfm_segments",
     oracle="""
     WITH rfm AS (
       SELECT user_id,
@@ -999,7 +999,7 @@ _RFM_SINGLE_TASK_ROWS = 4_000_000
     "and a forced-distributed equality test); the branch only picks "
     "the physical strategy, exactly like AQE.",
 )
-def z10560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import ntile_bucket, with_global_position
 
     ev = load_table(spark, sf_dir, "events")
@@ -1350,7 +1350,7 @@ def z10563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y89 — modularity of a labeled partition over the co-purchase graph
 # --------------------------------------------------------------------------
 @register(
-    "q7564_modularity",
+    "z117564_modularity",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1396,7 +1396,7 @@ def z10563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label-propagation output; at 100 TB it costs two broadcastable "
     "label joins + three community-keyed aggregates.",
 )
-def q7564_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117564_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import undirected_edges
 
     # Shared memoized edge set (functions/copurchase.py).
@@ -1466,7 +1466,7 @@ def _sqrt_chain_sql(expr: str) -> str:
 
 
 @register(
-    "q7565_degree_powerlaw",
+    "z117565_degree_powerlaw",
     oracle=f"""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -1518,7 +1518,7 @@ def _sqrt_chain_sql(expr: str) -> str:
     "the (constant) alpha column — every term of the estimate is "
     "hash-checked, not just the headline number.",
 )
-def q7565_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117565_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import degrees
 
     # Shared memoized degree table (functions/copurchase.py).

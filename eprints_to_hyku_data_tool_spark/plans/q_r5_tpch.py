@@ -46,7 +46,7 @@ def _qty():
 # Q10 — min-cost supplier (TPC-H Q2 shape)
 # --------------------------------------------------------------------------
 @register(
-    "z8310_min_cost_supplier",
+    "q8310_min_cost_supplier",
     oracle="""
     WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
          cand AS (
@@ -75,7 +75,7 @@ def _qty():
     "account balance among the part's European shippers (ties by "
     "suppkey; the decorrelation shape is identical).",
 )
-def z8310_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q8310_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
@@ -108,7 +108,7 @@ def z8310_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q11 — order-priority EXISTS check (TPC-H Q4 shape)
 # --------------------------------------------------------------------------
 @register(
-    "z8311_priority_exists",
+    "q8311_priority_exists",
     oracle="""
     SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
     FROM orders o
@@ -126,7 +126,7 @@ def z8310_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count aggregate. No commitdate/receiptdate in the fixture, so "
     "'late line' ~ a quantity-capped line — same shape.",
 )
-def z8311_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q8311_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01")
         & (F.col("o_orderdate") < "1997-07-01")

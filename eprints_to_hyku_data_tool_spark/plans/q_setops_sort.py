@@ -26,7 +26,7 @@ from .registry import register
 # Q37 — multi-key sort with null ordering
 # --------------------------------------------------------------------------
 @register(
-    "z10637_multikey_sort",
+    "q10637_multikey_sort",
     oracle="""
     SELECT o_orderkey, order_date, price_or_null,
            ROW_NUMBER() OVER (ORDER BY order_date DESC,
@@ -45,7 +45,7 @@ from .registry import register
     "ranks -> broadcast offsets), NOT a single-partition global window "
     "(SURVEY §2.6 Q37).",
 )
-def z10637_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10637_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -195,7 +195,7 @@ def z10642_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y61 — unpivot / melt (wide -> long) + per-metric profile
 # --------------------------------------------------------------------------
 @register(
-    "q7235_unpivot_melt",
+    "z117235_unpivot_melt",
     oracle="""
     SELECT metric,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -215,7 +215,7 @@ def z10642_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are the source column names in both engines, sums in DECIMAL "
     "(fleet rule) (SURVEY §2.4 reshaping).",
 )
-def q7235_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117235_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ids=["l_orderkey", "l_linenumber"],

@@ -28,7 +28,7 @@ PROFILE_TOP_K = 50
 # Q63 — language identification (corpus-trained token profiles)
 # --------------------------------------------------------------------------
 @register(
-    "q663_language_id",
+    "z11663_language_id",
     oracle=f"""
     WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
                  FROM documents),
@@ -64,7 +64,7 @@ PROFILE_TOP_K = 50
     "does not actually encode lang, so is_correct hovers at chance — "
     "the machinery, not the accuracy, is the operator.",
 )
-def q663_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11663_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
@@ -112,7 +112,7 @@ def q663_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q64 — document quality scoring
 # --------------------------------------------------------------------------
 @register(
-    "q664_quality_score",
+    "z11664_quality_score",
     oracle=f"""
     WITH base AS (
       SELECT doc_id, lang, n_chars,
@@ -137,7 +137,7 @@ def q663_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "All ratios are one integer/integer division (IEEE-exact both "
     "engines). Pure row-level expressions — embarrassingly parallel.",
 )
-def q664_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11664_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_tokens = F.size(toks).cast("long")
@@ -170,7 +170,7 @@ def q664_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q65 — token counting (whitespace + BPE-ish regex + LLM estimate)
 # --------------------------------------------------------------------------
 @register(
-    "q665_token_count",
+    "z11665_token_count",
     oracle=r"""
     SELECT doc_id,
            CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
@@ -186,7 +186,7 @@ def q664_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape real BPE vocabularies assume), and the chars/4 LLM estimate. "
     "Row-level only.",
 )
-def q665_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11665_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = F.size(F.split("text", " ")).cast("long")
     bpe = F.size(
@@ -211,7 +211,7 @@ WINNOW_W = 4  # hashes per winnowing window
 
 
 @register(
-    "q666_fingerprint",
+    "z11666_fingerprint",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
          kg AS (SELECT doc_id,
@@ -242,7 +242,7 @@ WINNOW_W = 4  # hashes per winnowing window
     "row-level array work; fingerprint sets are the join key for "
     "plagiarism-style matching at scale.",
 )
-def q666_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11666_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # three bound projections: toks -> kgram hashes -> window minima; each
     # stage's array is referenced multiple times by the next (the
@@ -301,7 +301,7 @@ _PII_IP = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
 
 
 @register(
-    "z787_pii_scrub",
+    "q787_pii_scrub",
     oracle=f"""
     WITH pii AS (
       SELECT doc_id,
@@ -328,7 +328,7 @@ _PII_IP = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
     "(email, ip, phone) is fixed so the families cannot capture each "
     "other's remnants (LLM-pipeline mandate).",
 )
-def z787_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q787_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.concat(
         F.col("text"),
@@ -363,7 +363,7 @@ def z787_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X19 — repetition filter (Gopher-style within-document repetition signals)
 # --------------------------------------------------------------------------
 @register(
-    "z788_repetition_filter",
+    "q788_repetition_filter",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
     m AS (SELECT doc_id,
@@ -394,7 +394,7 @@ def z787_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large enough to make the quadratic HOF hurt, the explode + "
     "two-level groupBy form trades it for one shuffle keyed on doc_id.",
 )
-def z788_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q788_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # two-step select: toks referenced many times below — inlining the
     # split would re-split per reference (same trap as doc_shingles)
@@ -450,7 +450,7 @@ _SAMPLE_LT = "1a"  # 26/256 ~ 10.2%
 
 
 @register(
-    "z793_deterministic_split",
+    "q793_deterministic_split",
     oracle=f"""
     WITH h AS (
       SELECT doc_id, lang,
@@ -472,7 +472,7 @@ _SAMPLE_LT = "1a"  # 26/256 ~ 10.2%
     "give). Row-level, zero shuffle; the salt prefix decorrelates the "
     "sample from the split (training-data pipeline mandate).",
 )
-def z793_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q793_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hs = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     hx = F.substring(
@@ -499,7 +499,7 @@ _WS_RUN = r"[ \t\r\n]+"
 
 
 @register(
-    "q7197_text_normalize",
+    "z117197_text_normalize",
     oracle=f"""
     WITH c AS (
         SELECT doc_id, lang, text,
@@ -525,7 +525,7 @@ _WS_RUN = r"[ \t\r\n]+"
     "/ unicode classes, which differ between engines) "
     "(text-cleaning mandate; x18/x19's upstream stage).",
 )
-def q7197_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117197_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     clean = F.trim(
         F.regexp_replace(

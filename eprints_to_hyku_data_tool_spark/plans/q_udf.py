@@ -30,7 +30,7 @@ from .registry import register
 # Q57 — scalar pandas UDF (vectorized text metric)
 # --------------------------------------------------------------------------
 @register(
-    "q657_scalar_pandas_udf",
+    "z11657_scalar_pandas_udf",
     oracle="""
     SELECT doc_id, lang,
            CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
@@ -42,7 +42,7 @@ from .registry import register
     "bit-identical to the SQL re-expression — no rounding needed "
     "(SURVEY §2.10 Q57).",
 )
-def q657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def type_token_ratio(text: pd.Series) -> pd.Series:
         # Distinct words / total words, one Arrow batch at a time.
@@ -57,7 +57,7 @@ def q657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q58 — grouped-map UDF (applyInPandas)
 # --------------------------------------------------------------------------
 @register(
-    "q658_grouped_map",
+    "z11658_grouped_map",
     oracle="""
     SELECT doc_id, lang,
            round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
@@ -72,7 +72,7 @@ def q657_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UDF raises once a group exceeds MAX_GROUP_ROWS instead of OOMing "
     "an executor (SURVEY §2.10 Q58; r2 verdict item 10).",
 )
-def q658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z11658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     # ~10M rows x 3 narrow columns ~= hundreds of MB as pandas — the order
@@ -100,7 +100,7 @@ def q658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X12 — grouped-agg pandas UDAF
 # --------------------------------------------------------------------------
 @register(
-    "z781_grouped_agg_udaf",
+    "q781_grouped_agg_udaf",
     oracle="""
     SELECT l_returnflag,
            round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
@@ -113,7 +113,7 @@ def q658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flag, used directly inside groupBy().agg() alongside built-ins. "
     "Rounded 4dp (summation-order noise) (SURVEY §2.10 X12).",
 )
-def z781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def weighted_mean_price(price: pd.Series, qty: pd.Series) -> float:
         # Quantity-weighted mean price over one group (Arrow-batched).
@@ -138,7 +138,7 @@ def z781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X13 — UDTF / mapInPandas one-to-many expansion (record shredding)
 # --------------------------------------------------------------------------
 @register(
-    "z782_mapinpandas_shred",
+    "q782_mapinpandas_shred",
     oracle="""
     SELECT doc_id,
            CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INT) AS pos,
@@ -151,7 +151,7 @@ def z781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(one parent record -> many child rows), batch-at-a-time with no "
     "JVM round trip per row (SURVEY §2.10 X13).",
 )
-def z782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
 
     def shred(batches):
@@ -173,7 +173,7 @@ def z782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X14 — SQL-registered UDF (reachable from spark.sql)
 # --------------------------------------------------------------------------
 @register(
-    "z783_sql_registered_udf",
+    "q783_sql_registered_udf",
     oracle="""
     SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
     FROM documents
@@ -183,7 +183,7 @@ def z782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string over a temp view — SURVEY §3 entry point 2 "
     "(SURVEY §2.10 X14).",
 )
-def z783_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q783_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("long")
     def word_count(text: pd.Series) -> pd.Series:
         return text.str.split(" ").map(len)
@@ -202,7 +202,7 @@ def z783_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via the @udtf class API, consumed with a SQL LATERAL join
 # --------------------------------------------------------------------------
 @register(
-    "z791_udtf_ngrams",
+    "q791_udtf_ngrams",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
     SELECT doc_id, CAST(x.i AS INT) AS pos,
@@ -217,7 +217,7 @@ def z783_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Row-multiplying but shuffle-free: the UDTF runs where the data "
     "lives (SURVEY §2.10 extension).",
 )
-def z791_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q791_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos int, ngram string", useArrow=True)

@@ -225,7 +225,7 @@ def z10636_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y53 — rank-function kit: percent_rank / cume_dist / nth_value
 # --------------------------------------------------------------------------
 @register(
-    "q7196_rank_kit",
+    "z117196_rank_kit",
     oracle="""
     SELECT o_orderkey, o_orderpriority,
            round(percent_rank() OVER w, 6) AS price_pct_rank,
@@ -247,7 +247,7 @@ def z10636_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Order is made total with the o_orderkey tiebreak; the relative "
     "ranks are doubles, rounded 6dp on both sides (SURVEY §2.5).",
 )
-def q7196_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z117196_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"

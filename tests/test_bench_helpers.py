@@ -26,8 +26,8 @@ def test_raw_layout():
 
 
 def test_parsed_wrapper_layout():
-    obj = {"parsed": {"queries": {"z9539_histogram": 0.4}}, "tail": ""}
-    assert _extract_queries(obj) == {"z9539_histogram": 0.4}
+    obj = {"parsed": {"queries": {"q9539_histogram": 0.4}}, "tail": ""}
+    assert _extract_queries(obj) == {"q9539_histogram": 0.4}
 
 
 def test_tail_bracket_match_two_digit_names():
@@ -47,9 +47,9 @@ def test_tail_bracket_match_three_digit_names():
 
 def test_tail_scavenger_when_opening_brace_lost():
     # Truncated mid-object: no opening brace for the map survives.
-    tail = '_lsh": 4.125, "z61_topk_sim": 0.8, "q662_text_stats": 1.47}'
+    tail = '_lsh": 4.125, "z61_topk_sim": 0.8, "z11662_text_stats": 1.47}'
     got = _extract_queries({"tail": tail})
-    assert got == {"z61_topk_sim": 0.8, "q662_text_stats": 1.47}
+    assert got == {"z61_topk_sim": 0.8, "z11662_text_stats": 1.47}
 
 
 def test_tail_bracket_matcher_skips_regressions_object():
@@ -57,12 +57,12 @@ def test_tail_bracket_matcher_skips_regressions_object():
     # the queries map lost its brace — non-numeric entries are dropped,
     # then the scavenger recovers the surviving numeric pairs.
     tail = (
-        '"regressions": {"q660_minhash_lsh": {"prev": 4.1, "now": 7.0}}, '
+        '"regressions": {"z11660_minhash_lsh": {"prev": 4.1, "now": 7.0}}, '
         '"queries2": "x"'
     )
     got = _extract_queries({"tail": tail})
-    assert "q660_minhash_lsh" not in got or isinstance(
-        got.get("q660_minhash_lsh"), float
+    assert "z11660_minhash_lsh" not in got or isinstance(
+        got.get("z11660_minhash_lsh"), float
     )
 
 

@@ -1,5 +1,5 @@
 """The shared memoized per-doc 8-gram table (functions/grams.py, r12):
-q775_decontaminate and z8301_duplicate_ngram_filter must both ride ONE
+z11775_decontaminate and q8301_duplicate_ngram_filter must both ride ONE
 materialized (doc_id, grams) build, and riding it must not change what
 either query returns (the build is plan-side only — oracles untouched)."""
 
@@ -38,10 +38,10 @@ def test_consumers_share_the_build(spark, sf_dir, monkeypatch):
     18.1x cold smoke ratio)."""
     import eprints_to_hyku_data_tool_spark.functions.grams as grams_mod
     from eprints_to_hyku_data_tool_spark.plans.q_corpus import (
-        q775_decontaminate,
+        z11775_decontaminate,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_r4 import (
-        z8301_duplicate_ngram_filter,
+        q8301_duplicate_ngram_filter,
     )
 
     calls = []
@@ -52,6 +52,6 @@ def test_consumers_share_the_build(spark, sf_dir, monkeypatch):
         return real(spark_, sf_dir_)
 
     monkeypatch.setattr(grams_mod, "doc_grams8", spy)
-    q775_decontaminate(spark, sf_dir)
-    z8301_duplicate_ngram_filter(spark, sf_dir)
+    z11775_decontaminate(spark, sf_dir)
+    q8301_duplicate_ngram_filter(spark, sf_dir)
     assert len(calls) == 2

@@ -86,7 +86,7 @@ def test_cluster_dedupe_on_fixture_neardups(spark, sf_dir):
     survivor (the component min) per cluster, all other members dropped,
     non-members untouched."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = REGISTRY["q660_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b")
+    pairs = REGISTRY["z11660_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b")
     ref = union_find([(r["id_a"], r["id_b"]) for r in pairs.collect()])
     out = {r["doc_id"]: r["is_dropped"] for r in cluster_dedupe(docs, pairs).collect()}
     for doc, comp in ref.items():
@@ -153,7 +153,7 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
 
     from eprints_to_hyku_data_tool_spark.plans.q_analytics import (
         pagerank_ranks,
-        q7566_triangle_count,
+        z117566_triangle_count,
     )
 
     calls: list[int] = []
@@ -172,7 +172,7 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
     # here would be a node-sized regression.)
     pagerank_ranks(spark, sf_dir)
     assert not calls, "pagerank used a broadcast hint"
-    q7566_triangle_count(spark, sf_dir)
+    z117566_triangle_count(spark, sf_dir)
     assert not calls, "triangle count used a broadcast hint"
 
 
@@ -285,8 +285,8 @@ def test_graph_family_reads_shared_checkpoint_not_parquet(spark, sf_dir):
             REGISTRY[name].fn(spark, sf_dir).explain("formatted")
         return buf.getvalue()
 
-    for name in ("q7566_triangle_count", "q7551_clustering_coefficient",
-                 "q7565_degree_powerlaw"):
+    for name in ("z117566_triangle_count", "z117551_clustering_coefficient",
+                 "z117565_degree_powerlaw"):
         p = plan(name)
         assert "Scan ExistingRDD" in p, (name, p)
         assert "lineitem" not in p, (name, p)

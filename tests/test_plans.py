@@ -75,15 +75,15 @@ def test_dehinted_joins_still_broadcast_at_fixture_scale(plans):
     AQE as backstop) — pinned here so the de-hint can't silently
     regress local plans to shuffled joins."""
     for name in (
-        "q771_unigram_logprob",
-        "q784_tfidf",
-        "q626_pivot",
-        "q627_percentiles",
-        "q556_bpe_encode",
-        "q8324_naive_bayes",
-        "q7191_ri_audit",
-        "q7194_bloom_prefilter",
-        # q7564_modularity is also de-hinted but its label joins sit
+        "z11771_unigram_logprob",
+        "z11784_tfidf",
+        "z11626_pivot",
+        "z11627_percentiles",
+        "z11556_bpe_encode",
+        "z118324_naive_bayes",
+        "z117191_ri_audit",
+        "z117194_bloom_prefilter",
+        # z117564_modularity is also de-hinted but its label joins sit
         # behind a materialize() boundary, so they don't appear in the
         # final DataFrame's plan — not assertable here.
     ):
@@ -115,7 +115,7 @@ def test_q15_range_join_keeps_equi_key(plans):
 def test_q60_minhash_no_cartesian(plans):
     # The LSH pipeline's whole point: candidates come from a bucket
     # equi-join, never an all-pairs product.
-    p = plans("q660_minhash_lsh")
+    p = plans("z11660_minhash_lsh")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -139,7 +139,7 @@ def test_q19_partial_aggregation(plans):
 
 
 def test_q37_global_position_is_distributed(plans):
-    p = plans("z10637_multikey_sort")
+    p = plans("q10637_multikey_sort")
     # the data flows through a range partitioner + per-partition ranks,
     # not a single-partition global window
     assert "rangepartitioning" in p, p
@@ -147,7 +147,7 @@ def test_q37_global_position_is_distributed(plans):
 
 
 def test_q57_udf_is_arrow_batched(plans):
-    p = plans("q657_scalar_pandas_udf")
+    p = plans("z11657_scalar_pandas_udf")
     assert "ArrowEvalPython" in p, p
     assert "BatchEvalPython" not in p  # row-at-a-time python UDF forbidden
 
@@ -158,7 +158,7 @@ def test_x26_funnel_single_shuffle(plans):
     point of the window form vs the oracle's three-join chain."""
     import re
 
-    p = plans("z795_funnel")
+    p = plans("q795_funnel")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert len(re.findall(r"\(\d+\) Window", p)) == 3, p
 
@@ -170,29 +170,29 @@ def test_x26_funnel_single_shuffle(plans):
 # build the gap-fill grid — tiny-by-construction, like x15.
 NESTED_LOOP_WHITELIST = {
     "z914_cross_join",
-    "q784_tfidf",
-    "z792_gapfill",
+    "z11784_tfidf",
+    "q792_gapfill",
     # x30 cross-joins a one-row totals aggregate back onto the strata
     # counts — broadcast, tiny by construction.
-    "z798_mix_reweight",
+    "q798_mix_reweight",
     # y34/y35 cross-join one-row corpus-stats/total aggregates (same
     # broadcast shape as x30).
     "z9180_bm25",
     "z9181_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
-    "q771_unigram_logprob",
+    "z11771_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
-    "q7191_ri_audit",
+    "z117191_ri_audit",
     # y59 cross-joins the one-row grand-total aggregate onto the
     # (lang x source) contingency cells (same shape as x30/y34).
-    "q7233_chisquare",
+    "z117233_chisquare",
     # x43/x44 cross-join one-row vocab-size / bigram-total aggregates
     # (the z71 shape).
-    "z8243_bigram_lm",
-    "z8244_pmi_collocations",
+    "q8243_bigram_lm",
+    "q8244_pmi_collocations",
     # x49 pairs the per-source size table against itself with an
     # inequality condition — sources^2 rows, tiny by construction.
-    "z8249_vocab_overlap",
+    "q8249_vocab_overlap",
     # q21 (TPC-H Q22) cross-joins the one-row global-average-balance
     # aggregate onto customer — the canonical scalar-subquery broadcast.
     "z8321_dormant_customers",
@@ -200,11 +200,11 @@ NESTED_LOOP_WHITELIST = {
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
     # scalar collect).
-    "q7588_pagerank",
+    "z117588_pagerank",
     # q24 cross-joins the (5-row lang model dim x one-row vocab/total
     # aggregates) onto the test token stream — tiny by construction,
     # the z71/x30 broadcast-scalar shape.
-    "q8324_naive_bayes",
+    "z118324_naive_bayes",
     # q27 cross-joins the two one-row side-total aggregates onto the
     # 10-row bin join (same shape).
     "z8327_psi_drift",
@@ -213,7 +213,7 @@ NESTED_LOOP_WHITELIST = {
     "z9337_expectations_audit",
     # q39 cross-joins one-row extrema/total aggregates onto the fact
     # stream for integer bin arithmetic (the x30 broadcast-scalar shape).
-    "z9539_histogram",
+    "q9539_histogram",
     # q41 cross-joins the k-row (k=8) centroid table onto the point
     # stream — the assignment broadcast every distributed k-means does.
     "z9341_kmeans_lloyd",
@@ -227,11 +227,11 @@ NESTED_LOOP_WHITELIST = {
     "z9345_split_leakage",
     # q46 cross-joins the one-row total-count aggregate for the
     # quantile denominator (broadcast-scalar shape).
-    "z9346_quantile_rank",
+    "q9346_quantile_rank",
     # y85 cross-joins the one-row user-count aggregate for the three
     # distributed ntile denominators (r11: replaced the bare
     # single-partition ntile windows with the q46 posture).
-    "z10560_rfm_segments",
+    "q10560_rfm_segments",
     # q47 cross-joins the one-row moments/inverse-covariance model onto
     # the fact stream — the broadcast-model scoring shape.
     "z9347_mahalanobis",
@@ -243,8 +243,8 @@ NESTED_LOOP_WHITELIST = {
     "z10563_benford_audit",
     # y89/y90 cross-join one-row edge-count / min-degree / totals
     # aggregates onto community- or degree-sized tables (same shape).
-    "q7564_modularity",
-    "q7565_degree_powerlaw",
+    "z117564_modularity",
+    "z117565_degree_powerlaw",
 }
 
 
@@ -252,7 +252,7 @@ def test_y31_eval_grams_broadcast(plans):
     """Decontamination's scale contract: the eval n-gram side is broadcast
     (benchmark-sized), so the corpus side streams map-side — the gram
     match must be a BroadcastHashJoin, never a shuffled join on grams."""
-    p = plans("q775_decontaminate")
+    p = plans("z11775_decontaminate")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -271,7 +271,7 @@ def test_y36_group_sample_window_group_limit(plans):
 def test_q68_salted_exchange_partitions_on_salt(plans):
     # The whole point of salting: the build-side exchange hashes
     # (key, salt), not just the key — and the broadcast path is off.
-    p = plans("q768_skew_salted_join")
+    p = plans("z11768_skew_salted_join")
     assert "__salt" in p, p
     assert "ShuffledHashJoin" in p or "SortMergeJoin" in p, p
 
@@ -331,7 +331,7 @@ def test_q70_cumsum_is_distributed(plans):
     """Sequence packing's global running sum must ride the two-phase
     range-partition scheme (z37 rule), never a single-partition window
     over the whole corpus."""
-    p = plans("q770_sequence_pack")
+    p = plans("z11770_sequence_pack")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -350,7 +350,7 @@ def test_y47_profile_is_single_scan(plans):
 def test_y44_stats_broadcast_back(plans):
     """Per-user moment table is user-count-sized and must broadcast back
     onto the event stream, not shuffle the events for the join."""
-    p = plans("q9187_anomaly_zscore")
+    p = plans("z119187_anomaly_zscore")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -373,26 +373,26 @@ def test_x54_topk_uses_window_group_limit(plans):
     """Top-k tokens per source must run as WindowGroupLimit: each task
     keeps 5 rows per source BEFORE the shuffle, never the full
     vocabulary per group."""
-    assert "WindowGroupLimit" in plans("z8254_topk_tokens_per_source")
+    assert "WindowGroupLimit" in plans("q8254_topk_tokens_per_source")
 
 
 def test_x55_script_profile_zero_shuffle(plans):
     """The charclass profile is pure row-level expression work — its
     plan must contain no Exchange at all."""
-    assert "Exchange" not in plans("z8255_script_profile")
+    assert "Exchange" not in plans("q8255_script_profile")
 
 
 def test_x41_media_decode_zero_shuffle(plans):
     """Synthesize -> decode is a row-level Arrow pipeline over the scan;
     no Exchange may appear."""
-    assert "Exchange" not in plans("z8241_media_decode")
+    assert "Exchange" not in plans("q8241_media_decode")
 
 
 def test_y71_promo_part_join_broadcasts(plans):
     """The Q14 composite joins one month of lineitem to the part
     dimension: the dim side must broadcast (no SMJ shuffle of the fact
     table), and the shipdate month must reach the scan."""
-    p = plans("z8305_promo_revenue")
+    p = plans("q8305_promo_revenue")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
@@ -403,7 +403,7 @@ def test_y70_shipmode_predicates_reach_scan(plans):
     linestatus equality and both ends of the shipdate year range must
     all appear as pushed scan filters (ADVICE r4: the registry doc
     claimed this; nothing enforced it)."""
-    p = plans("z8304_shipmode_priority")
+    p = plans("q8304_shipmode_priority")
     assert "EqualTo(l_linestatus,F)" in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "LessThan(l_shipdate" in p, p
@@ -415,7 +415,7 @@ def test_y72_outer_join_stays_outer(plans):
     join degenerates to inner and zero-order customers vanish. The
     executed plan must keep the outer join and show NO filter on
     o_orderpriority applied after it."""
-    p = plans("z8306_order_distribution")
+    p = plans("q8306_order_distribution")
     assert "LeftOuter" in p, p
     # The priority predicate must appear as a pushed/scan-side filter on
     # orders (pre-join), and never in a Filter node above the join.
@@ -434,7 +434,7 @@ def test_y74_volume_shipping_broadcasts_both_nations(plans):
     distinct BHJ-on-nationkey nodes) and nothing may degrade to a
     nested-loop join (ADVICE r4: registry doc claimed dual broadcasts;
     nothing enforced it)."""
-    p = plans("z8308_volume_shipping")
+    p = plans("q8308_volume_shipping")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "n_nationkey" in p, p
@@ -444,7 +444,7 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
     """The Q17 decorrelation joins lineitem to its own per-part
     aggregate: the brand/size-filtered part dim must broadcast, and the
     predicates must reach the part scan."""
-    p = plans("z8307_small_qty_audit")
+    p = plans("q8307_small_qty_audit")
     assert "BroadcastHashJoin" in p, p
     assert "EqualTo(p_brand,Brand#23)" in p, p
     assert "LessThan(p_size,15)" in p, p
@@ -461,16 +461,16 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
 # join silently degrades to a nested loop, and scan pushdown persists.
 # --------------------------------------------------------------------------
 HEAVY_QUERIES = [
-    "z790_corpus_pipeline",
-    "z785_cluster_dedupe",
-    "q775_decontaminate",
-    "q667_embedding_dedupe",
+    "q790_corpus_pipeline",
+    "q785_cluster_dedupe",
+    "z11775_decontaminate",
+    "z11667_embedding_dedupe",
     "z9186_ivf_embedding_dedupe",
-    "z8301_duplicate_ngram_filter",
-    "q660_minhash_lsh",
-    "z786_ngram_jaccard",
-    "z8308_volume_shipping",
-    "q7588_pagerank",
+    "q8301_duplicate_ngram_filter",
+    "z11660_minhash_lsh",
+    "q786_ngram_jaccard",
+    "q8308_volume_shipping",
+    "z117588_pagerank",
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
     # automatic broadcasting is off and shuffles are cluster-sized.
@@ -516,7 +516,7 @@ def test_cluster_shaped_decontaminate_still_broadcasts(spark, sf_dir):
     ONLY way that survives is the explicit broadcast() hint — this test
     fails if the hint is ever dropped in favor of threshold luck."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["q775_decontaminate"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["z11775_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
 
 
@@ -526,7 +526,7 @@ def test_cluster_shaped_volume_shipping_keeps_dim_broadcasts(spark, sf_dir):
     the pushed filters must still reach the scans — pushdown is a
     property of the plan, not of the session config."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["z8308_volume_shipping"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["q8308_volume_shipping"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -548,7 +548,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
     """The Q2-shape window rank-1 must run as WindowGroupLimit (each task
     keeps one candidate per part before the shuffle) and the part-size
     prune must reach the part scan."""
-    p = plans("z8310_min_cost_supplier")
+    p = plans("q8310_min_cost_supplier")
     assert "WindowGroupLimit" in p, p
     assert "LessThan(p_size,10)" in p, p
 
@@ -556,7 +556,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
 def test_q11_exists_is_semi_join_with_pushdown(plans):
     """The Q4-shape EXISTS must be a left semi join whose quantity filter
     reaches the lineitem scan — never a post-join distinct."""
-    p = plans("z8311_priority_exists")
+    p = plans("q8311_priority_exists")
     assert "LeftSemi" in p, p
     assert "GreaterThanOrEqual(l_quantity,48.0)" in p, p
 
@@ -700,7 +700,7 @@ def test_q39_equidepth_is_distributed(plans):
     """Exact equi-depth bucketing must ride the two-phase global-position
     engine (z37 rule): range partitioner + per-partition ranks, never a
     single-partition ntile window over the fact table."""
-    p = plans("z9539_histogram")
+    p = plans("q9539_histogram")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
     assert "ntile" not in p, p
@@ -793,7 +793,7 @@ def test_z344_feature_hashing_two_aggregations(plans):
 def test_z346_quantile_rank_is_distributed(plans):
     """The rank transform must ride the two-phase global-position
     engine (z37 rule), never a single-partition window."""
-    p = plans("z9346_quantile_rank")
+    p = plans("q9346_quantile_rank")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -995,9 +995,9 @@ def test_q560_forced_distributed_ntile_matches_window_form(
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    compact = rows(REGISTRY["z10560_rfm_segments"].fn(spark, sf_dir))
+    compact = rows(REGISTRY["q10560_rfm_segments"].fn(spark, sf_dir))
     monkeypatch.setattr(mod, "_RFM_SINGLE_TASK_ROWS", 0)
-    forced = REGISTRY["z10560_rfm_segments"].fn(spark, sf_dir)
+    forced = REGISTRY["q10560_rfm_segments"].fn(spark, sf_dir)
     p = plan_text(forced)
     # really on the distributed branch: no ntile window anywhere
     assert "ntile" not in p, p

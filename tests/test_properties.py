@@ -88,7 +88,7 @@ def test_jaccard_pipelines_agree(spark, sf_dir):
     }
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["q660_minhash_lsh"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z11660_minhash_lsh"].fn(spark, sf_dir).collect()
     }
     assert brute == lsh and len(brute) > 0
 
@@ -100,7 +100,7 @@ def test_jaccard_pipelines_agree(spark, sf_dir):
     }
     x17 = {
         (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
-        for r in REGISTRY["z786_ngram_jaccard"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q786_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     assert brute_full == x17
 
@@ -111,7 +111,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
     greedy policy's reachable-from-lower rule on each edge."""
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["z786_ngram_jaccard"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q786_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     # reference union-find on the driver (fixture-sized)
     parent = {}
@@ -132,7 +132,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
     }
     got = {
         (r["doc_id"], r["canonical_id"])
-        for r in REGISTRY["z785_cluster_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q785_cluster_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"] == 1 or r["canonical_id"] != r["doc_id"]
     }
     # every non-root member maps to its component min
@@ -189,7 +189,7 @@ def test_simhash_conv_bits_match_substring_reference(spark, sf_dir):
 def test_exact_dedupe_is_lossless_partition(spark, sf_dir):
     """Q59 keeps exactly one representative per text_key and the copy
     counts re-add to the corpus size."""
-    out = REGISTRY["q659_exact_dedupe"].fn(spark, sf_dir)
+    out = REGISTRY["z11659_exact_dedupe"].fn(spark, sf_dir)
     total = out.agg(F.sum("n_copies")).collect()[0][0]
     assert total == load_table(spark, sf_dir, "documents").count()
 
@@ -217,7 +217,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
 
     exact = {
         (r["probe_id"], r["neighbor_id"])
-        for r in REGISTRY["q661_topk_similarity"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z11661_topk_similarity"].fn(spark, sf_dir).collect()
     }
     ivf = {
         (r["probe_id"], r["neighbor_id"])
@@ -238,7 +238,7 @@ def test_ivf_dedupe_subset_and_recall(spark, sf_dir):
 
     exact = {
         r["vec_id"]
-        for r in REGISTRY["q667_embedding_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z11667_embedding_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"]
     }
     ivf = {
@@ -290,7 +290,7 @@ def test_cluster_dedupe_uses_verified_pairs_at_sf01(spark):
     sf = "/root/testdata/sf0.1"
     pairs = {
         (r["id_a"], r["id_b"])
-        for r in REGISTRY["z786_ngram_jaccard"].fn(spark, sf).collect()
+        for r in REGISTRY["q786_ngram_jaccard"].fn(spark, sf).collect()
     }
     members = {n for p in pairs for n in p}
     parent = {}
@@ -309,7 +309,7 @@ def test_cluster_dedupe_uses_verified_pairs_at_sf01(spark):
     want_dropped = {n for n in members if find(n) != n}
     got_dropped = {
         r["doc_id"]
-        for r in REGISTRY["z785_cluster_dedupe"].fn(spark, sf).collect()
+        for r in REGISTRY["q785_cluster_dedupe"].fn(spark, sf).collect()
         if r["is_dropped"] == 1
     }
     assert got_dropped == want_dropped and len(want_dropped) > 0
@@ -497,16 +497,16 @@ def test_corr_matrix_bounds_and_partition_invariance(spark, sf_dir):
     bit-IDENTICAL under different shuffle partitioning (the whole point
     of exact integer moments — float covariance would drift with
     summation order)."""
-    from eprints_to_hyku_data_tool_spark.plans.q_r4 import z8250_corr_matrix
+    from eprints_to_hyku_data_tool_spark.plans.q_r4 import q8250_corr_matrix
 
-    rows = {r["pair"]: r["corr"] for r in z8250_corr_matrix(spark, sf_dir).collect()}
+    rows = {r["pair"]: r["corr"] for r in q8250_corr_matrix(spark, sf_dir).collect()}
     assert len(rows) == 6 and all(-1.0 <= v <= 1.0 for v in rows.values()), rows
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "3")
         rows2 = {
             r["pair"]: r["corr"]
-            for r in z8250_corr_matrix(spark, sf_dir).collect()
+            for r in q8250_corr_matrix(spark, sf_dir).collect()
         }
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
@@ -516,14 +516,14 @@ def test_corr_matrix_bounds_and_partition_invariance(spark, sf_dir):
 def test_entropy_and_gini_ranges(spark, sf_dir):
     """x53 entropy in [0, log2(alphabet)]; x56 gini in [0, 1)."""
     from eprints_to_hyku_data_tool_spark.plans.q_r4 import (
-        z8253_char_entropy,
-        z8256_length_gini,
+        q8253_char_entropy,
+        q8256_length_gini,
     )
     import math
 
-    for r in z8253_char_entropy(spark, sf_dir).collect():
+    for r in q8253_char_entropy(spark, sf_dir).collect():
         assert 0.0 <= r["entropy_bits"] <= math.log2(max(r["distinct_chars"], 2)) + 1e-6, r
-    for r in z8256_length_gini(spark, sf_dir).collect():
+    for r in q8256_length_gini(spark, sf_dir).collect():
         assert 0.0 <= r["gini"] < 1.0, r
 
 
@@ -531,9 +531,9 @@ def test_mad_outlier_counts_bounded(spark, sf_dir):
     """x47: outliers must be a minority under the 3*MAD rule on any
     unimodal-ish data, and med/mad must be actual data values (lower
     median contract)."""
-    from eprints_to_hyku_data_tool_spark.plans.q_r4 import z8247_mad_outliers
+    from eprints_to_hyku_data_tool_spark.plans.q_r4 import q8247_mad_outliers
 
-    rows = z8247_mad_outliers(spark, sf_dir).collect()
+    rows = q8247_mad_outliers(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert 0 <= r["n_outliers"] < r["n"] / 2, r

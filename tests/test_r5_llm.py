@@ -63,11 +63,11 @@ def test_pq_recall_margin(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from eprints_to_hyku_data_tool_spark.plans.q_north import (
-        q661_topk_similarity,
+        z11661_topk_similarity,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_r5_llm import pq_topk_approx
 
-    exact = q661_topk_similarity(spark, sf_dir).select(
+    exact = z11661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
     approx = pq_topk_approx(spark, sf_dir).withColumn("hit", F.lit(1))
@@ -108,7 +108,7 @@ def test_naive_bayes_confusion_covers_all_test_docs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    cm = REGISTRY["q8324_naive_bayes"].fn(spark, sf_dir).collect()
+    cm = REGISTRY["z118324_naive_bayes"].fn(spark, sf_dir).collect()
     assert sum(r["n_docs"] for r in cm) == sum(test_counts.values())
     per_true: dict[str, int] = {}
     for r in cm:
@@ -121,7 +121,7 @@ def test_knn_prediction_matches_local_vote(spark, sf_dir):
     """The distributed vote must equal a local majority vote over the
     same exact top-5 neighbor lists."""
     from eprints_to_hyku_data_tool_spark.plans.q_north import (
-        q661_topk_similarity,
+        z11661_topk_similarity,
     )
 
     emb = {
@@ -131,7 +131,7 @@ def test_knn_prediction_matches_local_vote(spark, sf_dir):
         .collect()
     }
     nbrs: dict[int, list[int]] = {}
-    for r in q661_topk_similarity(spark, sf_dir).collect():
+    for r in z11661_topk_similarity(spark, sf_dir).collect():
         nbrs.setdefault(r["probe_id"], []).append(emb[r["neighbor_id"]])
     got = {
         r["probe_id"]: (r["label_pred"], r["n_votes"])
@@ -170,7 +170,7 @@ def test_bfs_matches_local_reference(spark, sf_dir):
         frontier = nxt
     got = {
         r["node"]: r["hop"]
-        for r in REGISTRY["q7526_bfs_hops"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z117526_bfs_hops"].fn(spark, sf_dir).collect()
     }
     assert got == dist
 
@@ -189,7 +189,7 @@ def test_bfs_plan_has_no_unbounded_collect(spark, sf_dir, monkeypatch):
         return rows
 
     monkeypatch.setattr(DataFrame, "collect", spy)
-    REGISTRY["q7526_bfs_hops"].fn(spark, sf_dir)
+    REGISTRY["z117526_bfs_hops"].fn(spark, sf_dir)
     assert calls == []
 
 

@@ -82,12 +82,12 @@ SECTION2_MAP = {
     "Q19": "z10619_groupby_multi_agg", "Q20": "z10620_global_agg",
     "Q21": "z10621_count_distinct", "Q22": "z10622_approx_count_distinct",
     "Q23": "z10623_rollup", "Q24": "z10624_cube", "Q25": "z10625_bulkrax_fold",
-    "Q26": "q626_pivot", "Q27": "q627_percentiles", "Q28": "z10628_stats",
+    "Q26": "z11626_pivot", "Q27": "z11627_percentiles", "Q28": "z10628_stats",
     "Q29": "z10629_conditional_agg", "Q30": "z10630_mixed_distinct",
     "Q31": "z10631_keepfirst_dedupe", "Q32": "z10632_topk_per_group",
     "Q33": "z10633_lag_lead", "Q34": "z10634_running_sum",
     "Q35": "z10635_range_frame", "Q36": "z10636_ntile_first_last",
-    "Q37": "z10637_multikey_sort", "Q38": "z10638_global_topk",
+    "Q37": "q10637_multikey_sort", "Q38": "z10638_global_topk",
     "Q39": "z10639_limit_offset", "Q40": "z10640_union",
     "Q41": "z10641_intersect", "Q42": "z10642_except",
     "Q43": "z10643_string_kit", "Q44": "z10644_regex_extract",
@@ -97,9 +97,9 @@ SECTION2_MAP = {
     "Q51": "z10651_hash_ids", "Q52": "z10652_null_kit",
     "Q53": "z10653_cast_kit", "Q54": "z10654_tumbling_window",
     "Q55": "z10655_sliding_window", "Q56": "z10656_session_window",
-    "Q57": "q657_scalar_pandas_udf", "Q58": "q658_grouped_map",
-    "Q59": "q659_exact_dedupe", "Q60": "q660_minhash_lsh",
-    "Q61": "q661_topk_similarity", "Q62": "q662_text_stats",
+    "Q57": "z11657_scalar_pandas_udf", "Q58": "z11658_grouped_map",
+    "Q59": "z11659_exact_dedupe", "Q60": "z11660_minhash_lsh",
+    "Q61": "z11661_topk_similarity", "Q62": "z11662_text_stats",
     "X01": None,  # CSV/ORC source — tests/test_etl.py
     "X02": None,  # JSON source — tests/test_etl.py
     "X03": None,  # XML (EP3) source — tests/test_etl.py
@@ -111,8 +111,8 @@ SECTION2_MAP = {
     "X09": None,  # streaming dedupe — tests/test_streaming.py
     "X10": None,  # stream-static join — tests/test_streaming.py
     "X11": None,  # stateful processing — tests/test_streaming.py
-    "X12": "z781_grouped_agg_udaf", "X13": "z782_mapinpandas_shred",
-    "X14": "z783_sql_registered_udf", "X15": "q784_tfidf",
+    "X12": "q781_grouped_agg_udaf", "X13": "q782_mapinpandas_shred",
+    "X14": "q783_sql_registered_udf", "X15": "z11784_tfidf",
 }
 
 

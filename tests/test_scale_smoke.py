@@ -31,8 +31,8 @@ COPIES = 3
 # scale-sensitive family (graph build+iteration, LSH banding, sketch
 # aggs, PPJoin, winnowing) keeps the opt-in run in minutes.
 HEAVY = [
-    "q7588_pagerank",
-    "q660_minhash_lsh",
+    "z117588_pagerank",
+    "z11660_minhash_lsh",
     "z10622_approx_count_distinct",
     "z10658_winnow_containment",
     "z9345_split_leakage",

@@ -213,7 +213,7 @@ def test_x20_stream_stream_join_equals_batch(spark, sf_dir, replay_dir):
     }
     want = {
         (r["purchase_id"], r["click_id"], r["lag_us"])
-        for r in REGISTRY["z789_interval_join"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q789_interval_join"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
 
@@ -248,7 +248,7 @@ def test_streaming_neardup_equals_batch(spark, sf_dir, docs_replay_dir):
     }
     want = {
         (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
-        for r in REGISTRY["z786_ngram_jaccard"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q786_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
 

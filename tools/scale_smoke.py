@@ -39,24 +39,24 @@ sys.path.insert(0, _ROOT)
 # forms), decontamination, IVF, corpus pipeline, profiling, percentile
 # sketches, PPJoin leakage, k-means, BPE.
 HEAVY = [
-    "q7588_pagerank",
-    "q7526_bfs_hops",
+    "z117588_pagerank",
+    "z117526_bfs_hops",
     "z10620_global_agg",
     "z10658_winnow_containment",
-    "z8301_duplicate_ngram_filter",
+    "q8301_duplicate_ngram_filter",
     "z974_rplsh_neardup",
-    "q775_decontaminate",
+    "z11775_decontaminate",
     "z9185_ivf_topk",
-    "z790_corpus_pipeline",
+    "q790_corpus_pipeline",
     "z9190_column_profile",
-    "q7192_approx_percentile",
+    "z117192_approx_percentile",
     "z9345_split_leakage",
     "z10554_association_rules",
     "z10660_simhash",
-    "q660_minhash_lsh",
+    "z11660_minhash_lsh",
     "z10622_approx_count_distinct",
     "z9341_kmeans_lloyd",
-    "q556_bpe_encode",
+    "z11556_bpe_encode",
 ]
 
 
@@ -119,7 +119,7 @@ def main() -> None:
 
     # Warm re-run for suspects (the bench.py lesson, observed on the smoke
     # too: single-pass numbers in an aged session vary 2-4x run-to-run —
-    # z790_corpus_pipeline measured 16 s and 59 s at the 10x tier on
+    # q790_corpus_pipeline measured 16 s and 59 s at the 10x tier on
     # IDENTICAL code in back-to-back serial runs). Any query past a QUARTER
     # of the failure bound (copies/2 vs the 2*copies bound — deliberately
     # broad, so contention artifacts get their retry before they can fail
