@@ -11,16 +11,25 @@ no dependency beyond pyspark itself.
 
 Layout (all paths relative to the table root):
 
-    _ledger/00000000.json   -- one immutable manifest per version
-    _ledger/00000001.json
-    data/<uuid>/            -- one parquet "file group" per write job
+    _ledger/00000000.json       -- create: a full base manifest
+    _ledger/00000001.json       -- every later commit: a DELTA manifest
+    _ledger/chk-00000010.json   -- full checkpoint every 10th version
+    _ledger/_last_checkpoint    -- pointer to the newest checkpoint
+    data/<uuid>/                -- one parquet "file group" per write job
 
-A manifest is the complete table state at a version: the schema, the
-optional stats key, and the list of live file groups with row counts and
-per-group [min,max] of the key. Data files are NEVER mutated or deleted
-by writes — a commit only adds data and one manifest — so readers need
-no locks: a snapshot read resolves one manifest and scans exactly the
-groups it lists (time travel = resolve an older manifest).
+The metadata plane is incremental (the Delta-log pattern): a commit
+writes only what CHANGED — groups added, group paths removed, the
+schema when it widened — so commit cost is O(delta), not O(#groups);
+at ~100k groups a full-snapshot manifest would be tens of MB of JSON
+per commit, a delta is a few KB. Every CHECKPOINT_INTERVAL versions the
+committer also materializes a full checkpoint (groups, schema, and the
+accumulated per-app txn high-water map), so resolving the table state
+at any version reads one anchor + at most CHECKPOINT_INTERVAL deltas,
+and a restarted streaming writer's ``latest_txn`` lookup is O(interval)
+instead of O(#versions). Data files are NEVER mutated or deleted by
+writes — a commit only adds data and one manifest — so readers need no
+locks: a snapshot read resolves one version's state and scans exactly
+the groups it lists (time travel = resolve an older version).
 
 Commit protocol (optimistic concurrency): the writer computes its new
 version N = latest+1, writes the manifest to a temp name, then
@@ -51,9 +60,12 @@ key ranges preserved). compact() packs all its bins the same one-write
 way.
 
 ``vacuum`` removes data groups no manifest references (crashed writers'
-orphans, and groups released by ``expire_history``). Bounded driver
-state throughout: manifests are O(#groups) JSON; no query data ever
-reaches the driver beyond one min/max/count row per write.
+orphans, and groups released by ``expire_history``; expiry materializes
+a checkpoint at the oldest kept version first, so the kept delta chain
+stays resolvable). Bounded driver state throughout: commits are
+O(delta) JSON, state resolution is one anchor + ≤ CHECKPOINT_INTERVAL
+deltas, and no query data ever reaches the driver beyond one
+min/max/count row per write.
 
 Beyond the single stats key, tables may declare extra ``stats_cols``
 at create: every group then records per-column [min,max] for each, and
@@ -87,7 +99,10 @@ drops/renames/type-widening (add-column only), z-order cluster columns
 must be numeric/date/timestamp/string (strings use sampled range
 boundaries, the RangePartitioner approach), whole-snapshot optimize
 (no incremental file selection), POSIX-atomic link (swap for a
-conditional PUT off-box).
+conditional PUT off-box), JSON checkpoints (the production formats use
+parquet checkpoints so group lists are column-pruned; at this format's
+scale tier the JSON parse is not the bottleneck — measured in
+LEDGER_BENCH.json's metadata ladder).
 """
 
 from __future__ import annotations
@@ -106,6 +121,14 @@ from pyspark.sql.types import StructField, StructType
 _LEDGER_DIR = "_ledger"
 _DATA_DIR = "data"
 _STAGING_PREFIX = "tmp-optimize-"
+
+# Every Nth commit also writes a full checkpoint (the Delta
+# ``_last_checkpoint`` pattern): commits stay O(delta) JSON regardless
+# of group count, and state resolution walks at most this many delta
+# manifests back to an anchor.
+CHECKPOINT_INTERVAL = 10
+_CHECKPOINT_PREFIX = "chk-"
+_LAST_CHECKPOINT = "_last_checkpoint"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -145,7 +168,9 @@ def latest_version(table: str) -> int:
     return vs[-1]
 
 
-def _read_manifest(table: str, version: int) -> dict:
+def _read_raw(table: str, version: int) -> dict:
+    """The manifest FILE for `version`, verbatim: a full snapshot for
+    ``create`` (and pre-checkpoint-era tables), a delta otherwise."""
     p = os.path.join(_ledger_path(table), _manifest_name(version))
     try:
         with open(p) as fh:
@@ -154,16 +179,280 @@ def _read_manifest(table: str, version: int) -> dict:
         raise LedgerError(f"version {version} does not exist: {table}")
 
 
+def _checkpoint_name(version: int) -> str:
+    return f"{_CHECKPOINT_PREFIX}{version:08d}.json"
+
+
+def _read_checkpoint(table: str, version: int) -> dict | None:
+    p = os.path.join(_ledger_path(table), _checkpoint_name(version))
+    try:
+        with open(p) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+# Resolved-state cache. Manifests are immutable once linked, but a
+# table directory can be deleted and recreated at the same path (tests,
+# reruns), so the key carries the manifest file's identity (mtime+size)
+# — a recreated table misses instead of serving stale state.
+_RESOLVE_CACHE: dict[tuple, dict] = {}
+_RESOLVE_CACHE_CAP = 256
+
+
+def _cache_key(table: str, version: int) -> tuple | None:
+    p = os.path.join(_ledger_path(table), _manifest_name(version))
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    return (os.path.abspath(table), version, st.st_mtime_ns, st.st_size)
+
+
+def _cache_put(key: tuple | None, state: dict) -> None:
+    if key is None:
+        return
+    if len(_RESOLVE_CACHE) >= _RESOLVE_CACHE_CAP:
+        # Evict the oldest half (dicts preserve insertion order).
+        for k in list(_RESOLVE_CACHE)[: _RESOLVE_CACHE_CAP // 2]:
+            del _RESOLVE_CACHE[k]
+    _RESOLVE_CACHE[key] = state
+
+
+# Keys the resolution layer itself owns; anything else on a manifest is
+# a per-commit annotation carried verbatim (restored_from, future ops).
+_STATE_KEYS = {
+    "version", "parent", "op", "ts", "key", "schema", "groups",
+    "stats_cols", "txn", "txns", "txns_complete", "add", "remove",
+}
+
+
+def _record_txn(txns: dict, txn: dict | None) -> dict:
+    if txn and "app" in txn and "batch" in txn:
+        prev = txns.get(txn["app"])
+        txns[txn["app"]] = (
+            txn["batch"] if prev is None else max(prev, txn["batch"])
+        )
+    return txns
+
+
+def _state_from_full(raw: dict) -> dict:
+    """A full manifest (create, or a legacy pre-delta-format table) IS
+    the state. The per-app txn high-water map is complete only when
+    this anchor is the chain root (create) — a legacy mid-chain anchor
+    cannot see txn actions committed before it."""
+    state = dict(raw)
+    state["txns"] = _record_txn({}, raw.get("txn"))
+    state["txns_complete"] = raw.get("parent") is None
+    return state
+
+
+def _state_from_checkpoint(raw: dict, chk: dict) -> dict:
+    """Combine the delta manifest at a version (op/ts/txn identity) with
+    the checkpoint written for that same version (groups/schema/txns —
+    the checkpoint is materialized from the resolved state, so it
+    already includes the delta's own effect)."""
+    state = {
+        "version": raw["version"],
+        "parent": raw["parent"],
+        "op": raw["op"],
+        "ts": raw["ts"],
+        "key": chk["key"],
+        "schema": chk["schema"],
+        "groups": chk["groups"],
+        "txns": dict(chk.get("txns") or {}),
+        "txns_complete": chk.get("txns_complete", True),
+    }
+    if chk.get("stats_cols"):
+        state["stats_cols"] = chk["stats_cols"]
+    if raw.get("txn") is not None:
+        state["txn"] = raw["txn"]
+    for k, v in raw.items():
+        if k not in _STATE_KEYS:
+            state[k] = v
+    return state
+
+
+def _apply_delta(state: dict, raw: dict) -> dict:
+    removed = set(raw.get("remove") or [])
+    groups = [
+        g for g in state["groups"] if g["path"] not in removed
+    ] + list(raw.get("add") or [])
+    new = {
+        "version": raw["version"],
+        "parent": raw["parent"],
+        "op": raw["op"],
+        "ts": raw["ts"],
+        "key": state["key"],
+        "schema": raw.get("schema") or state["schema"],
+        "groups": groups,
+        "txns": _record_txn(
+            dict(state.get("txns") or {}), raw.get("txn")
+        ),
+        "txns_complete": state.get("txns_complete", True),
+    }
+    if state.get("stats_cols"):
+        new["stats_cols"] = state["stats_cols"]
+    if raw.get("txn") is not None:
+        new["txn"] = raw["txn"]
+    for k, v in raw.items():
+        if k not in _STATE_KEYS:
+            new[k] = v
+    return new
+
+
+def _read_manifest(table: str, version: int) -> dict:
+    """The RESOLVED table state at `version` — same shape as the old
+    full-snapshot manifests (version/parent/op/ts/key/schema/groups,
+    plus stats_cols/txn when present), reconstructed from the nearest
+    anchor (create manifest, checkpoint, or legacy full manifest) plus
+    the delta manifests after it. Walk length is bounded by
+    CHECKPOINT_INTERVAL on any table the current code maintains."""
+    pending: list[dict] = []
+    pending_keys: list[tuple | None] = []
+    v = version
+    while True:
+        key = _cache_key(table, v)
+        state = _RESOLVE_CACHE.get(key) if key is not None else None
+        if state is not None:
+            break
+        raw = _read_raw(table, v)
+        if "groups" in raw:
+            state = _state_from_full(raw)
+            _cache_put(key, state)
+            break
+        chk = _read_checkpoint(table, v)
+        if chk is not None:
+            state = _state_from_checkpoint(raw, chk)
+            _cache_put(key, state)
+            break
+        pending.append(raw)
+        pending_keys.append(key)
+        if raw.get("parent") is None:
+            raise LedgerError(
+                f"delta manifest {v} has no parent and no checkpoint: "
+                f"{table}"
+            )
+        v = raw["parent"]
+    for raw, key in zip(reversed(pending), reversed(pending_keys)):
+        state = _apply_delta(state, raw)
+        _cache_put(key, state)
+    # Hand out a shallow copy with its own groups list so callers can't
+    # corrupt the cached state (group entries themselves are shared by
+    # reference everywhere, and never mutated).
+    return dict(state, groups=list(state["groups"]))
+
+
+def _delta_payload(manifest: dict, parent_state: dict) -> dict:
+    """The on-disk delta form of a resolved manifest: groups added and
+    removed vs the parent, schema only when it changed — O(change), not
+    O(#groups), which is what keeps commits flat at 100 TB."""
+    ppaths = {g["path"] for g in parent_state["groups"]}
+    npaths = {g["path"] for g in manifest["groups"]}
+    payload = {
+        "version": manifest["version"],
+        "parent": manifest["parent"],
+        "op": manifest["op"],
+        "ts": manifest["ts"],
+    }
+    add = [g for g in manifest["groups"] if g["path"] not in ppaths]
+    remove = [
+        g["path"] for g in parent_state["groups"]
+        if g["path"] not in npaths
+    ]
+    if add:
+        payload["add"] = add
+    if remove:
+        payload["remove"] = remove
+    if manifest["schema"] != parent_state["schema"]:
+        payload["schema"] = manifest["schema"]
+    if manifest.get("txn") is not None:
+        payload["txn"] = manifest["txn"]
+    # Per-commit annotations (e.g. restore's restored_from) ride the
+    # delta verbatim — they describe THIS version, not accumulated
+    # state, exactly like txn.
+    for k, v in manifest.items():
+        if k not in _STATE_KEYS and k not in payload:
+            payload[k] = v
+    return payload
+
+
+def _write_checkpoint(table: str, version: int) -> None:
+    """Materialize the resolved state at `version` as a checkpoint file
+    (create-if-absent; a concurrent checkpointer writing the identical
+    content is harmless) and advance the ``_last_checkpoint`` pointer.
+    Best-effort by design: a crash after the manifest link but before
+    the checkpoint only lengthens the next reader's delta walk."""
+    state = _read_manifest(table, version)
+    chk = {
+        "version": version,
+        "key": state["key"],
+        "schema": state["schema"],
+        "groups": state["groups"],
+        "txns": state.get("txns") or {},
+        "txns_complete": state.get("txns_complete", True),
+    }
+    if state.get("stats_cols"):
+        chk["stats_cols"] = state["stats_cols"]
+    d = _ledger_path(table)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(chk, fh, indent=1)
+    try:
+        os.link(tmp, os.path.join(d, _checkpoint_name(version)))
+    except FileExistsError:
+        pass  # an equivalent checkpoint already exists
+    finally:
+        os.unlink(tmp)
+    # Pointer is a monotone hint (the Delta _last_checkpoint file):
+    # readers that trust it skip the directory listing; correctness
+    # never depends on it.
+    ptr = os.path.join(d, _LAST_CHECKPOINT)
+    try:
+        with open(ptr) as fh:
+            if json.load(fh).get("version", -1) >= version:
+                return
+    except (OSError, ValueError):
+        pass
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, ptr)
+
+
+def last_checkpoint(table: str) -> int | None:
+    """The newest checkpointed version per the pointer file, or None."""
+    try:
+        with open(os.path.join(_ledger_path(table), _LAST_CHECKPOINT)) as fh:
+            return json.load(fh)["version"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
 def _commit(table: str, manifest: dict) -> int:
     """Atomically publish `manifest` as version parent+1 (create-if-
     absent via os.link); raises ConcurrentCommitError if a racing writer
-    got there first. Returns the committed version."""
+    got there first. Returns the committed version.
+
+    `manifest` is the RESOLVED new state (what _new_manifest builds);
+    what lands on disk is its DELTA against the parent — except create,
+    whose manifest is the chain's base anchor and stays full. Every
+    CHECKPOINT_INTERVAL versions the committer also materializes a full
+    checkpoint, after the commit point."""
     version = manifest["version"]
     d = _ledger_path(table)
     os.makedirs(d, exist_ok=True)
+    if manifest.get("parent") is None:
+        payload = {
+            k: v for k, v in manifest.items()
+            if k not in ("txns", "txns_complete")
+        }
+    else:
+        parent_state = _read_manifest(table, manifest["parent"])
+        payload = _delta_payload(manifest, parent_state)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh, indent=1)
+        json.dump(payload, fh, indent=1)
     try:
         os.link(tmp, os.path.join(d, _manifest_name(version)))
     except FileExistsError:
@@ -172,11 +461,15 @@ def _commit(table: str, manifest: dict) -> int:
         )
     finally:
         os.unlink(tmp)
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        _write_checkpoint(table, version)
     return version
 
 
 def history(table: str) -> list[dict]:
-    """All manifests, oldest first — the audit log of the table."""
+    """All manifests (resolved states), oldest first — the audit log of
+    the table. Resolution is cached, so this is O(#versions) delta
+    applications, not O(#versions * walk)."""
     return [_read_manifest(table, v) for v in _versions(table)]
 
 
@@ -350,8 +643,16 @@ def _new_manifest(
 def latest_txn(table: str, app: str) -> int | None:
     """The highest batch id committed under transactional identity
     `app`, or None — how a restarted streaming writer discovers which
-    micro-batches already landed (the Delta txn-action pattern). One
-    O(#versions) manifest scan; manifests are tiny JSON."""
+    micro-batches already landed (the Delta txn-action pattern).
+
+    Checkpoints carry the accumulated per-app high-water map, so this
+    costs one resolution walk (≤ CHECKPOINT_INTERVAL delta reads), not
+    an O(#versions) scan — the metadata-plane property a 100 TB stream
+    restart needs. Legacy full-manifest chains whose root was expired
+    fall back to the full history scan (their map is incomplete)."""
+    state = _read_manifest(table, latest_version(table))
+    if state.get("txns_complete", True):
+        return (state.get("txns") or {}).get(app)
     best = None
     for m in history(table):
         t = m.get("txn")
@@ -789,13 +1090,29 @@ def restore(table: str, version: int) -> int:
 def expire_history(table: str, keep_last: int) -> list[int]:
     """Drop all but the newest `keep_last` manifests (their data groups
     become vacuum-able if nothing newer references them). Returns the
-    expired versions."""
+    expired versions.
+
+    Delta manifests resolve against older anchors, so before deleting
+    anything this materializes a checkpoint AT the oldest kept version
+    (while its parents still exist) — the kept chain stays resolvable
+    with no reference to expired files. Checkpoints older than the
+    oldest kept version are dropped with their manifests."""
     if keep_last < 1:
         raise LedgerError("keep_last must be >= 1")
     vs = _versions(table)
     expired = vs[:-keep_last]
+    if not expired:
+        return []
+    oldest_kept = vs[-keep_last]
+    raw = _read_raw(table, oldest_kept)
+    if "groups" not in raw and _read_checkpoint(table, oldest_kept) is None:
+        _write_checkpoint(table, oldest_kept)
+    d = _ledger_path(table)
     for v in expired:
-        os.unlink(os.path.join(_ledger_path(table), _manifest_name(v)))
+        os.unlink(os.path.join(d, _manifest_name(v)))
+        chk = os.path.join(d, _checkpoint_name(v))
+        if os.path.exists(chk):
+            os.unlink(chk)
     return expired
 
 

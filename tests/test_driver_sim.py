@@ -195,3 +195,126 @@ def test_entry_and_udf_queries_run_from_foreign_cwd(tmp_path):
     assert proc.returncode == 0 and "DRIVER_SIM_PASS" in proc.stdout, (
         proc.stdout[-2000:] + "\n--- stderr ---\n" + proc.stderr[-3000:]
     )
+
+
+_LEDGER_SIM = textwrap.dedent(
+    """
+    import sys
+    sys.path.insert(0, __REPO__)
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.sources.ledger_stream import (
+        register_ledger_source, LedgerDataSource,
+    )
+
+    t = "TABLE_DIR"
+    ledger.create(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        key="k",
+    )
+    ledger.append(
+        spark, t, spark.createDataFrame([(3, "c")], "k long, v string")
+    )
+
+    if "NEGATIVE" in sys.argv:
+        # Register WITHOUT the by-value pickling: the class ships to the
+        # python workers by module reference, which they cannot import
+        # from this foreign cwd — the read must FAIL (this arm proves
+        # the sim detects the regression the positive arm guards).
+        spark.dataSource.register(LedgerDataSource)
+        try:
+            spark.read.format("ledger").load(t).collect()
+        except Exception:
+            print("LEDGER_SIM_NEGATIVE_FAILED_AS_EXPECTED")
+            spark.stop()
+            sys.exit(0)
+        print("LEDGER_SIM_NEGATIVE_UNEXPECTED_PASS")
+        sys.exit(1)
+
+    register_ledger_source(spark)
+    # Batch read through the Python DataSource.
+    rows = sorted(
+        (r["k"], r["v"])
+        for r in spark.read.format("ledger").load(t).collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")], rows
+    print("ledger-sim ok: batch read", flush=True)
+
+    # Streaming read: replay history, then one live micro-batch.
+    q = (
+        spark.readStream.format("ledger")
+        .option("startingVersion", 0)
+        .load(t)
+        .writeStream.format("memory")
+        .queryName("ledger_sim")
+        .option(
+            "checkpointLocation", t + "_ckpt"
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    ledger.append(
+        spark, t, spark.createDataFrame([(4, "d")], "k long, v string")
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["k"], r["v"]) for r in spark.sql("SELECT * FROM ledger_sim").collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")], got
+    print("ledger-sim ok: stream replay + live batch", flush=True)
+    spark.stop()
+    print("LEDGER_SIM_PASS")
+    """
+).replace("__REPO__", repr(_REPO))
+
+
+def test_ledger_datasource_runs_from_foreign_cwd(tmp_path):
+    """VERDICT r12 item 4: the format('ledger') Python DataSource is
+    pickled into python workers — repo-cwd tests mask by-reference
+    pickling regressions (the r8 lesson), so this rep registers the
+    source from a NON-repo cwd with no PYTHONPATH and runs one batch
+    read plus a replay + live micro-batch of the stream."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    sim = _LEDGER_SIM.replace("TABLE_DIR", str(tmp_path / "tbl"))
+    proc = subprocess.run(
+        [sys.executable, "-c", sim],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0 and "LEDGER_SIM_PASS" in proc.stdout, (
+        proc.stdout[-2000:] + "\n--- stderr ---\n" + proc.stderr[-3000:]
+    )
+
+
+def test_ledger_datasource_sim_detects_pickling_regression(tmp_path):
+    """The rep is only worth having if it FAILS when by-value pickling
+    regresses: registering the class without register_ledger_source's
+    by-value registration must break the foreign-cwd read."""
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    sim = _LEDGER_SIM.replace("TABLE_DIR", str(tmp_path / "tbl"))
+    proc = subprocess.run(
+        [sys.executable, "-c", sim, "NEGATIVE"],
+        cwd=tmp_path,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0 and (
+        "LEDGER_SIM_NEGATIVE_FAILED_AS_EXPECTED" in proc.stdout
+    ), proc.stdout[-2000:] + "\n--- stderr ---\n" + proc.stderr[-3000:]

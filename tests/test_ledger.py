@@ -1259,3 +1259,164 @@ def test_merge_retry_survives_concurrent_evolution(
     assert got.count() == expected_n
     assert got.filter("racer_col IS NOT NULL").count() == 0
     assert got.filter("my_col = 1").count() == delta.count()
+
+
+# --------------------------------------------------------------------------
+# Metadata plane: delta manifests + checkpoints (r13)
+# --------------------------------------------------------------------------
+
+
+def _mk_row_df(spark, k):
+    return spark.createDataFrame([(k, f"v{k}")], "k long, v string")
+
+
+def test_commits_are_delta_manifests(spark, tmp_path):
+    """Post-create manifests on disk carry add/remove, never the full
+    group list — commit JSON is O(delta), not O(#groups)."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    for i in range(1, 5):
+        ledger.append(spark, t, _mk_row_df(spark, i))
+    raw0 = ledger._read_raw(t, 0)
+    assert "groups" in raw0  # create is the full base anchor
+    for v in range(1, 5):
+        raw = ledger._read_raw(t, v)
+        assert "groups" not in raw
+        assert len(raw["add"]) == 1 and "remove" not in raw
+    # Manifest size does not grow with accumulated group count.
+    import os as _os
+
+    sz = [
+        _os.path.getsize(
+            _os.path.join(ledger._ledger_path(t), ledger._manifest_name(v))
+        )
+        for v in range(1, 5)
+    ]
+    assert max(sz) <= 2 * min(sz)
+
+
+def test_checkpoint_written_at_interval_and_resolution_matches(
+    spark, tmp_path
+):
+    """Every CHECKPOINT_INTERVALth commit materializes a checkpoint and
+    advances _last_checkpoint; resolution at any version (across the
+    checkpoint boundary, time travel included) equals the snapshot the
+    full-manifest format would have given."""
+    import os as _os
+
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    n = ledger.CHECKPOINT_INTERVAL + 3
+    for i in range(1, n + 1):
+        ledger.append(spark, t, _mk_row_df(spark, i))
+    cv = ledger.CHECKPOINT_INTERVAL
+    assert _os.path.exists(
+        _os.path.join(ledger._ledger_path(t), ledger._checkpoint_name(cv))
+    )
+    assert ledger.last_checkpoint(t) == cv
+    # Any version resolves to exactly i+1 rows with the right contents.
+    for v in (0, cv - 1, cv, cv + 1, n):
+        got = sorted(
+            r["k"] for r in ledger.read(spark, t, version=v).collect()
+        )
+        assert got == list(range(v + 1)), v
+    # Group accounting at latest: one group per commit.
+    assert len(ledger._read_manifest(t, n)["groups"]) == n + 1
+
+
+def test_missing_checkpoint_only_lengthens_the_walk(spark, tmp_path):
+    """A crash between manifest link and checkpoint write loses the
+    checkpoint, never correctness: resolution walks past the gap to the
+    older anchor."""
+    import os as _os
+
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    n = ledger.CHECKPOINT_INTERVAL + 2
+    for i in range(1, n + 1):
+        ledger.append(spark, t, _mk_row_df(spark, i))
+    _os.unlink(
+        _os.path.join(
+            ledger._ledger_path(t),
+            ledger._checkpoint_name(ledger.CHECKPOINT_INTERVAL),
+        )
+    )
+    ledger._RESOLVE_CACHE.clear()
+    got = sorted(r["k"] for r in ledger.read(spark, t).collect())
+    assert got == list(range(n + 1))
+
+
+def test_expire_history_anchors_oldest_kept_version(spark, tmp_path):
+    """Expiring past a delta chain materializes a checkpoint at the
+    oldest KEPT version first — every kept version stays resolvable
+    with no reference to the deleted manifests."""
+    import os as _os
+
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    for i in range(1, 8):
+        ledger.append(spark, t, _mk_row_df(spark, i))
+    # keep versions 5..7 — none is a checkpoint version (interval 10)
+    expired = ledger.expire_history(t, keep_last=3)
+    assert expired == [0, 1, 2, 3, 4]
+    assert _os.path.exists(
+        _os.path.join(ledger._ledger_path(t), ledger._checkpoint_name(5))
+    )
+    ledger._RESOLVE_CACHE.clear()
+    for v in (5, 6, 7):
+        got = sorted(
+            r["k"] for r in ledger.read(spark, t, version=v).collect()
+        )
+        assert got == list(range(v + 1))
+    # vacuum still resolves the kept chain and collects nothing live.
+    assert ledger.vacuum(t) == []
+
+
+def test_latest_txn_reads_checkpoint_map_not_expired_history(
+    spark, tmp_path
+):
+    """The per-app txn high-water survives expiry of the manifests that
+    carried the txn actions (the checkpoint accumulates the map), and
+    lookups do not scan the whole chain."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    for i in range(1, ledger.CHECKPOINT_INTERVAL + 2):
+        txn = {"app": "job", "batch": i} if i <= 3 else None
+        ledger.append(spark, t, _mk_row_df(spark, i), txn=txn)
+    assert ledger.latest_txn(t, "job") == 3
+    assert ledger.latest_txn(t, "nobody") is None
+    # Expire the versions that carried the txn actions; the checkpoint
+    # at CHECKPOINT_INTERVAL still knows the high water.
+    ledger.expire_history(t, keep_last=2)
+    ledger._RESOLVE_CACHE.clear()
+    assert ledger.latest_txn(t, "job") == 3
+
+
+def test_resolve_cache_misses_on_recreated_table(spark, tmp_path):
+    """Deleting a table directory and creating a different table at the
+    SAME path must not serve stale cached state (cache keys carry the
+    manifest file identity)."""
+    import shutil as _shutil
+
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 1), key="k")
+    assert [r["k"] for r in ledger.read(spark, t).collect()] == [1]
+    _shutil.rmtree(t)
+    ledger.create(spark, t, _mk_row_df(spark, 99), key="k")
+    assert [r["k"] for r in ledger.read(spark, t).collect()] == [99]
+
+
+def test_restore_annotation_survives_delta_roundtrip(spark, tmp_path):
+    """Per-commit annotations (restored_from) ride the delta manifest
+    and reappear on the resolved state — including when resolved from a
+    checkpoint at that exact version."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    for i in range(1, ledger.CHECKPOINT_INTERVAL):
+        ledger.append(spark, t, _mk_row_df(spark, i))
+    v = ledger.restore(t, 0)  # lands exactly on the checkpoint version
+    assert v == ledger.CHECKPOINT_INTERVAL
+    ledger._RESOLVE_CACHE.clear()
+    m = ledger._read_manifest(t, v)
+    assert m["op"] == "restore" and m["restored_from"] == 0
+    assert [r["k"] for r in ledger.read(spark, t).collect()] == [0]

@@ -186,6 +186,105 @@ def tier_metrics(spark, sf_dir: str, work: str) -> dict:
     return out
 
 
+def metadata_metrics(
+    spark, work: str, n_groups: int = 10_000, n_versions: int = 1_000
+) -> dict:
+    """The metadata-plane ladder (r12 verdict item 3): commit and
+    restart-scan cost at the ~100 TB-representative tier of ~10k file
+    groups and ~1k versions, measured on PURE metadata commits
+    (synthetic group entries; the data plane's flatness is measured by
+    tier_metrics — this isolates what the old full-snapshot-manifest
+    format serialized per commit).
+
+    Claims under test:
+    - a commit at 10k groups writes an O(delta) manifest (KB), not the
+      O(#groups) JSON (MB) a full-snapshot manifest would be — the
+      checkpoint carries that cost once per CHECKPOINT_INTERVAL;
+    - `latest_txn` / state resolution after 1k versions is an anchored
+      walk (≤ interval reads), not an O(#versions) scan — the stream-
+      restart cost."""
+    t = os.path.join(work, "t_meta")
+    one = spark.createDataFrame([(0, 0.0)], "k long, v double")
+    ledger.create(spark, t, one, key="k")
+
+    def fake_group(i: int) -> dict:
+        return {
+            "path": f"data/fake-{i:08d}",
+            "rows": 1000,
+            "min_key": i * 1000,
+            "max_key": i * 1000 + 999,
+        }
+
+    # Seed one bulk commit to n_groups (the initial-load shape).
+    parent = ledger._read_manifest(t, ledger.latest_version(t))
+    seed = [fake_group(i) for i in range(n_groups)]
+    seed_s, _ = timed(
+        lambda: ledger._commit(
+            t,
+            ledger._new_manifest(parent, "append", parent["groups"] + seed),
+        )
+    )
+    out = {
+        "groups": n_groups,
+        "versions": n_versions,
+        "seed_commit_s": seed_s,
+    }
+
+    # n_versions single-group appends with a txn action each — the
+    # streaming-sink steady state. Mean includes the amortized
+    # checkpoint writes (every CHECKPOINT_INTERVALth commit).
+    d = ledger._ledger_path(t)
+    t0 = time.perf_counter()
+    for i in range(n_versions):
+        parent = ledger._read_manifest(t, ledger.latest_version(t))
+        ledger._commit(
+            t,
+            ledger._new_manifest(
+                parent,
+                "append",
+                parent["groups"] + [fake_group(n_groups + i)],
+                txn={"app": "meta-bench", "batch": i},
+            ),
+        )
+    out["commit_mean_ms"] = round(
+        (time.perf_counter() - t0) / n_versions * 1000, 3
+    )
+    latest = ledger.latest_version(t)
+    out["delta_manifest_bytes"] = os.path.getsize(
+        os.path.join(d, ledger._manifest_name(latest))
+    )
+    chk_v = ledger.last_checkpoint(t)
+    out["checkpoint_bytes"] = os.path.getsize(
+        os.path.join(d, ledger._checkpoint_name(chk_v))
+    )
+    # What the pre-checkpoint format wrote on EVERY commit ~= the
+    # checkpoint (a full group list); the ratio is the commit-cost win.
+    out["delta_vs_full_manifest"] = round(
+        out["delta_manifest_bytes"] / out["checkpoint_bytes"], 6
+    )
+
+    # Restart-scan costs, cold (in-process resolution cache cleared —
+    # a fresh driver's first call).
+    ledger._RESOLVE_CACHE.clear()
+    out["latest_txn_cold_s"], hw = timed(
+        lambda: ledger.latest_txn(t, "meta-bench")
+    )
+    assert hw == n_versions - 1, hw
+    ledger._RESOLVE_CACHE.clear()
+    out["resolve_latest_cold_s"], state = timed(
+        lambda: ledger._read_manifest(t, latest)
+    )
+    assert len(state["groups"]) == n_groups + n_versions + 1
+    # And after expiry (keep 20): the anchored chain still resolves.
+    ledger.expire_history(t, keep_last=20)
+    ledger._RESOLVE_CACHE.clear()
+    out["latest_txn_after_expire_s"], hw = timed(
+        lambda: ledger.latest_txn(t, "meta-bench")
+    )
+    assert hw == n_versions - 1, hw
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -194,9 +293,22 @@ def main() -> None:
         default=DEFAULT_TIERS,
         help="two+ table dirs, smallest first (e.g. sf0.1 /tmp/scale10)",
     )
+    ap.add_argument(
+        "--metadata-only",
+        action="store_true",
+        help="run only the metadata-plane ladder (no data tiers)",
+    )
     args = ap.parse_args()
     spark = get_spark()
-    result = {"n_groups_target": N_GROUPS, "tiers": {}}
+    meta_work = tempfile.mkdtemp(prefix="ledger-bench-meta-")
+    try:
+        metadata = metadata_metrics(spark, meta_work)
+    finally:
+        shutil.rmtree(meta_work, ignore_errors=True)
+    if args.metadata_only:
+        print(json.dumps({"metadata": metadata}))
+        return
+    result = {"n_groups_target": N_GROUPS, "tiers": {}, "metadata": metadata}
     for sf_dir in args.tiers:
         work = tempfile.mkdtemp(prefix="ledger-bench-")
         try:
