@@ -195,9 +195,13 @@ def _read_checkpoint(table: str, version: int) -> dict | None:
 # Resolved-state cache. Manifests are immutable once linked, but a
 # table directory can be deleted and recreated at the same path (tests,
 # reruns), so the key carries the manifest file's identity (mtime+size)
-# — a recreated table misses instead of serving stale state.
+# — a recreated table misses instead of serving stale state. Bounded in
+# BOTH dimensions that matter: entry count AND total cached group
+# entries (each state holds its own O(#groups) list — at ~100k groups a
+# count-only cap would pin hundreds of MB of driver metadata).
 _RESOLVE_CACHE: dict[tuple, dict] = {}
 _RESOLVE_CACHE_CAP = 256
+_RESOLVE_CACHE_GROUP_CAP = 500_000
 
 
 def _cache_key(table: str, version: int) -> tuple | None:
@@ -212,10 +216,22 @@ def _cache_key(table: str, version: int) -> tuple | None:
 def _cache_put(key: tuple | None, state: dict) -> None:
     if key is None:
         return
-    if len(_RESOLVE_CACHE) >= _RESOLVE_CACHE_CAP:
-        # Evict the oldest half (dicts preserve insertion order).
-        for k in list(_RESOLVE_CACHE)[: _RESOLVE_CACHE_CAP // 2]:
-            del _RESOLVE_CACHE[k]
+    _RESOLVE_CACHE.pop(key, None)
+    cost = len(state["groups"])
+    # Recomputed per put (≤ 256 entries) so external clear()s can't
+    # desync an incremental counter.
+    total = sum(len(s["groups"]) for s in _RESOLVE_CACHE.values())
+    # Evict oldest-first (dicts preserve insertion order) until both
+    # budgets fit; a single state larger than the whole group budget is
+    # cached alone (the latest snapshot must stay resolvable cheaply).
+    for k in list(_RESOLVE_CACHE):
+        if (
+            len(_RESOLVE_CACHE) < _RESOLVE_CACHE_CAP
+            and total + cost <= _RESOLVE_CACHE_GROUP_CAP
+        ):
+            break
+        total -= len(_RESOLVE_CACHE[k]["groups"])
+        del _RESOLVE_CACHE[k]
     _RESOLVE_CACHE[key] = state
 
 
@@ -308,6 +324,18 @@ def _read_manifest(table: str, version: int) -> dict:
     anchor (create manifest, checkpoint, or legacy full manifest) plus
     the delta manifests after it. Walk length is bounded by
     CHECKPOINT_INTERVAL on any table the current code maintains."""
+    try:
+        return _resolve_state(table, version)
+    except LedgerError:
+        # A concurrent expire_history can delete a parent delta under a
+        # running walk — but only AFTER materializing a checkpoint at
+        # the oldest kept version, so one fresh walk finds the new
+        # anchor before reaching the deleted file. A genuinely missing
+        # version fails identically on the retry.
+        return _resolve_state(table, version)
+
+
+def _resolve_state(table: str, version: int) -> dict:
     pending: list[dict] = []
     pending_keys: list[tuple | None] = []
     v = version
@@ -462,7 +490,14 @@ def _commit(table: str, manifest: dict) -> int:
     finally:
         os.unlink(tmp)
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
-        _write_checkpoint(table, version)
+        try:
+            _write_checkpoint(table, version)
+        except OSError:
+            # Best-effort for real: the manifest is already linked, so
+            # the commit SUCCEEDED — surfacing a checkpoint I/O failure
+            # here would make callers retry (and double-apply) a write
+            # that landed. A lost checkpoint only lengthens later walks.
+            pass
     return version
 
 
@@ -942,7 +977,10 @@ def merge(
             touched = [
                 g for g in parent["groups"] if _overlaps(g, blo, bhi)
             ]
-            kept = [g for g in parent["groups"] if g not in touched]
+            tpaths = {g["path"] for g in touched}
+            kept = [
+                g for g in parent["groups"] if g["path"] not in tpaths
+            ]
 
             tgt = _snapshot_df(spark, table, parent, touched, schema)
             # Upsert: target rows whose key is not in the source
@@ -1345,7 +1383,10 @@ def optimize_zorder(
             raise LedgerError("key_between requires a table with a key")
         klo, khi = _stat_value(key_between[0]), _stat_value(key_between[1])
         selected = [g for g in parent["groups"] if _overlaps(g, klo, khi)]
-        untouched = [g for g in parent["groups"] if g not in selected]
+        spaths = {g["path"] for g in selected}
+        untouched = [
+            g for g in parent["groups"] if g["path"] not in spaths
+        ]
     else:
         selected = parent["groups"]
         untouched = []

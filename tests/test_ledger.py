@@ -1420,3 +1420,71 @@ def test_restore_annotation_survives_delta_roundtrip(spark, tmp_path):
     m = ledger._read_manifest(t, v)
     assert m["op"] == "restore" and m["restored_from"] == 0
     assert [r["k"] for r in ledger.read(spark, t).collect()] == [0]
+
+
+def test_checkpoint_io_failure_does_not_fail_the_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The manifest link IS the commit point; a checkpoint I/O failure
+    after it must not surface (callers would retry — and double-apply —
+    a write that landed). The lost checkpoint only lengthens walks."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+
+    def boom(table, version):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ledger, "_write_checkpoint", boom)
+    for i in range(1, ledger.CHECKPOINT_INTERVAL + 1):
+        ledger.append(spark, t, _mk_row_df(spark, i))  # v10 checkpoints
+    monkeypatch.undo()
+    assert ledger.last_checkpoint(t) is None
+    ledger._RESOLVE_CACHE.clear()
+    got = sorted(r["k"] for r in ledger.read(spark, t).collect())
+    assert got == list(range(ledger.CHECKPOINT_INTERVAL + 1))
+
+
+def test_resolution_walk_survives_concurrent_expire(
+    spark, tmp_path, monkeypatch
+):
+    """expire_history deleting a parent delta UNDER a running walk: the
+    walk retries once and finds the checkpoint expire materialized at
+    the oldest kept version (code-review r13 repro)."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    for i in range(1, 8):
+        ledger.append(spark, t, _mk_row_df(spark, i))
+    ledger._RESOLVE_CACHE.clear()
+    real_read_raw = ledger._read_raw
+    state = {"fired": False}
+
+    def racing_read_raw(table, version):
+        if version == 4 and not state["fired"]:
+            state["fired"] = True
+            # The concurrent janitor wins the race mid-walk: it anchors
+            # the kept chain at v5, then deletes manifests 0..4.
+            ledger.expire_history(table, keep_last=3)
+        return real_read_raw(table, version)
+
+    monkeypatch.setattr(ledger, "_read_raw", racing_read_raw)
+    got = sorted(r["k"] for r in ledger.read(spark, t, version=7).collect())
+    assert got == list(range(8))
+    assert state["fired"]  # the race actually happened
+
+
+def test_resolve_cache_bounds_total_group_entries(monkeypatch):
+    """The cache budget is group entries, not just states — a count-only
+    cap would pin O(256 x #groups) driver memory at the 100k-group tier
+    (code-review r13)."""
+    monkeypatch.setattr(ledger, "_RESOLVE_CACHE", {})
+    big = {"groups": [{"path": f"p{i}"} for i in range(300_000)]}
+    small = {"groups": [{"path": "q"}]}
+    ledger._cache_put(("t", 1, 0, 0), big)
+    ledger._cache_put(("t", 2, 0, 0), small)
+    # big (300k) + a second big (300k) would exceed the 500k budget:
+    ledger._cache_put(("t", 3, 0, 0), dict(big))
+    total = sum(
+        len(s["groups"]) for s in ledger._RESOLVE_CACHE.values()
+    )
+    assert total <= ledger._RESOLVE_CACHE_GROUP_CAP
+    assert ("t", 3, 0, 0) in ledger._RESOLVE_CACHE  # newest always kept
