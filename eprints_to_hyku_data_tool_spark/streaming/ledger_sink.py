@@ -78,10 +78,12 @@ def merge_stream(
     writer (``.start()``) and owns the checkpoint dir.
 
     A closure-cached high-water mark short-circuits the storage-side
-    latest_txn scan for batch ids already known applied in THIS
-    process (a long-lived stream otherwise re-reads the whole manifest
-    history every trigger — O(versions^2) cumulative); the first batch
-    after any (re)start still consults storage."""
+    latest_txn lookup for batch ids already known applied in THIS
+    process; the first batch after any (re)start still consults
+    storage. Since the r13 metadata plane, that storage lookup is
+    itself O(CHECKPOINT_INTERVAL) — checkpoints carry the accumulated
+    per-app txn map — so the cache is a micro-optimization, not the
+    thing standing between the sink and an O(versions^2) stream."""
     hwm: dict = {"last": None}
 
     def apply(df: DataFrame, bid: int) -> None:
