@@ -199,7 +199,18 @@ def _read_checkpoint(table: str, version: int) -> dict | None:
 # BOTH dimensions that matter: entry count AND total cached group
 # entries (each state holds its own O(#groups) list — at ~100k groups a
 # count-only cap would pin hundreds of MB of driver metadata).
-_RESOLVE_CACHE: dict[tuple, dict] = {}
+class _ResolveCache(dict):
+    """A dict that pickles EMPTY: this module is registered for
+    by-value cloudpickling (ledger_stream.py), so a plain module-global
+    dict would ship its entire contents — up to the 500k-group budget,
+    ~100 MB — inside every reader pickled to a python worker. Workers
+    rebuild their own cache from the (immutable) manifest files."""
+
+    def __reduce__(self):
+        return (_ResolveCache, ())
+
+
+_RESOLVE_CACHE: dict[tuple, dict] = _ResolveCache()
 _RESOLVE_CACHE_CAP = 256
 _RESOLVE_CACHE_GROUP_CAP = 500_000
 
@@ -1157,19 +1168,30 @@ def expire_history(table: str, keep_last: int) -> list[int]:
     return expired
 
 
-def vacuum(table: str, staging_retention_s: float = 24 * 3600) -> list[str]:
+def vacuum(
+    table: str,
+    staging_retention_s: float = 24 * 3600,
+    group_retention_s: float = 24 * 3600,
+) -> list[str]:
     """Delete data groups referenced by NO remaining manifest — orphans
-    of crashed writers and groups released by expire_history. Safe by
-    construction: live readers resolve manifests, and every manifest's
-    groups are kept. Returns the removed relative paths."""
+    of crashed writers and groups released by expire_history. Snapshot
+    READS are safe by construction (they resolve manifests, and every
+    manifest's groups are kept), but a STREAMING replay can hold
+    planned-but-unread group paths from already-expired versions — so,
+    like the production formats, unreferenced groups are only collected
+    once older than `group_retention_s` (Delta's vacuum retention;
+    pass 0 to force-collect in tests). Returns the removed paths."""
     live = {
         g["path"] for m in history(table) for g in m["groups"]
     }
     d = os.path.join(table, _DATA_DIR)
+    now = time.time()
     removed = []
     for gid in sorted(os.listdir(d)) if os.path.isdir(d) else []:
         rel = f"{_DATA_DIR}/{gid}"
-        if rel not in live:
+        if rel not in live and (
+            now - _newest_mtime(os.path.join(d, gid)) >= group_retention_s
+        ):
             shutil.rmtree(os.path.join(d, gid))
             removed.append(rel)
     # Crashed rewrite runs leave a staging dir at the table root; no
@@ -1229,9 +1251,9 @@ def compact(
     big = [g for g in parent["groups"] if g["rows"] >= max_rows]
     small = [g for g in parent["groups"] if g["rows"] < max_rows]
     if len(small) <= 1:  # nothing to pack
-        return _commit(
-            table, _new_manifest(parent, "compact", parent["groups"])
-        )
+        m = _new_manifest(parent, "compact", parent["groups"])
+        m["data_change"] = False  # row-identical relayout (Delta dataChange)
+        return _commit(table, m)
 
     small.sort(key=lambda g: (g["min_key"] is None, g["min_key"]))
     bins: list[list[dict]] = [[]]
@@ -1265,9 +1287,12 @@ def compact(
             ],
         )
         rewritten += _rewrite_partitioned(spark, table, parent, df, "__bin")
-    return _commit(
-        table, _new_manifest(parent, "compact", big + rewritten)
-    )
+    m = _new_manifest(parent, "compact", big + rewritten)
+    # Row-identical relayout: streaming sources skip it instead of
+    # failing or re-emitting the whole table (the Delta dataChange=false
+    # contract) — compact is the maintenance op streamed tables NEED.
+    m["data_change"] = False
+    return _commit(table, m)
 
 
 def _dedupe_sorted(vals: list) -> list:
@@ -1394,9 +1419,9 @@ def optimize_zorder(
         selected = parent["groups"]
         untouched = []
     if not selected:  # nothing overlaps: commit a no-op version
-        return _commit(
-            table, _new_manifest(parent, "optimize", parent["groups"])
-        )
+        m = _new_manifest(parent, "optimize", parent["groups"])
+        m["data_change"] = False
+        return _commit(table, m)
 
     snap = _snapshot_df(spark, table, parent, selected)
     total = sum(g["rows"] for g in selected)
@@ -1459,9 +1484,9 @@ def optimize_zorder(
     groups = _rewrite_partitioned(
         spark, table, parent, staged_out, "__zbucket"
     )
-    return _commit(
-        table, _new_manifest(parent, "optimize", untouched + groups)
-    )
+    m = _new_manifest(parent, "optimize", untouched + groups)
+    m["data_change"] = False  # row-identical relayout (Delta dataChange)
+    return _commit(table, m)
 
 
 def _rewrite_partitioned(

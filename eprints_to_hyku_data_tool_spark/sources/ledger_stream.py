@@ -15,7 +15,23 @@ pattern, rebuilt on this repo's format:
   groups ADDED in its version interval — under copy-on-write that is
   exactly the delta's bytes, never the table. One InputPartition per
   group; executors read the group's parquet files with pyarrow and
-  yield Arrow batches (zero row-by-row Python).
+  yield Arrow batches (zero row-by-row Python). Planning reads the RAW
+  delta manifests (add/remove lists) directly — O(delta) per batch, no
+  O(#groups) state resolution — which also lets a restarted stream
+  resume past versions that ``expire_history`` has since deleted: the
+  committed offset's own manifest is never read, only the deltas after
+  it. Offset polling probes forward from the last known version
+  (O(new commits) per trigger, not an O(#versions) directory listing).
+- **Maintenance commits are skipped.** ``compact``/``optimize_zorder``
+  mark their manifests ``data_change: false`` (row-identical relayout);
+  the source emits nothing for them — the Delta dataChange contract
+  that makes compaction usable on streamed ingest tables.
+- **Schema changes fail the stream loudly.** A commit that widens the
+  schema past what this reader knows raises (silently continuing would
+  drop the new column's values from the feed); restarting the stream
+  picks up the new schema and the same version replays cleanly from
+  the checkpoint. Narrower historical schemas (a from-zero replay
+  crossing the table's own evolution) null-fill and pass.
 - **Backpressure.** ``maxVersionsPerBatch=N`` caps how many commits one
   micro-batch covers (the version-grained maxFilesPerTrigger), so a
   ``startingVersion=0`` replay of a long history arrives as bounded
@@ -137,10 +153,22 @@ class _LedgerBatchReader(DataSourceReader):
         yield from _read_group_arrow(partition)
 
 
+def _schema_fields(schema_json: dict) -> list:
+    """(name, type) pairs for schema-change detection — nullability and
+    metadata churn must not fail a stream."""
+    import json as _json
+
+    return [
+        (f["name"], _json.dumps(f["type"], sort_keys=True))
+        for f in schema_json["fields"]
+    ]
+
+
 class _LedgerStreamReader(DataSourceStreamReader):
     def __init__(self, table: str, schema: StructType, options: dict):
         self._table = table
         self._arrow = _arrow_schema(schema)
+        self._schema_fields = _schema_fields(schema.jsonValue())
         # Spark delivers reader options case-insensitively (keys arrive
         # lowercased) — normalize before lookup.
         opts = {str(k).lower(): v for k, v in options.items()}
@@ -179,7 +207,7 @@ class _LedgerStreamReader(DataSourceStreamReader):
         return {"version": self._start}
 
     def latestOffset(self):
-        latest = ledger.latest_version(self._table)
+        latest = self._probe_latest()
         if self._max_versions > 0:
             base = self._base if self._base is not None else self._start
             # _base advances only when a batch is actually planned or
@@ -188,12 +216,98 @@ class _LedgerStreamReader(DataSourceStreamReader):
             latest = min(latest, base + self._max_versions)
         return {"version": latest}
 
+    def _probe_latest(self) -> int:
+        """The table's latest version, O(new commits) per poll: probe
+        forward from the last version this reader knows exists instead
+        of listing the whole _ledger directory every trigger (which is
+        O(#versions) on exactly the continuously-polled path)."""
+        hint = self._base if self._base is not None else self._start
+        if hint < 0 or not os.path.exists(
+            os.path.join(
+                ledger._ledger_path(self._table),
+                ledger._manifest_name(hint),
+            )
+        ):
+            # Unknown or already-expired base: one directory listing.
+            v = ledger.latest_version(self._table)
+        else:
+            v = hint
+        d = ledger._ledger_path(self._table)
+        while os.path.exists(
+            os.path.join(d, ledger._manifest_name(v + 1))
+        ):
+            v += 1
+        return v
+
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
         # The engine's offsets are authoritative (after a checkpoint
         # restart they resume PAST self._start) — they establish and
         # advance the backpressure base.
         self._base = hi if self._base is None else max(self._base, hi)
+        parts = []
+        legacy_from = None
+        for v in range(lo + 1, hi + 1):
+            raw = ledger._read_raw(self._table, v)
+            if "groups" in raw and raw.get("parent") is not None:
+                # Legacy full-snapshot manifest (pre-delta-format
+                # table): fall back to resolved-set planning for the
+                # whole interval.
+                legacy_from = lo
+                break
+            if raw.get("schema") is not None and not (
+                set(_schema_fields(raw["schema"]))
+                <= set(self._schema_fields)
+            ):
+                # Delta's contract: a commit whose schema carries
+                # fields this reader does not know fails the stream so
+                # the operator restarts it — schema() then returns the
+                # NEW schema and this same version replays cleanly.
+                # Silently continuing would drop the new column's
+                # values from the feed forever. NARROWER schemas (a
+                # from-zero replay crossing its own create/evolution
+                # history) pass: old files null-fill under the wider
+                # reader schema.
+                raise ledger.LedgerError(
+                    f"streaming source: version {v} changed the table "
+                    "schema; restart the stream to pick up the new "
+                    "schema (offsets are checkpointed — no data is "
+                    "lost or re-delivered)"
+                )
+            if raw.get("data_change", True) is False:
+                continue  # row-identical relayout (compact/optimize)
+            removes = raw.get("remove") or []
+            if removes and not self._ignore_changes:
+                # Behavior-based, not label-based: ANY commit that
+                # drops a previously-visible group rewrote data, which
+                # an append stream cannot represent (Delta's contract);
+                # a pure-insert merge has no removes and streams
+                # cleanly.
+                raise ledger.LedgerError(
+                    f"streaming source: version {v} ({raw['op']}) "
+                    "rewrites existing data; set ignoreChanges=true "
+                    "to re-emit rewritten groups (downstream must "
+                    "dedupe)"
+                )
+            for g in raw.get("add") or (
+                raw.get("groups") if "groups" in raw else []
+            ):
+                parts.append(
+                    _GroupPartition(
+                        _group_files(self._table, g), self._arrow
+                    )
+                )
+        if legacy_from is None:
+            return parts
+        return self._partitions_resolved(legacy_from, hi)
+
+    def _partitions_resolved(self, lo, hi):
+        """Resolved-set planning for LEGACY full-manifest tables: the
+        pre-r13 algorithm, O(#groups) per version. New-format tables
+        never take this path — their deltas carry add/remove directly,
+        which also lets a restarted stream resume past versions that
+        expire_history has since deleted (the delta walk above never
+        resolves the committed offset itself)."""
         parts = []
         emitted = (
             {
@@ -206,10 +320,6 @@ class _LedgerStreamReader(DataSourceStreamReader):
         for v in range(lo + 1, hi + 1):
             m = ledger._read_manifest(self._table, v)
             if m["op"] not in _APPEND_OPS and not self._ignore_changes:
-                # Behavior-based, not label-based: a merge/compact that
-                # drops a previously-visible group rewrote data, which
-                # an append stream cannot represent (Delta's contract);
-                # a pure-insert merge streams cleanly.
                 replaced = emitted - {g["path"] for g in m["groups"]}
                 if replaced:
                     raise ledger.LedgerError(

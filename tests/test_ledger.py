@@ -214,7 +214,10 @@ def test_expire_and_vacuum(spark, sf_dir, tmp_path, orders_slices):
     assert ledger.vacuum(t) == []
     expired = ledger.expire_history(t, keep_last=1)
     assert expired == [0]
-    removed = ledger.vacuum(t)
+    # Fresh groups sit inside the retention window (stream-replay
+    # protection); force-collect like an expired-retention vacuum.
+    assert ledger.vacuum(t) == []
+    removed = ledger.vacuum(t, group_retention_s=0)
     assert len(removed) >= 1  # v0's replaced group is gone
     # Latest snapshot is untouched by the cleanup.
     assert ledger.read(spark, t).count() == final
@@ -229,7 +232,7 @@ def test_vacuum_removes_orphan_groups(spark, sf_dir, tmp_path):
     region = load_table(spark, sf_dir, "region")
     ledger.create(spark, t, region)
     orphan = ledger._write_group(spark, t, region, None)  # never committed
-    removed = ledger.vacuum(t)
+    removed = ledger.vacuum(t, group_retention_s=0)
     assert removed == [orphan["path"]]
     assert ledger.read(spark, t).count() == region.count()
 
@@ -885,7 +888,7 @@ def test_merge_retries_by_recomputing(
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
     # The first attempt's written-then-unreferenced group is collected.
-    assert len(ledger.vacuum(t)) == 1
+    assert len(ledger.vacuum(t, group_retention_s=0)) == 1
     assert ledger.read(spark, t).count() == expected.count()
 
 
@@ -977,7 +980,7 @@ def test_restore_rolls_back_by_reference(
     # The restored groups survive history cleanup (the restore manifest
     # references them); the bad merge's group is reclaimed.
     ledger.expire_history(t, keep_last=1)
-    removed = ledger.vacuum(t)
+    removed = ledger.vacuum(t, group_retention_s=0)
     assert len(removed) == 1
     assert ledger.read(spark, t).count() == snap.count()
 
@@ -1488,3 +1491,119 @@ def test_resolve_cache_bounds_total_group_entries(monkeypatch):
     )
     assert total <= ledger._RESOLVE_CACHE_GROUP_CAP
     assert ("t", 3, 0, 0) in ledger._RESOLVE_CACHE  # newest always kept
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check of the delta/checkpoint resolution layer: a
+    seeded random sequence of append / merge / delete_where / restore /
+    expire_history / checkpoint loss / cache clears against an
+    in-Python model of full-snapshot semantics. After every op, the
+    latest snapshot must equal the model; at the end, every KEPT
+    version must time-travel to its recorded model state and latest_txn
+    must equal the model's high water. This is the test the old
+    full-manifest format passed trivially (each version was a file);
+    the resolution walk has to EARN it."""
+    import random
+
+    rng = random.Random(1309)
+    t = str(tmp_path / "t")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(rows.items())], "k long, v long"
+        )
+
+    # model: dict key -> value; snapshots[version] = dict copy or None
+    # for versions whose exact state we no longer track (expired).
+    state = {k: k * 10 for k in range(6)}
+    ledger.create(spark, t, df_of(state), key="k")
+    snapshots = {0: dict(state)}
+    txn_hw = None
+    next_key = 100
+
+    for step in range(28):
+        op = rng.choice(
+            ["append", "merge", "delete", "restore", "expire",
+             "lose_chk", "clear_cache"]
+        )
+        if op == "append":
+            rows = {next_key + i: rng.randrange(1000) for i in range(3)}
+            next_key += 10
+            txn = None
+            if rng.random() < 0.5:
+                b = (txn_hw or 0) + 1
+                txn = {"app": "model", "batch": b}
+                txn_hw = b
+            v = ledger.append(spark, t, df_of(rows), txn=txn)
+            state.update(rows)
+            snapshots[v] = dict(state)
+        elif op == "merge":
+            keys = rng.sample(sorted(state), k=min(2, len(state)))
+            rows = {k: rng.randrange(1000) for k in keys}
+            rows[next_key] = rng.randrange(1000)
+            next_key += 10
+            v = ledger.merge(spark, t, df_of(rows))
+            state.update(rows)
+            snapshots[v] = dict(state)
+        elif op == "delete":
+            if len(state) < 4:
+                continue
+            cut = rng.choice(sorted(state))
+            v = ledger.delete_where(spark, t, f"k = {cut}")
+            state.pop(cut, None)
+            snapshots[v] = dict(state)
+        elif op == "restore":
+            candidates = [
+                v for v, s in snapshots.items()
+                if s is not None and v in ledger._versions(t)
+            ]
+            if not candidates:
+                continue
+            back = rng.choice(candidates)
+            v = ledger.restore(t, back)
+            state = dict(snapshots[back])
+            snapshots[v] = dict(state)
+        elif op == "expire":
+            if len(ledger._versions(t)) < 6 or rng.random() < 0.5:
+                continue
+            expired = ledger.expire_history(t, keep_last=4)
+            for v in expired:
+                snapshots[v] = None
+        elif op == "lose_chk":
+            # A crash may lose any checkpoint EXCEPT an expiry anchor
+            # (losing that genuinely orphans the kept chain — expiry
+            # deletes the parents the walk would otherwise use).
+            vs = ledger._versions(t)
+            losable = [
+                v for v in vs
+                if v > min(vs)
+                and ledger._read_checkpoint(t, v) is not None
+            ]
+            if losable:
+                v = rng.choice(losable)
+                os.unlink(
+                    os.path.join(
+                        ledger._ledger_path(t), ledger._checkpoint_name(v)
+                    )
+                )
+                ledger._RESOLVE_CACHE.clear()
+        elif op == "clear_cache":
+            ledger._RESOLVE_CACHE.clear()
+
+        got = {
+            r["k"]: r["v"] for r in ledger.read(spark, t).collect()
+        }
+        assert got == state, f"step {step} op {op}"
+
+    # Final sweep: every kept version time-travels to its model state.
+    ledger._RESOLVE_CACHE.clear()
+    for v in ledger._versions(t):
+        want = snapshots.get(v)
+        if want is None:
+            continue
+        got = {
+            r["k"]: r["v"]
+            for r in ledger.read(spark, t, version=v).collect()
+        }
+        assert got == want, f"time travel to v{v}"
+    assert ledger.latest_txn(t, "model") == txn_hw

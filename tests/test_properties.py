@@ -1256,5 +1256,5 @@ def test_ledger_op_sequences_match_model(spark, tmp_path_factory, init, ops):
 
     # History cleanup must not disturb the latest snapshot.
     ledger.expire_history(t, keep_last=1)
-    ledger.vacuum(t)
+    ledger.vacuum(t, group_retention_s=0)
     check()

@@ -909,3 +909,188 @@ def test_merge_batch_zombie_race_is_idempotent(
     assert out is None  # the zombie's commit was detected, not repeated
     txns = [m["txn"] for m in ledger.history(t) if m.get("txn")]
     assert len([x for x in txns if x["batch"] == 7]) == 1
+
+
+def test_ledger_stream_resumes_past_expired_committed_offset(
+    spark, sf_dir, tmp_path
+):
+    """A restarted stream whose COMMITTED offset version has since been
+    expired must still resume: delta-native planning never resolves the
+    offset version itself — it only reads the raw deltas AFTER it
+    (code-review r13 finding; the resolved-set planner died here)."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+
+    def one(k):
+        return spark.createDataFrame([(k, k * 10)], "k long, v long")
+
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    ledger.create(spark, t, one(0), key="k")
+    ledger.append(spark, t, one(1))  # v1
+    ledger.append(spark, t, one(2))  # v2
+
+    from eprints_to_hyku_data_tool_spark.sources.ledger_stream import (
+        register_ledger_source,
+    )
+
+    register_ledger_source(spark)
+    got: list = []
+
+    def sink(df, _bid, got=got):
+        got.extend(r["k"] for r in df.collect())
+
+    q = (
+        spark.readStream.format("ledger").load(t)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()  # reader initialized at offset v2
+        ledger.append(spark, t, one(3))  # v3 — the offset we commit at
+        q.processAllAvailable()
+        assert got == [3]
+    finally:
+        q.stop()
+
+    for k in range(4, 10):  # v4..v9
+        ledger.append(spark, t, one(k))
+    # Deletes v0..v3 INCLUDING the committed offset; v4..v9 survive.
+    expired = ledger.expire_history(t, keep_last=6)
+    assert 3 in expired
+    ledger._RESOLVE_CACHE.clear()
+
+    got2: list = []
+
+    def sink2(df, _bid, got2=got2):
+        got2.extend(r["k"] for r in df.collect())
+
+    q = (
+        spark.readStream.format("ledger").load(t)
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(got2) == list(range(4, 10))
+    finally:
+        q.stop()
+
+
+def test_ledger_stream_skips_compact_and_optimize(spark, sf_dir, tmp_path):
+    """compact()/optimize_zorder are row-identical relayouts marked
+    data_change=false — a downstream stream skips them instead of
+    failing (or re-emitting the whole table under ignoreChanges): the
+    Delta dataChange contract, and the property that makes compaction
+    usable on streamed ingest tables at all."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+
+    def one(k):
+        return spark.createDataFrame([(k, k * 10)], "k long, v long")
+
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, one(0), key="k")
+    for k in range(1, 4):
+        ledger.append(spark, t, one(k))
+
+    q = _start_feed(spark, t, "maint_feed", startingVersion="0")
+    try:
+        q.processAllAvailable()
+        assert spark.table("maint_feed").count() == 4
+        ledger.compact(spark, t, max_rows=100)  # packs the tiny groups
+        ledger.optimize_zorder(spark, t, ["k"], target_rows=100)
+        q.processAllAvailable()  # both skipped: no error, NO duplicates
+        assert spark.table("maint_feed").count() == 4
+        ledger.append(spark, t, one(99))  # post-maintenance tail
+        q.processAllAvailable()
+        got = sorted(r["k"] for r in spark.table("maint_feed").collect())
+        assert got == [0, 1, 2, 3, 99]
+    finally:
+        q.stop()
+
+
+def test_ledger_stream_fails_loudly_on_schema_change_then_resumes(
+    spark, sf_dir, tmp_path
+):
+    """An add-column evolution committed WHILE a stream runs fails the
+    query (silently continuing would drop the new column's values from
+    the feed forever — the Delta contract); a restart picks up the new
+    schema and the same version replays cleanly from the checkpoint."""
+    import pyspark.sql.utils as U
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.sources.ledger_stream import (
+        register_ledger_source,
+    )
+
+    def one(k):
+        return spark.createDataFrame([(k, k * 10)], "k long, v long")
+
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    ledger.create(spark, t, one(0), key="k")
+    register_ledger_source(spark)
+    rows1: list = []
+
+    def sink1(df, _bid, rows1=rows1):
+        rows1.extend(df.collect())
+
+    q = (
+        spark.readStream.format("ledger").load(t)
+        .writeStream.foreachBatch(sink1)
+        .option("checkpointLocation", ckpt).start()
+    )
+    failed = False
+    try:
+        q.processAllAvailable()
+        ledger.append(
+            spark,
+            t,
+            one(1).withColumn("flag", F.lit(7).cast("long")),
+            merge_schema=True,
+        )
+        try:
+            q.processAllAvailable()
+            q.awaitTermination(5)
+        except Exception as ex:
+            failed = True
+            assert "changed the table schema" in str(ex)
+    finally:
+        try:
+            q.stop()
+        except Exception:
+            pass
+    assert failed, "schema change must fail the running stream"
+
+    # Restart: schema() now returns the wide schema; the evolution
+    # version replays from the checkpoint with the new column intact.
+    rows2: list = []
+
+    def sink2(df, _bid, rows2=rows2):
+        rows2.extend(df.collect())
+
+    q = (
+        spark.readStream.format("ledger").load(t)
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", ckpt).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert {r["k"]: r["flag"] for r in rows2} == {1: 7}
+    finally:
+        q.stop()
+
+
+def test_resolve_cache_pickles_empty():
+    """ledger is registered for by-value cloudpickling; a hot resolve
+    cache must not ride into every pickled reader (code-review r13)."""
+    import pickle
+
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+
+    ledger._RESOLVE_CACHE[("x", 1, 0, 0)] = {"groups": [{"path": "p"}]}
+    try:
+        clone = pickle.loads(pickle.dumps(ledger._RESOLVE_CACHE))
+        assert clone == {} and isinstance(clone, type(ledger._RESOLVE_CACHE))
+    finally:
+        ledger._RESOLVE_CACHE.clear()
