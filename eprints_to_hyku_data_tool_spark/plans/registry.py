@@ -112,6 +112,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
     """Decorator: add a (query, oracle) pair to the global registry."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            # Silent overwrite would make the shadowed query vanish from
+            # queries()/oracle_sql() and the parity suite — its
+            # correctness never checked again, the gate green vacuously.
+            # The mechanical tier rotations rename ~100 queries a round;
+            # a collision must be loud (code-review r13).
+            raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -146,15 +153,11 @@ def _load_all() -> None:
         "q_r5_pipeline",
         "q_r5_overflow",
     ):
-        try:
-            __import__(f"{__package__}.{mod}")
-        except ModuleNotFoundError as exc:
-            # Tolerate a module that is not written yet, but a broken import
-            # INSIDE an existing module must fail loudly — otherwise its
-            # queries silently vanish from queries() and the correctness
-            # gate passes vacuously.
-            if exc.name != f"{__package__}.{mod}":
-                raise
+        # No tolerance for a missing module: the not-written-yet grace of
+        # early rounds would now let a deleted/renamed module silently
+        # drop ALL its queries from the correctness gate (code-review
+        # r13). Every listed module must import or the registry fails.
+        __import__(f"{__package__}.{mod}")
 
 
 # The flagship (SURVEY §2 Q19, the smoke-gate query run by entry()) is

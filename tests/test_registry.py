@@ -1,7 +1,8 @@
-"""Registry loader behavior (VERDICT r1 item 7): a missing plan module is
-tolerated (incremental build), but a BROKEN module must fail loudly — a
-silently-skipped module would shrink queries() and let the correctness
-gate pass vacuously."""
+"""Registry loader behavior (VERDICT r1 item 7, tightened r13): EVERY
+listed plan module must import — the early-rounds "not written yet"
+tolerance would now let a deleted/renamed module silently drop all its
+queries from the correctness gate; duplicate registrations are equally
+loud (a silent overwrite shadows a query forever)."""
 
 from __future__ import annotations
 
@@ -28,11 +29,28 @@ def _run_load_with_fake_import(monkeypatch, effect):
     registry._load_all()
 
 
-def test_missing_module_tolerated(monkeypatch):
+def test_missing_module_fails_loudly(monkeypatch):
+    """A listed module that cannot be found is a gate-shrinking event
+    (deleted/renamed module -> its queries vanish), not an incremental-
+    build state — all 22 modules exist; the grace period is over."""
+
     def missing(name):
         raise ModuleNotFoundError(f"No module named '{name}'", name=name)
 
-    _run_load_with_fake_import(monkeypatch, missing)  # no raise
+    with pytest.raises(ModuleNotFoundError, match="q_joins"):
+        _run_load_with_fake_import(monkeypatch, missing)
+
+
+def test_duplicate_registration_fails_loudly():
+    """register() must never silently overwrite: the shadowed query
+    would vanish from queries()/oracle_sql() and the parity suite."""
+    registry._load_all()
+    existing = next(iter(registry.REGISTRY))
+    with pytest.raises(ValueError, match="duplicate query registration"):
+
+        @registry.register(existing, oracle="SELECT 1")
+        def clone(spark, sf_dir):  # pragma: no cover - never runs
+            raise AssertionError
 
 
 def test_broken_internal_import_propagates(monkeypatch):
