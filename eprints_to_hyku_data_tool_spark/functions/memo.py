@@ -10,11 +10,13 @@ intermediate once as a bucketed parquet table and fanning analyses out
 from it.
 
 Keys include SparkContext.applicationId so a stopped/recreated session
-(test fixtures) never sees another context's checkpoint blocks, and
-sf_dir so fixture tiers cannot collide (tests/test_graph.py pins both
-properties). Memory is bounded: one entry per (app, sf_dir, key);
-blocks are MEMORY_AND_DISK and are released by the ContextCleaner when
-the application ends.
+(test fixtures) never sees another context's checkpoint blocks, the
+current materialization target (SPARK_GRAFT_CHECKPOINT_DIR or local) so
+a repointed checkpoint dir cannot serve frames backed by pruned files,
+and sf_dir so fixture tiers cannot collide (tests/test_graph.py pins
+these properties). Memory is bounded: one entry per (app, target,
+sf_dir, key); blocks are MEMORY_AND_DISK and are released by the
+ContextCleaner when the application ends.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .checkpointing import materialize
 
-_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_MEMO: dict[tuple[str, str, str, str], DataFrame] = {}
 # One lock guards lookup/evict/insert AND the build itself: two threads
 # racing on the same key must not each materialize (and checkpoint) the
 # shared intermediate — the build IS the expensive thing the memo exists
@@ -43,17 +45,27 @@ _LOCK = threading.RLock()
 def session_memo(
     spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
+    import os
+
     app = spark.sparkContext.applicationId
+    # The materialization TARGET is part of the identity (code-review
+    # r13): repointing SPARK_GRAFT_CHECKPOINT_DIR mid-application (the
+    # per-test tmp-dir pattern) must miss, not serve a DataFrame whose
+    # reliable-checkpoint files live in the old — possibly pruned —
+    # directory.
+    tgt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or "<local>"
     with _LOCK:
-        # Evict entries from other (stopped) applications: their
-        # DataFrames are unusable and pinning them would leak py4j
+        # Evict entries from other (stopped) applications or other
+        # checkpoint targets: their DataFrames are unusable (or backed
+        # by files that may vanish) and pinning them would leak py4j
         # proxies without bound in a long-lived process that cycles
         # SparkSessions (the test-fixture pattern). Only the CURRENT
-        # app's entries can ever be served, so dropping the rest is safe.
-        stale = [k for k in _MEMO if k[0] != app]
+        # (app, target)'s entries can ever be served, so dropping the
+        # rest is safe — worst case is a rebuild.
+        stale = [k for k in _MEMO if k[0] != app or k[1] != tgt]
         for k in stale:
             del _MEMO[k]
-        k = (app, sf_dir, key)
+        k = (app, tgt, sf_dir, key)
         df = _MEMO.get(k)
         if df is None:
             df = materialize(build())

@@ -84,7 +84,14 @@ def media_from_files(files: DataFrame) -> DataFrame:
     the decode kernels read the authoritative values from each file's
     own header, so ingestion never parses payload bytes (the metadata-
     only pruning contract holds: a filter on length/mime/path prunes
-    before any byte is touched)."""
+    before any byte is touched).
+
+    SCALE CAVEAT (code-review r13): a 64-bit path hash has a real
+    birthday-collision probability past ~10^8 files (~35% at 4x10^9,
+    the 100 TB-of-small-media count) — colliding files would silently
+    merge under one doc_id. Run :func:`assert_unique_doc_ids` once per
+    ingest at that scale (one metadata-only agg), and key joins on the
+    file path itself if it ever fires."""
     ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
     mime = F.lit("application/octet-stream")
     for e, m in _EXT_MIME.items():
@@ -100,6 +107,24 @@ def media_from_files(files: DataFrame) -> DataFrame:
             F.lit(0).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+def assert_unique_doc_ids(media: DataFrame) -> None:
+    """Loud collision check for the 64-bit path-hash doc_id: one
+    metadata-only aggregate (payload bytes never read thanks to column
+    pruning). At fixture scale this never fires; at 10^8+ files it is
+    the difference between a crashed ingest and silently merged media
+    documents (code-review r13)."""
+    row = media.agg(
+        F.count(F.lit(1)).alias("files"),
+        F.count_distinct("doc_id").alias("ids"),
+    ).first()
+    if row["ids"] != row["files"]:
+        raise ValueError(
+            f"doc_id collision: {row['files']} files hash to "
+            f"{row['ids']} distinct 64-bit ids — key downstream joins "
+            "on the file path instead"
+        )
 
 
 def _parse_pnm(payload: bytes) -> np.ndarray:
@@ -213,8 +238,19 @@ def _decode_raster(payload: bytes, width: int, height: int) -> np.ndarray:
                 "environment); PPM/PGM/BMP decode natively"
             ) from exc
         return np.asarray(Image.open(io.BytesIO(payload)))
-    buf = np.frombuffer(payload, dtype=np.uint8)
     need = width * height
+    if need <= 0:
+        # An unknown format with no declared raster dims (the
+        # media_from_files zero-dim meta) would fall through to an
+        # empty (0, 0) raster — NaN mean, all-zero histogram — a FAKED
+        # result, which this module's policy forbids: undecodable
+        # formats must raise loudly (code-review r13).
+        raise NotImplementedError(
+            f"unknown image format (magic {payload[:4]!r}) with no "
+            "declared raster dims; native decoders cover P5/P6/BM, "
+            "JPEG/PNG need PIL"
+        )
+    buf = np.frombuffer(payload, dtype=np.uint8)
     if len(buf) < need:
         buf = np.pad(buf, (0, need - len(buf)))
     return buf[:need].reshape(height, width)

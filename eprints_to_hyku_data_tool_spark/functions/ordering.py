@@ -20,6 +20,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Internal column names these helpers add; an input already carrying one
+# would be silently overwritten and the offsets corrupted (the same
+# failure mode skew.py rejects loudly — code-review r13).
+_RESERVED = {"__pid", "__rank", "__lcum", "__n", "__offset"}
+
+_INTEGRAL_TYPES = {"byte", "short", "integer", "long"}
+
+# row_number() yields IntegerType; a single range partition past 2^31
+# rows overflows it (ANSI: job death; non-ANSI: silent wrap). The guard
+# below makes the failure loud and actionable instead.
+_MAX_PARTITION_ROWS = 2**31 - 1
+
+
+def _check_columns(df: DataFrame, out_col: str, what: str) -> None:
+    clash = (_RESERVED | {out_col}) & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"{what} would silently overwrite input column(s) "
+            f"{sorted(clash)}; rename them first"
+        )
+
 
 def with_global_position(
     df: DataFrame, order_exprs: list[Column], position_col: str = "position"
@@ -29,7 +50,13 @@ def with_global_position(
     The order keys must be unique in combination (add a tie-break id) —
     uniqueness is what makes the total order, and hence the positions,
     well-defined regardless of where range boundaries fall.
+
+    Per-RANGE-PARTITION row counts must stay below 2^31 (row_number is
+    IntegerType); a partition past that raises with a remedy instead of
+    wrapping — raise spark.sql.shuffle.partitions so the range split is
+    finer.
     """
+    _check_columns(df, position_col, "with_global_position")
     ranged = df.repartitionByRange(*order_exprs).sortWithinPartitions(
         *order_exprs
     )
@@ -51,18 +78,34 @@ def with_global_position(
                 F.lit(0),
             ),
         )
-        .select("__pid", "__offset")
+        .select("__pid", "__offset", "__n")
+    )
+    # LONG, not int: this helper exists precisely for inputs too big for
+    # a single-task global sort — an int cast would CAST_OVERFLOW (ANSI)
+    # at 2^31 rows, exactly the scale it targets. The per-partition
+    # guard rides the SAME projection as the position (a separate
+    # assert column would be pruned away as unused).
+    pos = (F.col("__offset") + F.col("__rank")).cast("long")
+    guarded = F.when(
+        F.col("__n") <= F.lit(_MAX_PARTITION_ROWS), pos
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "with_global_position: a range partition holds "
+                ),
+                F.col("__n").cast("string"),
+                F.lit(
+                    " rows — past row_number's 2^31 limit; raise "
+                    "spark.sql.shuffle.partitions for a finer range split"
+                ),
+            )
+        ).cast("long")
     )
     return (
         local.join(F.broadcast(counts), "__pid")
-        .withColumn(
-            # LONG, not int: this helper exists precisely for inputs
-            # too big for a single-task global sort — an int cast would
-            # CAST_OVERFLOW (ANSI) at 2^31 rows, exactly the scale it
-            # targets (with_global_cumsum already casts long).
-            position_col, (F.col("__offset") + F.col("__rank")).cast("long")
-        )
-        .drop("__pid", "__rank", "__offset")
+        .withColumn(position_col, guarded)
+        .drop("__pid", "__rank", "__offset", "__n")
     )
 
 
@@ -114,9 +157,18 @@ def with_global_cumsum(
     full-data movement is the range shuffle a global sort needs anyway;
     the offsets table is #partitions rows.
 
-    ``value_col`` must be integral — the per-partition offsets are summed
-    as longs, which keeps the result exact and order-independent.
-    """
+    ``value_col`` must be integral — ENFORCED here, not just documented:
+    a double input would be truncated per partition independently, so
+    the result would silently drift with the partition layout
+    (code-review r13)."""
+    _check_columns(df, cumsum_col, "with_global_cumsum")
+    vtype = df.schema[value_col].dataType.typeName()
+    if vtype not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"with_global_cumsum: value_col {value_col!r} has type "
+            f"{vtype}; the exact two-phase sum requires an integral "
+            "column (quantize to micro-units first)"
+        )
     ranged = df.repartitionByRange(*order_exprs).sortWithinPartitions(
         *order_exprs
     )

@@ -100,7 +100,11 @@ def salted_pair_groups(
 
     - a tiny count agg (partial-agg shuffle of (group_cols, n) only —
       wide payload columns never ride it) finds groups past `hot_rows`;
-    - the hot set broadcasts back (bounded at rows/hot_rows entries);
+    - the hot set joins back WITHOUT a broadcast hint: its worst case is
+      rows/hot_rows entries — linear in data, so a mandatory broadcast
+      would hit the driver/broadcast cap exactly when most groups run
+      hot at corpus scale; AQE still broadcasts it whenever it is small
+      (always, at fixture scale — the r12 de-hinting discipline);
     - each hot row gets salt s = xxhash64(id_col) mod k,
       k = ceil(n_group/hot_rows), and replicates to the k groups
       {(min(s, j), max(s, j)) : j < k}, so a pair with salts (i, j)
@@ -133,7 +137,7 @@ def salted_pair_groups(
         *group_cols,
         F.ceil(F.col("__group_n") / hot_rows).cast("int").alias("__k"),
     )
-    salted = df.join(F.broadcast(hot), list(group_cols), "left")
+    salted = df.join(hot, list(group_cols), "left")
     k = F.coalesce(F.col("__k"), F.lit(1))
     s = F.pmod(F.xxhash64(id_col), k).cast("int")
     pairs = F.transform(

@@ -83,7 +83,10 @@ def normalized_matrix(rows: list, id_col: str, vec_col: str, label_col: str | No
     return ids, m, np.array([r[label_col] for r in rows], dtype=np.int32)
 
 
-def similarity_pairs_chunked(emb_df, tau: float, spark, n_chunks: int = 8):
+def similarity_pairs_chunked(
+    emb_df, tau: float, spark, n_chunks: int | None = None,
+    rows_per_chunk: int = 4096,
+):
     """All-pairs cosine >= tau as a DISTRIBUTED block-nested-loop — the
     exact form with no driver-side materialization (VERDICT r2 items 2/3
     replaced the collect+broadcast kernel with this).
@@ -95,17 +98,31 @@ def similarity_pairs_chunked(emb_df, tau: float, spark, n_chunks: int = 8):
     i == j). Every unordered row pair meets in EXACTLY one group, so the
     result is exact with no dedupe pass.
 
+    ``n_chunks`` is SIZE-DRIVEN by default (code-review r13: a fixed
+    default put a quarter of the corpus into one Arrow group past
+    fixture scale): C = max(8, ceil(n / rows_per_chunk)), so a chunk
+    holds ~rows_per_chunk vectors and the per-task sims block stays
+    ~rows_per_chunk^2 doubles (128 MB at the 4096 default) however big
+    the corpus. Costs one column-pruned count() — noise next to the
+    O(n^2) work that follows. Pass an explicit n_chunks to skip it.
+
     Scale accounting (the honest version of "exact all-pairs at 100 TB"):
       - driver memory: O(C^2) membership rows — nothing else;
       - shuffle: O(n * C * d) bytes (each vector is replicated C times);
-      - peak task memory: 2n/C vectors — pick C so a chunk pair fits an
-        executor (C grows with sqrt-of-corpus; tasks grow as C^2, which a
-        1000-executor cluster absorbs);
+      - peak task memory: 2n/C vectors + the (n/C)^2 sims block — the
+        size-driven C keeps both constant as n grows; tasks grow as C^2,
+        which a 1000-executor cluster absorbs;
       - compute: O(n^2 d / cluster) — irreducible for an EXACT result;
         the sub-quadratic paths are the LSH/SimHash/IVF families
         (q_north), which prune candidates instead.
     """
+    import math
+
     import pandas as pd  # local import keeps the closure pickle-light
+
+    if n_chunks is None:
+        n = emb_df.count()
+        n_chunks = max(8, math.ceil(n / rows_per_chunk))
 
     # chunk id from a hash of the key (stable under repartitioning),
     # membership: chunk c -> every pair (i, j), i <= j, with c in {i, j}.

@@ -56,6 +56,7 @@ def test_sf_dir_and_key_isolated(monkeypatch):
 
 def test_stopped_app_entries_evicted(monkeypatch):
     _with_identity_materialize(monkeypatch)
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
     memo_mod._MEMO.clear()
     old = _fake_spark("app-old")
     memo_mod.session_memo(old, "/sf", "k1", object)
@@ -63,9 +64,10 @@ def test_stopped_app_entries_evicted(monkeypatch):
     assert len(memo_mod._MEMO) == 2
     new = _fake_spark("app-new")
     fresh = memo_mod.session_memo(new, "/sf", "k1", object)
-    # The two app-old entries are gone; only the new app's entry lives.
-    assert set(memo_mod._MEMO) == {("app-new", "/sf", "k1")}
-    assert memo_mod._MEMO[("app-new", "/sf", "k1")] is fresh
+    # The two app-old entries are gone; only the new app's entry lives
+    # (key = (app, target, sf_dir, key) since r13).
+    assert set(memo_mod._MEMO) == {("app-new", "<local>", "/sf", "k1")}
+    assert memo_mod._MEMO[("app-new", "<local>", "/sf", "k1")] is fresh
     memo_mod._MEMO.clear()
 
 def test_nested_builds_do_not_deadlock(monkeypatch):
@@ -127,3 +129,28 @@ def test_concurrent_same_key_builds_once(monkeypatch):
         t.join(timeout=10)
     assert len(calls) == 1
     memo_mod._MEMO.clear()
+
+
+def test_repointed_checkpoint_dir_misses(monkeypatch):
+    """code-review r13: the memo key carries the materialization target
+    — repointing SPARK_GRAFT_CHECKPOINT_DIR mid-application must
+    rebuild, not serve a frame backed by the old (possibly pruned)
+    directory."""
+    _with_identity_materialize(monkeypatch)
+    memo_mod._MEMO.clear()
+    spark = _fake_spark("app-ckpt")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return object()
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/ckpt-a")
+    a1 = memo_mod.session_memo(spark, "sf", "k", build)
+    a2 = memo_mod.session_memo(spark, "sf", "k", build)
+    assert a1 is a2 and len(calls) == 1
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/ckpt-b")
+    b1 = memo_mod.session_memo(spark, "sf", "k", build)
+    assert b1 is not a1 and len(calls) == 2
+    # and the old-target entry was evicted, not pinned
+    assert all(k[1] == "/tmp/ckpt-b" for k in memo_mod._MEMO)

@@ -250,3 +250,27 @@ def test_text_source(spark, tmp_path):
         "alpha", "beta", "gamma"]
     whole = read_text(spark, str(tmp_path / "x.txt"), whole_text=True)
     assert whole.collect()[0]["value"] == "alpha\nbeta\n"
+
+
+def test_unknown_format_without_dims_raises(spark):
+    """code-review r13: an unrecognized magic with the zero-dim
+    media_from_files meta must raise, not fake an empty (0,0) raster
+    with NaN features."""
+    import pytest
+
+    import eprints_to_hyku_data_tool_spark.functions.multimodal as mm
+
+    with pytest.raises(NotImplementedError, match="no ?\\n?.*declared"):
+        mm._decode_raster(b"GIF89a....", 0, 0)
+
+
+def test_assert_unique_doc_ids(spark):
+    import pytest
+
+    import eprints_to_hyku_data_tool_spark.functions.multimodal as mm
+
+    ok = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    mm.assert_unique_doc_ids(ok)  # no raise
+    dup = spark.createDataFrame([(1,), (1,)], "doc_id long")
+    with pytest.raises(ValueError, match="doc_id collision"):
+        mm.assert_unique_doc_ids(dup)

@@ -1258,3 +1258,61 @@ def test_ledger_op_sequences_match_model(spark, tmp_path_factory, init, ops):
     ledger.expire_history(t, keep_last=1)
     ledger.vacuum(t, group_retention_s=0)
     check()
+
+
+def test_ordering_rejects_reserved_and_nonintegral(spark):
+    """code-review r13: ordering helpers must reject inputs that clash
+    with their internal columns (silent overwrite) and a non-integral
+    cumsum value column (partition-layout-dependent truncation)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.functions.ordering import (
+        with_global_cumsum,
+        with_global_position,
+    )
+
+    clash = spark.createDataFrame([(1, 2)], "k long, __pid long")
+    with pytest.raises(ValueError, match="__pid"):
+        with_global_position(clash, [F.col("k")])
+    dbl = spark.createDataFrame([(1, 0.5)], "k long, v double")
+    with pytest.raises(ValueError, match="integral"):
+        with_global_cumsum(dbl, [F.col("k")], "v")
+
+
+def test_global_position_overflow_guard_fires(spark, monkeypatch):
+    """The per-range-partition row_number 2^31 guard raises with a
+    remedy instead of wrapping; pinned by shrinking the limit so a
+    fixture-size partition trips it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.functions import ordering
+
+    monkeypatch.setattr(ordering, "_MAX_PARTITION_ROWS", 3)
+    df = spark.createDataFrame([(i,) for i in range(50)], "k long").coalesce(1)
+    out = ordering.with_global_position(df, [F.col("k")])
+    with pytest.raises(Exception, match="finer range split"):
+        out.collect()
+
+
+def test_similarity_chunked_size_driven_equals_explicit(spark, sf_dir):
+    """Default (size-driven) n_chunks must produce exactly the explicit
+    fixed-chunk pair set — the chunk count is a layout knob, never a
+    semantic one (code-review r13 made the default size-driven)."""
+    from eprints_to_hyku_data_tool_spark.functions.vectors import (
+        similarity_pairs_chunked,
+    )
+    from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    auto = set(
+        map(tuple, similarity_pairs_chunked(emb, 0.2, spark).collect())
+    )
+    fixed = set(
+        map(
+            tuple,
+            similarity_pairs_chunked(emb, 0.2, spark, n_chunks=3).collect(),
+        )
+    )
+    assert auto == fixed and len(auto) > 0
