@@ -1101,6 +1101,7 @@ def details(table: str, version: int | None = None) -> dict:
         for a, b in zip(ranged, ranged[1:])
         if b["min_key"] <= a["max_key"]
     )
+    chk = last_checkpoint(table)
     return {
         "version": v,
         "op": m["op"],
@@ -1116,6 +1117,13 @@ def details(table: str, version: int | None = None) -> dict:
         "columns": [
             f["name"] for f in m["schema"]["fields"]
         ],
+        # Metadata-plane health (r13): how far resolution walks from the
+        # newest checkpoint, and how many manifests a restart scans.
+        "last_checkpoint": chk,
+        "versions_since_checkpoint": (
+            latest_version(table) - chk if chk is not None else None
+        ),
+        "num_versions": len(_versions(table)),
     }
 
 

@@ -1607,3 +1607,16 @@ def test_model_based_random_op_sequences(spark, tmp_path):
         }
         assert got == want, f"time travel to v{v}"
     assert ledger.latest_txn(t, "model") == txn_hw
+
+
+def test_details_reports_metadata_plane(spark, tmp_path):
+    """DESCRIBE DETAIL surfaces checkpoint health: the newest checkpoint
+    version, the delta-walk distance, and the manifest count."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    for i in range(1, ledger.CHECKPOINT_INTERVAL + 3):
+        ledger.append(spark, t, _mk_row_df(spark, i))
+    d = ledger.details(t)
+    assert d["last_checkpoint"] == ledger.CHECKPOINT_INTERVAL
+    assert d["versions_since_checkpoint"] == 2
+    assert d["num_versions"] == ledger.CHECKPOINT_INTERVAL + 3
