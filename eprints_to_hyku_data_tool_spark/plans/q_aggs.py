@@ -364,7 +364,7 @@ def z10630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y46 — GROUPING SETS via the SQL entry point
 # --------------------------------------------------------------------------
 @register(
-    "z9189_grouping_sets",
+    "q9189_grouping_sets",
     oracle="""
     SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
            COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -386,7 +386,7 @@ def z10630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL then cast (fleet rule), grouping() markers distinguish "
     "subtotal NULLs from data NULLs.",
 )
-def z9189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("y46_lineitem")
     return spark.sql(

@@ -22,7 +22,7 @@ FUNNEL_STEP_HOURS = 24
 # X26 — ordered funnel (view -> click -> purchase, each within 24h)
 # --------------------------------------------------------------------------
 @register(
-    "q795_funnel",
+    "z12795_funnel",
     oracle=f"""
     WITH v AS (SELECT user_id,
                       MIN(CASE WHEN event_type='view' THEN ts END) AS t_view
@@ -54,7 +54,7 @@ FUNNEL_STEP_HOURS = 24
     "tests/test_plans.py). Fixture: 150 users -> 60 clicked -> 25 "
     "completed (funnel/sessionization mandate).",
 )
-def q795_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12795_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     W = Window.partitionBy("user_id")
     step = F.expr(f"INTERVAL {FUNNEL_STEP_HOURS} HOURS")
@@ -100,7 +100,7 @@ def q795_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X27 — cohort retention (first-purchase-day cohorts x day offset)
 # --------------------------------------------------------------------------
 @register(
-    "q796_cohort_retention",
+    "z12796_cohort_retention",
     oracle="""
     WITH f AS (SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
                FROM events WHERE event_type='purchase' GROUP BY user_id),
@@ -120,7 +120,7 @@ def q795_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "on bounded-cardinality columns; the matrix is O(days^2) regardless "
     "of event volume (retention mandate).",
 )
-def q796_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12796_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
@@ -194,7 +194,7 @@ def z117228_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X29 — histogram / binning (fixed-width buckets, identical arithmetic)
 # --------------------------------------------------------------------------
 @register(
-    "q797_histogram",
+    "z12797_histogram",
     oracle="""
     SELECT CAST(LEAST(GREATEST(CAST(FLOOR(value / 25) AS INT), 0), 19) AS INT)
              AS bucket,
@@ -208,7 +208,7 @@ def z117228_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "divergence by construction. One partial-agg shuffle on a 20-value "
     "key; decimal-exact per-bucket sums as in q54.",
 )
-def q797_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12797_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bucket = F.least(
         F.greatest(F.floor(F.col("value") / 25).cast("int"), F.lit(0)),
@@ -226,7 +226,7 @@ def q797_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X30 — training-mix reweighting (per-stratum sampling weights)
 # --------------------------------------------------------------------------
 @register(
-    "q798_mix_reweight",
+    "z12798_mix_reweight",
     oracle="""
     WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
                FROM documents GROUP BY lang, source),
@@ -244,7 +244,7 @@ def q797_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed-order IEEE division chains mirrored exactly. Output is "
     "O(strata), independent of corpus size (data-mixing mandate).",
 )
-def q798_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12798_mix_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(
@@ -643,7 +643,7 @@ _EQD_BUCKETS = 16
 
 
 @register(
-    "z117232_equidepth_histogram",
+    "q117232_equidepth_histogram",
     oracle=f"""
     WITH b AS (
         SELECT o_totalprice,
@@ -670,7 +670,7 @@ _EQD_BUCKETS = 16
     "computes the same bucket id distributedly "
     "(functions/ordering.py).".format(B=_EQD_BUCKETS),
 )
-def z117232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q117232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     orders = load_table(spark, sf_dir, "orders")

@@ -325,7 +325,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 @register(
-    "z9190_column_profile",
+    "q9190_column_profile",
     oracle="""
     SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(l_quantity) AS BIGINT) AS n_non_null,
@@ -368,7 +368,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     "approx_count_distinct at scale for a sketch-mergeable one-pass "
     "variant (q22 trade).",
 )
-def z9190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
     for c in _PROFILE_COLS:

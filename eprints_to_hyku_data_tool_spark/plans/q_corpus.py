@@ -157,7 +157,7 @@ def z11775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y32 — token-window chunking (overlapping training chunks)
 # --------------------------------------------------------------------------
 @register(
-    "q776_chunk",
+    "z12776_chunk",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     s AS (SELECT doc_id, tk, unnest(range(1, len(tk) + 1, {_STRIDE})) AS start
@@ -177,7 +177,7 @@ def z11775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles; output size is a fixed ~n_tokens/24 multiple of the "
     "input, independent of partitioning (chunking mandate).",
 )
-def q776_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12776_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     s = t.select(
@@ -204,7 +204,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
 
 
 @register(
-    "q777_stratified_sample",
+    "z12777_stratified_sample",
     oracle=f"""
     SELECT doc_id, lang, source,
            CASE WHEN lang = 'en' THEN '{_EN_LT}' ELSE '{_OTHER_LT}' END
@@ -224,7 +224,7 @@ _OTHER_LT = "c0"  # 192/256 = 75% of everything else
     "rerun-stable on any engine and partitioning (data-mixing "
     "mandate).",
 )
-def q777_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12777_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     thr = F.when(F.col("lang") == "en", _EN_LT).otherwise(_OTHER_LT)
     hx = F.substring(
@@ -250,7 +250,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
 
 
 @register(
-    "z9180_bm25",
+    "q9180_bm25",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
@@ -285,7 +285,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
     "Per-row output (doc, term, tf, dl, score) avoids cross-term "
     "summation-order divergence entirely.",
 )
-def z9180_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9180_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     d = t.select("doc_id", F.size("tk").cast("long").alias("dl"))
@@ -336,7 +336,7 @@ _VOCAB_TOP = 100
 
 
 @register(
-    "z9181_vocab_zipf",
+    "q9181_vocab_zipf",
     oracle=f"""
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -362,7 +362,7 @@ _VOCAB_TOP = 100
     "one-row broadcast like x30. Ties broken by token for "
     "determinism.",
 )
-def z9181_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9181_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = (
         docs.select(F.explode(_tokens()).alias("token"))
@@ -398,7 +398,7 @@ _GROUP_K = 5
 
 
 @register(
-    "z9182_group_sample",
+    "q9182_group_sample",
     oracle=f"""
     SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
     FROM (SELECT doc_id, lang, source,
@@ -418,7 +418,7 @@ _GROUP_K = 5
     "WindowGroupLimit cuts each group to k BEFORE and after the "
     "exchange, so only candidate rows move (plan-asserted).",
 )
-def z9182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string"))),
@@ -439,7 +439,7 @@ def z9182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y37 — per-stratum length-band outlier filter (p05/p95 fences)
 # --------------------------------------------------------------------------
 @register(
-    "z9183_length_band",
+    "q9183_length_band",
     oracle="""
     WITH b AS (SELECT lang,
                       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 4)
@@ -462,7 +462,7 @@ def z9182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB swap percentile -> percentile_approx(..., 10000): same "
     "plan shape, sketch-mergeable, documented trade.",
 )
-def z9183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = docs.groupBy("lang").agg(
         F.round(
@@ -493,7 +493,7 @@ def z9183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y38 — per-label embedding centroids (elementwise mean, order-exact)
 # --------------------------------------------------------------------------
 @register(
-    "z9184_label_centroids",
+    "q9184_label_centroids",
     oracle="""
     WITH e AS (
       SELECT label,
@@ -520,7 +520,7 @@ def z9183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output cells regardless of corpus size. The final mean is a "
     "single double division per cell.",
 )
-def z9184_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9184_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label",
@@ -545,7 +545,7 @@ _CTX = 64  # tokens per packed training sequence
 
 
 @register(
-    "z11770_sequence_pack",
+    "q11770_sequence_pack",
     oracle=f"""
     WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                FROM documents),
@@ -577,7 +577,7 @@ _CTX = 64  # tokens per packed training sequence
     "that is 1000 partitions wide. Token counts sum as longs -> "
     "exact at any scale (packing mandate).",
 )
-def z11770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
@@ -678,7 +678,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
 
 
 @register(
-    "q772_boilerplate_lines",
+    "z12772_boilerplate_lines",
     oracle=f"""
     WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     l AS (SELECT doc_id,
@@ -715,7 +715,7 @@ _LINE_DF = 5  # a line present in >= this many docs is boilerplate
     "empty string via the left join (deletion is a row-filter "
     "decision downstream, not silent loss).",
 )
-def q772_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12772_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("doc_id", _tokens().alias("tk"))
     starts = F.sequence(F.lit(1), F.size("tk"), F.lit(_LINE))

@@ -39,7 +39,7 @@ from .registry import register
 
 
 @register(
-    "q8241_media_decode",
+    "z128241_media_decode",
     oracle="""
     WITH d AS (
       SELECT doc_id, text, n_chars,
@@ -84,7 +84,7 @@ from .registry import register
     "only pruning keeps payload bytes untouched for queries that "
     "filter on meta columns (multimodal mandate, driver-row pillar).",
 )
-def q8241_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128241_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media(docs)
     dec = decode_images(media)
@@ -138,7 +138,7 @@ def _wav_payload_udf():
 
 
 @register(
-    "q8242_audio_features",
+    "z128242_audio_features",
     oracle=f"""
     WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
     s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
@@ -174,7 +174,7 @@ def _wav_payload_udf():
     "stages (the oracle's explode/window is DuckDB's cost, not ours) "
     "(multimodal mandate, audio pillar).",
 )
-def q8242_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128242_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
         "doc_id", _wav_payload_udf()(F.col("doc_id")).alias("payload")

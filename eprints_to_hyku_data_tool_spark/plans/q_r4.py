@@ -48,7 +48,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
 
 
 @register(
-    "q8243_bigram_lm",
+    "z128243_bigram_lm",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     b AS (SELECT doc_id,
@@ -88,7 +88,7 @@ def _bigrams(docs: DataFrame) -> DataFrame:
     "corpus-wide doc_id shuffle + sort ever happens (LM-filter "
     "mandate).",
 )
-def q8243_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128243_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     big = _bigrams(docs).select("doc_id", "w1", "w2")
     cxy = big.groupBy("w1", "w2").agg(
@@ -138,7 +138,7 @@ _PMI_TOP = 20
 
 
 @register(
-    "q8244_pmi_collocations",
+    "z128244_pmi_collocations",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     b AS (SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
@@ -171,7 +171,7 @@ _PMI_TOP = 20
     "zero-shuffle (x43's _bigrams). No broadcast hints: count tables "
     "are vocabulary-sized (collocation mandate).",
 )
-def q8244_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128244_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     big = _bigrams(docs).select("w1", "w2")
     cxy = big.groupBy("w1", "w2").agg(
@@ -202,7 +202,7 @@ def q8244_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X45 — markup strip (tag removal + entity decode + whitespace normalize)
 # --------------------------------------------------------------------------
 @register(
-    "q8245_html_strip",
+    "z128245_html_strip",
     oracle="""
     WITH h AS (
       SELECT doc_id, text,
@@ -235,7 +235,7 @@ def q8244_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "subset a cross-engine pipeline must stay in (HTML-corpus "
     "mandate).",
 )
-def q8245_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128245_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     html = F.concat(
         F.lit('<div class="doc"><p>'),
@@ -264,7 +264,7 @@ def q8245_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X46 — incremental ingestion dedupe (new batch vs seen-hash set)
 # --------------------------------------------------------------------------
 @register(
-    "q8246_incremental_dedupe",
+    "z128246_incremental_dedupe",
     oracle="""
     WITH seen AS (SELECT DISTINCT md5(text) AS ch FROM documents
                   WHERE doc_id % 10 >= 2),
@@ -284,7 +284,7 @@ def q8245_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AQE broadcasts the day's batch when it is the small side "
     "(incremental-pipeline mandate).",
 )
-def q8246_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128246_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     seen = (
         docs.filter(F.col("doc_id") % 10 >= 2)
@@ -303,7 +303,7 @@ def q8246_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X47 — robust outlier stats (lower-median + MAD, exact)
 # --------------------------------------------------------------------------
 @register(
-    "q8247_mad_outliers",
+    "z128247_mad_outliers",
     oracle="""
     WITH r AS (
       SELECT event_id, event_type, value,
@@ -342,7 +342,7 @@ def q8246_incremental_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort — the query shape (window + join back) is unchanged "
     "(robust-stats mandate).",
 )
-def q8247_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128247_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     wn = Window.partitionBy("event_type")
@@ -392,7 +392,7 @@ def q8247_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X48 — percentile-rank feature normalization
 # --------------------------------------------------------------------------
 @register(
-    "q8248_percentile_norm",
+    "z128248_percentile_norm",
     oracle="""
     SELECT event_id, event_type, value,
            percent_rank() OVER (PARTITION BY event_type ORDER BY value)
@@ -411,7 +411,7 @@ def q8247_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a single range-partitioned sort per group key "
     "(normalization mandate).",
 )
-def q8248_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128248_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value")
     return ev.select(
@@ -427,7 +427,7 @@ def q8248_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X49 — cross-source vocabulary overlap (pairwise Jaccard)
 # --------------------------------------------------------------------------
 @register(
-    "q8249_vocab_overlap",
+    "z128249_vocab_overlap",
     oracle="""
     WITH tok AS (SELECT DISTINCT source, token FROM
                    (SELECT source, unnest(string_split(text, ' ')) AS token
@@ -460,7 +460,7 @@ def q8248_percentile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token-keyed join + pair agg — all safe at 100 TB where 'source' "
     "is a crawl/domain column (mixing mandate).",
 )
-def q8249_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128249_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = (
         docs.select(
@@ -520,7 +520,7 @@ def _corr_pairs():
 
 
 @register(
-    "q8250_corr_matrix",
+    "z128250_corr_matrix",
     oracle=f"""
     WITH q AS (SELECT
         {", ".join(
@@ -564,7 +564,7 @@ def _corr_pairs():
     "(profiling mandate; the built-in corr() is float-path and "
     "engine-divergent, which is exactly why this query exists).",
 )
-def q8250_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128250_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
         *[
@@ -610,7 +610,7 @@ def q8250_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X51 — duplicate-cluster size histogram
 # --------------------------------------------------------------------------
 @register(
-    "q8251_dup_cluster_sizes",
+    "z128251_dup_cluster_sizes",
     oracle="""
     WITH c AS (SELECT md5(text) AS ch, CAST(COUNT(*) AS BIGINT) AS sz
                FROM documents GROUP BY md5(text))
@@ -628,7 +628,7 @@ def q8250_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keys; never materializes per-cluster member lists "
     "(dedup-diagnostics mandate).",
 )
-def q8251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128251_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = docs.groupBy(F.md5("text").alias("ch")).agg(
         F.count(F.lit(1)).cast("long").alias("sz")
@@ -816,7 +816,7 @@ def z10658_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X53 — character-entropy quality signal
 # --------------------------------------------------------------------------
 @register(
-    "q8253_char_entropy",
+    "z128253_char_entropy",
     oracle="""
     WITH ch AS (
       SELECT doc_id, unnest(list_transform(
@@ -851,7 +851,7 @@ def z10658_winnow_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cost; at 100 TB fold it into the same pass as the other "
     "per-char signals (quality-filter mandate).",
 )
-def q8253_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128253_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # split on the zero-width (?!^) lookahead yields one element per
     # char PLUS a trailing "" (Spark keeps trailing empties); drop it.
@@ -888,7 +888,7 @@ def q8253_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X54 — top-k tokens per source (WindowGroupLimit shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8254_topk_tokens_per_source",
+    "z128254_topk_tokens_per_source",
     oracle="""
     WITH tc AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
                 FROM (SELECT source,
@@ -910,7 +910,7 @@ def q8253_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocabulary per group (the z32 top-k-per-group shape applied to "
     "text). Ties break on the token string (dataset-card mandate).",
 )
-def q8254_topk_tokens_per_source(
+def z128254_topk_tokens_per_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -933,7 +933,7 @@ def q8254_topk_tokens_per_source(
 # X55 — script/charclass profile (regexp_count kit)
 # --------------------------------------------------------------------------
 @register(
-    "q8255_script_profile",
+    "z128255_script_profile",
     oracle="""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT)
@@ -957,7 +957,7 @@ def q8254_topk_tokens_per_source(
     "common subset; zero shuffles, full codegen; the ratio is one "
     "division of exact integers (quality-filter mandate).",
 )
-def q8255_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128255_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rc = lambda pat: F.regexp_count("text", F.lit(pat)).cast("long")  # noqa: E731
     return docs.select(
@@ -978,7 +978,7 @@ def q8255_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X56 — token-count Gini coefficient per source
 # --------------------------------------------------------------------------
 @register(
-    "q8256_length_gini",
+    "z128256_length_gini",
     oracle="""
     WITH d AS (SELECT doc_id, source,
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS x
@@ -1004,7 +1004,7 @@ def q8255_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-source sort window + one agg; at 100 TB the sort is "
     "range-partitioned per source (mixing mandate).",
 )
-def q8256_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128256_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -1041,7 +1041,7 @@ def _skew_one(df: DataFrame, key: str) -> DataFrame:
 
 
 @register(
-    "q8257_key_skew_profile",
+    "z128257_key_skew_profile",
     oracle="""
     {}
     """.format(
@@ -1066,7 +1066,7 @@ def _skew_one(df: DataFrame, key: str) -> DataFrame:
     "exact-integer-derived (ops mandate; pairs with q68 and the AQE "
     "skew config in session.py).",
 )
-def q8257_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128257_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     out = _skew_one(li, "l_orderkey")
     for k in ("l_partkey", "l_suppkey"):
@@ -1079,7 +1079,7 @@ def q8257_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg -> top-k
 # --------------------------------------------------------------------------
 @register(
-    "z9179_top_revenue",
+    "q9179_top_revenue",
     oracle="""
     SELECT l.l_orderkey,
            CAST(o.o_orderdate AS DATE) AS o_orderdate,
@@ -1108,7 +1108,7 @@ def q8257_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "machinery in one Catalyst plan — the end-to-end smoke a new "
     "deployment runs first.",
 )
-def z9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1142,7 +1142,7 @@ def z9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y67 — corpus-internal duplicate-ngram fraction (overflow tier)
 # --------------------------------------------------------------------------
 @register(
-    "q8301_duplicate_ngram_filter",
+    "z128301_duplicate_ngram_filter",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                FROM documents),
@@ -1177,7 +1177,7 @@ def z9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(functions/grams.py, ridden by q775) "
     "(corpus-hygiene mandate; overflow tier, rotation candidate).",
 )
-def q8301_duplicate_ngram_filter(
+def z128301_duplicate_ngram_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..functions.grams import doc_grams8
@@ -1215,7 +1215,7 @@ def q8301_duplicate_ngram_filter(
 # Y68 — quality-aware canonical selection per near-dup cluster (overflow)
 # --------------------------------------------------------------------------
 @register(
-    "q8302_keep_longest_canonical",
+    "z128302_keep_longest_canonical",
     oracle=None,  # set below after import (composes q_north._CC_CTE)
     doc="Quality-aware cluster dedupe: same exact-verified near-dup "
     "clusters as z85 (prefix-filtered Jaccard pairs -> connected "
@@ -1229,7 +1229,7 @@ def q8301_duplicate_ngram_filter(
     "shuffles once on the cluster key (dedup-policy mandate; overflow "
     "tier, rotation candidate).",
 )
-def q8302_keep_longest_canonical(
+def z128302_keep_longest_canonical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     # Shared memoized components over the exact-verified pair graph
@@ -1261,7 +1261,7 @@ def _set_y68_oracle() -> None:
     from .q_north import _CC_CTE
     from .registry import REGISTRY, QuerySpec
 
-    spec = REGISTRY["q8302_keep_longest_canonical"]
+    spec = REGISTRY["z128302_keep_longest_canonical"]
     oracle = _CC_CTE + """
     , m AS (SELECT d.doc_id,
                    CAST(COALESCE(c.component, d.doc_id) AS BIGINT)
@@ -1275,7 +1275,7 @@ def _set_y68_oracle() -> None:
              AS is_kept
     FROM m
     """
-    REGISTRY["q8302_keep_longest_canonical"] = QuerySpec(
+    REGISTRY["z128302_keep_longest_canonical"] = QuerySpec(
         name=spec.name, fn=spec.fn, oracle=oracle, doc=spec.doc
     )
 
@@ -1287,7 +1287,7 @@ _set_y68_oracle()
 # Y69 — regional revenue composite (TPC-H Q5 shape, overflow tier)
 # --------------------------------------------------------------------------
 @register(
-    "q8303_regional_revenue",
+    "z128303_regional_revenue",
     oracle="""
     SELECT n.n_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -1317,7 +1317,7 @@ _set_y68_oracle()
     "supplier join as a residual — no extra shuffle (reporting "
     "composite #2; overflow tier, rotation candidate).",
 )
-def q8303_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128303_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")

@@ -26,7 +26,7 @@ from .registry import register
 
 
 @register(
-    "q8304_shipmode_priority",
+    "z128304_shipmode_priority",
     oracle="""
     SELECT l.l_returnflag,
            CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -51,7 +51,7 @@ from .registry import register
     "`PushedFilters` carries the equality and the shipdate range "
     "(reporting composite #4; overflow tier).",
 )
-def q8304_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128304_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_linestatus") == "F")
         & (F.col("l_shipdate") >= "1996-01-01")
@@ -80,7 +80,7 @@ def q8304_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q8305_promo_revenue",
+    "z128305_promo_revenue",
     oracle="""
     WITH agg AS (
         SELECT SUM(CASE WHEN p.p_type LIKE 'PROMO%'
@@ -108,7 +108,7 @@ def q8304_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-determinism idiom for ratio outputs (reporting composite #5; "
     "overflow tier).",
 )
-def q8305_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128305_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-03-01")
         & (F.col("l_shipdate") < "1996-04-01")
@@ -143,7 +143,7 @@ def q8305_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q8306_order_distribution",
+    "z128306_order_distribution",
     oracle="""
     WITH per_cust AS (
         SELECT c.c_custkey,
@@ -170,7 +170,7 @@ def q8305_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(~tens of distinct counts) — partial aggregation collapses it "
     "map-side (reporting composite #6; overflow tier).",
 )
-def q8306_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128306_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     per_cust = (
@@ -197,7 +197,7 @@ def q8306_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q8307_small_qty_audit",
+    "z128307_small_qty_audit",
     oracle="""
     WITH avg_qty AS (
         SELECT l_partkey,
@@ -227,7 +227,7 @@ def q8306_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle key shared by both sides (reporting composite #7; "
     "overflow tier).",
 )
-def q8307_small_qty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128307_small_qty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     # Renamed key: both join inputs share the lineitem scan lineage, and a
@@ -263,7 +263,7 @@ def q8307_small_qty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q8308_volume_shipping",
+    "z128308_volume_shipping",
     oracle="""
     SELECT n1.n_name AS supp_nation,
            n2.n_name AS cust_nation,
@@ -294,7 +294,7 @@ def q8307_small_qty_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "year column checks expression keys survive the composite "
     "(reporting composite #8; overflow tier).",
 )
-def q8308_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z128308_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01")
         & (F.col("l_shipdate") < "1997-01-01")

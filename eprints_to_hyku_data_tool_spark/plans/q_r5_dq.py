@@ -254,7 +254,7 @@ _NBINS = 10
 
 
 @register(
-    "q9539_histogram",
+    "z129539_histogram",
     oracle=f"""
     WITH o AS (
       SELECT o_orderkey,
@@ -300,7 +300,7 @@ _NBINS = 10
     "100 TB path is the KLL/approx-percentile family (z192) — both "
     "registered, trade-off explicit.",
 )
-def q9539_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z129539_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     o = load_table(spark, sf_dir, "orders").select(

@@ -411,9 +411,9 @@ _PI_SCALE = 1_000_000.0
     "makes power iteration the scalable top-component method.",
 )
 def z9342_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .q_r5_llm import z8322_gram_matrix
+    from .q_r5_llm import q8322_gram_matrix
 
-    g0 = z8322_gram_matrix(spark, sf_dir)
+    g0 = q8322_gram_matrix(spark, sf_dir)
     g = (
         g0.unionAll(
             g0.filter(F.col("i") != F.col("j")).select(

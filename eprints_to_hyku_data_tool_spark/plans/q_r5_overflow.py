@@ -953,7 +953,7 @@ _RFM_SINGLE_TASK_ROWS = 4_000_000
 
 
 @register(
-    "q10560_rfm_segments",
+    "z1210560_rfm_segments",
     oracle="""
     WITH rfm AS (
       SELECT user_id,
@@ -999,7 +999,7 @@ _RFM_SINGLE_TASK_ROWS = 4_000_000
     "and a forced-distributed equality test); the branch only picks "
     "the physical strategy, exactly like AQE.",
 )
-def q10560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z1210560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import ntile_bucket, with_global_position
 
     ev = load_table(spark, sf_dir, "events")

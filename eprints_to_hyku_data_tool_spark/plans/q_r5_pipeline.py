@@ -348,7 +348,7 @@ def z9345_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q46 — quantile-rank normalization (distributed rank transform)
 # --------------------------------------------------------------------------
 @register(
-    "q9346_quantile_rank",
+    "z129346_quantile_rank",
     oracle="""
     WITH o AS (
       SELECT o_orderkey,
@@ -376,7 +376,7 @@ def z9345_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any global sort, and the approximate path (z192 KLL quantiles + "
     "broadcast bucket map) is registered beside it.",
 )
-def q9346_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z129346_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     o = load_table(spark, sf_dir, "orders").select(

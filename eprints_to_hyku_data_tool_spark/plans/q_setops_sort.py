@@ -26,7 +26,7 @@ from .registry import register
 # Q37 — multi-key sort with null ordering
 # --------------------------------------------------------------------------
 @register(
-    "q10637_multikey_sort",
+    "z1210637_multikey_sort",
     oracle="""
     SELECT o_orderkey, order_date, price_or_null,
            ROW_NUMBER() OVER (ORDER BY order_date DESC,
@@ -45,7 +45,7 @@ from .registry import register
     "ranks -> broadcast offsets), NOT a single-partition global window "
     "(SURVEY §2.6 Q37).",
 )
-def q10637_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z1210637_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     orders = load_table(spark, sf_dir, "orders").select(

@@ -147,7 +147,7 @@ def z10656_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X20 — time-interval join (stream-stream join shape, batch form)
 # --------------------------------------------------------------------------
 @register(
-    "q789_interval_join",
+    "z12789_interval_join",
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
            p.user_id,
@@ -169,7 +169,7 @@ def z10656_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "microsecond difference on both engines (SURVEY §2.9/X07-X11 "
     "extension).",
 )
-def q789_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12789_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -205,7 +205,7 @@ def q789_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X23 — time-series gap-fill + forward fill (missing-bucket densification)
 # --------------------------------------------------------------------------
 @register(
-    "q792_gapfill",
+    "z12792_gapfill",
     oracle="""
     WITH b AS (
       SELECT event_type,
@@ -237,7 +237,7 @@ def q789_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "observed aggregation is the only data-sized shuffle. Decimal-exact "
     "sums as in q54 (time-series mandate extension).",
 )
-def q792_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12792_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")

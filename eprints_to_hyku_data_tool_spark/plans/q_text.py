@@ -301,7 +301,7 @@ _PII_IP = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
 
 
 @register(
-    "q787_pii_scrub",
+    "z12787_pii_scrub",
     oracle=f"""
     WITH pii AS (
       SELECT doc_id,
@@ -328,7 +328,7 @@ _PII_IP = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
     "(email, ip, phone) is fixed so the families cannot capture each "
     "other's remnants (LLM-pipeline mandate).",
 )
-def q787_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12787_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.concat(
         F.col("text"),
@@ -363,7 +363,7 @@ def q787_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X19 — repetition filter (Gopher-style within-document repetition signals)
 # --------------------------------------------------------------------------
 @register(
-    "q788_repetition_filter",
+    "z12788_repetition_filter",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
     m AS (SELECT doc_id,
@@ -394,7 +394,7 @@ def q787_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "large enough to make the quadratic HOF hurt, the explode + "
     "two-level groupBy form trades it for one shuffle keyed on doc_id.",
 )
-def q788_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12788_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # two-step select: toks referenced many times below — inlining the
     # split would re-split per reference (same trap as doc_shingles)
@@ -450,7 +450,7 @@ _SAMPLE_LT = "1a"  # 26/256 ~ 10.2%
 
 
 @register(
-    "q793_deterministic_split",
+    "z12793_deterministic_split",
     oracle=f"""
     WITH h AS (
       SELECT doc_id, lang,
@@ -472,7 +472,7 @@ _SAMPLE_LT = "1a"  # 26/256 ~ 10.2%
     "give). Row-level, zero shuffle; the salt prefix decorrelates the "
     "sample from the split (training-data pipeline mandate).",
 )
-def q793_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12793_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hs = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     hx = F.substring(

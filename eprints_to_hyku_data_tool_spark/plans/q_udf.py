@@ -100,7 +100,7 @@ def z11658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X12 — grouped-agg pandas UDAF
 # --------------------------------------------------------------------------
 @register(
-    "q781_grouped_agg_udaf",
+    "z12781_grouped_agg_udaf",
     oracle="""
     SELECT l_returnflag,
            round(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
@@ -113,7 +113,7 @@ def z11658_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flag, used directly inside groupBy().agg() alongside built-ins. "
     "Rounded 4dp (summation-order noise) (SURVEY §2.10 X12).",
 )
-def q781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("double")
     def weighted_mean_price(price: pd.Series, qty: pd.Series) -> float:
         # Quantity-weighted mean price over one group (Arrow-batched).
@@ -138,7 +138,7 @@ def q781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X13 — UDTF / mapInPandas one-to-many expansion (record shredding)
 # --------------------------------------------------------------------------
 @register(
-    "q782_mapinpandas_shred",
+    "z12782_mapinpandas_shred",
     oracle="""
     SELECT doc_id,
            CAST(unnest(range(1, len(string_split(text, ' ')) + 1)) AS INT) AS pos,
@@ -151,7 +151,7 @@ def q781_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(one parent record -> many child rows), batch-at-a-time with no "
     "JVM round trip per row (SURVEY §2.10 X13).",
 )
-def q782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
 
     def shred(batches):
@@ -173,7 +173,7 @@ def q782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # X14 — SQL-registered UDF (reachable from spark.sql)
 # --------------------------------------------------------------------------
 @register(
-    "q783_sql_registered_udf",
+    "z12783_sql_registered_udf",
     oracle="""
     SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
     FROM documents
@@ -183,7 +183,7 @@ def q782_mapinpandas_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string over a temp view — SURVEY §3 entry point 2 "
     "(SURVEY §2.10 X14).",
 )
-def q783_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12783_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("long")
     def word_count(text: pd.Series) -> pd.Series:
         return text.str.split(" ").map(len)
@@ -202,7 +202,7 @@ def q783_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # via the @udtf class API, consumed with a SQL LATERAL join
 # --------------------------------------------------------------------------
 @register(
-    "q791_udtf_ngrams",
+    "z12791_udtf_ngrams",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)
     SELECT doc_id, CAST(x.i AS INT) AS pos,
@@ -217,7 +217,7 @@ def q783_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Row-multiplying but shuffle-free: the UDTF runs where the data "
     "lives (SURVEY §2.10 extension).",
 )
-def q791_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z12791_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos int, ngram string", useArrow=True)

@@ -26,8 +26,8 @@ def test_raw_layout():
 
 
 def test_parsed_wrapper_layout():
-    obj = {"parsed": {"queries": {"q9539_histogram": 0.4}}, "tail": ""}
-    assert _extract_queries(obj) == {"q9539_histogram": 0.4}
+    obj = {"parsed": {"queries": {"z129539_histogram": 0.4}}, "tail": ""}
+    assert _extract_queries(obj) == {"z129539_histogram": 0.4}
 
 
 def test_tail_bracket_match_two_digit_names():

@@ -1,5 +1,5 @@
 """The shared memoized per-doc 8-gram table (functions/grams.py, r12):
-z11775_decontaminate and q8301_duplicate_ngram_filter must both ride ONE
+z11775_decontaminate and z128301_duplicate_ngram_filter must both ride ONE
 materialized (doc_id, grams) build, and riding it must not change what
 either query returns (the build is plan-side only — oracles untouched)."""
 
@@ -41,7 +41,7 @@ def test_consumers_share_the_build(spark, sf_dir, monkeypatch):
         z11775_decontaminate,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_r4 import (
-        q8301_duplicate_ngram_filter,
+        z128301_duplicate_ngram_filter,
     )
 
     calls = []
@@ -53,5 +53,5 @@ def test_consumers_share_the_build(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(grams_mod, "doc_grams8", spy)
     z11775_decontaminate(spark, sf_dir)
-    q8301_duplicate_ngram_filter(spark, sf_dir)
+    z128301_duplicate_ngram_filter(spark, sf_dir)
     assert len(calls) == 2

@@ -107,7 +107,7 @@ def test_q08_large_join_is_not_broadcast_nested_loop(plans):
 def test_q15_range_join_keeps_equi_key(plans):
     # The equi part (orderkey) must drive the join; the date range is a
     # residual condition, not a nested loop.
-    p = plans("z915_range_join")
+    p = plans("q915_range_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -139,7 +139,7 @@ def test_q19_partial_aggregation(plans):
 
 
 def test_q37_global_position_is_distributed(plans):
-    p = plans("q10637_multikey_sort")
+    p = plans("z1210637_multikey_sort")
     # the data flows through a range partitioner + per-partition ranks,
     # not a single-partition global window
     assert "rangepartitioning" in p, p
@@ -158,7 +158,7 @@ def test_x26_funnel_single_shuffle(plans):
     point of the window form vs the oracle's three-join chain."""
     import re
 
-    p = plans("q795_funnel")
+    p = plans("z12795_funnel")
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
     assert len(re.findall(r"\(\d+\) Window", p)) == 3, p
 
@@ -169,16 +169,16 @@ def test_x26_funnel_single_shuffle(plans):
 # x23 cross-joins a one-row bounds aggregate with a 5-row type dim to
 # build the gap-fill grid — tiny-by-construction, like x15.
 NESTED_LOOP_WHITELIST = {
-    "z914_cross_join",
+    "q914_cross_join",
     "z11784_tfidf",
-    "q792_gapfill",
+    "z12792_gapfill",
     # x30 cross-joins a one-row totals aggregate back onto the strata
     # counts — broadcast, tiny by construction.
-    "q798_mix_reweight",
+    "z12798_mix_reweight",
     # y34/y35 cross-join one-row corpus-stats/total aggregates (same
     # broadcast shape as x30).
-    "z9180_bm25",
-    "z9181_vocab_zipf",
+    "q9180_bm25",
+    "q9181_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
     "z11771_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
@@ -188,14 +188,14 @@ NESTED_LOOP_WHITELIST = {
     "z117233_chisquare",
     # x43/x44 cross-join one-row vocab-size / bigram-total aggregates
     # (the z71 shape).
-    "q8243_bigram_lm",
-    "q8244_pmi_collocations",
+    "z128243_bigram_lm",
+    "z128244_pmi_collocations",
     # x49 pairs the per-source size table against itself with an
     # inequality condition — sources^2 rows, tiny by construction.
-    "q8249_vocab_overlap",
+    "z128249_vocab_overlap",
     # q21 (TPC-H Q22) cross-joins the one-row global-average-balance
     # aggregate onto customer — the canonical scalar-subquery broadcast.
-    "z8321_dormant_customers",
+    "q8321_dormant_customers",
     # q88's verdict join is one-row stats x one-row edge count, and the
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
@@ -207,13 +207,13 @@ NESTED_LOOP_WHITELIST = {
     "z118324_naive_bayes",
     # q27 cross-joins the two one-row side-total aggregates onto the
     # 10-row bin join (same shape).
-    "z8327_psi_drift",
+    "q8327_psi_drift",
     # q37's FK-coverage row cross-joins two ONE-ROW count aggregates
     # (checked-total x violation-total — the z191 shape).
     "z9337_expectations_audit",
     # q39 cross-joins one-row extrema/total aggregates onto the fact
     # stream for integer bin arithmetic (the x30 broadcast-scalar shape).
-    "q9539_histogram",
+    "z129539_histogram",
     # q41 cross-joins the k-row (k=8) centroid table onto the point
     # stream — the assignment broadcast every distributed k-means does.
     "z9341_kmeans_lloyd",
@@ -227,11 +227,11 @@ NESTED_LOOP_WHITELIST = {
     "z9345_split_leakage",
     # q46 cross-joins the one-row total-count aggregate for the
     # quantile denominator (broadcast-scalar shape).
-    "q9346_quantile_rank",
+    "z129346_quantile_rank",
     # y85 cross-joins the one-row user-count aggregate for the three
     # distributed ntile denominators (r11: replaced the bare
     # single-partition ntile windows with the q46 posture).
-    "q10560_rfm_segments",
+    "z1210560_rfm_segments",
     # q47 cross-joins the one-row moments/inverse-covariance model onto
     # the fact stream — the broadcast-model scoring shape.
     "z9347_mahalanobis",
@@ -263,7 +263,7 @@ def test_y36_group_sample_window_group_limit(plans):
     k before rows move."""
     import re
 
-    p = plans("z9182_group_sample")
+    p = plans("q9182_group_sample")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "WindowGroupLimit" in p, p
 
@@ -331,7 +331,7 @@ def test_q70_cumsum_is_distributed(plans):
     """Sequence packing's global running sum must ride the two-phase
     range-partition scheme (z37 rule), never a single-partition window
     over the whole corpus."""
-    p = plans("z11770_sequence_pack")
+    p = plans("q11770_sequence_pack")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -340,7 +340,7 @@ def test_y47_profile_is_single_scan(plans):
     """The profiler's contract: ALL columns' aggregates come from ONE
     pass over lineitem (the oracle scans per column; the Spark plan
     must not)."""
-    p = plans("z9190_column_profile")
+    p = plans("q9190_column_profile")
     # one scan NODE: each scan contributes exactly one Location line in
     # the formatted detail section ("Scan parquet" itself prints twice
     # per node — tree + detail)
@@ -360,7 +360,7 @@ def test_q79_composite_plan_shape(plans):
     reach the scans, the filtered customer dimension broadcasts, the
     top-10 is TakeOrdered (no global sort), and revenue aggregates in
     decimal before the final double cast."""
-    p = plans("z9179_top_revenue")
+    p = plans("q9179_top_revenue")
     assert "EqualTo(c_mktsegment,BUILDING)" in p, p
     assert "LessThan(o_orderdate" in p, p
     assert "GreaterThan(l_shipdate" in p, p
@@ -373,26 +373,26 @@ def test_x54_topk_uses_window_group_limit(plans):
     """Top-k tokens per source must run as WindowGroupLimit: each task
     keeps 5 rows per source BEFORE the shuffle, never the full
     vocabulary per group."""
-    assert "WindowGroupLimit" in plans("q8254_topk_tokens_per_source")
+    assert "WindowGroupLimit" in plans("z128254_topk_tokens_per_source")
 
 
 def test_x55_script_profile_zero_shuffle(plans):
     """The charclass profile is pure row-level expression work — its
     plan must contain no Exchange at all."""
-    assert "Exchange" not in plans("q8255_script_profile")
+    assert "Exchange" not in plans("z128255_script_profile")
 
 
 def test_x41_media_decode_zero_shuffle(plans):
     """Synthesize -> decode is a row-level Arrow pipeline over the scan;
     no Exchange may appear."""
-    assert "Exchange" not in plans("q8241_media_decode")
+    assert "Exchange" not in plans("z128241_media_decode")
 
 
 def test_y71_promo_part_join_broadcasts(plans):
     """The Q14 composite joins one month of lineitem to the part
     dimension: the dim side must broadcast (no SMJ shuffle of the fact
     table), and the shipdate month must reach the scan."""
-    p = plans("q8305_promo_revenue")
+    p = plans("z128305_promo_revenue")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
@@ -403,7 +403,7 @@ def test_y70_shipmode_predicates_reach_scan(plans):
     linestatus equality and both ends of the shipdate year range must
     all appear as pushed scan filters (ADVICE r4: the registry doc
     claimed this; nothing enforced it)."""
-    p = plans("q8304_shipmode_priority")
+    p = plans("z128304_shipmode_priority")
     assert "EqualTo(l_linestatus,F)" in p, p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "LessThan(l_shipdate" in p, p
@@ -415,7 +415,7 @@ def test_y72_outer_join_stays_outer(plans):
     join degenerates to inner and zero-order customers vanish. The
     executed plan must keep the outer join and show NO filter on
     o_orderpriority applied after it."""
-    p = plans("q8306_order_distribution")
+    p = plans("z128306_order_distribution")
     assert "LeftOuter" in p, p
     # The priority predicate must appear as a pushed/scan-side filter on
     # orders (pre-join), and never in a Filter node above the join.
@@ -434,7 +434,7 @@ def test_y74_volume_shipping_broadcasts_both_nations(plans):
     distinct BHJ-on-nationkey nodes) and nothing may degrade to a
     nested-loop join (ADVICE r4: registry doc claimed dual broadcasts;
     nothing enforced it)."""
-    p = plans("q8308_volume_shipping")
+    p = plans("z128308_volume_shipping")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "n_nationkey" in p, p
@@ -444,7 +444,7 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
     """The Q17 decorrelation joins lineitem to its own per-part
     aggregate: the brand/size-filtered part dim must broadcast, and the
     predicates must reach the part scan."""
-    p = plans("q8307_small_qty_audit")
+    p = plans("z128307_small_qty_audit")
     assert "BroadcastHashJoin" in p, p
     assert "EqualTo(p_brand,Brand#23)" in p, p
     assert "LessThan(p_size,15)" in p, p
@@ -461,15 +461,15 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
 # join silently degrades to a nested loop, and scan pushdown persists.
 # --------------------------------------------------------------------------
 HEAVY_QUERIES = [
-    "q790_corpus_pipeline",
-    "q785_cluster_dedupe",
+    "z12790_corpus_pipeline",
+    "z12785_cluster_dedupe",
     "z11775_decontaminate",
-    "z11667_embedding_dedupe",
-    "z9186_ivf_embedding_dedupe",
-    "q8301_duplicate_ngram_filter",
+    "q11667_embedding_dedupe",
+    "q9186_ivf_embedding_dedupe",
+    "z128301_duplicate_ngram_filter",
     "z11660_minhash_lsh",
-    "q786_ngram_jaccard",
-    "q8308_volume_shipping",
+    "z12786_ngram_jaccard",
+    "z128308_volume_shipping",
     "z117588_pagerank",
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
@@ -526,7 +526,7 @@ def test_cluster_shaped_volume_shipping_keeps_dim_broadcasts(spark, sf_dir):
     the pushed filters must still reach the scans — pushdown is a
     property of the plan, not of the session config."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["q8308_volume_shipping"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["z128308_volume_shipping"].fn(spark, sf_dir))
     assert p.count("BroadcastHashJoin") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -548,7 +548,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
     """The Q2-shape window rank-1 must run as WindowGroupLimit (each task
     keeps one candidate per part before the shuffle) and the part-size
     prune must reach the part scan."""
-    p = plans("q8310_min_cost_supplier")
+    p = plans("z128310_min_cost_supplier")
     assert "WindowGroupLimit" in p, p
     assert "LessThan(p_size,10)" in p, p
 
@@ -556,7 +556,7 @@ def test_q10_best_supplier_rank1_uses_group_limit(plans):
 def test_q11_exists_is_semi_join_with_pushdown(plans):
     """The Q4-shape EXISTS must be a left semi join whose quantity filter
     reaches the lineitem scan — never a post-join distinct."""
-    p = plans("q8311_priority_exists")
+    p = plans("z128311_priority_exists")
     assert "LeftSemi" in p, p
     assert "GreaterThanOrEqual(l_quantity,48.0)" in p, p
 
@@ -564,7 +564,7 @@ def test_q11_exists_is_semi_join_with_pushdown(plans):
 def test_q15_max_joinback_is_hash_join(plans):
     """The Q15-shape scalar-MAX join-back compares exact decimals with an
     EQUI join — broadcast hash, never a nested loop over revenue."""
-    p = plans("z8315_top_supplier")
+    p = plans("q8315_top_supplier")
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -573,7 +573,7 @@ def test_q18_or_implications_reach_both_scans(plans):
     """The Q19-shape disjunction spans both join sides; Catalyst must
     derive each side's implication and push it: the quantity OR-range
     onto lineitem, the brand/size OR onto part."""
-    p = plans("z8318_disjunctive_revenue")
+    p = plans("q8318_disjunctive_revenue")
     assert "GreaterThanOrEqual(l_quantity,1.0)" in p, p
     assert "EqualTo(p_brand,Brand#12)" in p, p
     assert "EqualTo(p_brand,Brand#3)" in p, p
@@ -587,7 +587,7 @@ def test_q17_aggregates_before_joining(plans):
     not over a join."""
     import re
 
-    p = plans("z8317_large_orders")
+    p = plans("q8317_large_orders")
     assert p.count("HashAggregate") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
     # formatted-explain numbers nodes leaf-to-root: the group-by's
@@ -619,7 +619,7 @@ def test_q29_scd2_single_shuffle(plans):
     partitions by user_id, so exactly one plain Exchange may appear."""
     import re
 
-    p = plans("z8329_scd2_history")
+    p = plans("q8329_scd2_history")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert p.count("Window") >= 3, p
 
@@ -629,7 +629,7 @@ def test_q30_merge_is_full_outer_smj(plans):
     never a nested loop, and both sides shuffle exactly once."""
     import re
 
-    p = plans("z8330_merge_upsert")
+    p = plans("q8330_merge_upsert")
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
@@ -641,7 +641,7 @@ def test_q31_cdc_single_shuffle(plans):
     the one user_id exchange (same partition key, compatible sorts)."""
     import re
 
-    p = plans("z8331_cdc_apply")
+    p = plans("q8331_cdc_apply")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
 
 
@@ -651,7 +651,7 @@ def test_q34_attribution_two_shuffles(plans):
     (no self-join node may appear)."""
     import re
 
-    p = plans("z8334_last_touch_attribution")
+    p = plans("q8334_last_touch_attribution")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
     assert "Join" not in p, p
 
@@ -700,7 +700,7 @@ def test_q39_equidepth_is_distributed(plans):
     """Exact equi-depth bucketing must ride the two-phase global-position
     engine (z37 rule): range partitioner + per-partition ranks, never a
     single-partition ntile window over the fact table."""
-    p = plans("q9539_histogram")
+    p = plans("z129539_histogram")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
     assert "ntile" not in p, p
@@ -793,7 +793,7 @@ def test_z344_feature_hashing_two_aggregations(plans):
 def test_z346_quantile_rank_is_distributed(plans):
     """The rank transform must ride the two-phase global-position
     engine (z37 rule), never a single-partition window."""
-    p = plans("q9346_quantile_rank")
+    p = plans("z129346_quantile_rank")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -903,7 +903,7 @@ def test_cluster_shaped_neardup_build(spark, sf_dir):
 def test_q74_rplsh_bucket_verify_plan_shape(plans):
     import re
 
-    p = plans("z974_rplsh_neardup")
+    p = plans("q974_rplsh_neardup")
     # Round-8 shape + round-9 hot-bucket salting: candidates are still
     # generated and killed inside the per-bucket Arrow kernel
     # (grouped-map node), and the only shuffles are (1) the tiny
@@ -995,9 +995,9 @@ def test_q560_forced_distributed_ntile_matches_window_form(
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    compact = rows(REGISTRY["q10560_rfm_segments"].fn(spark, sf_dir))
+    compact = rows(REGISTRY["z1210560_rfm_segments"].fn(spark, sf_dir))
     monkeypatch.setattr(mod, "_RFM_SINGLE_TASK_ROWS", 0)
-    forced = REGISTRY["q10560_rfm_segments"].fn(spark, sf_dir)
+    forced = REGISTRY["z1210560_rfm_segments"].fn(spark, sf_dir)
     p = plan_text(forced)
     # really on the distributed branch: no ntile window anywhere
     assert "ntile" not in p, p

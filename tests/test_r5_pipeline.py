@@ -157,10 +157,10 @@ def test_scd2_ranges_partition_the_history(spark, sf_dir):
     event count — the SCD2 output partitions the history."""
     from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import (
         _events,
-        z8329_scd2_history,
+        q8329_scd2_history,
     )
 
-    scd = z8329_scd2_history(spark, sf_dir)
+    scd = q8329_scd2_history(spark, sf_dir)
     agg = scd.groupBy("user_id").agg(
         F.min("version").alias("vmin"),
         F.max("version").alias("vmax"),

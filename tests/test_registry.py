@@ -92,11 +92,11 @@ SECTION2_MAP = {
     "Q03": "z903_project_compute", "Q04": "z904_compound_predicate",
     "Q05": "z905_in_like_null", "Q06": "z906_distinct",
     "Q07": "z907_case_when", "Q08": "z908_inner_join",
-    "Q09": "z909_broadcast_join", "Q10": "z910_left_outer_join",
-    "Q11": "z911_full_outer_join", "Q12": "z912_semi_join",
-    "Q13": "z913_anti_join", "Q14": "z914_cross_join",
-    "Q15": "z915_range_join", "Q16": "z916_asof_join",
-    "Q17": "z917_self_join_pairs", "Q18": "z918_similarity_join",
+    "Q09": "z909_broadcast_join", "Q10": "q910_left_outer_join",
+    "Q11": "q911_full_outer_join", "Q12": "q912_semi_join",
+    "Q13": "q913_anti_join", "Q14": "q914_cross_join",
+    "Q15": "q915_range_join", "Q16": "q916_asof_join",
+    "Q17": "q917_self_join_pairs", "Q18": "q918_similarity_join",
     "Q19": "z10619_groupby_multi_agg", "Q20": "z10620_global_agg",
     "Q21": "z10621_count_distinct", "Q22": "z10622_approx_count_distinct",
     "Q23": "z10623_rollup", "Q24": "z10624_cube", "Q25": "z10625_bulkrax_fold",
@@ -105,7 +105,7 @@ SECTION2_MAP = {
     "Q31": "z10631_keepfirst_dedupe", "Q32": "z10632_topk_per_group",
     "Q33": "z10633_lag_lead", "Q34": "z10634_running_sum",
     "Q35": "z10635_range_frame", "Q36": "z10636_ntile_first_last",
-    "Q37": "q10637_multikey_sort", "Q38": "z10638_global_topk",
+    "Q37": "z1210637_multikey_sort", "Q38": "z10638_global_topk",
     "Q39": "z10639_limit_offset", "Q40": "z10640_union",
     "Q41": "z10641_intersect", "Q42": "z10642_except",
     "Q43": "z10643_string_kit", "Q44": "z10644_regex_extract",
@@ -129,8 +129,8 @@ SECTION2_MAP = {
     "X09": None,  # streaming dedupe — tests/test_streaming.py
     "X10": None,  # stream-static join — tests/test_streaming.py
     "X11": None,  # stateful processing — tests/test_streaming.py
-    "X12": "q781_grouped_agg_udaf", "X13": "q782_mapinpandas_shred",
-    "X14": "q783_sql_registered_udf", "X15": "z11784_tfidf",
+    "X12": "z12781_grouped_agg_udaf", "X13": "z12782_mapinpandas_shred",
+    "X14": "z12783_sql_registered_udf", "X15": "z11784_tfidf",
 }
 
 

@@ -213,7 +213,7 @@ def test_x20_stream_stream_join_equals_batch(spark, sf_dir, replay_dir):
     }
     want = {
         (r["purchase_id"], r["click_id"], r["lag_us"])
-        for r in REGISTRY["q789_interval_join"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z12789_interval_join"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
 
@@ -248,7 +248,7 @@ def test_streaming_neardup_equals_batch(spark, sf_dir, docs_replay_dir):
     }
     want = {
         (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
-        for r in REGISTRY["q786_ngram_jaccard"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z12786_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
 
@@ -313,7 +313,7 @@ def test_streaming_cdc_apply_equals_batch(spark, sf_dir, replay_dir):
     """q31's incremental form: per-key keep-last upsert/tombstone state
     replayed over the chunks must equal the batch CDC apply (surviving
     keys, applied ts, value, and op count all exact)."""
-    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import z8331_cdc_apply
+    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import q8331_cdc_apply
 
     name = f"cdc_{uuid.uuid4().hex[:8]}"
     stream = ops.events_stream(spark, _chunks_glob(replay_dir))
@@ -341,7 +341,7 @@ def test_streaming_cdc_apply_equals_batch(spark, sf_dir, replay_dir):
     got = {r["user_id"]: (r["applied_ts_us"], r["final_value_u"], r["n_ops"])
            for r in final.collect()}
     want = {r["user_id"]: (r["applied_ts_us"], r["final_value_u"], r["n_ops"])
-            for r in z8331_cdc_apply(spark, sf_dir).collect()}
+            for r in q8331_cdc_apply(spark, sf_dir).collect()}
     assert got == want
 
 

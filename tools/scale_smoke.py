@@ -43,12 +43,12 @@ HEAVY = [
     "z117526_bfs_hops",
     "z10620_global_agg",
     "z10658_winnow_containment",
-    "q8301_duplicate_ngram_filter",
-    "z974_rplsh_neardup",
+    "z128301_duplicate_ngram_filter",
+    "q974_rplsh_neardup",
     "z11775_decontaminate",
-    "z9185_ivf_topk",
-    "q790_corpus_pipeline",
-    "z9190_column_profile",
+    "q9185_ivf_topk",
+    "z12790_corpus_pipeline",
+    "q9190_column_profile",
     "z117192_approx_percentile",
     "z9345_split_leakage",
     "z10554_association_rules",
@@ -119,7 +119,7 @@ def main() -> None:
 
     # Warm re-run for suspects (the bench.py lesson, observed on the smoke
     # too: single-pass numbers in an aged session vary 2-4x run-to-run —
-    # q790_corpus_pipeline measured 16 s and 59 s at the 10x tier on
+    # z12790_corpus_pipeline measured 16 s and 59 s at the 10x tier on
     # IDENTICAL code in back-to-back serial runs). Any query past a QUARTER
     # of the failure bound (copies/2 vs the 2*copies bound — deliberately
     # broad, so contention artifacts get their retry before they can fail
