@@ -221,7 +221,16 @@ def _cache_key(table: str, version: int) -> tuple | None:
         st = os.stat(p)
     except OSError:
         return None
-    return (os.path.abspath(table), version, st.st_mtime_ns, st.st_size)
+    # st_ino/st_dev guard the delete-and-recreate-same-path race: a
+    # recreated table can reach the same version with an identical-size
+    # manifest within one mtime-clock tick (filesystem timestamp
+    # granularity), and serving the OLD table's cached state would point
+    # readers at deleted data dirs. A fresh file always has a fresh
+    # inode, so the recreated manifest misses.
+    return (
+        os.path.abspath(table), version,
+        st.st_mtime_ns, st.st_size, st.st_ino, st.st_dev,
+    )
 
 
 def _cache_put(key: tuple | None, state: dict) -> None:
@@ -506,11 +515,14 @@ def _commit(table: str, manifest: dict) -> int:
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         try:
             _write_checkpoint(table, version)
-        except OSError:
+        except (OSError, LedgerError, ValueError):
             # Best-effort for real: the manifest is already linked, so
-            # the commit SUCCEEDED — surfacing a checkpoint I/O failure
-            # here would make callers retry (and double-apply) a write
-            # that landed. A lost checkpoint only lengthens later walks.
+            # the commit SUCCEEDED — surfacing a checkpoint failure of
+            # ANY kind here would make callers retry (and double-apply)
+            # a write that landed. Besides I/O errors, checkpointing
+            # resolves state (it can hit a concurrently-expired or
+            # corrupt chain → LedgerError, or bad JSON → ValueError).
+            # A lost checkpoint only lengthens later walks.
             pass
     return version
 
@@ -1173,6 +1185,30 @@ def expire_history(table: str, keep_last: int) -> list[int]:
         chk = os.path.join(d, _checkpoint_name(v))
         if os.path.exists(chk):
             os.unlink(chk)
+    # When the oldest kept version is a FULL manifest (legacy table, or
+    # the create anchor) no fresh checkpoint was materialized above, so
+    # deleting expired checkpoints can leave the _last_checkpoint
+    # pointer dangling at a file that no longer exists — last_checkpoint
+    # and details() would then report a phantom checkpoint and
+    # versions_since_checkpoint would understate the walk. Rewind the
+    # pointer to the newest SURVIVING checkpoint, or drop it if none.
+    ptr_v = last_checkpoint(table)
+    if ptr_v is not None and not os.path.exists(
+        os.path.join(d, _checkpoint_name(ptr_v))
+    ):
+        surviving = [
+            int(f[len(_CHECKPOINT_PREFIX):].split(".")[0])
+            for f in os.listdir(d)
+            if f.startswith(_CHECKPOINT_PREFIX) and f.endswith(".json")
+        ]
+        ptr = os.path.join(d, _LAST_CHECKPOINT)
+        if surviving:
+            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                json.dump({"version": max(surviving)}, fh)
+            os.replace(tmp, ptr)
+        else:
+            os.unlink(ptr)
     return expired
 
 

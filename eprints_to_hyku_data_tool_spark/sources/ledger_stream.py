@@ -319,6 +319,28 @@ class _LedgerStreamReader(DataSourceStreamReader):
         )
         for v in range(lo + 1, hi + 1):
             m = ledger._read_manifest(self._table, v)
+            # Same stream contracts as the delta path above: one legacy
+            # full-snapshot manifest in a window must not let a later
+            # schema widening pass silently or a compact/optimize in
+            # the same window raise (or, with ignoreChanges, re-emit).
+            if m.get("schema") is not None and not (
+                set(_schema_fields(m["schema"]))
+                <= set(self._schema_fields)
+            ):
+                raise ledger.LedgerError(
+                    f"streaming source: version {v} changed the table "
+                    "schema; restart the stream to pick up the new "
+                    "schema (offsets are checkpointed — no data is "
+                    "lost or re-delivered)"
+                )
+            if ledger._read_raw(self._table, v).get(
+                "data_change", True
+            ) is False:
+                # Row-identical relayout: its output groups carry only
+                # already-delivered rows. Mark them emitted so later
+                # versions' diffs stay correct, but plan nothing.
+                emitted.update(g["path"] for g in m["groups"])
+                continue
             if m["op"] not in _APPEND_OPS and not self._ignore_changes:
                 replaced = emitted - {g["path"] for g in m["groups"]}
                 if replaced:

@@ -1620,3 +1620,101 @@ def test_details_reports_metadata_plane(spark, tmp_path):
     assert d["last_checkpoint"] == ledger.CHECKPOINT_INTERVAL
     assert d["versions_since_checkpoint"] == 2
     assert d["num_versions"] == ledger.CHECKPOINT_INTERVAL + 3
+
+
+@pytest.mark.parametrize("exc", [ledger.LedgerError, ValueError])
+def test_checkpoint_nonio_failure_does_not_fail_the_commit(
+    spark, tmp_path, monkeypatch, exc
+):
+    """r13-advice regression: _write_checkpoint resolves state, so it
+    can raise LedgerError (concurrently-expired or corrupt chain) or
+    ValueError (bad JSON) — not just OSError. Any of them escaping
+    _commit would make the caller treat a LANDED write as failed (the
+    double-apply hazard the OSError guard already documents)."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+
+    def boom(table, version):
+        raise exc("checkpoint resolution failed")
+
+    monkeypatch.setattr(ledger, "_write_checkpoint", boom)
+    for i in range(1, ledger.CHECKPOINT_INTERVAL + 1):
+        ledger.append(spark, t, _mk_row_df(spark, i))  # v10 checkpoints
+    monkeypatch.undo()
+    assert ledger.last_checkpoint(t) is None
+    ledger._RESOLVE_CACHE.clear()
+    got = sorted(r["k"] for r in ledger.read(spark, t).collect())
+    assert got == list(range(ledger.CHECKPOINT_INTERVAL + 1))
+
+
+def _legacyize(table, version):
+    """Rewrite one on-disk manifest as a pre-delta-format FULL snapshot
+    (the legacy shape: resolved state inline, no add/remove)."""
+    import json as _json
+
+    m = ledger._read_manifest(table, version)
+    payload = {
+        k: v for k, v in m.items() if k not in ("txns", "txns_complete")
+    }
+    p = os.path.join(
+        ledger._ledger_path(table), ledger._manifest_name(version)
+    )
+    with open(p, "w") as fh:
+        _json.dump(payload, fh)
+    ledger._RESOLVE_CACHE.clear()
+
+
+def test_expire_history_rewinds_dangling_checkpoint_pointer(
+    spark, tmp_path
+):
+    """r13-advice regression: when the oldest KEPT version is a full
+    (legacy) manifest, expire_history materializes no fresh checkpoint —
+    deleting the expired ones must then rewind (here: remove) the
+    _last_checkpoint pointer instead of leaving it dangling at a deleted
+    file, which would make last_checkpoint()/details() report a phantom
+    checkpoint."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    for i in range(1, ledger.CHECKPOINT_INTERVAL + 3):
+        ledger.append(spark, t, _mk_row_df(spark, i))  # chk at v10
+    assert ledger.last_checkpoint(t) == ledger.CHECKPOINT_INTERVAL
+    # Make the two newest manifests legacy-full, then keep only them.
+    _legacyize(t, ledger.CHECKPOINT_INTERVAL + 1)
+    _legacyize(t, ledger.CHECKPOINT_INTERVAL + 2)
+    ledger.expire_history(t, keep_last=2)
+    # The pointer no longer names a deleted checkpoint file...
+    ptr = ledger.last_checkpoint(t)
+    if ptr is not None:
+        assert os.path.exists(
+            os.path.join(ledger._ledger_path(t), ledger._checkpoint_name(ptr))
+        )
+    # ...details() agrees, and the kept chain still resolves.
+    d = ledger.details(t)
+    assert d["last_checkpoint"] == ptr
+    ledger._RESOLVE_CACHE.clear()
+    got = sorted(r["k"] for r in ledger.read(spark, t).collect())
+    assert got == list(range(ledger.CHECKPOINT_INTERVAL + 3))
+
+
+def test_cache_key_misses_on_recreated_manifest_same_tick(spark, tmp_path):
+    """r13-advice regression: a table deleted and recreated at the same
+    path can reproduce (version, size) within one mtime-clock tick —
+    the cache key must still miss (st_ino/st_dev), or readers get the
+    OLD table's state pointing at deleted data dirs."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 1), key="k")
+    p = os.path.join(ledger._ledger_path(t), ledger._manifest_name(0))
+    k1 = ledger._cache_key(t, 0)
+    st = os.stat(p)
+    content = open(p).read()
+    # Recreate via a coexisting temp file (guaranteed distinct inode),
+    # then force the SAME mtime tick and size as the original.
+    tmp = p + ".recreate"
+    with open(tmp, "w") as fh:
+        fh.write(content)
+    os.replace(tmp, p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))
+    k2 = ledger._cache_key(t, 0)
+    st2 = os.stat(p)
+    assert (st2.st_mtime_ns, st2.st_size) == (st.st_mtime_ns, st.st_size)
+    assert k1 != k2

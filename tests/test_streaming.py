@@ -1168,3 +1168,54 @@ def test_ledger_stream_model_based_random_ops(spark, sf_dir, tmp_path):
     finally:
         q.stop()
     assert restarted or True  # restart is opportunistic under the seed
+
+
+def test_ledger_stream_legacy_window_honors_stream_contracts(
+    spark, tmp_path
+):
+    """r13-advice regression: one legacy full-snapshot manifest in a
+    micro-batch window routes the WHOLE window through resolved-set
+    planning — which must apply the same contracts as the delta path:
+    a data_change=false relayout (compact) in that window is skipped,
+    not raised as a rewrite; and a schema widening in that window fails
+    loudly instead of silently dropping the new column's values."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from .test_ledger import _legacyize
+
+    def one(k):
+        return spark.createDataFrame([(k, k * 10)], "k long, v long")
+
+    # Arm 1: compact after a legacy manifest, same window -> skipped.
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, one(0), key="k")
+    ledger.append(spark, t, one(1))
+    _legacyize(t, 1)
+    ledger.compact(spark, t, max_rows=100)  # v2, data_change=false
+    ledger.append(spark, t, one(2))  # v3
+    q = _start_feed(spark, t, "legacy_feed", startingVersion="0")
+    try:
+        q.processAllAvailable()  # window [0..3] contains the legacy v1
+        got = sorted(r["k"] for r in spark.table("legacy_feed").collect())
+        assert got == [0, 1, 2]  # compact emitted nothing, no error
+    finally:
+        q.stop()
+
+    # Arm 2: a schema widening lands MID-STREAM in the same window as a
+    # legacy manifest -> the resolved path must fail with the declared
+    # restart error (the delta path never reaches the widening version:
+    # planning falls back at the legacy one before it).
+    t2 = str(tmp_path / "t2")
+    ledger.create(spark, t2, one(0), key="k")
+    q2 = _start_feed(spark, t2, "legacy_feed2", startingVersion="0")
+    try:
+        q2.processAllAvailable()  # reader schema pinned at (k, v)
+        ledger.append(spark, t2, one(1))  # v1
+        _legacyize(t2, 1)
+        wide = spark.createDataFrame(
+            [(2, 20, "x")], "k long, v long, w string"
+        )
+        ledger.append(spark, t2, wide, merge_schema=True)  # v2 widens
+        with pytest.raises(Exception, match="changed the table schema"):
+            q2.processAllAvailable()
+    finally:
+        q2.stop()
