@@ -1718,3 +1718,81 @@ def test_cache_key_misses_on_recreated_manifest_same_tick(spark, tmp_path):
     st2 = os.stat(p)
     assert (st2.st_mtime_ns, st2.st_size) == (st.st_mtime_ns, st.st_size)
     assert k1 != k2
+
+
+def test_model_based_concurrent_writer_interleavings(spark, tmp_path):
+    """Model-based RACING writers (r13 stretch item): two threads each
+    drive a seeded append/merge sequence against the same table with no
+    external coordination. Optimistic concurrency must linearize them
+    into a gapless version history whose per-version states equal an
+    in-Python model replaying each landed commit's effect in version
+    order — append adds thread-unique keys, merge upserts (a shared hot
+    key + a fresh one), so the fold over the LANDED order is the exact
+    oracle regardless of interleaving."""
+    import random
+    import threading
+
+    t = str(tmp_path / "t")
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(rows.items())], "k long, v long"
+        )
+
+    ledger.create(spark, t, df_of({0: 0}), key="k")
+    landed: list[tuple[int, dict]] = []
+    lock = threading.Lock()
+    errors: list[Exception] = []
+
+    def worker(seed, base):
+        rng = random.Random(seed)
+        nk = base
+        try:
+            for _ in range(6):
+                if rng.random() < 0.5:
+                    rows = {nk + j: rng.randrange(1000) for j in range(2)}
+                    v = ledger.append(spark, t, df_of(rows), retries=12)
+                else:
+                    rows = {0: rng.randrange(1000), nk: rng.randrange(1000)}
+                    # Contention is the POINT here: with two writers
+                    # racing every commit, the default retry budget can
+                    # legitimately exhaust under load — give the test
+                    # enough attempts that only a LOST update (not a
+                    # lost race) can fail it.
+                    v = ledger.merge(spark, t, df_of(rows), retries=12)
+                nk += 10
+                with lock:
+                    landed.append((v, rows))
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(1401, 1000)),
+        threading.Thread(target=worker, args=(1402, 2000)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    versions = sorted(v for v, _ in landed)
+    # Linearized, gapless, no version handed to two writers.
+    assert versions == list(range(1, 13)), versions
+
+    state = {0: 0}
+    snapshots = {0: dict(state)}
+    for v, rows in sorted(landed):
+        state.update(rows)
+        snapshots[v] = dict(state)
+
+    ledger._RESOLVE_CACHE.clear()
+    got = {r["k"]: r["v"] for r in ledger.read(spark, t).collect()}
+    assert got == state
+    # Every intermediate version time-travels to its model state.
+    for v in ledger._versions(t):
+        got_v = {
+            r["k"]: r["v"]
+            for r in ledger.read(spark, t, version=v).collect()
+        }
+        assert got_v == snapshots[v], f"time travel to v{v}"
