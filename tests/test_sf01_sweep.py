@@ -74,8 +74,9 @@ SWEEP_PARAMS = [
         if _FULL or n in _WINDOW
         else pytest.mark.skip(
             reason="non-window sf0.1 parity is opt-in "
-            "(SPARK_GRAFT_SF01_SWEEP=1); last full run: 192/192 green "
-            "(round 6)"
+            "(SPARK_GRAFT_SF01_SWEEP=1); last full run: 197/197 green "
+            "(round 14, 213-query registry minus the 16 "
+            "quadratic-oracle exclusions)"
         ),
     )
     for n in SWEEP
