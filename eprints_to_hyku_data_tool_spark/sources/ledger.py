@@ -465,10 +465,18 @@ def _write_checkpoint(table: str, version: int) -> None:
                 return
     except (OSError, ValueError):
         pass
-    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    _write_pointer(d, version)
+
+
+def _write_pointer(ledger_dir: str, version: int) -> None:
+    """Atomically (re)write the ``_last_checkpoint`` pointer file — the
+    single place that knows its payload and write protocol (used by the
+    monotone advance in _write_checkpoint AND the rewind in
+    expire_history)."""
+    tmp = os.path.join(ledger_dir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         json.dump({"version": version}, fh)
-    os.replace(tmp, ptr)
+    os.replace(tmp, os.path.join(ledger_dir, _LAST_CHECKPOINT))
 
 
 def last_checkpoint(table: str) -> int | None:
@@ -515,14 +523,16 @@ def _commit(table: str, manifest: dict) -> int:
     if version > 0 and version % CHECKPOINT_INTERVAL == 0:
         try:
             _write_checkpoint(table, version)
-        except (OSError, LedgerError, ValueError):
+        except Exception:
             # Best-effort for real: the manifest is already linked, so
             # the commit SUCCEEDED — surfacing a checkpoint failure of
             # ANY kind here would make callers retry (and double-apply)
-            # a write that landed. Besides I/O errors, checkpointing
-            # resolves state (it can hit a concurrently-expired or
-            # corrupt chain → LedgerError, or bad JSON → ValueError).
-            # A lost checkpoint only lengthens later walks.
+            # a write that landed. Checkpointing resolves state, so
+            # besides I/O errors it can raise LedgerError (concurrently-
+            # expired chain), ValueError (bad JSON), or KeyError/
+            # TypeError (corrupt-but-parsable manifest) — the policy is
+            # the blanket catch, not an enumeration that can lag the
+            # implementation. A lost checkpoint only lengthens walks.
             pass
     return version
 
@@ -1201,14 +1211,10 @@ def expire_history(table: str, keep_last: int) -> list[int]:
             for f in os.listdir(d)
             if f.startswith(_CHECKPOINT_PREFIX) and f.endswith(".json")
         ]
-        ptr = os.path.join(d, _LAST_CHECKPOINT)
         if surviving:
-            tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
-            with open(tmp, "w") as fh:
-                json.dump({"version": max(surviving)}, fh)
-            os.replace(tmp, ptr)
+            _write_pointer(d, max(surviving))
         else:
-            os.unlink(ptr)
+            os.unlink(os.path.join(d, _LAST_CHECKPOINT))
     return expired
 
 

@@ -333,13 +333,17 @@ class _LedgerStreamReader(DataSourceStreamReader):
                     "schema (offsets are checkpointed — no data is "
                     "lost or re-delivered)"
                 )
-            if ledger._read_raw(self._table, v).get(
-                "data_change", True
-            ) is False:
+            if m.get("data_change", True) is False:
+                # (data_change rides the resolved state: every resolved
+                # constructor copies per-version extras, so no second
+                # _read_raw — which a concurrent expire could invalidate.)
                 # Row-identical relayout: its output groups carry only
-                # already-delivered rows. Mark them emitted so later
-                # versions' diffs stay correct, but plan nothing.
-                emitted.update(g["path"] for g in m["groups"])
+                # already-delivered rows. RESET emitted to the current
+                # group set — the new paths count as delivered, and the
+                # compacted-away paths must drop out (group paths are
+                # never reused, so a stale entry would only make a later
+                # pure-insert merge falsely read as a rewrite).
+                emitted = {g["path"] for g in m["groups"]}
                 continue
             if m["op"] not in _APPEND_OPS and not self._ignore_changes:
                 replaced = emitted - {g["path"] for g in m["groups"]}

@@ -1192,11 +1192,16 @@ def test_ledger_stream_legacy_window_honors_stream_contracts(
     _legacyize(t, 1)
     ledger.compact(spark, t, max_rows=100)  # v2, data_change=false
     ledger.append(spark, t, one(2))  # v3
+    # v4: a pure-insert merge (disjoint keys, removes nothing). The
+    # compacted-away paths must not linger in the emitted set — they
+    # would make this non-append op falsely read as a rewrite, which
+    # the delta path explicitly streams cleanly.
+    ledger.merge(spark, t, one(3))
     q = _start_feed(spark, t, "legacy_feed", startingVersion="0")
     try:
-        q.processAllAvailable()  # window [0..3] contains the legacy v1
+        q.processAllAvailable()  # window [0..4] contains the legacy v1
         got = sorted(r["k"] for r in spark.table("legacy_feed").collect())
-        assert got == [0, 1, 2]  # compact emitted nothing, no error
+        assert got == [0, 1, 2, 3]  # compact emitted nothing, no error
     finally:
         q.stop()
 
