@@ -96,7 +96,7 @@ def main() -> None:
 
     shared_builds = {
         "_build_copurchase_graph": lambda: (
-            copurchase.triangles(spark, sf_dir),  # builds und/deg/oriented too
+            copurchase.triangle_node_stats(spark, sf_dir),  # builds und/deg/oriented too
         ),
         "_build_neardup_pairs": lambda: (
             neardup.components(spark, sf_dir),  # builds verified_pairs too

@@ -15,6 +15,15 @@ DataFrame.checkpoint into that directory. Same semantics (eager
 materialization, lineage cut), executor-loss-proof storage. The env var
 makes the cluster posture an executable switch rather than a docstring
 claim (tests/test_graph.py runs the graph family under it).
+
+Cleanup: localCheckpoint blocks are freed by the ContextCleaner when
+the superseded DataFrames are GC'd. Reliable checkpoint FILES are only
+freed the same way because the session factory sets
+``spark.cleaner.referenceTracking.cleanCheckpoints`` (session.py, read
+at context creation) — Spark's default leaves them on disk forever,
+which at the iterative kernels' one-checkpoint-per-round cadence means
+O(rounds x edges) of permanent storage on exactly the 100 TB posture
+this switch exists for.
 """
 
 from __future__ import annotations

@@ -110,11 +110,23 @@ def oriented_plan(und: DataFrame, deg: DataFrame) -> DataFrame:
 
 
 def triangles_plan(oriented: DataFrame) -> DataFrame:
-    adj = oriented.groupBy("s").agg(F.collect_list("t").alias("nb"))
+    # Honest shuffle accounting (code-review r14): the SECOND join must
+    # repartition the first join's output by t while every row still
+    # carries nb_s — sum_edges |N+(s)| = sum_s d+(s)^2 array entries,
+    # i.e. the WEDGE TERM does cross the wire, as packed array payloads.
+    # That is the same O(m^1.5) bound as the classic wedge self-join,
+    # but with far better constants: no per-wedge row overhead, shuffle
+    # compression over homogeneous long arrays, and the intersection of
+    # two pre-grouped arrays instead of a second join. Degree
+    # orientation caps |N+| at ~sqrt(2m), which is what keeps the term
+    # civilized. The edge payload is trimmed to (s, t) before joining —
+    # dt is orientation metadata no triangle consumer needs.
+    edges = oriented.select("s", "t")
+    adj = edges.groupBy("s").agg(F.collect_list("t").alias("nb"))
     adj_s = adj.select(F.col("s").alias("a_s"), F.col("nb").alias("nb_s"))
     adj_t = adj.select(F.col("s").alias("a_t"), F.col("nb").alias("nb_t"))
-    e = oriented.join(adj_s, oriented.s == adj_s.a_s).join(
-        adj_t, oriented.t == adj_t.a_t
+    e = edges.join(adj_s, edges.s == adj_s.a_s).join(
+        adj_t, edges.t == adj_t.a_t
     )
     # Out-neighbor lists are duplicate-free (oriented edges are
     # distinct), so array_intersect is an exact set intersection.
@@ -122,6 +134,31 @@ def triangles_plan(oriented: DataFrame) -> DataFrame:
         F.col("s").alias("a"),
         F.col("t").alias("b"),
         F.explode(F.array_intersect("nb_s", "nb_t")).alias("c"),
+    )
+
+
+def triangle_node_stats_plan(oriented: DataFrame) -> DataFrame:
+    """(node, n_triangles, n_apex) — each node's triangle membership
+    count (every triangle credits its three corners) and the number of
+    triangles whose min-id corner it is. Aggregated INSIDE the plan so
+    the exploded (a, b, c) triangle rows — O(#triangles), super-linear
+    in graph density — are never materialized: both graph-family
+    consumers need only aggregates (the global count = sum(n_apex),
+    apex cardinality = nodes with n_apex > 0, clustering coefficient =
+    per-node n_triangles), so the shared intermediate is O(nodes)."""
+    t = triangles_plan(oriented)
+    return (
+        t.select(
+            F.explode(F.array("a", "b", "c")).alias("node"),
+            F.least("a", "b", "c").alias("apex"),
+        )
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_triangles"),
+            F.sum(
+                F.when(F.col("node") == F.col("apex"), 1).otherwise(0)
+            ).cast("long").alias("n_apex"),
+        )
     )
 
 
@@ -154,28 +191,34 @@ def degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _memo(spark, sf_dir, "deg", build)
 
 
-def triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(a, b, c) — every closed triangle exactly once, via per-edge
-    out-neighborhood intersection over the degree-oriented edge set:
-    for an oriented edge (s, t), every x in N+(s) ∩ N+(t) closes a
-    triangle. Degree orientation bounds |N+| by the effective degree
-    (O(sqrt(m)) under skew), so the intersect is the compact-forward
-    O(m^1.5) total-work scheme — but unlike the earlier wedge
-    SELF-JOIN + closing-join form it never SHUFFLES the wedge set
-    (|wedges| = sum_s C(d+(s), 2), the term that explodes at scale);
-    the only shuffled relations are the adjacency table (O(m) structs)
-    and the edge set itself, and the intersection of two pre-grouped
-    arrays runs inside whole-stage codegen. a/b/c come out in
-    (deg, id) order: a = s (lowest), b = t, c the common head.
-    Shared by the global triangle count (q66 lineage) and the
+def triangle_node_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, n_triangles, n_apex) per node incident to a triangle —
+    the memoized triangle intermediate for the whole graph family.
+
+    Triangle enumeration runs per-edge out-neighborhood intersection
+    over the degree-oriented edge set: for an oriented edge (s, t),
+    every x in N+(s) ∩ N+(t) closes a triangle. Degree orientation
+    bounds |N+| by the effective degree (O(sqrt(m)) under skew) — the
+    compact-forward O(m^1.5) total-work scheme; the wedge term crosses
+    the second join's shuffle as packed array payloads (see
+    triangles_plan for the honest accounting), and the intersection of
+    two pre-grouped arrays runs inside whole-stage codegen.
+
+    What the session memo MATERIALIZES is the per-node aggregate, not
+    the exploded (a, b, c) rows: #triangles grows super-linearly with
+    graph density, and checkpointing it would exhaust executor disk at
+    exactly the dense-graph scale the enumeration survives — while the
+    global count (sum(n_apex)), the apex cardinality (n_apex > 0), and
+    the per-node clustering coefficient are all O(nodes) reads of this
+    table. Shared by the global triangle count (q66 lineage) and the
     per-node clustering coefficient (q51 lineage) — triangle
-    enumeration is the single most expensive step of the graph
-    family, so it runs once per session."""
+    enumeration is the single most expensive step of the graph family,
+    so it runs once per session."""
 
     def build() -> DataFrame:
-        return triangles_plan(oriented_edges(spark, sf_dir))
+        return triangle_node_stats_plan(oriented_edges(spark, sf_dir))
 
-    return _memo(spark, sf_dir, "triangles", build)
+    return _memo(spark, sf_dir, "tri_node_stats", build)
 
 
 def oriented_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,10 +36,21 @@ from .memo import session_memo
 def grams_plan(docs: DataFrame) -> DataFrame:
     """Unmaterialized (doc_id, grams) pipeline over a documents table —
     exposed separately so tests can assert the build's plan shape (the
-    memoized accessor's checkpoint boundary would hide the scan)."""
+    memoized accessor's checkpoint boundary would hide the scan).
+
+    The tokens are bound as a materialized column BEFORE the shingle
+    transform — the q_north.shingle_expr rule: an inline split() inside
+    the higher-order lambda (CodegenFallback, no common-subexpression
+    elimination) re-splits the full text once per shingle start,
+    O(tokens^2) per document. Short fixture docs never show it; a
+    100k-token document at corpus scale never finishes."""
+    from pyspark.sql import functions as F
+
     from ..plans.q_corpus import _grams8, _tokens
 
-    return docs.select("doc_id", _grams8(_tokens()).alias("grams"))
+    return docs.select("doc_id", _tokens().alias("toks")).select(
+        "doc_id", _grams8(F.col("toks")).alias("grams")
+    )
 
 
 def doc_grams8(spark: SparkSession, sf_dir: str) -> DataFrame:

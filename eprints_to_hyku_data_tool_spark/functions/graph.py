@@ -18,10 +18,13 @@ DataFrame aggregations:
 Each round is two shuffles keyed on node id; no per-node neighbor lists
 are ever materialized (the min is an aggregate, the re-pointing a join),
 so a 100 TB-scale high-degree hub costs an aggregation, not a
-collect_list. Converges in O(log n) rounds even on path graphs — unlike
-naive min-label propagation, which needs O(diameter) rounds. The driver
-sees two scalars per round (edge count + order-insensitive checksum) for
-the convergence test.
+collect_list. The PROVEN convergence bound for the alternation is
+O(log^2 n) rounds w.h.p. (Kiveris et al., Thm 2) — not O(log n), which
+holds for the two-phase variants — but the observed round count on
+real near-dup/co-occurrence graphs is single-digit; either way it beats
+naive min-label propagation's O(diameter). The driver sees two scalars
+per round (edge count + order-insensitive checksum) for the convergence
+test.
 """
 
 from __future__ import annotations
@@ -30,6 +33,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .checkpointing import materialize
+
+
+def _long_or_die(col: str, what: str):
+    """try_cast to long, raising a loud in-plan error when a non-NULL id
+    fails the cast: under ANSI a plain cast already throws (generic
+    CAST_INVALID_INPUT), but with ANSI off it silently NULLs — and a
+    NULLed id drops its edges in the u != v / join filters, turning a
+    bad id column into a silent zero-duplicates result. Same actionable
+    message in both modes."""
+    casted = F.col(col).try_cast("long")
+    return F.when(
+        F.col(col).isNotNull() & casted.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what} id "),
+                F.col(col).cast("string"),
+                F.lit(
+                    " is not castable to long — non-numeric ids "
+                    "would silently drop every edge; map ids to "
+                    "longs (e.g. a dense rank or xxhash64 with a "
+                    "collision check) first"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(casted)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -75,7 +103,7 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_rounds: int = 25,
+    max_rounds: int = 50,
 ) -> DataFrame:
     """(id_a, id_b) pair rows -> (node, component) with component = the
     smallest node id reachable from `node`. Only nodes that appear in at
@@ -84,10 +112,20 @@ def connected_components(
 
     ``max_rounds`` bounds the alternation; convergence (edge set stable
     under both stars) is checked per round via count + order-insensitive
-    checksum and is reached in O(log n) rounds.
+    checksum. The proven bound is O(log^2 n) rounds w.h.p. (module
+    docstring) — 50 covers it to astronomically more nodes than 64-bit
+    ids can name, while the old 25 could be exceeded by chain-shaped
+    components within the proven bound at 10^8+ nodes and then threw
+    away 25 rounds of full-graph shuffles. Ids must be integral (or
+    integral-valued strings): a non-castable id would silently become
+    NULL, the u != v filter would drop its edges, and cluster dedupe
+    would quietly report zero duplicates — so the cast is guarded with
+    an in-plan raise_error instead.
     """
+
     edges = pairs.select(
-        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        _long_or_die(id_a, "connected_components: left").alias("u"),
+        _long_or_die(id_b, "connected_components: right").alias("v"),
     ).filter(F.col("u") != F.col("v"))
     # Materialize the input ONCE: the fingerprint action below and the
     # first round's checkpoint would otherwise each re-evaluate the
@@ -146,11 +184,15 @@ def pagerank(
     partitioning), so every round's ranks join re-shuffles only the
     node-sized ranks table while the 100-TB edge table stays in place;
     AQE is still free to promote the join to broadcast when ranks
-    actually fits. Checkpoint blocks are MEMORY_AND_DISK and are
+    actually fits. localCheckpoint blocks are MEMORY_AND_DISK and are
     released by Spark's ContextCleaner once the superseded DataFrames
     are GC'd — DataFrame.unpersist() does NOT free them (it only
     consults the cache manager), so no manual cleanup is attempted
-    here.
+    here. Reliable checkpoint FILES (the SPARK_GRAFT_CHECKPOINT_DIR
+    posture) get the same GC-driven lifecycle only because the session
+    factory sets spark.cleaner.referenceTracking.cleanCheckpoints
+    (session.py) — without it every superseded round's O(nodes) file
+    would accumulate for the life of the application.
 
     Round-6 iteration shape: the old per-round ``nodes LEFT JOIN
     contribs`` is folded INTO the contribution aggregation — a static
@@ -171,8 +213,8 @@ def pagerank(
     (linear lineage), so a cadence checkpoint every few rounds just
     bounds plan depth."""
     edges = edges.select(
-        F.col("src").cast("long").alias("src"),
-        F.col("dst").cast("long").alias("dst"),
+        _long_or_die("src", "pagerank: src").alias("src"),
+        _long_or_die("dst", "pagerank: dst").alias("dst"),
     )
     edges = materialize(edges)
     nodes = materialize(

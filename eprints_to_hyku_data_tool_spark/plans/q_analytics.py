@@ -462,20 +462,30 @@ _TRI_EDGES_SQL = """
     "closing join (SURVEY §2.13 graph family).",
 )
 def z117566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.copurchase import triangles
+    from ..functions.copurchase import triangle_node_stats
 
     # Shared memoized materializations (functions/copurchase.py): edge
-    # set, degree-ordered orientation, AND the closed-triangle table are
-    # each built once per session for the whole graph family (the wedge
-    # join is the family's most expensive step; without the shared
-    # checkpoints Catalyst re-derives the self-join+distinct subtree
-    # per reference — measured: 26 exchanges -> 5).
-    tri = triangles(spark, sf_dir)
-    # The degree-ordered apex is NOT the id-ordered one the oracle sees;
-    # report the orientation-invariant min-id member instead.
-    return tri.agg(
-        F.count(F.lit(1)).alias("n_triangles"),
-        F.countDistinct(F.least("a", "b", "c")).alias("n_apex_nodes"),
+    # set, degree-ordered orientation, AND the per-node triangle stats
+    # are each built once per session for the whole graph family (the
+    # wedge join is the family's most expensive step; without the
+    # shared checkpoints Catalyst re-derives the self-join+distinct
+    # subtree per reference — measured: 26 exchanges -> 5). The memo is
+    # O(nodes): every triangle has exactly one min-id (apex) corner, so
+    # the global count is sum(n_apex) and the apex cardinality is the
+    # count of nodes with n_apex > 0 — the exploded O(#triangles) rows
+    # never materialize.
+    stats = triangle_node_stats(spark, sf_dir)
+    # coalesce: a triangle-free graph yields an EMPTY stats table, and
+    # sum() over zero rows is NULL where the old count() form gave 0.
+    return stats.agg(
+        F.coalesce(F.sum("n_apex"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n_apex") > 0, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_apex_nodes"),
     )
 
 

@@ -106,8 +106,15 @@ def _grams8(tk):
     "build (functions/grams.py, ridden by z8301): both branches read "
     "one materialized (doc_id, grams) checkpoint, which removed the "
     "double subtree evaluation behind the 18.1x cold smoke ratio. "
-    "At 100 TB the broadcast is O(eval suite), constant in "
-    "corpus size (decontamination mandate).",
+    "Broadcast contract, stated honestly (code-review r14): the hint "
+    "encodes the PRODUCTION shape — an eval suite is a fixed benchmark "
+    "set whose distinct grams are MBs, and the hint keeps the map-side "
+    "join even on clusters that disable autoBroadcast. The fixture's "
+    "doc_id % 53 stand-in does NOT share that property (it is 1/53 of "
+    "the corpus, linear in data): feeding a corpus-sized eval side "
+    "hits Spark's 8 GB broadcast hard cap, which fails LOUDLY with the "
+    "table size in the message — the remedy (drop the hint, let the "
+    "gram match shuffle) is a one-line change the error makes obvious.",
 )
 def z11775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.grams import doc_grams8

@@ -163,18 +163,18 @@ def z9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degree join — both node-keyed.",
 )
 def z117551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.copurchase import degrees, triangles
+    from ..functions.copurchase import degrees, triangle_node_stats
 
     # Shared memoized graph (functions/copurchase.py): one edge-set /
-    # degree / triangle materialization per session serves the whole
-    # graph family — neither z117566_triangle_count's orientation nor its
-    # wedge join is recomputed here (r5 verdict item 6).
+    # degree / triangle-stats materialization per session serves the
+    # whole graph family — neither z117566_triangle_count's orientation
+    # nor its wedge join is recomputed here (r5 verdict item 6). The
+    # shared intermediate is the O(nodes) per-node aggregate, so this
+    # query's old explode-count over O(#triangles) rows is now a plain
+    # column read.
     deg = degrees(spark, sf_dir)
-    tri = triangles(spark, sf_dir)
-    pernode = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    pernode = triangle_node_stats(spark, sf_dir).select(
+        "node", "n_triangles"
     )
     return (
         deg.join(pernode, "node", "left")

@@ -56,6 +56,17 @@ def get_spark(
         # vectorized reader rejects; read as long ns and convert in
         # sources.tables.load_table (data is us-precision, so exact).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Reliable checkpoint FILES (the SPARK_GRAFT_CHECKPOINT_DIR
+        # cluster posture — functions/checkpointing.py) are NOT cleaned
+        # by default: without this flag every per-round edge-set
+        # checkpoint of an iterative kernel accumulates in the
+        # checkpoint store for the life of the app and beyond. With it,
+        # the ContextCleaner deletes a checkpoint's files once the
+        # superseded DataFrame is GC'd — the same lifecycle the
+        # localCheckpoint block path already had. Cleaner configs are
+        # read at SparkContext creation, so this cannot be applied in
+        # tune_session to an externally created session.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

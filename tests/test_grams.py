@@ -55,3 +55,19 @@ def test_consumers_share_the_build(spark, sf_dir, monkeypatch):
     z11775_decontaminate(spark, sf_dir)
     z128301_duplicate_ngram_filter(spark, sf_dir)
     assert len(calls) == 2
+
+
+def test_grams_plan_splits_once_not_per_shingle(spark, sf_dir):
+    """code-review r14: an inline split() inside the shingle transform's
+    lambda (CodegenFallback — no common-subexpression elimination) would
+    re-split the full text once per shingle start, O(tokens^2) per doc.
+    The tokens must survive OPTIMIZATION as their own projection, with
+    the lambda slicing a bound attribute — pin it on the optimized plan,
+    where CollapseProject would be the rule that silently undid it."""
+    from eprints_to_hyku_data_tool_spark.functions.grams import grams_plan
+    from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+    df = grams_plan(load_table(spark, sf_dir, "documents"))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "slice(split" not in opt, opt
+    assert opt.count("split(") == 1, opt

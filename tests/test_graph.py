@@ -234,7 +234,9 @@ def test_copurchase_memo_builds_once_per_session(spark, sf_dir):
     assert cp.oriented_edges(spark, sf_dir) is cp.oriented_edges(
         spark, sf_dir
     )
-    assert cp.triangles(spark, sf_dir) is cp.triangles(spark, sf_dir)
+    assert cp.triangle_node_stats(spark, sf_dir) is cp.triangle_node_stats(
+        spark, sf_dir
+    )
 
     n_und = und1.count()
     assert n_und > 0
@@ -277,7 +279,7 @@ def test_graph_family_reads_shared_checkpoint_not_parquet(spark, sf_dir):
     from eprints_to_hyku_data_tool_spark.functions import copurchase as cp
     from eprints_to_hyku_data_tool_spark.plans.registry import REGISTRY
 
-    cp.triangles(spark, sf_dir)  # ensure the memo is built
+    cp.triangle_node_stats(spark, sf_dir)  # ensure the memo is built
 
     def plan(name):
         buf = io.StringIO()
@@ -325,3 +327,68 @@ def test_pagerank_empty_graph(spark):
     out = pagerank(empty)
     assert out.columns == ["node", "rank"]
     assert out.count() == 0
+
+
+def test_connected_components_rejects_uncastable_ids(spark):
+    """code-review r14: non-numeric ids used to cast('long') to NULL,
+    the u != v filter then dropped EVERY edge, and cluster dedupe
+    silently reported zero duplicates. The cast is now guarded with an
+    in-plan raise_error; integral-valued strings still pass."""
+    import pytest as _pytest
+
+    from eprints_to_hyku_data_tool_spark.functions.graph import (
+        connected_components,
+    )
+
+    ok = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("7", "8")], "id_a string, id_b string"
+    )
+    comps = {
+        r["node"]: r["component"]
+        for r in connected_components(ok).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    bad = spark.createDataFrame(
+        [("doc-1", "doc-2")], "id_a string, id_b string"
+    )
+    with _pytest.raises(Exception, match="not castable to long"):
+        connected_components(bad).collect()
+
+
+def test_triangle_node_stats_matches_enumeration(spark, sf_dir):
+    """The O(nodes) shared intermediate must agree with the exploded
+    triangle enumeration it replaced: per-node membership counts equal
+    the explode-count over triangles_plan, and sum(n_apex) equals the
+    triangle count (every triangle has exactly one min-id corner)."""
+    from eprints_to_hyku_data_tool_spark.functions import copurchase as cp
+
+    ori = cp.oriented_edges(spark, sf_dir)
+    tri = cp.triangles_plan(ori)
+    want_total = tri.count()
+    want_pernode = {
+        r["node"]: r["n"]
+        for r in tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stats = cp.triangle_node_stats(spark, sf_dir)
+    got = {r["node"]: (r["n_triangles"], r["n_apex"]) for r in stats.collect()}
+    assert {k: v[0] for k, v in got.items()} == want_pernode
+    assert sum(v[1] for v in got.values()) == want_total
+    assert want_total > 0  # fixture graph has triangles; test has teeth
+
+
+def test_session_cleans_reliable_checkpoints(spark):
+    """code-review r14: without cleanCheckpoints, reliable checkpoint
+    FILES (the SPARK_GRAFT_CHECKPOINT_DIR posture) accumulate for the
+    life of the app — one O(edges) directory per iterative round. The
+    session factory must pin the cleaner flag (context-creation config,
+    not settable later)."""
+    assert (
+        spark.conf.get("spark.cleaner.referenceTracking.cleanCheckpoints")
+        == "true"
+    )

@@ -89,7 +89,7 @@ _RUNNER = textwrap.dedent(
         neardup,
     )
 
-    copurchase.triangles(spark, sf_dir)
+    copurchase.triangle_node_stats(spark, sf_dir)
     neardup.components(spark, sf_dir)
     grams.doc_grams8(spark, sf_dir)
 
@@ -141,7 +141,7 @@ _BUILD_RUNNER = textwrap.dedent(
     )
 
     builds = {{
-        "_build_copurchase_graph": lambda: copurchase.triangles(
+        "_build_copurchase_graph": lambda: copurchase.triangle_node_stats(
             spark, sf_dir
         ),
         "_build_neardup_pairs": lambda: neardup.components(spark, sf_dir),

@@ -72,7 +72,7 @@ def _run_tier(spark, sf_dir: str) -> dict[str, float]:
     copurchase.undirected_edges(spark, sf_dir)
     copurchase.degrees(spark, sf_dir)
     copurchase.oriented_edges(spark, sf_dir)
-    copurchase.triangles(spark, sf_dir)
+    copurchase.triangle_node_stats(spark, sf_dir)
     out["_build_copurchase_graph"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
