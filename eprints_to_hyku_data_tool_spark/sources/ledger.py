@@ -99,10 +99,16 @@ drops/renames/type-widening (add-column only), z-order cluster columns
 must be numeric/date/timestamp/string (strings use sampled range
 boundaries, the RangePartitioner approach), whole-snapshot optimize
 (no incremental file selection), POSIX-atomic link (swap for a
-conditional PUT off-box), JSON checkpoints (the production formats use
-parquet checkpoints so group lists are column-pruned; at this format's
-scale tier the JSON parse is not the bottleneck — measured in
-LEDGER_BENCH.json's metadata ladder).
+conditional PUT off-box), JSON checkpoints. The parquet-checkpoint
+swap was ADJUDICATED with a measurement (r14), not just deferred: at
+the 100k-group tier a columnar checkpoint loses on time for this
+runtime's access pattern — pyarrow build+write 0.44 s vs compact-JSON
+dump 0.33 s, and read+rebuild-into-dicts 0.85 s vs json.loads 0.53 s —
+because resolution consumes python group dicts, so the decode pays a
+column->dict transpose that JSON never does; only the bytes shrink
+(6.4 vs 18 MB). Parquet checkpoints pay off when resolution itself
+goes columnar (vectorized stat pruning over the group table), which is
+the production formats' design and a rewrite, not a swap.
 """
 
 from __future__ import annotations
