@@ -11,9 +11,19 @@ is registered in ``plans/registry.py`` together with its oracle SQL.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# A driver that loads this module by FILE location (importlib spec from
+# an arbitrary cwd) has no reason to have the repo root on sys.path;
+# bootstrap it here exactly like bench.py does, so the package import
+# below never depends on how the module was reached (code-review r14).
+_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
 
 from eprints_to_hyku_data_tool_spark.plans.registry import (
     flagship_name,

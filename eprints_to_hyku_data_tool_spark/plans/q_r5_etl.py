@@ -602,6 +602,32 @@ def z9336_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _LEDGER_DEMO: dict[tuple[str, str], str] = {}
 
+# Demo-table dirs this process created, removed at interpreter exit:
+# every driver sweep / bench / adjudicate subprocess used to leave its
+# ledger_* dirs in the system temp dir forever, because the path embeds
+# the (unique) applicationId so no later process ever recomputes it to
+# reuse OR remove it (code-review r14). The digest of sf_dir replaces
+# abs(hash(...)), which was randomized per process by PYTHONHASHSEED.
+_DEMO_DIRS: set[str] = set()
+
+
+def _demo_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    import atexit
+    import hashlib
+    import shutil
+    import tempfile
+
+    app = spark.sparkContext.applicationId
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{app}_{digest}")
+    if not _DEMO_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _DEMO_DIRS]
+        )
+    _DEMO_DIRS.add(path)
+    return path
+
+
 
 def _ledger_demo_table(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per application + sf_dir) the demo ledger table:
@@ -614,7 +640,6 @@ def _ledger_demo_table(spark: SparkSession, sf_dir: str) -> str:
     in tests/test_ledger.py — these two registered queries are the
     driver-facing correctness contract for its MERGE + snapshot reads."""
     import shutil
-    import tempfile
 
     from ..sources import ledger
 
@@ -623,9 +648,7 @@ def _ledger_demo_table(spark: SparkSession, sf_dir: str) -> str:
     path = _LEDGER_DEMO.get(k)
     if path is not None and os.path.isdir(path):
         return path
-    path = os.path.join(
-        tempfile.gettempdir(), f"ledger_demo_{app}_{abs(hash(sf_dir))}"
-    )
+    path = _demo_dir(spark, sf_dir, "ledger_demo")
     shutil.rmtree(path, ignore_errors=True)
     snap = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -720,7 +743,6 @@ def _ledger_evolved_table(spark: SparkSession, sf_dir: str) -> str:
     y93 reads the evolved head (old rows NULL-fill the new column),
     y95 restores version 0 on a throwaway copy and reads it back."""
     import shutil
-    import tempfile
 
     from ..sources import ledger
 
@@ -729,9 +751,7 @@ def _ledger_evolved_table(spark: SparkSession, sf_dir: str) -> str:
     path = _LEDGER_DEMO2.get(k)
     if path is not None and os.path.isdir(path):
         return path
-    path = os.path.join(
-        tempfile.gettempdir(), f"ledger_evo_{app}_{abs(hash(sf_dir))}"
-    )
+    path = _demo_dir(spark, sf_dir, "ledger_evo")
     shutil.rmtree(path, ignore_errors=True)
     snap = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -804,14 +824,11 @@ def q1193_ledger_schema_evolution(
 )
 def q1194_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..sources import ledger
 
     app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"ledger_z_{app}_{abs(hash(sf_dir))}"
-    )
+    path = _demo_dir(spark, sf_dir, "ledger_z")
     if not os.path.isdir(os.path.join(path, "_ledger")):
         shutil.rmtree(path, ignore_errors=True)
         orders = load_table(spark, sf_dir, "orders").select(
@@ -851,15 +868,12 @@ def q1194_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q1195_ledger_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
     from ..sources import ledger
 
     src = _ledger_evolved_table(spark, sf_dir)
     app = spark.sparkContext.applicationId
-    path = os.path.join(
-        tempfile.gettempdir(), f"ledger_rst_{app}_{abs(hash(sf_dir))}"
-    )
+    path = _demo_dir(spark, sf_dir, "ledger_rst")
     if not os.path.isdir(os.path.join(path, "_ledger")):
         shutil.rmtree(path, ignore_errors=True)
         shutil.copytree(src, path)

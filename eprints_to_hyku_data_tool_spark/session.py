@@ -15,6 +15,11 @@ from __future__ import annotations
 
 import os
 
+# Module-level on purpose: warm_session's pandas_udf resolves its
+# (stringified, future-annotations) type hints against THIS module's
+# globals — a function-local pandas import leaves 'pd.Series'
+# unresolvable and the UDF creation fails.
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -119,3 +124,42 @@ def tune_session(spark: SparkSession) -> SparkSession:
     except Exception:
         pass
     return spark
+
+
+def warm_session(spark: SparkSession, sf_dir: str, on_error=None) -> None:
+    """The ONE warm-up recipe every measurement entry point shares
+    (bench.py and both of tools/adjudicate.py's fresh-session runners —
+    code-review r14: three hand-kept copies had already diverged once,
+    and the adjudicator's verdicts assume its sessions are warmed
+    EXACTLY like bench's): scan every table once through a noop sink
+    (JVM, parquet footers, every column) and run one trivial Arrow
+    pandas-UDF job to spin up the python workers.
+
+    ``on_error(stage, exc)`` makes failures non-fatal per stage (bench
+    must always print its one JSON line); the default re-raises.
+    """
+    from pyspark.sql import functions as F
+
+    from .sources.tables import TABLES
+
+    for t in TABLES:
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+            df.count()
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:
+            if on_error is None:
+                raise
+            on_error(t, exc)
+    try:
+        @F.pandas_udf("long")
+        def _warm(s: pd.Series) -> pd.Series:
+            return s
+
+        spark.range(64).repartition(32).select(_warm("id")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as exc:
+        if on_error is None:
+            raise
+        on_error("arrow", exc)

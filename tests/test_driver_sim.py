@@ -318,3 +318,35 @@ def test_ledger_datasource_sim_detects_pickling_regression(tmp_path):
     assert proc.returncode == 0 and (
         "LEDGER_SIM_NEGATIVE_FAILED_AS_EXPECTED" in proc.stdout
     ), proc.stdout[-2000:] + "\n--- stderr ---\n" + proc.stderr[-3000:]
+
+
+def test_entry_module_loads_by_file_location(tmp_path):
+    """code-review r14: a driver that loads __spark_entry__.py via
+    importlib.util.spec_from_file_location from an arbitrary cwd has no
+    reason to have the repo root on sys.path — the module must
+    bootstrap its own package import (bench.py already did; the entry
+    module did not). Run in a subprocess with a foreign cwd and a
+    sys.path scrubbed of the repo root."""
+    import subprocess
+    import sys
+
+    code = (
+        "import importlib.util, sys\n"
+        "sys.path = [p for p in sys.path if 'repo' not in p]\n"
+        "spec = importlib.util.spec_from_file_location("
+        "'__spark_entry__', '/root/repo/__spark_entry__.py')\n"
+        "mod = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(mod)\n"
+        "qs = mod.queries(); osql = mod.oracle_sql()\n"
+        "assert len(qs) == len(osql) > 0\n"
+        "print('FILE-LOCATION-LOAD-OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "FILE-LOCATION-LOAD-OK" in proc.stdout

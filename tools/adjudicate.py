@@ -58,25 +58,16 @@ _RUNNER = textwrap.dedent(
     from eprints_to_hyku_data_tool_spark.plans.registry import (
         REGISTRY, _load_all,
     )
-    from eprints_to_hyku_data_tool_spark.sources.tables import TABLES
+    from eprints_to_hyku_data_tool_spark.session import warm_session
 
     sf_dir, runs, names = sys.argv[1], int(sys.argv[2]), sys.argv[3:]
     spark = get_spark(app_name="adjudicate", driver_memory="48g")
     _load_all()
-    from pyspark.sql import functions as F
-
-    for t in TABLES:
-        df = spark.read.parquet(f"{{sf_dir}}/{{t}}.parquet")
-        df.count()
-        df.write.format("noop").mode("overwrite").save()
-
-    @F.pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(64).repartition(32).select(_warm("id")).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # The ONE shared warm-up recipe (session.warm_session): the
+    # adjudicator's premise is that its fresh sessions are warmed
+    # EXACTLY like bench.py's, so the recipe must not be a hand-kept
+    # copy that can drift (code-review r14).
+    warm_session(spark, sf_dir)
 
     # Pre-pay ALL THREE session-memoized shared intermediates so family
     # queries measure marginals, exactly like bench.py (grams was
@@ -113,26 +104,12 @@ _BUILD_RUNNER = textwrap.dedent(
     """
     import json, sys, time
     sys.path.insert(0, {root!r})
-    import pandas as pd
-    from eprints_to_hyku_data_tool_spark.session import get_spark
-    from eprints_to_hyku_data_tool_spark.sources.tables import TABLES
+    from eprints_to_hyku_data_tool_spark.session import get_spark, warm_session
 
     sf_dir, name = sys.argv[1], sys.argv[2]
     spark = get_spark(app_name="adjudicate-build", driver_memory="48g")
-    from pyspark.sql import functions as F
-
-    for t in TABLES:
-        df = spark.read.parquet(f"{{sf_dir}}/{{t}}.parquet")
-        df.count()
-        df.write.format("noop").mode("overwrite").save()
-
-    @F.pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
-    spark.range(64).repartition(32).select(_warm("id")).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # The ONE shared warm-up recipe — see _RUNNER (code-review r14).
+    warm_session(spark, sf_dir)
 
     from eprints_to_hyku_data_tool_spark.functions import (
         copurchase,

@@ -53,8 +53,17 @@ def load_green_rows() -> dict[int, set[str]]:
             if (
                 isinstance(row, dict)
                 and row.get("rows_match")
-                and row.get("schema_match", True)
-                and row.get("hash_match", True)
+                # Absent keys count as NOT verified (code-review r14):
+                # a rows-only driver row (oracle=None queries get the
+                # weaker check) must not earn hash-grade freshness, or
+                # the stalest-first rotation would never re-prioritize
+                # it. Every artifact r01-r13 carries all three keys
+                # (audited), so this changes nothing historical; if a
+                # rows-only query is ever registered, the rotation
+                # staleness tests will flag it as never-hash-verified —
+                # which is the truth.
+                and row.get("schema_match", False)
+                and row.get("hash_match", False)
             ):
                 green.add(name)
         out[_round_of(f)] = green
