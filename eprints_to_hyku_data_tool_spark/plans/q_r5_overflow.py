@@ -1290,7 +1290,7 @@ def _benford_case(col: str) -> str:
       GROUP BY digit),
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM cnt)
     SELECT cnt.digit, cnt.n_obs,
-           {_benford_case("cnt.digit")} AS expected_p,
+           CAST({_benford_case("cnt.digit")} AS DOUBLE) AS expected_p,
            CAST(cnt.n_obs AS DOUBLE) / CAST(tot.n AS DOUBLE) AS observed_p,
            (CAST(cnt.n_obs AS DOUBLE)
               - CAST(tot.n AS DOUBLE) * {_benford_case("cnt.digit")})

@@ -6,20 +6,33 @@ Floats are compared via shortest round-trip repr, i.e. bit-exact: queries are
 required to produce deterministic doubles (decimal-exact aggregation, IEEE
 row-level arithmetic), not "close enough" ones.
 
-Canonical tokens are TYPED and collision-free (code-review r13): strings
-canonicalize via repr with an `s:` tag, bytes via a `b:` tag, so a VARCHAR
-'NULL' can never compare equal to SQL NULL, '5' to 5, or 'a|b','c' to
-'a','b|c' through the row join. Values are extracted from Spark via
-``collect()`` and from DuckDB via the Arrow table's ``to_pylist()`` — NOT
-through pandas — because both pandas paths fold SQL NULL into NaN for float
-columns and degrade nullable BIGINT to float64 (collapsing integers above
-2^53), which would hide genuine engine divergence.
+Canonical tokens are TYPED and collision-free (code-review r13 + r14):
+strings canonicalize via repr with an `s:` tag, bytes via a `b:` tag,
+decimals via a `d:` tag, arrays via `a:[...]`, structs/maps via a keyed
+`kv:{...}` form — so a VARCHAR 'NULL' can never compare equal to SQL NULL,
+'5' to 5, a STRUCT(1,2) to an ARRAY [1,2] (the r14 container-collision
+class), or 'a|b','c' to 'a','b|c' through the row join.
+
+Extraction is SYMMETRIC through Arrow on both sides (code-review r14):
+Spark via ``DataFrame.toArrow()`` and DuckDB via ``fetch_arrow_table()``,
+both read out with ``to_pylist()`` — NOT through pandas — because the
+pandas paths fold SQL NULL into NaN for float columns and degrade nullable
+BIGINT to float64 (collapsing integers above 2^53). The Arrow path also
+fixes two asymmetries the old ``collect()`` extraction had: TimestampType
+rows came back through ``datetime.fromtimestamp`` (OS-LOCAL timezone — a
+latent whole-suite false RED on any non-UTC machine; Arrow attaches the
+session's UTC zone instead), and containers came back as positional Row
+tuples vs DuckDB's keyed dicts (structs now surface as dicts and maps as
+key-value tuple lists on BOTH sides). It also halves the gate's Spark
+cost: the driver-canon sortability probe runs on ``to_pandas()`` of the
+SAME materialized Arrow table instead of a second full execution.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
 import math
+from collections import Counter
 from decimal import Decimal
 
 import numpy as np
@@ -43,9 +56,15 @@ def canon_value(v) -> str:
     if isinstance(v, Decimal):
         # Exact, not via float: above 2^53 two different decimals would
         # otherwise canonicalize identically. Trailing zeros are stripped so
-        # Decimal('1.10') == Decimal('1.1') canonicalize the same.
+        # Decimal('1.10') == Decimal('1.1') canonicalize the same. Tagged
+        # (code-review r14): the untagged token collided with a double's
+        # shortest repr within half an ulp ('bit-exact' gate, laxer compare)
+        # and flipped to a false RED exactly when the value was integral
+        # ('2' int-token vs '2.0' float-token). Oracles must CAST to the
+        # type the Spark side returns — the one decimal-emitting oracle
+        # (benford expected_p) now casts to DOUBLE.
         d = v.normalize()
-        return format(d, "f")
+        return "d:" + format(d, "f")
     if isinstance(v, pd.Timestamp):
         if pd.isna(v):
             return "NULL"
@@ -71,17 +90,38 @@ def canon_value(v) -> str:
         # string carries stay inside the quotes, so nested joins below and
         # the row join in canon_frame cannot be confused by cell content.
         return "s:" + repr(v)
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    # Containers (code-review r14): each family carries its own tag so a
+    # struct can never compare equal to an array of its fields (pyspark's
+    # Row subclasses tuple — untagged, STRUCT(1,2) and LIST [1,2] were
+    # byte-identical tokens). Structs and maps share the keyed kv-form on
+    # purpose: Spark surfaces structs as Rows/dicts and maps as dicts,
+    # Arrow-extracted DuckDB surfaces structs as dicts and maps as
+    # key-value tuple lists — one keyed form makes equal values match
+    # whichever keyed shape the engine used. (Arrow surfaces an empty map
+    # as [] — indistinguishable from an empty list, so it canonicalizes
+    # as a:[]; queries comparing empty maps must cast them.)
+    if isinstance(v, tuple) and hasattr(v, "asDict"):  # pyspark Row
+        v = v.asDict()
     if isinstance(v, dict):
         return (
-            "{"
+            "kv:{"
             + ",".join(
-                f"{canon_value(k)}:{canon_value(x)}"
+                f"{canon_value(k)}={canon_value(x)}"
                 for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
             )
             + "}"
         )
+    if isinstance(v, (list, tuple, np.ndarray)):
+        vals = list(v)
+        if vals and all(
+            isinstance(x, tuple) and not hasattr(x, "asDict") and len(x) == 2
+            for x in vals
+        ):
+            # Arrow's to_pylist shape for MAP values: a list of plain
+            # (key, value) 2-tuples. Plain tuples arise from no other
+            # source (structs are dicts/Rows, lists are lists).
+            return canon_value(dict(vals))
+        return "a:[" + ",".join(canon_value(x) for x in vals) + "]"
     # Loud, not str(v): an untagged fallback token can collide with every
     # other type's representation (the false-green class).
     raise AssertionError(f"canon_value: unhandled type {type(v)!r}: {v!r}")
@@ -103,11 +143,23 @@ def _canon_rows(cols: list[str], row_iter) -> list[str]:
     return rows
 
 
-def assert_parity(spark_df, oracle_sql: str, duck_con, name: str = "") -> None:
-    # Driver-canon probe (r3 q73 lesson): the driver lexsorts the raw pandas
-    # frame over all columns before hashing — any cell pandas can't factorize
-    # (ndarray, dict) must fail HERE, locally, not in a driver round.
-    sdf = spark_df.toPandas()
+def assert_parity(spark_df, oracle_sql: str, duck_con, name: str = "") -> int:
+    """Compare ``spark_df`` against ``oracle_sql`` run on ``duck_con``;
+    raises AssertionError on any divergence, returns the row count so
+    callers can reject vacuously-empty results where emptiness is not
+    the query's documented answer."""
+    # ONE materialization (code-review r14): the Arrow table feeds both
+    # the driver-canon probe and the value comparison. The old shape ran
+    # the full plan twice (toPandas probe + collect compare) — double
+    # cost, and for a nondeterministic bug the probe checked a different
+    # result than the one compared.
+    stable = spark_df.toArrow()
+
+    # Driver-canon probe (r3 q73 lesson): the driver lexsorts the raw
+    # pandas frame over all columns before hashing — any cell pandas
+    # can't factorize (ndarray, dict) must fail HERE, locally, not in a
+    # driver round.
+    sdf = stable.to_pandas()
     try:
         sdf.sort_values(by=sorted(sdf.columns))
     except TypeError as exc:
@@ -116,29 +168,32 @@ def assert_parity(spark_df, oracle_sql: str, duck_con, name: str = "") -> None:
             f"failed: {exc}) — serialize complex columns before returning"
         ) from None
 
-    # Value extraction bypasses pandas on BOTH sides: Spark rows via
-    # collect() (None vs NaN distinct, BIGINT exact), DuckDB via the Arrow
-    # table's to_pylist() (ditto; DATE stays date, DECIMAL stays Decimal).
-    scols = sorted(spark_df.columns)
-    srows_raw = [[r[c] for c in scols] for r in spark_df.collect()]
+    scols = sorted(stable.column_names)
     otable = duck_con.execute(oracle_sql).fetch_arrow_table()
     ocols = sorted(otable.column_names)
     assert scols == ocols, (
         f"{name}: column mismatch spark={scols} oracle={ocols}"
     )
-    assert len(srows_raw) == otable.num_rows, (
-        f"{name}: row count spark={len(srows_raw)} oracle={otable.num_rows}"
+    assert stable.num_rows == otable.num_rows, (
+        f"{name}: row count spark={stable.num_rows} oracle={otable.num_rows}"
     )
+    spylists = [stable.column(c).to_pylist() for c in scols]
     opylists = [otable.column(c).to_pylist() for c in ocols]
-    srows = _canon_rows(scols, srows_raw)
+    srows = _canon_rows(scols, zip(*spylists) if spylists else iter(()))
     orows = _canon_rows(ocols, zip(*opylists) if opylists else iter(()))
     if srows != orows:
-        diffs = [
-            f"  spark: {s}\n  oracle:{o}"
-            for s, o in zip(srows, orows)
-            if s != o
-        ][:5]
-        raise AssertionError(
-            f"{name}: value mismatch ({sum(1 for s, o in zip(srows, orows) if s != o)}"
-            f" of {len(srows)} rows differ):\n" + "\n".join(diffs)
+        # Multiset diff, not positional zip (code-review r14): one extra
+        # canon-low row used to misalign every later pair, reporting
+        # hundreds of phantom diffs and sampling none of the real ones.
+        sc, oc = Counter(srows), Counter(orows)
+        only_s = list((sc - oc).elements())
+        only_o = list((oc - sc).elements())
+        sample = "\n".join(
+            ["  spark-only: " + r for r in only_s[:5]]
+            + ["  oracle-only:" + r for r in only_o[:5]]
         )
+        raise AssertionError(
+            f"{name}: value mismatch ({len(only_s)} spark-only / "
+            f"{len(only_o)} oracle-only of {len(srows)} rows):\n{sample}"
+        )
+    return stable.num_rows

@@ -69,7 +69,29 @@ def test_canon_decimal_exact_above_2_53():
 
 def test_canon_decimal_trailing_zeros():
     assert canon_value(Decimal("1.10")) == canon_value(Decimal("1.1"))
-    assert canon_value(Decimal("100")) == "100"
+    # Tagged since r14: the untagged token collided with a double's
+    # shortest repr (half-ulp-lax compare) and with the int token.
+    assert canon_value(Decimal("100")) == "d:100"
+    assert canon_value(Decimal("100")) != canon_value(100)
+    assert canon_value(Decimal("0.1")) != canon_value(0.1)
+
+
+def test_canon_container_tags_do_not_collide():
+    """code-review r14: pyspark Row subclasses tuple — untagged, a
+    STRUCT(1,2) and an ARRAY [1,2] canonicalized identically (false
+    GREEN); DuckDB maps arrive as key-value tuple lists while Spark maps
+    are dicts (false RED). One keyed kv-form + an a: array tag."""
+    from pyspark.sql import Row
+
+    assert canon_value([1, 2]) == "a:[1,2]"
+    assert canon_value(Row(a=1, b=2)) != canon_value([1, 2])
+    assert canon_value(Row(a=1, b=2)) == canon_value({"a": 1, "b": 2})
+    # Arrow MAP shape (list of 2-tuples) == Spark map dict shape
+    assert canon_value([(1, "x"), (2, "y")]) == canon_value(
+        {1: "x", 2: "y"}
+    )
+    # ...but an array of 2-element LISTS is an array, not a map
+    assert canon_value([[1, 2]]) == "a:[a:[1,2]]"
 
 
 def test_canon_nat_and_none_agree():
