@@ -231,3 +231,49 @@ def test_warm_rerun_no_flags_is_a_noop(monkeypatch):
         timings, 0.1, "/x", runner=lambda *a: called.append(a) or {}
     )
     assert not called and timings["_build_neardup_pairs"] == 7.9
+
+
+def test_regression_gate_is_loud_when_rename_map_unreadable(
+    tmp_path, monkeypatch
+):
+    """code-review r14: an unreadable RENAMES_r*.json used to be silently
+    skipped, collapsing rename-chain lookups to near-zero coverage with
+    an empty-regressions clean bill. The gate must record BOTH the load
+    failure and the coverage collapse in GATE_NOTES (surfaced in the
+    printed payload)."""
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {f"z{i:02d}_q": 1.0 for i in range(40)}})
+    )
+    (tmp_path / "RENAMES_r2.json").write_text("{corrupt json")
+    bench.GATE_NOTES.clear()
+    try:
+        out = bench.regressions_vs_previous(
+            {f"x{i:02d}_new": 1.0 for i in range(40)}, 0.1, quiet=True
+        )
+        assert out == {}
+        assert any("unreadable" in n for n in bench.GATE_NOTES), bench.GATE_NOTES
+        assert any("compared only" in n for n in bench.GATE_NOTES), bench.GATE_NOTES
+    finally:
+        bench.GATE_NOTES.clear()
+
+
+def test_regression_gate_quiet_when_coverage_full(tmp_path, monkeypatch):
+    """Full-coverage comparisons must add NO gate notes (the loudness is
+    for broken gates, not healthy ones)."""
+    import bench
+
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+    names = {f"z{i:02d}_q": 1.0 for i in range(40)}
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"sf": 0.1, "queries": names})
+    )
+    bench.GATE_NOTES.clear()
+    try:
+        out = bench.regressions_vs_previous(dict(names), 0.1, quiet=True)
+        assert out == {}
+        assert bench.GATE_NOTES == []
+    finally:
+        bench.GATE_NOTES.clear()
