@@ -27,18 +27,36 @@ def read_csv(
     delimiter: str = ",",
     quote: str = '"',
     escape: str | None = None,
+    encoding: str = "UTF-8",
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """X01: EPrints flat CSV export. multiLine=True because EPrints
     abstracts embed newlines inside quoted fields. escape defaults to
     the QUOTE character (RFC4180 doubled-quote unescaping) — a caller
-    overriding quote gets a matched pair, not a stale '\"' escape."""
+    overriding quote gets a matched pair, not a stale '\"' escape.
+
+    Scale honesty (code-review r14): schema=None falls back to
+    inferSchema — an EXTRA full pass over the data, and one malformed
+    value flips a column's inferred type for the whole dataset; always
+    pass a schema for production scans. With an explicit schema the
+    default PERMISSIVE mode silently null-fills malformed rows — pass
+    mode='FAILFAST' to refuse corruption, or corrupt_record_col to
+    capture bad rows for audit. encoding matters for EPrints exports
+    off latin1 MySQL backends: decoding them as UTF-8 produces silent
+    mojibake in every non-ASCII field. NB: multiLine makes each file
+    single-task (non-splittable) — shard huge exports."""
     reader = (
         spark.read.option("header", header)
         .option("multiLine", multi_line)
         .option("sep", delimiter)
         .option("quote", quote)
         .option("escape", escape if escape is not None else quote)
+        .option("encoding", encoding)
+        .option("mode", mode)
     )
+    if corrupt_record_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -52,10 +70,13 @@ def read_json(
     schema: StructType | str | None = None,
     *,
     multi_line: bool = True,
+    encoding: str = "UTF-8",
 ) -> DataFrame:
     """X02: EPrints JSON export — a single top-level array of records
     (multiLine), nested arrays-of-structs for creators/documents."""
-    reader = spark.read.option("multiLine", multi_line)
+    reader = spark.read.option("multiLine", multi_line).option(
+        "encoding", encoding
+    )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
@@ -66,6 +87,7 @@ def read_xml(
     path: str,
     row_tag: str = "eprint",
     schema: StructType | str | None = None,
+    charset: str = "UTF-8",
 ) -> DataFrame:
     """X03: EPrints EP3 XML export (<eprints><eprint>...</eprint></eprints>).
 
@@ -74,7 +96,11 @@ def read_xml(
     shape is the X13 shredding pattern (q_udf.x13) applied to
     wholetext-read files.
     """
-    reader = spark.read.format("xml").option("rowTag", row_tag)
+    reader = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("charset", charset)
+    )
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
@@ -130,7 +156,8 @@ def write_jdbc(
     url: str,
     table: str,
     *,
-    mode: str = "overwrite",
+    mode: str = "error",
+    truncate: bool = False,
     properties: dict[str, str] | None = None,
     batch_size: int = 10_000,
 ) -> None:
@@ -138,10 +165,19 @@ def write_jdbc(
     rows per INSERT batch — the default 1000 round-trips too often on a
     remote database; each task opens its own connection, so the write
     parallelism is the DataFrame's partition count (repartition first if
-    the target can't take that many concurrent writers)."""
+    the target can't take that many concurrent writers).
+
+    Default mode is 'error', NOT 'overwrite' (code-review r14): Spark's
+    JDBC overwrite DROPs the target table and recreates it from inferred
+    DDL — on a live EPrints MySQL that destroys indexes, primary keys,
+    engine and charset settings. For an intentional overwrite that keeps
+    the table definition, pass mode='overwrite', truncate=True (TRUNCATE
+    instead of DROP+CREATE)."""
     writer = df.write.format("jdbc").option("url", url).option(
         "dbtable", table
-    ).option("batchsize", batch_size).mode(mode)
+    ).option("batchsize", batch_size).option(
+        "truncate", str(truncate).lower()
+    ).mode(mode)
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
@@ -213,23 +249,45 @@ def read_text(
     return spark.read.text(path, wholetext=whole_text, lineSep=line_sep)
 
 
-def write_bulkrax_csv(df: DataFrame, path: str, *, n_files: int = 1) -> None:
+def write_bulkrax_csv(
+    df: DataFrame, path: str, *, n_files: int = 1, shuffle: bool = False
+) -> None:
     """X05: the Bulkrax import CSV — flat strings, multi-values already
     '|'-joined by the transform layer, header row, one file per import
-    batch (coalesce, not repartition: no shuffle, just merged writes)."""
-    df.coalesce(n_files).write.mode("overwrite").option("header", True).option(
+    batch.
+
+    coalesce-vs-repartition trade, stated (code-review r14): coalesce
+    inserts NO shuffle, but that means it collapses the parallelism of
+    the entire upstream narrow stage to n_files tasks — with the default
+    n_files=1, every post-join projection and string format since the
+    last exchange runs on ONE core. Import batches are small by
+    construction (a Hyku import manifest), so the default stands; for a
+    large export pass shuffle=True to insert one exchange of the final,
+    already-reduced rows and keep the upstream stage parallel."""
+    out = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    out.write.mode("overwrite").option("header", True).option(
         "quoteAll", False
     ).option("escape", '"').csv(path)
 
 
 def write_partitioned_parquet(
-    df: DataFrame, path: str, partition_cols: list[str]
+    df: DataFrame, path: str, partition_cols: list[str], *,
+    cluster: bool = True,
 ) -> None:
     """X06: partitioned parquet for intermediates. Partition columns become
     directory keys -> downstream scans partition-prune on them; at 100 TB
     pick columns with bounded cardinality (year, lang, source), never a
-    high-cardinality id."""
-    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    high-cardinality id.
+
+    Clustered by default (code-review r14): without the repartition,
+    every upstream task writes one file per partition key it holds —
+    tasks x keys tiny files (2 000 tasks x 1 200 keys = 2.4 M files at
+    the 100 TB tier), and downstream listing/footer reads dominate every
+    scan. One hash exchange on the partition keys makes it one task per
+    key (pass cluster=False only when the input is already clustered, or
+    when one key's rows exceed a task — then pre-salt instead)."""
+    out = df.repartition(*partition_cols) if cluster else df
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
 def write_bucketed_table(

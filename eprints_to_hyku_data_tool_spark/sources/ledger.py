@@ -141,6 +141,16 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first: re-read and retry."""
 
 
+class TxnAlreadyApplied(RuntimeError):
+    """The commit's transactional identity (app, batch) is at or below
+    the PARENT state's recorded high-water: this exact batch (or a
+    newer one) already landed. Raised from INSIDE the optimistic commit
+    attempt — atomically with the parent read — so a zombie writer
+    whose pre-flight latest_txn check passed before it stalled cannot
+    re-apply stale data on top of newer commits (the check-then-act
+    hole; code-review r14)."""
+
+
 class LedgerError(ValueError):
     """Misuse: missing table, schema mismatch, duplicate source keys."""
 
@@ -267,6 +277,23 @@ _STATE_KEYS = {
     "version", "parent", "op", "ts", "key", "schema", "groups",
     "stats_cols", "txn", "txns", "txns_complete", "add", "remove",
 }
+
+
+def _check_txn_fresh(parent: dict, txn: dict | None, op: str) -> None:
+    """Inside-the-attempt idempotence: raise TxnAlreadyApplied when the
+    parent state already records this txn's (app, batch) — or a newer
+    batch — as committed. MUST be checked against the parent the commit
+    will actually link onto (any later racer produces a
+    ConcurrentCommitError and the caller re-reads), never only as a
+    pre-flight check."""
+    if not txn or txn.get("app") is None or txn.get("batch") is None:
+        return
+    prev = (parent.get("txns") or {}).get(str(txn["app"]))
+    if prev is not None and int(txn["batch"]) <= int(prev):
+        raise TxnAlreadyApplied(
+            f"{op}: txn app={txn['app']} batch={txn['batch']} already "
+            f"applied (parent high-water {prev})"
+        )
 
 
 def _record_txn(txns: dict, txn: dict | None) -> dict:
@@ -901,6 +928,7 @@ def append(
     base_cols = None
     for attempt in range(retries + 1):
         parent = _read_manifest(table, latest_version(table))
+        _check_txn_fresh(parent, txn, "append")
         schema = None
         if merge_schema:
             if base_cols is None:
@@ -971,6 +999,7 @@ def merge(
     base_cols = None
     for attempt in range(retries + 1):
         parent = _read_manifest(table, latest_version(table))
+        _check_txn_fresh(parent, txn, "merge")
         key = parent["key"]
         if key is None:
             raise LedgerError("merge requires a table created with a key")

@@ -43,8 +43,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # ns-as-long; fixture is us-precision so div-1000 is exact.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(ts_type, TimestampNTZType):
-            # NTZ wall-clock == UTC instant under a UTC session tz.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # to_utc_timestamp(ts, 'UTC') pins the NTZ wall-clock to the
+            # UTC instant REGARDLESS of spark.sql.session.timeZone — a
+            # bare cast('timestamp') interprets it in the session zone,
+            # so a platform-built session (tz = host zone) would shift
+            # every event by hours with no error (code-review r14).
+            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
     return df
 
 

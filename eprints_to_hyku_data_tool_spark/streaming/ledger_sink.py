@@ -45,15 +45,38 @@ def merge_batch(
     committed version, or None if this batch id already landed under
     `txn_app` (checkpoint-recovery re-delivery).
 
-    The idempotence check and the commit form ONE optimistic
-    transaction: merge runs with retries=0, and a ConcurrentCommitError
-    loops back to RE-READ latest_txn before re-attempting. Letting
-    ledger.merge retry internally would re-commit without re-checking
-    the txn — a zombie driver that raced this batch in between would
-    then be double-applied (the check-then-act hole)."""
+    The idempotence check is enforced INSIDE the commit attempt, not
+    just here: ledger.merge re-validates the txn against the exact
+    parent it links onto (TxnAlreadyApplied) — a pre-flight-only check
+    was a TOCTOU (code-review r14): a zombie driver whose latest_txn
+    read passed before it stalled would wake, see no version collision
+    (its merge re-reads the NEWEST parent), and re-apply stale batch
+    data ON TOP of newer commits. The latest_txn read below is now only
+    a cheap short-circuit; correctness rests on the in-commit guard.
+
+    Checkpoint-reset footgun (the Delta txnAppId contract, documented
+    here too): micro-batch ids are per-CHECKPOINT. Restarting a stream
+    with a wiped/new checkpoint dir under the SAME txn_app restarts
+    batch ids at 0 while the table's high-water stays at the old value
+    — every batch is skipped as a re-delivery until ids catch up,
+    silently dropping data. Pair every new checkpoint dir with a new
+    txn_app (or expire the old txn by rebuilding the table). A reset
+    signature (batch 0 against a positive high-water) is warned loudly."""
+    import sys as _sys
+
     for _ in range(attempts):
         last = ledger.latest_txn(table, txn_app)
         if last is not None and batch_id <= last:
+            if batch_id == 0 and last > 0:
+                print(
+                    f"ledger_sink WARNING: batch 0 for txn_app "
+                    f"{txn_app!r} but {table} records high-water "
+                    f"{last} — if this stream's checkpoint dir was "
+                    "reset, every batch up to that id will be "
+                    "SKIPPED as a re-delivery; use a fresh txn_app "
+                    "with a fresh checkpoint",
+                    file=_sys.stderr,
+                )
             return None
         try:
             return ledger.merge(
@@ -63,6 +86,8 @@ def merge_batch(
                 txn={"app": txn_app, "batch": batch_id},
                 retries=0,
             )
+        except ledger.TxnAlreadyApplied:
+            return None  # raced by our own zombie/restart: already landed
         except ledger.ConcurrentCommitError:
             continue  # the racer may have been OUR zombie: re-check
     raise ledger.ConcurrentCommitError(

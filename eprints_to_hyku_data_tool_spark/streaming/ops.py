@@ -14,6 +14,10 @@ partitioning as the equivalent batch shuffle.
 
 from __future__ import annotations
 
+# streaming_neardup per-bucket state ceiling (module-level so tests can
+# patch it down to exercise the loud-failure arm).
+NEARDUP_MAX_BUCKET_MEMBERS = 10_000
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -319,9 +323,28 @@ def streaming_neardup(stream: DataFrame) -> DataFrame:
     out_schema = "id_a bigint, id_b bigint, inter_size int, union_size int"
     state_schema = "ids array<bigint>, shs array<array<string>>"
 
+    # Per-bucket membership ceiling (code-review r14): a hot bucket
+    # (template/boilerplate docs sharing a band hash) accumulates every
+    # member's full shingle set in ONE state-store value forever
+    # (NoTimeout), each arrival does O(members) intersections, and the
+    # whole O(members) value re-serializes per trigger — O(N^2)
+    # cumulative work and an eventually serialization-breaking row.
+    # Fail LOUDLY at the cap with the production remedy instead of
+    # degrading silently; fixture buckets hold a handful of docs.
+    cap = NEARDUP_MAX_BUCKET_MEMBERS
+
     def update(key, pdfs, state: GroupState):
         ids, shs = state.get if state.exists else ([], [])
         ids, shs = list(ids), [frozenset(s) for s in shs]
+        if len(ids) > cap:
+            raise ValueError(
+                f"streaming_neardup: band bucket {key} holds "
+                f"{len(ids)} members — past the {cap} "
+                "state ceiling. This corpus needs eviction: add a "
+                "watermark + EventTimeTimeout (expire members outside "
+                "the dedupe horizon) or widen the banding so hot "
+                "templates split across buckets."
+            )
         out = {"id_a": [], "id_b": [], "inter_size": [], "union_size": []}
         for pdf in pdfs:
             for doc_id, sh_arr in zip(pdf["doc_id"], pdf["sh"]):
@@ -395,29 +418,52 @@ def streaming_ewma(stream: DataFrame, alpha_num: int = 1, alpha_den: int = 4) ->
     batches replay in time order, so the multiply-add sequence is
     IDENTICAL to batch q36 — the replay test asserts bit-equality, not
     a tolerance. Emits the running (user_id, n_events, ewma_u) after
-    every trigger (update mode)."""
+    every trigger (update mode).
+
+    Ordered-delivery CONTRACT, enforced (code-review r14): EWMA is an
+    order-sensitive fold, so an event arriving one trigger later than an
+    event-time-newer event would silently corrupt the state forever —
+    the sort only fixes ordering WITHIN a batch. The state carries the
+    per-user event-time cursor and RAISES on a cross-batch regression
+    instead of folding out of order; the production fix for genuinely
+    out-of-order sources is watermarked buffering (hold events in state,
+    fold in event-time order when the watermark passes), which costs
+    O(buffer) state this constant-state variant exists to avoid."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     alpha = alpha_num / alpha_den
     beta = 1.0 - alpha
     output_schema = "user_id bigint, n_events bigint, ewma_u double"
-    state_schema = "n bigint, ewma double"
+    state_schema = "n bigint, ewma double, last_us bigint, last_id bigint"
 
     def update(key, pdfs, state: GroupState):
         import math
 
-        n, ewma = state.get if state.exists else (0, 0.0)
+        n, ewma, last_us, last_id = (
+            state.get if state.exists else (0, 0.0, -(1 << 63), -(1 << 63))
+        )
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
-        for v in rows["value"]:
+        for ts, eid, v in zip(rows["ts"], rows["event_id"], rows["value"]):
+            cur_us = int(pd.Timestamp(ts).value // 1000)
+            if (cur_us, int(eid)) <= (last_us, last_id):
+                raise ValueError(
+                    f"streaming_ewma: out-of-order delivery for user "
+                    f"{key[0]} — event ({ts}, {eid}) arrived after the "
+                    f"fold cursor ({last_us}us, {last_id}); EWMA is an "
+                    "order-sensitive fold and folding late data would "
+                    "silently corrupt the state. Feed this operator an "
+                    "in-order source, or buffer with a watermark."
+                )
+            last_us, last_id = cur_us, int(eid)
             # math.floor, not int(): the batch q36 quantizes with
             # floor(v*1e6+0.5) and int() truncates toward zero, which
             # diverges for negative values (ADVICE r5).
             x = float(math.floor(v * 1e6 + 0.5))
             ewma = x if n == 0 else ewma * beta + x * alpha
             n += 1
-        state.update((n, ewma))
+        state.update((n, ewma, last_us, last_id))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "ewma_u": [ewma]}
         )

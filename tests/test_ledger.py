@@ -1796,3 +1796,41 @@ def test_model_based_concurrent_writer_interleavings(spark, tmp_path):
             for r in ledger.read(spark, t, version=v).collect()
         }
         assert got_v == snapshots[v], f"time travel to v{v}"
+
+
+def test_txn_guard_is_atomic_with_the_commit(spark, tmp_path, monkeypatch):
+    """code-review r14 (the zombie-driver TOCTOU): a writer whose
+    pre-flight latest_txn check passed BEFORE it stalled must still be
+    rejected at commit time — the txn freshness check runs against the
+    exact parent the commit links onto, not only as a pre-flight."""
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, _mk_row_df(spark, 0), key="k")
+    ledger.merge(spark, t, _mk_row_df(spark, 1), txn={"app": "s", "batch": 10})
+    ledger.merge(spark, t, _mk_row_df(spark, 2), txn={"app": "s", "batch": 12})
+    before = {r["k"]: r["v"] for r in ledger.read(spark, t).collect()}
+
+    # The zombie: batch 10 re-applied directly (its stale pre-flight
+    # already "passed"); the in-commit guard must reject it even though
+    # there is NO version collision.
+    with pytest.raises(ledger.TxnAlreadyApplied, match="batch=10"):
+        ledger.merge(
+            spark, t,
+            _mk_row_df(spark, 1).withColumn("v", F.lit("stale")),
+            txn={"app": "s", "batch": 10},
+        )
+    ledger._RESOLVE_CACHE.clear()
+    after = {r["k"]: r["v"] for r in ledger.read(spark, t).collect()}
+    assert after == before  # nothing landed
+
+    # A fresh batch and an unrelated app still commit.
+    assert ledger.merge(
+        spark, t, _mk_row_df(spark, 3), txn={"app": "s", "batch": 13}
+    ) > 0
+    assert ledger.append(
+        spark, t, _mk_row_df(spark, 4), txn={"app": "other", "batch": 1}
+    ) > 0
+    # append under the same app/batch is rejected the same way.
+    with pytest.raises(ledger.TxnAlreadyApplied):
+        ledger.append(
+            spark, t, _mk_row_df(spark, 5), txn={"app": "other", "batch": 1}
+        )

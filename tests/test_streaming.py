@@ -1224,3 +1224,77 @@ def test_ledger_stream_legacy_window_honors_stream_contracts(
             q2.processAllAvailable()
     finally:
         q2.stop()
+
+
+def test_merge_batch_zombie_cannot_overwrite_newer_state(
+    spark, tmp_path, monkeypatch
+):
+    """code-review r14: emulate the zombie interleaving at the sink —
+    the pre-flight latest_txn read is forced to say 'not applied' (the
+    stalled driver's stale view) while the table has since recorded the
+    batch; merge_batch must skip (None) via the in-commit guard instead
+    of overwriting newer state."""
+    from eprints_to_hyku_data_tool_spark.sources import ledger
+    from eprints_to_hyku_data_tool_spark.streaming import ledger_sink
+
+    def one(k, v):
+        return spark.createDataFrame([(k, v)], "k long, v long")
+
+    t = str(tmp_path / "t")
+    ledger.create(spark, t, one(0, 0), key="k")
+    assert ledger_sink.merge_batch(t, one(1, 10), 10, "app") is not None
+    assert ledger_sink.merge_batch(t, one(1, 12), 12, "app") is not None
+
+    monkeypatch.setattr(ledger, "latest_txn", lambda *a, **kw: None)
+    assert ledger_sink.merge_batch(t, one(1, 999), 10, "app") is None
+    monkeypatch.undo()
+    got = {r["k"]: r["v"] for r in ledger.read(spark, t).collect()}
+    assert got == {0: 0, 1: 12}  # batch 12's value survived the zombie
+
+
+def test_streaming_ewma_rejects_out_of_order_delivery(spark, tmp_path):
+    """code-review r14: EWMA is an order-sensitive fold — an event
+    arriving one trigger later than an event-time-newer event must FAIL
+    loudly (the state's event-time cursor), not silently corrupt the
+    state forever. The sort only fixes ordering WITHIN a batch."""
+    import time as _time
+
+    import pandas as pd
+
+    d = str(tmp_path / "ooo")
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows1 = pd.DataFrame(
+        {"event_id": [1, 2], "ts": [base, base + pd.Timedelta(hours=1)],
+         "user_id": [7, 7], "event_type": ["click", "click"],
+         "value": [1.0, 2.0], "props": ["{}", "{}"]}
+    )
+    rows2 = pd.DataFrame(  # event-time EARLIER than batch 1's max
+        {"event_id": [3], "ts": [base + pd.Timedelta(minutes=30)],
+         "user_id": [7], "event_type": ["click"],
+         "value": [3.0], "props": ["{}"]}
+    )
+    for i, chunk in enumerate((rows1, rows2)):
+        spark.createDataFrame(chunk, schema=ops.EVENTS_STREAM_SCHEMA).coalesce(
+            1
+        ).write.parquet(f"{d}/c={i}")
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    name = f"ooo_{uuid.uuid4().hex[:8]}"
+    stream = ops.events_stream(spark, f"{d}/*", max_files_per_trigger=1)
+    with pytest.raises(Exception, match="out-of-order delivery"):
+        _run_to_memory(ops.streaming_ewma(stream), name, "update")
+
+
+def test_streaming_neardup_state_ceiling_is_loud(
+    spark, sf_dir, docs_replay_dir, monkeypatch
+):
+    """code-review r14: a hot band bucket accumulates every member's full
+    shingle history in ONE state value (NoTimeout) — unbounded quadratic
+    state. Past the ceiling the operator must fail with the eviction
+    remedy, not degrade silently. Patched down to 0 so the fixture's
+    second trigger trips it."""
+    monkeypatch.setattr(ops, "NEARDUP_MAX_BUCKET_MEMBERS", 0)
+    name = f"cap_{uuid.uuid4().hex[:8]}"
+    stream = ops.docs_stream(spark, _chunks_glob(docs_replay_dir))
+    with pytest.raises(Exception, match="state ceiling"):
+        _run_to_memory(ops.streaming_neardup(stream), name, "append")
