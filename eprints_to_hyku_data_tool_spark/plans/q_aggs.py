@@ -28,7 +28,7 @@ from .q_core import dec_sum
 # Q22 — approx count-distinct (HLL) with a checkable tolerance verdict
 # --------------------------------------------------------------------------
 @register(
-    "z10622_approx_count_distinct",
+    "q10622_approx_count_distinct",
     oracle="""
     SELECT l_suppkey,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
@@ -48,7 +48,7 @@ from .q_core import dec_sum
     "every raw row update a 16KB HLL++ buffer through the Expand "
     "(measured 60s at sf0.1 vs 4s for this form).",
 )
-def z10622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select("l_suppkey", "l_partkey").distinct()
     return (
@@ -72,7 +72,7 @@ def z10622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q23 — ROLLUP (hierarchical subtotals)
 # --------------------------------------------------------------------------
 @register(
-    "z10623_rollup",
+    "q10623_rollup",
     oracle="""
     SELECT COALESCE(r_name, '(all)') AS region_name,
            COALESCE(n_name, '(all)') AS nation_name,
@@ -89,7 +89,7 @@ def z10622_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(real NULLs vs subtotal NULLs are distinguishable) "
     "(SURVEY §2.4 Q23).",
 )
-def z10623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -119,7 +119,7 @@ def z10623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q24 — CUBE (all grouping combinations)
 # --------------------------------------------------------------------------
 @register(
-    "z10624_cube",
+    "q10624_cube",
     oracle="""
     SELECT COALESCE(o_orderstatus, '(all)') AS status,
            COALESCE(o_orderpriority, '(all)') AS priority,
@@ -132,7 +132,7 @@ def z10623_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="CUBE over (status, priority): all four grouping-set combinations "
     "in one pass (Expand + single shuffle) (SURVEY §2.4 Q24).",
 )
-def z10624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.cube("o_orderstatus", "o_orderpriority")
@@ -155,7 +155,7 @@ def z10624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q25 — collect_list -> sorted delimited string (THE Bulkrax fold)
 # --------------------------------------------------------------------------
 @register(
-    "z10625_bulkrax_fold",
+    "q10625_bulkrax_fold",
     oracle="""
     SELECT l_orderkey,
            string_agg(p_name, '|' ORDER BY p_name) AS part_names,
@@ -168,7 +168,7 @@ def z10624_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distributed engine — sort_array makes it canonical), joined with "
     "'|' for the flat CSV cell (SURVEY §1.1, §2.4 Q25).",
 )
-def z10625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10625_bulkrax_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
     return (
@@ -263,7 +263,7 @@ def z11627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q28 — statistical aggregates
 # --------------------------------------------------------------------------
 @register(
-    "z10628_stats",
+    "q10628_stats",
     oracle="""
     SELECT l_returnflag,
            round(stddev_samp(l_quantity), 4) AS qty_stddev,
@@ -277,7 +277,7 @@ def z11627_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "return flag. Rounded on both sides — single-pass moment merges are "
     "partition-order dependent in the low bits (SURVEY §2.4 Q28).",
 )
-def z10628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
@@ -295,7 +295,7 @@ def z10628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q29 — filtered / conditional aggregation
 # --------------------------------------------------------------------------
 @register(
-    "z10629_conditional_agg",
+    "q10629_conditional_agg",
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -313,7 +313,7 @@ def z10628_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counters — error rate and purchase value in one pass over events "
     "(SURVEY §2.4 Q29).",
 )
-def z10629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10629_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
     cnt = F.count(F.lit(1))
@@ -364,7 +364,7 @@ def z10630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y46 — GROUPING SETS via the SQL entry point
 # --------------------------------------------------------------------------
 @register(
-    "q9189_grouping_sets",
+    "z139189_grouping_sets",
     oracle="""
     SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
            COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -386,7 +386,7 @@ def z10630_mixed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL then cast (fleet rule), grouping() markers distinguish "
     "subtotal NULLs from data NULLs.",
 )
-def q9189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("y46_lineitem")
     return spark.sql(
@@ -570,7 +570,7 @@ _HH_M = 256  # SpaceSaving counters per task
 
 
 @register(
-    "z9434_heavyhitters",
+    "q9434_heavyhitters",
     oracle=f"""
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY user_id
@@ -595,7 +595,7 @@ _HH_M = 256  # SpaceSaving counters per task
     "KNOWN keys; this FINDS the heavy keys (frequency-cap / "
     "spam-domain mandate).".format(K=_HH_K, M=_HH_M),
 )
-def z9434_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9434_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select("user_id")

@@ -288,7 +288,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(orders * lines_per_order^2) at any scale. The rank VALUES are an
     iterative float fixpoint (not SQL-oracle-expressible);
     tests/test_graph.py checks them against an independent numpy power
-    iteration on the identical edge set. The registered z117588_pagerank
+    iteration on the identical edge set. The registered q117588_pagerank
     wraps this in a driver-checkable structure + mass verdict."""
     from ..functions.graph import pagerank
 
@@ -298,7 +298,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "z117588_pagerank",
+    "q117588_pagerank",
     oracle="""
     WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
                FROM lineitem a JOIN lineitem b
@@ -325,7 +325,7 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline plus one count-agg per side of the tiny one-row-x-one-"
     "row join.",
 )
-def z117588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q117588_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _copurchase_edges is a cheap projection of the session-memoized
     # edge checkpoint (functions/copurchase.py) — no per-query
     # materialization needed; pagerank() checkpoints its own input.
@@ -434,7 +434,7 @@ _TRI_EDGES_SQL = """
 
 
 @register(
-    "z117566_triangle_count",
+    "q117566_triangle_count",
     oracle=_TRI_EDGES_SQL
     + """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
@@ -461,7 +461,7 @@ _TRI_EDGES_SQL = """
     "measured: 26 exchanges -> 5). Remaining shuffles: wedge join and "
     "closing join (SURVEY §2.13 graph family).",
 )
-def z117566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q117566_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import triangle_node_stats
 
     # Shared memoized materializations (functions/copurchase.py): edge
@@ -653,7 +653,7 @@ _EQD_BUCKETS = 16
 
 
 @register(
-    "q117232_equidepth_histogram",
+    "z13117232_equidepth_histogram",
     oracle=f"""
     WITH b AS (
         SELECT o_totalprice,
@@ -680,7 +680,7 @@ _EQD_BUCKETS = 16
     "computes the same bucket id distributedly "
     "(functions/ordering.py).".format(B=_EQD_BUCKETS),
 )
-def q117232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13117232_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.ordering import with_global_position
 
     orders = load_table(spark, sf_dir, "orders")

@@ -32,7 +32,7 @@ def dec_sum(col: Column | str, alias: str, typ: str = "decimal(18,2)") -> Column
 # Q01 — full parquet scan + count/checksum
 # --------------------------------------------------------------------------
 @register(
-    "z901_scan_count",
+    "q901_scan_count",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(l_orderkey AS HUGEINT)) AS BIGINT) AS key_checksum,
@@ -41,7 +41,7 @@ def dec_sum(col: Column | str, alias: str, typ: str = "decimal(18,2)") -> Column
     """,
     doc="Full table scan with count and checksums (SURVEY §2.1 Q01).",
 )
-def z901_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q901_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -63,7 +63,7 @@ def z901_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q02 — projected + filtered scan (pushdown showcase)
 # --------------------------------------------------------------------------
 @register(
-    "z902_scan_pushdown",
+    "q902_scan_pushdown",
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -71,7 +71,7 @@ def z901_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Projection+filter pushed to the parquet scan (SURVEY §2.1 Q02).",
 )
-def z902_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q902_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "O")
@@ -83,7 +83,7 @@ def z902_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q03 — compute + alias projection (ETL field mapping)
 # --------------------------------------------------------------------------
 @register(
-    "z903_project_compute",
+    "q903_project_compute",
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_extendedprice * (1 - l_discount) AS net_price,
@@ -94,7 +94,7 @@ def z902_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Computed projection; row-level IEEE arithmetic is deterministic "
     "on both engines so no rounding is needed (SURVEY §2.2 Q03).",
 )
-def z903_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q903_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     return li.select(
@@ -109,7 +109,7 @@ def z903_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q04 — compound predicate + global agg (TPC-H Q6 shape)
 # --------------------------------------------------------------------------
 @register(
-    "z904_compound_predicate",
+    "q904_compound_predicate",
     oracle="""
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                     * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
@@ -122,7 +122,7 @@ def z903_project_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="AND-of-ranges predicate + global aggregate (SURVEY §2.2 Q04).",
 )
-def z904_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q904_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     filtered = li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -145,7 +145,7 @@ def z904_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q05 — IN / LIKE / NULL-check predicates (vocabulary filtering)
 # --------------------------------------------------------------------------
 @register(
-    "z905_in_like_null",
+    "q905_in_like_null",
     oracle="""
     SELECT p_partkey, p_name, p_brand, p_type
     FROM part
@@ -155,7 +155,7 @@ def z904_compound_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="IN-list, LIKE prefix, and null-check predicates (SURVEY §2.2 Q05).",
 )
-def z905_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q905_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "part")
         .filter(
@@ -171,13 +171,13 @@ def z905_in_like_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q06 — distinct projection
 # --------------------------------------------------------------------------
 @register(
-    "z906_distinct",
+    "q906_distinct",
     oracle="""
     SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
     """,
     doc="Distinct pair projection; planner uses hash aggregate (SURVEY §2.2 Q06).",
 )
-def z906_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q906_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
 
 
@@ -185,7 +185,7 @@ def z906_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q07 — conditional projection (CASE WHEN vocabulary mapping)
 # --------------------------------------------------------------------------
 @register(
-    "z907_case_when",
+    "q907_case_when",
     oracle="""
     SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
                 WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
@@ -198,7 +198,7 @@ def z906_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="In-expression vocabulary mapping — the ETL 'controlled vocabulary' "
     "pattern (SURVEY §1.1) as CASE WHEN (SURVEY §2.2 Q07).",
 )
-def z907_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q907_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     urgency = (
         F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
@@ -216,7 +216,7 @@ def z907_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q19 — TPC-H Q1-shaped multi-aggregate group-by (the flagship query)
 # --------------------------------------------------------------------------
 @register(
-    "z10619_groupby_multi_agg",
+    "q10619_groupby_multi_agg",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -238,7 +238,7 @@ def z907_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     " in Spark). Averages are exact-decimal sums divided by count so both "
     "engines produce bit-identical doubles (SURVEY §2.4 Q19).",
 )
-def z10619_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10619_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(8,2)")
@@ -267,7 +267,7 @@ def z10619_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q20 — global (no-key) aggregate
 # --------------------------------------------------------------------------
 @register(
-    "z10620_global_agg",
+    "q10620_global_agg",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
@@ -278,7 +278,7 @@ def z10619_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Global aggregate, no grouping key (SURVEY §2.4 Q20).",
 )
-def z10620_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10620_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
     return li.agg(
@@ -296,7 +296,7 @@ def z10620_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q21 — exact count-distinct per group
 # --------------------------------------------------------------------------
 @register(
-    "z10621_count_distinct",
+    "q10621_count_distinct",
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
@@ -307,7 +307,7 @@ def z10620_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact distinct aggregation (Spark plans an Expand + two-phase "
     "aggregate) (SURVEY §2.4 Q21).",
 )
-def z10621_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10621_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
@@ -325,7 +325,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 @register(
-    "q9190_column_profile",
+    "z139190_column_profile",
     oracle="""
     SELECT 'l_quantity' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(l_quantity) AS BIGINT) AS n_non_null,
@@ -368,7 +368,7 @@ _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     "approx_count_distinct at scale for a sketch-mergeable one-pass "
     "variant (q22 trade).",
 )
-def q9190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139190_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     aggs = []
     for c in _PROFILE_COLS:

@@ -63,7 +63,7 @@ def _grams8(tk):
 # Q75 (was Y31) — benchmark decontamination (8-gram overlap vs a held-out eval set)
 # --------------------------------------------------------------------------
 @register(
-    "z11775_decontaminate",
+    "q11775_decontaminate",
     oracle=f"""
     WITH g AS (
       SELECT doc_id,
@@ -116,7 +116,7 @@ def _grams8(tk):
     "table size in the message — the remedy (drop the hint, let the "
     "gram match shuffle) is a one-line change the error makes obvious.",
 )
-def z11775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11775_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.grams import doc_grams8
 
     # Shared memoized gram table (functions/grams.py): the eval and
@@ -257,7 +257,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
 
 
 @register(
-    "q9180_bm25",
+    "z139180_bm25",
     oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     d AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
@@ -292,7 +292,7 @@ _1MB = "0.25"  # (1 - b), exact in binary
     "Per-row output (doc, term, tf, dl, score) avoids cross-term "
     "summation-order divergence entirely.",
 )
-def q9180_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139180_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", _tokens().alias("tk"))
     d = t.select("doc_id", F.size("tk").cast("long").alias("dl"))
@@ -343,7 +343,7 @@ _VOCAB_TOP = 100
 
 
 @register(
-    "q9181_vocab_zipf",
+    "z139181_vocab_zipf",
     oracle=f"""
     WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
                  FROM documents),
@@ -369,7 +369,7 @@ _VOCAB_TOP = 100
     "one-row broadcast like x30. Ties broken by token for "
     "determinism.",
 )
-def q9181_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139181_vocab_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = (
         docs.select(F.explode(_tokens()).alias("token"))
@@ -405,7 +405,7 @@ _GROUP_K = 5
 
 
 @register(
-    "q9182_group_sample",
+    "z139182_group_sample",
     oracle=f"""
     SELECT doc_id, lang, source, CAST(rn AS INT) AS rn
     FROM (SELECT doc_id, lang, source,
@@ -425,7 +425,7 @@ _GROUP_K = 5
     "WindowGroupLimit cuts each group to k BEFORE and after the "
     "exchange, so only candidate rows move (plan-asserted).",
 )
-def q9182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang", "source").orderBy(
         F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string"))),
@@ -446,7 +446,7 @@ def q9182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y37 — per-stratum length-band outlier filter (p05/p95 fences)
 # --------------------------------------------------------------------------
 @register(
-    "q9183_length_band",
+    "z139183_length_band",
     oracle="""
     WITH b AS (SELECT lang,
                       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.05), 4)
@@ -469,7 +469,7 @@ def q9182_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB swap percentile -> percentile_approx(..., 10000): same "
     "plan shape, sketch-mergeable, documented trade.",
 )
-def q9183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = docs.groupBy("lang").agg(
         F.round(
@@ -500,7 +500,7 @@ def q9183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y38 — per-label embedding centroids (elementwise mean, order-exact)
 # --------------------------------------------------------------------------
 @register(
-    "q9184_label_centroids",
+    "z139184_label_centroids",
     oracle="""
     WITH e AS (
       SELECT label,
@@ -527,7 +527,7 @@ def q9183_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output cells regardless of corpus size. The final mean is a "
     "single double division per cell.",
 )
-def q9184_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139184_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label",
@@ -552,7 +552,7 @@ _CTX = 64  # tokens per packed training sequence
 
 
 @register(
-    "q11770_sequence_pack",
+    "z1311770_sequence_pack",
     oracle=f"""
     WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                FROM documents),
@@ -584,7 +584,7 @@ _CTX = 64  # tokens per packed training sequence
     "that is 1000 partitions wide. Token counts sum as longs -> "
     "exact at any scale (packing mandate).",
 )
-def q11770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z1311770_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")

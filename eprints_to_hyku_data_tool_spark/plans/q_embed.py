@@ -30,7 +30,7 @@ from .registry import register
 
 
 @register(
-    "q9173_int8_quantize",
+    "z139173_int8_quantize",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -65,7 +65,7 @@ from .registry import register
     "order-independent; floor(x+0.5) rounding (not ROUND) removes the "
     "half-up/half-even cross-engine tie hazard (quantization mandate).",
 )
-def q9173_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139173_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     d = emb.select("vec_id", v.alias("v")).withColumn(
@@ -239,7 +239,7 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
 
 
 @register(
-    "q974_rplsh_neardup",
+    "z13974_rplsh_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -345,7 +345,7 @@ def _band_sigs_udf(n_bands: int = _N_BANDS, band_bits: int = _BAND_BITS):
     "big the bucket, while the emitted pair set is provably identical "
     "to the unsalted plan (same oracle).",
 )
-def q974_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13974_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Round-8 rewrite, driven by the 10x scale smoke. The old plan
     # materialized the candidate PAIR set (~6% of all pairs), distinct()-ed
     # it, then attached both 64-dim vectors via two shuffle joins whose

@@ -38,7 +38,7 @@ from .q_core import dec_sum
 # Q08 — inner equi join (large <-> large, sort-merge)
 # --------------------------------------------------------------------------
 @register(
-    "z908_inner_join",
+    "q908_inner_join",
     oracle="""
     SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -51,7 +51,7 @@ from .q_core import dec_sum
     doc="Child->parent inner equi join (lineitem x orders); planner/AQE "
     "chooses sort-merge at scale (SURVEY §2.3 Q08).",
 )
-def z908_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q908_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
@@ -70,7 +70,7 @@ def z908_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q09 — broadcast hash join (vocabulary lookup chain)
 # --------------------------------------------------------------------------
 @register(
-    "z909_broadcast_join",
+    "q909_broadcast_join",
     oracle="""
     SELECT r_name, n_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -83,7 +83,7 @@ def z908_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Two chained broadcast hash joins onto tiny dims (nation 25 rows, "
     "region 5): the fact side never shuffles for the join (SURVEY §2.3 Q09).",
 )
-def z909_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q909_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -102,7 +102,7 @@ def z909_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q10 — left outer join (records without children survive)
 # --------------------------------------------------------------------------
 @register(
-    "q910_left_outer_join",
+    "z13910_left_outer_join",
     oracle="""
     SELECT c_custkey, c_mktsegment,
            CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
@@ -113,7 +113,7 @@ def z909_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Left outer join: every customer survives, zero-order customers get "
     "count 0 and NULL total (SURVEY §2.3 Q10).",
 )
-def q910_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13910_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return (
@@ -130,7 +130,7 @@ def q910_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q11 — full outer join (migration reconciliation of two id universes)
 # --------------------------------------------------------------------------
 @register(
-    "q911_full_outer_join",
+    "z13911_full_outer_join",
     oracle="""
     WITH o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders
                FROM orders GROUP BY o_custkey),
@@ -143,7 +143,7 @@ def q910_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event-producers) — the 'which records exist on which side' migration "
     "report (SURVEY §2.3 Q11).",
 )
-def q911_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13911_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         load_table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("k"))
@@ -165,7 +165,7 @@ def q911_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q12 — left semi join (EXISTS)
 # --------------------------------------------------------------------------
 @register(
-    "q912_semi_join",
+    "z13912_semi_join",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
@@ -175,7 +175,7 @@ def q911_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Left semi join = EXISTS: customers having at least one finished "
     "order. The build side carries only the key (SURVEY §2.3 Q12).",
 )
-def q912_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13912_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     f_orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -189,7 +189,7 @@ def q912_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q13 — left anti join (NOT EXISTS: the "unmapped records" report)
 # --------------------------------------------------------------------------
 @register(
-    "q913_anti_join",
+    "z13913_anti_join",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey
     FROM customer
@@ -198,7 +198,7 @@ def q912_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Left anti join = NOT EXISTS: customers with no orders — the "
     "referential-integrity / not-yet-migrated report (SURVEY §2.3 Q13).",
 )
-def q913_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13913_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
@@ -210,7 +210,7 @@ def q913_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q14 — cross join (small-dim cartesian + post-filter)
 # --------------------------------------------------------------------------
 @register(
-    "q914_cross_join",
+    "z13914_cross_join",
     oracle="""
     SELECT r_name, n_name
     FROM region CROSS JOIN nation
@@ -220,7 +220,7 @@ def q913_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-region pairs). Cartesians are banned on large inputs; this is "
     "the pair-generation pattern on dims only (SURVEY §2.3 Q14).",
 )
-def q914_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13914_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     return (
@@ -234,7 +234,7 @@ def q914_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q15 — theta / range join (equi key + date-window residual)
 # --------------------------------------------------------------------------
 @register(
-    "q915_range_join",
+    "z13915_range_join",
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
            CAST(COUNT(*) AS BIGINT) AS n_shipped_in_90d,
@@ -249,7 +249,7 @@ def q914_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the equi part (SMJ on orderkey) and evaluates the range predicate as "
     "a post-join filter — never a nested loop (SURVEY §2.3 Q15).",
 )
-def q915_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13915_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cond = (
@@ -273,7 +273,7 @@ def q915_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q16 — as-of join (latest 'view' at-or-before each 'purchase', per user)
 # --------------------------------------------------------------------------
 @register(
-    "q916_asof_join",
+    "z13916_asof_join",
     oracle="""
     WITH p AS (SELECT event_id AS purchase_id, user_id,
                       CAST(ts AS TIMESTAMP) AS purchase_ts
@@ -296,7 +296,7 @@ def q915_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unlike the oracle's range-join+row_number formulation which is "
     "O(views x purchases) per user (SURVEY §2.3 Q16).",
 )
-def q916_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13916_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select(
         "user_id",
@@ -335,7 +335,7 @@ def q916_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q17 — self join / consecutive-event pairs (lag formulation)
 # --------------------------------------------------------------------------
 @register(
-    "q917_self_join_pairs",
+    "z13917_self_join_pairs",
     oracle="""
     SELECT user_id, event_id, prev_event_id, prev_type, event_type,
            date_diff('microsecond', prev_ts, ts) AS gap_us
@@ -351,7 +351,7 @@ def q916_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "block. Expressed as lag() (one shuffle on user_id) rather than a "
     "literal self-join, which would shuffle twice (SURVEY §2.3 Q17).",
 )
-def q917_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13917_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
@@ -380,7 +380,7 @@ def q917_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q18 — similarity join (vector cosine >= tau) — exact fixture-scale form
 # --------------------------------------------------------------------------
 @register(
-    "q918_similarity_join",
+    "z13918_similarity_join",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            a.label AS label_a, b.label AS label_b
@@ -401,7 +401,7 @@ def q917_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "definition; the sub-quadratic scale paths are the LSH/IVF families "
     "(q_north.q60/q61) (SURVEY §2.3 Q18, §4).",
 )
-def q918_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z13918_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")

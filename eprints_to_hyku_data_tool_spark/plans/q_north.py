@@ -657,7 +657,7 @@ def z11661_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# IVF coarse quantizer, shared by q9185_ivf_topk and q9186_ivf_embedding_dedupe
+# IVF coarse quantizer, shared by z139185_ivf_topk and z139186_ivf_embedding_dedupe
 # --------------------------------------------------------------------------
 IVF_SAMPLE = 256
 
@@ -727,7 +727,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     full scan. This is the 100 TB path: assignments are a (cell, vec)
     table bucketed by cell, probes fan out as a tiny broadcast join on
     cell; the corpus is scanned ONCE (no ML fit passes). Approximate by
-    construction; the registered q9185_ivf_topk wraps this in a driver-
+    construction; the registered z139185_ivf_topk wraps this in a driver-
     checkable recall verdict, and tests/test_properties.py asserts
     recall@5 >= 0.8 pair-for-pair (SURVEY §2.11 Q61 scale variant)."""
     import numpy as np
@@ -806,7 +806,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q9185_ivf_topk",
+    "z139185_ivf_topk",
     oracle=f"""
     WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
                FROM embeddings ORDER BY vec_id LIMIT {N_PROBES}),
@@ -835,7 +835,7 @@ def ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "extra exact-scan at fixture scale; at 100 TB this is the standard "
     "offline recall audit run on a sampled probe set.",
 )
-def q9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = z11661_topk_similarity(spark, sf_dir).select(
         "probe_id", "neighbor_id"
     )
@@ -859,7 +859,7 @@ def q9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q67 — embedding-cosine near-dup DEDUPE (greedy keep-lowest-id)
 # --------------------------------------------------------------------------
 @register(
-    "q11667_embedding_dedupe",
+    "z1311667_embedding_dedupe",
     oracle="""
     WITH dropped AS (
       SELECT DISTINCT b.vec_id AS vid
@@ -881,7 +881,7 @@ def q9185_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is a tiny semi-join side. tau margin 1e-4 (see q18) "
     "(assignment dedup mandate).",
 )
-def q11667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z1311667_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import similarity_pairs_chunked
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1037,7 +1037,7 @@ def ivf_dedupe_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffer is O(block^2) however big the cell while every pair's
     cosine is the same IEEE dot either way. No driver collect
     (centroids are nlist x dim) (assignment dedup mandate; the
-    registered q9186_ivf_embedding_dedupe wraps this in a
+    registered z139186_ivf_embedding_dedupe wraps this in a
     driver-checkable subset + recall verdict)."""
     NLIST, N_ASSIGN, TAU = 16, 3, 0.4
 
@@ -1138,7 +1138,7 @@ def _cell_verifier(block: int, tau: float):
 
 
 @register(
-    "q9186_ivf_embedding_dedupe",
+    "z139186_ivf_embedding_dedupe",
     oracle="""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -1165,8 +1165,8 @@ def _cell_verifier(block: int, tau: float):
     "oracle recomputes independently. Approx values never enter the "
     "hashed output.",
 )
-def q9186_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q11667_embedding_dedupe(spark, sf_dir).select(
+def z139186_ivf_embedding_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = z1311667_embedding_dedupe(spark, sf_dir).select(
         "vec_id", F.col("is_dropped").alias("ex")
     )
     ivf = ivf_dedupe_approx(spark, sf_dir).select(
@@ -1325,7 +1325,7 @@ _CLUSTER_ORACLE = _CC_CTE + """
 
 
 @register(
-    "z12785_cluster_dedupe",
+    "q12785_cluster_dedupe",
     oracle=_CLUSTER_ORACLE,
     doc="Cluster-level dedupe: exact near-dup pairs (x17's prefix-filtered "
     "join) -> distributed connected components (alternating large-star/"
@@ -1336,7 +1336,7 @@ _CLUSTER_ORACLE = _CC_CTE + """
     "Oracle: DuckDB recursive-CTE min-label propagation over the same "
     "pair graph (LLM-pipeline mandate; r3 graph-dedup milestone).",
 )
-def z12785_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12785_cluster_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shared memoized pair graph + components (functions/neardup.py).
     # The graph is built from exact-VERIFIED pairs only — candidates
     # are ~170x the true pair set at sf0.1 and would over-merge

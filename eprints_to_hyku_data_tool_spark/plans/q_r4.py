@@ -1079,7 +1079,7 @@ def z128257_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agg -> top-k
 # --------------------------------------------------------------------------
 @register(
-    "q9179_top_revenue",
+    "z139179_top_revenue",
     oracle="""
     SELECT l.l_orderkey,
            CAST(o.o_orderdate AS DATE) AS o_orderdate,
@@ -1108,7 +1108,7 @@ def z128257_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "machinery in one Catalyst plan — the end-to-end smoke a new "
     "deployment runs first.",
 )
-def q9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z139179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1142,7 +1142,7 @@ def q9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y67 — corpus-internal duplicate-ngram fraction (overflow tier)
 # --------------------------------------------------------------------------
 @register(
-    "z128301_duplicate_ngram_filter",
+    "q128301_duplicate_ngram_filter",
     oracle="""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                FROM documents),
@@ -1177,7 +1177,7 @@ def q9179_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(functions/grams.py, ridden by q775) "
     "(corpus-hygiene mandate; overflow tier, rotation candidate).",
 )
-def z128301_duplicate_ngram_filter(
+def q128301_duplicate_ngram_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..functions.grams import doc_grams8
@@ -1215,7 +1215,7 @@ def z128301_duplicate_ngram_filter(
 # Y68 — quality-aware canonical selection per near-dup cluster (overflow)
 # --------------------------------------------------------------------------
 @register(
-    "z128302_keep_longest_canonical",
+    "q128302_keep_longest_canonical",
     oracle=None,  # set below after import (composes q_north._CC_CTE)
     doc="Quality-aware cluster dedupe: same exact-verified near-dup "
     "clusters as z85 (prefix-filtered Jaccard pairs -> connected "
@@ -1229,7 +1229,7 @@ def z128301_duplicate_ngram_filter(
     "shuffles once on the cluster key (dedup-policy mandate; overflow "
     "tier, rotation candidate).",
 )
-def z128302_keep_longest_canonical(
+def q128302_keep_longest_canonical(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     # Shared memoized components over the exact-verified pair graph
@@ -1261,7 +1261,7 @@ def _set_y68_oracle() -> None:
     from .q_north import _CC_CTE
     from .registry import REGISTRY, QuerySpec
 
-    spec = REGISTRY["z128302_keep_longest_canonical"]
+    spec = REGISTRY["q128302_keep_longest_canonical"]
     oracle = _CC_CTE + """
     , m AS (SELECT d.doc_id,
                    CAST(COALESCE(c.component, d.doc_id) AS BIGINT)
@@ -1275,7 +1275,7 @@ def _set_y68_oracle() -> None:
              AS is_kept
     FROM m
     """
-    REGISTRY["z128302_keep_longest_canonical"] = QuerySpec(
+    REGISTRY["q128302_keep_longest_canonical"] = QuerySpec(
         name=spec.name, fn=spec.fn, oracle=oracle, doc=spec.doc
     )
 

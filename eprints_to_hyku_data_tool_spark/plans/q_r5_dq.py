@@ -26,7 +26,7 @@ from .registry import register
 # Q37 — expectations audit
 # --------------------------------------------------------------------------
 @register(
-    "z9337_expectations_audit",
+    "q9337_expectations_audit",
     oracle="""
     WITH o_pass AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -86,7 +86,7 @@ from .registry import register
     "total, no matter how many same-table rules are added; rule "
     "results are single-row aggregates unioned driver-free.",
 )
-def z9337_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9337_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
@@ -161,7 +161,7 @@ _SPLIT = "2024-01-16 00:00:00"
 
 
 @register(
-    "z9338_schema_drift",
+    "q9338_schema_drift",
     oracle=f"""
     WITH ev AS (
       SELECT user_id, event_type, value,
@@ -206,7 +206,7 @@ _SPLIT = "2024-01-16 00:00:00"
     "work map-side), O(metrics) output rows. The PSI companion for "
     "distribution-level drift is q27.",
 )
-def z9338_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9338_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",

@@ -59,7 +59,7 @@ _EV_SQL = """
 # Q29 — SCD type-2 history build
 # --------------------------------------------------------------------------
 @register(
-    "q8329_scd2_history",
+    "z138329_scd2_history",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     flagged AS (
@@ -98,7 +98,7 @@ _EV_SQL = """
     "deterministic. At 100 TB this is the classic windowed-dedup "
     "posture: scales with the per-user history, never all-pairs.",
 )
-def q8329_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138329_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.select(
@@ -151,7 +151,7 @@ def q8329_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q30 — MERGE INTO semantics (upsert a delta batch into a snapshot)
 # --------------------------------------------------------------------------
 @register(
-    "q8330_merge_upsert",
+    "z138330_merge_upsert",
     oracle="""
     WITH target AS (
       SELECT o_orderkey,
@@ -185,7 +185,7 @@ def q8329_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "file-pruning pre-filter (zone maps, q28's audit) bounds the "
     "rewrite set, which is how Delta/Iceberg execute the same plan.",
 )
-def q8330_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138330_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     target = orders.filter(F.col("o_orderkey") % 7 != 0).select(
@@ -218,7 +218,7 @@ def q8330_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q31 — CDC apply (ordered upsert/delete log -> final state)
 # --------------------------------------------------------------------------
 @register(
-    "q8331_cdc_apply",
+    "z138331_cdc_apply",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     log AS (
@@ -246,7 +246,7 @@ def q8330_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "plan (cf. streaming/ops.py dedupe), the window never widens "
     "beyond a key's own history, and AQE handles hot keys.",
 )
-def q8331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     log = ev.select(
         "user_id",
@@ -281,7 +281,7 @@ def q8331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q32 — funnel conversion (view -> click -> purchase, ordered)
 # --------------------------------------------------------------------------
 @register(
-    "q8332_funnel_conversion",
+    "z138332_funnel_conversion",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev
@@ -319,7 +319,7 @@ def q8331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream — no window over the full history, no per-user state "
     "beyond one timestamp.",
 )
-def q8332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     s1 = (
         ev.filter(F.col("event_type") == "view")
@@ -377,7 +377,7 @@ def q8332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q33 — retention cohorts (cohort week x week offset)
 # --------------------------------------------------------------------------
 @register(
-    "q8333_retention_cohorts",
+    "z138333_retention_cohorts",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     days AS (SELECT user_id,
@@ -401,7 +401,7 @@ def q8332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-(user, day) dedup is the map-side-combine workhorse; the "
     "final matrix is O(weeks^2) rows regardless of corpus size.",
 )
-def q8333_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138333_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     days = (
         ev.select(
@@ -424,7 +424,7 @@ def q8333_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q34 — last-touch attribution
 # --------------------------------------------------------------------------
 @register(
-    "q8334_last_touch_attribution",
+    "z138334_last_touch_attribution",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     tagged AS (
@@ -452,7 +452,7 @@ def q8333_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incrementally under structured streaming; at 100 TB attribution "
     "is per-key-bounded exactly like sessionization (z84).",
 )
-def q8334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -485,7 +485,7 @@ def q8334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q35 — per-key daily gap-fill + forward fill
 # --------------------------------------------------------------------------
 @register(
-    "z9335_gap_fill",
+    "q9335_gap_fill",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     daily AS (
@@ -519,7 +519,7 @@ def q8334_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact quantized integers so the fill is hash-stable. The "
     "left join keeps is_gap as an explicit audit column.",
 )
-def z9335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         "user_id",
@@ -551,7 +551,7 @@ def z9335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q36 — EWMA smoothing (ordered IEEE fold, bit-identical)
 # --------------------------------------------------------------------------
 @register(
-    "z9336_ewma",
+    "q9336_ewma",
     oracle=f"""
     WITH ev AS ({_EV_SQL}),
     series AS (
@@ -575,7 +575,7 @@ def z9335_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collected series is the user's own history (state bounded per "
     "key; the streaming variant keeps just the running scalar).",
 )
-def z9336_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9336_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     series = ev.groupBy("user_id").agg(
         F.transform(
@@ -680,7 +680,7 @@ _LEDGER_DELTA_SQL = """
 
 
 @register(
-    "q1191_ledger_merge",
+    "z131191_ledger_merge",
     oracle=f"""
     WITH delta AS ({_LEDGER_DELTA_SQL})
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM delta
@@ -703,14 +703,14 @@ _LEDGER_DELTA_SQL = """
     "parquet scan) is lossless (stretch beyond SURVEY §2; judge-noted "
     "r11 gap).",
 )
-def q1191_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z131191_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import ledger
 
     return ledger.read(spark, _ledger_demo_table(spark, sf_dir))
 
 
 @register(
-    "q1192_ledger_time_travel",
+    "z131192_ledger_time_travel",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders
@@ -723,7 +723,7 @@ def q1191_ledger_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the original orders projection (stretch beyond SURVEY §2; "
     "judge-noted r11 gap).",
 )
-def q1192_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z131192_ledger_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import ledger
 
     return ledger.read(spark, _ledger_demo_table(spark, sf_dir), version=0)
@@ -772,7 +772,7 @@ def _ledger_evolved_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 @register(
-    "q1193_ledger_schema_evolution",
+    "z131193_ledger_schema_evolution",
     oracle=f"""
     WITH delta AS ({_LEDGER_DELTA_SQL})
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -793,7 +793,7 @@ def _ledger_evolved_table(spark: SparkSession, sf_dir: str) -> str:
     "Matching rows+schema+hash proves old-group NULL-fill, new-group "
     "values, and the widened read schema all at once.",
 )
-def q1193_ledger_schema_evolution(
+def z131193_ledger_schema_evolution(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from ..sources import ledger
@@ -802,7 +802,7 @@ def q1193_ledger_schema_evolution(
 
 
 @register(
-    "q1194_ledger_zorder_prune",
+    "z131194_ledger_zorder_prune",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders
@@ -822,7 +822,7 @@ def q1193_ledger_schema_evolution(
     "never do — the driver hash checks rows, the unit tests check the "
     "pruning.",
 )
-def q1194_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z131194_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sources import ledger
@@ -851,7 +851,7 @@ def q1194_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q1195_ledger_restore",
+    "z131195_ledger_restore",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders
@@ -866,7 +866,7 @@ def q1194_ledger_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "HEAD that moved back). Runs on a throwaway copy of the y93 table "
     "so the shared demo fixture keeps its history.",
 )
-def q1195_ledger_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z131195_ledger_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ..sources import ledger

@@ -34,7 +34,7 @@ from .registry import register
 
 
 @register(
-    "z9340_ols_normal_eq",
+    "q9340_ols_normal_eq",
     oracle="""
     WITH q AS (
       SELECT CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y,
@@ -99,7 +99,7 @@ from .registry import register
     "a few hundred the Gram route (q22) + a driver-side Cholesky is "
     "the documented escalation path.",
 )
-def z9340_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9340_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
         F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long").alias("y"),
@@ -191,7 +191,7 @@ _KM_SCALE = 1_000_000.0
 
 
 @register(
-    "z9341_kmeans_lloyd",
+    "q9341_kmeans_lloyd",
     oracle=f"""
     WITH e AS (
       SELECT vec_id,
@@ -255,7 +255,7 @@ _KM_SCALE = 1_000_000.0
     "remains the cheap-start companion. Unlike z186's sample-trained "
     "quantizer, every point participates in training here.",
 )
-def z9341_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9341_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -337,7 +337,7 @@ _PI_SCALE = 1_000_000.0
 
 
 @register(
-    "z9342_power_iteration",
+    "q9342_power_iteration",
     oracle=f"""
     WITH e AS (
       SELECT vec_id,
@@ -410,10 +410,10 @@ _PI_SCALE = 1_000_000.0
     "the Gram reduction is the only data-scale pass, which is what "
     "makes power iteration the scalable top-component method.",
 )
-def z9342_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .q_r5_llm import q8322_gram_matrix
+def q9342_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .q_r5_llm import z138322_gram_matrix
 
-    g0 = q8322_gram_matrix(spark, sf_dir)
+    g0 = z138322_gram_matrix(spark, sf_dir)
     g = (
         g0.unionAll(
             g0.filter(F.col("i") != F.col("j")).select(

@@ -34,7 +34,7 @@ _GRAM_SCALE = 1_000_000.0  # 6dp quantization of embedding values
 
 
 @register(
-    "q8322_gram_matrix",
+    "z138322_gram_matrix",
     oracle="""
     WITH e AS (
       SELECT vec_id,
@@ -63,7 +63,7 @@ _GRAM_SCALE = 1_000_000.0  # 6dp quantization of embedding values
     "division by the squared scale. The DuckDB oracle computes the "
     "same integer sum via an unnest self-join with HUGEINT products.",
 )
-def q8322_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138322_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -300,7 +300,7 @@ def pq_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q8323_pq_ann",
+    "z138323_pq_ann",
     oracle="""
     WITH p AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
                FROM embeddings ORDER BY vec_id LIMIT 50),
@@ -327,7 +327,7 @@ def pq_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan is the audit cost; at 100 TB it runs on a sampled probe set "
     "while production serves from the 8-bytes-per-vector code table.",
 )
-def q8323_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138323_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_north import z11661_topk_similarity
 
     exact = z11661_topk_similarity(spark, sf_dir).select(
@@ -472,7 +472,7 @@ def z118324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q25 — k-NN majority-vote classifier over the exact top-k kernel
 # --------------------------------------------------------------------------
 @register(
-    "q8325_knn_classifier",
+    "z138325_knn_classifier",
     oracle="""
     WITH probes AS (SELECT vec_id AS probe_id, label AS label_true,
                            embedding AS pe
@@ -507,7 +507,7 @@ def z118324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join on vec_id against the (id, label) projection; at 100 TB "
     "that side is column-pruned to 12 bytes/row.",
 )
-def q8325_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138325_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_north import z11661_topk_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -624,7 +624,7 @@ _PSI_NBINS = 10
 
 
 @register(
-    "q8327_psi_drift",
+    "z138327_psi_drift",
     oracle=f"""
     WITH b AS (SELECT CASE WHEN CAST(ts AS TIMESTAMP)
                               < TIMESTAMP '{_PSI_SPLIT}'
@@ -660,7 +660,7 @@ _PSI_NBINS = 10
     "are excluded (inner join) — PSI is undefined there; the count "
     "columns expose them for the caller.",
 )
-def q8327_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138327_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.when(
             F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp"), "ref"
@@ -710,7 +710,7 @@ _ZONE_DATE = "1999-01-01 00:00:00"
 
 
 @register(
-    "q8328_zonemap_skipping",
+    "z138328_zonemap_skipping",
     oracle=f"""
     SELECT CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
              AS part_month,
@@ -741,7 +741,7 @@ _ZONE_DATE = "1999-01-01 00:00:00"
     "(z-order/sort) before a predicate class gets pruning. One "
     "partial-agg scan; min/max/count are order-free and exact.",
 )
-def q8328_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138328_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(

@@ -27,7 +27,7 @@ from .registry import register
 # Y75 — STL-lite seasonal decomposition of the daily event series
 # --------------------------------------------------------------------------
 @register(
-    "z9550_stl_decompose",
+    "q9550_stl_decompose",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -71,7 +71,7 @@ from .registry import register
     "100 TB the series key has the cardinality of the metric "
     "catalogue — each series' window state is 7 rows.",
 )
-def z9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -121,7 +121,7 @@ def z9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y76 — per-node local clustering coefficient
 # --------------------------------------------------------------------------
 @register(
-    "z117551_clustering_coefficient",
+    "q117551_clustering_coefficient",
     oracle="""
     WITH pairs AS (
         SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -162,12 +162,12 @@ def z9550_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers. Shuffles on top of q66's: one explode-count and one "
     "degree join — both node-keyed.",
 )
-def z117551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q117551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.copurchase import degrees, triangle_node_stats
 
     # Shared memoized graph (functions/copurchase.py): one edge-set /
     # degree / triangle-stats materialization per session serves the
-    # whole graph family — neither z117566_triangle_count's orientation
+    # whole graph family — neither q117566_triangle_count's orientation
     # nor its wedge join is recomputed here (r5 verdict item 6). The
     # shared intermediate is the O(nodes) per-node aggregate, so this
     # query's old explode-count over O(#triangles) rows is now a plain
@@ -199,7 +199,7 @@ def z117551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
 # Y77 — Holt linear smoothing (level + trend, two-state ordered fold)
 # --------------------------------------------------------------------------
 @register(
-    "z9552_holt_linear",
+    "q9552_holt_linear",
     oracle="""
     WITH RECURSIVE ev AS (
       SELECT user_id,
@@ -237,7 +237,7 @@ def z117551_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
     "streaming form keeps (level, trend) as O(1) state exactly like "
     "streaming_ewma.",
 )
-def z9552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
@@ -282,7 +282,7 @@ def z9552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y78 — per-key linear interpolation of gaps (q35's upgrade)
 # --------------------------------------------------------------------------
 @register(
-    "z9553_linear_interpolate",
+    "q9553_linear_interpolate",
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS d,
@@ -340,7 +340,7 @@ def z9552_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-identical cross-engine. This is the resampling primitive a "
     "time-series feature pipeline runs after q35's densification.",
 )
-def z9553_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9553_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         F.col("ts").cast("date").alias("d"),
@@ -405,7 +405,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
 
 
 @register(
-    "z10554_association_rules",
+    "q10554_association_rules",
     oracle=f"""
     WITH items AS (
       SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -445,7 +445,7 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
     "At 100 TB min-support pruning is what keeps the pair table "
     "manageable — exactly the a-priori downward-closure argument.",
 )
-def z10554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
@@ -498,7 +498,7 @@ _GD_R2 = 200 * 200
 
 
 @register(
-    "z10555_grid_distance_join",
+    "q10555_grid_distance_join",
     oracle=f"""
     WITH pts AS (
       SELECT c_custkey AS id,
@@ -535,7 +535,7 @@ _GD_R2 = 200 * 200
     "fan-out is bounded by local point density — the same "
     "bucketing-beats-all-pairs argument as the LSH dedup family.",
 )
-def z10555_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10555_grid_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     md5 = F.md5(F.col("c_custkey").cast("string").cast("binary"))
     pts = cust.select(
@@ -670,7 +670,7 @@ def z11556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y82 — 2-D skyline (Pareto frontier): cheapest-for-its-recency orders
 # --------------------------------------------------------------------------
 @register(
-    "z10557_skyline_2d",
+    "q10557_skyline_2d",
     oracle="""
     WITH o AS (
       SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
@@ -700,7 +700,7 @@ def z11556_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reduce per group -> scan-side filter against a broadcast "
     "cutoff) generalizes to any 2-D skyline at 100 TB.",
 )
-def z10557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("d"),
@@ -729,7 +729,7 @@ def z10557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y83 — Kaplan-Meier survival curve (signup -> first purchase)
 # --------------------------------------------------------------------------
 @register(
-    "z10558_kaplan_meier",
+    "q10558_kaplan_meier",
     oracle="""
     WITH s AS (
       SELECT user_id, MIN(ts) AS t0 FROM events
@@ -793,7 +793,7 @@ def z10557_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Time-to-event analytics is the conversion-latency readout every "
     "funnel (q32) eventually needs.",
 )
-def z10558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     s = (
         ev.filter(F.col("event_type") == "signup")
@@ -876,7 +876,7 @@ def z10558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y84 — user-journey Markov transition matrix
 # --------------------------------------------------------------------------
 @register(
-    "z10559_markov_transitions",
+    "q10559_markov_transitions",
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type,
@@ -905,7 +905,7 @@ def z10558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keyed shuffles total (user window, 25-cell count); the matrix "
     "size depends on the state alphabet, not the corpus.",
 )
-def z10559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10559_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1095,7 +1095,7 @@ def z1210560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y86 — top user-journey paths (3-step sequence mining)
 # --------------------------------------------------------------------------
 @register(
-    "z10561_top_paths",
+    "q10561_top_paths",
     oracle="""
     WITH ordered AS (
       SELECT user_id, event_type,
@@ -1122,7 +1122,7 @@ def z1210560_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "assumption breaks). Path cardinality is bounded by |states|^3, "
     "so the count shuffle is tiny regardless of corpus size.",
 )
-def z10561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -1149,7 +1149,7 @@ def z10561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Y87 — CUSUM changepoint detection per series
 # --------------------------------------------------------------------------
 @register(
-    "z10562_cusum_changepoint",
+    "q10562_cusum_changepoint",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS day,
@@ -1200,7 +1200,7 @@ def z10561_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus-scale rollup shuffle; everything after lives on the "
     "(series x day) dimension.",
 )
-def z10562_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10562_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
@@ -1279,7 +1279,7 @@ def _benford_case(col: str) -> str:
 
 
 @register(
-    "z10563_benford_audit",
+    "q10563_benford_audit",
     oracle=f"""
     WITH o AS (
       SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
@@ -1312,7 +1312,7 @@ def _benford_case(col: str) -> str:
     "the synthetic fixture is NOT Benford-distributed, which is "
     "precisely what the audit is built to surface.",
 )
-def z10563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q10563_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.substring(
             F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))

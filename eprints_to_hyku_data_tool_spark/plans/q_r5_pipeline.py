@@ -151,7 +151,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
 
 
 @register(
-    "z9343_bpe_train",
+    "q9343_bpe_train",
     oracle=_bpe_oracle(),
     doc="Byte-pair-encoding tokenizer training (Sennrich scheme): the "
     "corpus reduces to a (word, frequency) vocabulary table ONCE, "
@@ -170,7 +170,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     "— which is exactly how production BPE trainers scale. Rounds "
     "are lazily checkpointed (q88 lineage discipline).",
 )
-def z9343_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9343_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, merge_rows = _bpe_learn(spark, sf_dir)
     out = merge_rows[0]
     for mr in merge_rows[1:]:
@@ -185,7 +185,7 @@ _FH_BUCKETS = 256
 
 
 @register(
-    "z9344_feature_hashing",
+    "q9344_feature_hashing",
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -217,7 +217,7 @@ _FH_BUCKETS = 256
     "out-of-core featurizer; bucket count is a constant, so the "
     "reduce side never grows with the corpus.",
 )
-def z9344_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9344_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split("text", " ")).alias("tok")
@@ -247,7 +247,7 @@ def z9344_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q45 — train/test split + near-dup leakage audit
 # --------------------------------------------------------------------------
 @register(
-    "z9345_split_leakage",
+    "q9345_split_leakage",
     oracle="""
     WITH split AS (
       SELECT doc_id,
@@ -292,7 +292,7 @@ def z9344_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles + two id-keyed split joins; at 100 TB the pair set is "
     "near-dup-sized, not corpus-sized.",
 )
-def z9345_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9345_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .q_north import doc_shingles, exact_jaccard_pairs, verify_jaccard_candidates
 
     docs = load_table(spark, sf_dir, "documents")
@@ -404,7 +404,7 @@ def z129346_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q47 — Mahalanobis outlier scoring (moments -> Cramer inverse -> top-k)
 # --------------------------------------------------------------------------
 @register(
-    "z9347_mahalanobis",
+    "q9347_mahalanobis",
     oracle="""
     WITH q AS (
       SELECT l_orderkey, l_linenumber,
@@ -486,7 +486,7 @@ def z129346_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast + a second scan for scoring — no shuffle of the fact "
     "table at all.",
 )
-def z9347_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9347_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     q = li.select(
         "l_orderkey",
@@ -587,7 +587,7 @@ _ALS_LAMBDA = 1  # ridge regularizer, exact integer
 
 
 @register(
-    "z9348_als_step",
+    "q9348_als_step",
     oracle=f"""
     WITH r AS (
       SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
@@ -632,7 +632,7 @@ _ALS_LAMBDA = 1  # ridge regularizer, exact integer
     "is O(d^3) independent of every other user. The full algorithm "
     "alternates this step with its item-side mirror.",
 )
-def z9348_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9348_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
@@ -692,7 +692,7 @@ def z9348_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q49 — migration reconciliation diff (source vs migrated snapshot)
 # --------------------------------------------------------------------------
 @register(
-    "z9349_reconcile",
+    "q9349_reconcile",
     oracle="""
     WITH src AS (
       SELECT o_orderkey,
@@ -740,7 +740,7 @@ def z9348_als_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one cent). At 100 TB this is the cheapest possible full audit: "
     "two scans, one key-hash shuffle, one summary row out.",
 )
-def z9349_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q9349_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
 

@@ -147,7 +147,7 @@ def z128311_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q12 — national market share (TPC-H Q8 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8312_market_share",
+    "z138312_market_share",
     oracle="""
     SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
            CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
@@ -177,7 +177,7 @@ def z128311_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "side labels the numerator) — two broadcasts of the same table "
     "under different roles.",
 )
-def q8312_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138312_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01")
@@ -222,7 +222,7 @@ def q8312_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q13 — product-type profit (TPC-H Q9 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8313_nation_profit",
+    "z138313_nation_profit",
     oracle="""
     SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
              AS o_year,
@@ -249,7 +249,7 @@ def q8312_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "year via orders) — the aggregation happens after a 4-way join "
     "whose only shuffled edge is lineitem-orders.",
 )
-def q8313_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138313_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("red%")
@@ -279,7 +279,7 @@ def q8313_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q14 — returned-item reporting (TPC-H Q10 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8314_returned_items",
+    "z138314_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
@@ -303,7 +303,7 @@ def q8313_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cut is deterministic (ties broken by custkey); the final ORDER "
     "BY + LIMIT runs as TakeOrdered, never a global sort.",
 )
-def q8314_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138314_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01")
@@ -333,7 +333,7 @@ def q8314_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q15 — top supplier (TPC-H Q15 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8315_top_supplier",
+    "z138315_top_supplier",
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
@@ -359,7 +359,7 @@ def q8314_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comparison. Ties (multiple max suppliers) survive, matching the "
     "SQL semantics.",
 )
-def q8315_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138315_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01")
         & (F.col("l_shipdate") < "1997-04-01")
@@ -386,7 +386,7 @@ def q8315_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q16 — parts/supplier relationship (TPC-H Q16 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8316_supplier_variety",
+    "z138316_supplier_variety",
     oracle="""
     WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
          ok_supp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
@@ -407,7 +407,7 @@ def q8315_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast part dim. COUNT(DISTINCT suppkey) per 3-key group is "
     "the one genuine shuffle.",
 )
-def q8316_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138316_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
@@ -436,7 +436,7 @@ def q8316_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q17 — large-volume orders (TPC-H Q18 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8317_large_orders",
+    "z138317_large_orders",
     oracle="""
     WITH big AS (
       SELECT l_orderkey,
@@ -458,7 +458,7 @@ def q8316_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before joining is the difference between shuffling the 100 TB "
     "fact table once versus joining it wide first.",
 )
-def q8317_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138317_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -484,7 +484,7 @@ def q8317_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q18 — disjunctive predicate revenue (TPC-H Q19 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8318_disjunctive_revenue",
+    "z138318_disjunctive_revenue",
     oracle="""
     SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
                     * (1 - CAST(l.l_discount AS DECIMAL(8,2))))
@@ -508,7 +508,7 @@ def q8317_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "This is the canonical test that OR-predicate inference survives "
     "the optimizer.",
 )
-def q8318_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138318_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     j = li.join(part, li.l_partkey == part.p_partkey)
@@ -537,7 +537,7 @@ def q8318_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q19 — part-promotion suppliers (TPC-H Q20 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8319_part_promotion",
+    "z138319_part_promotion",
     oracle="""
     WITH small_parts AS (SELECT p_partkey FROM part
                          WHERE p_name LIKE 'small%'),
@@ -564,7 +564,7 @@ def q8318_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set. Each nesting level becomes one relational operator; nothing "
     "re-executes per outer row.",
 )
-def q8319_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138319_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     small_parts = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")
     )
@@ -597,7 +597,7 @@ def q8319_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q20 — sole-fault supplier (TPC-H Q21 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8320_sole_fault_supplier",
+    "z138320_sole_fault_supplier",
     oracle="""
     WITH per_order AS (
       SELECT l_orderkey,
@@ -625,7 +625,7 @@ def q8319_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fact table; fixture uses returnflag R as the fault marker "
     "(no receiptdate).",
 )
-def q8320_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138320_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     is_r = F.col("l_returnflag") == "R"
@@ -648,7 +648,7 @@ def q8320_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q21 — dormant high-balance customers (TPC-H Q22 shape)
 # --------------------------------------------------------------------------
 @register(
-    "q8321_dormant_customers",
+    "z138321_dormant_customers",
     oracle="""
     WITH cutoff AS (
       SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
@@ -677,7 +677,7 @@ def q8320_sole_fault_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "becomes 'no order since 2000' (every sf0.01 customer has SOME "
     "order).",
 )
-def q8321_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def z138321_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     recent = (

@@ -149,7 +149,7 @@ def test_end_to_end_fresh_session(tmp_path):
         json.dumps(
             {
                 "regressions": {
-                    "z901_scan_count": {"prev": 100.0, "now": 400.0}
+                    "q901_scan_count": {"prev": 100.0, "now": 400.0}
                 }
             }
         )
@@ -172,7 +172,7 @@ def test_end_to_end_fresh_session(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
     data = json.loads(side.read_text())
-    v = data["adjudications"]["z901_scan_count"]
+    v = data["adjudications"]["q901_scan_count"]
     assert v["verdict"] == "refuted" and len(v["warm_runs"]) == 3
     assert v["warm_min"] <= 100.0
 

@@ -40,7 +40,7 @@ def test_tail_bracket_match_three_digit_names():
     # Round-6 rotation produces z3xx/z434 names; a compact line's worst
     # key can be one of them, and the structured-parse path must still
     # anchor (review r6: the old anchor regex required exactly 2 digits).
-    inner = {"z9341_kmeans_lloyd": 3.2, "z9434_heavyhitters": 1.1}
+    inner = {"q9341_kmeans_lloyd": 3.2, "q9434_heavyhitters": 1.1}
     tail = '..."queries": ' + json.dumps(inner) + ', "errors": []}'
     assert _extract_queries({"tail": tail}) == inner
 
@@ -176,13 +176,13 @@ def test_warm_rerun_flagged_builds_records_fresh_min(monkeypatch):
     adjudication needed (VERDICT r9 item 3). Query flags are ignored."""
     import bench
 
-    timings = {"_build_neardup_pairs": 32.94, "z901_scan_count": 9.0}
+    timings = {"_build_neardup_pairs": 32.94, "q901_scan_count": 9.0}
     monkeypatch.setattr(
         bench,
         "regressions_vs_previous",
         lambda t, sf, threshold=1.5, quiet=False: {
             "_build_neardup_pairs": {"prev": 7.85, "now": 32.94},
-            "z901_scan_count": {"prev": 4.0, "now": 9.0},
+            "q901_scan_count": {"prev": 4.0, "now": 9.0},
         },
     )
     ran = bench.warm_rerun_flagged_builds(
@@ -193,7 +193,7 @@ def test_warm_rerun_flagged_builds_records_fresh_min(monkeypatch):
     )
     assert ran == ["_build_neardup_pairs"]
     assert timings["_build_neardup_pairs"] == 8.59
-    assert timings["z901_scan_count"] == 9.0  # untouched: not a build
+    assert timings["q901_scan_count"] == 9.0  # untouched: not a build
 
 
 def test_warm_rerun_flagged_builds_survives_runner_failure(monkeypatch):

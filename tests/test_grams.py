@@ -1,5 +1,5 @@
 """The shared memoized per-doc 8-gram table (functions/grams.py, r12):
-z11775_decontaminate and z128301_duplicate_ngram_filter must both ride ONE
+q11775_decontaminate and q128301_duplicate_ngram_filter must both ride ONE
 materialized (doc_id, grams) build, and riding it must not change what
 either query returns (the build is plan-side only — oracles untouched)."""
 
@@ -38,10 +38,10 @@ def test_consumers_share_the_build(spark, sf_dir, monkeypatch):
     18.1x cold smoke ratio)."""
     import eprints_to_hyku_data_tool_spark.functions.grams as grams_mod
     from eprints_to_hyku_data_tool_spark.plans.q_corpus import (
-        z11775_decontaminate,
+        q11775_decontaminate,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_r4 import (
-        z128301_duplicate_ngram_filter,
+        q128301_duplicate_ngram_filter,
     )
 
     calls = []
@@ -52,8 +52,8 @@ def test_consumers_share_the_build(spark, sf_dir, monkeypatch):
         return real(spark_, sf_dir_)
 
     monkeypatch.setattr(grams_mod, "doc_grams8", spy)
-    z11775_decontaminate(spark, sf_dir)
-    z128301_duplicate_ngram_filter(spark, sf_dir)
+    q11775_decontaminate(spark, sf_dir)
+    q128301_duplicate_ngram_filter(spark, sf_dir)
     assert len(calls) == 2
 
 

@@ -153,7 +153,7 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
 
     from eprints_to_hyku_data_tool_spark.plans.q_analytics import (
         pagerank_ranks,
-        z117566_triangle_count,
+        q117566_triangle_count,
     )
 
     calls: list[int] = []
@@ -172,7 +172,7 @@ def test_no_node_sized_broadcast_hints(spark, sf_dir, monkeypatch):
     # here would be a node-sized regression.)
     pagerank_ranks(spark, sf_dir)
     assert not calls, "pagerank used a broadcast hint"
-    z117566_triangle_count(spark, sf_dir)
+    q117566_triangle_count(spark, sf_dir)
     assert not calls, "triangle count used a broadcast hint"
 
 
@@ -287,7 +287,7 @@ def test_graph_family_reads_shared_checkpoint_not_parquet(spark, sf_dir):
             REGISTRY[name].fn(spark, sf_dir).explain("formatted")
         return buf.getvalue()
 
-    for name in ("z117566_triangle_count", "z117551_clustering_coefficient",
+    for name in ("q117566_triangle_count", "q117551_clustering_coefficient",
                  "z117565_degree_powerlaw"):
         p = plan(name)
         assert "Scan ExistingRDD" in p, (name, p)

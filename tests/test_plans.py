@@ -34,7 +34,7 @@ def plans(spark, sf_dir):
 
 
 def test_q02_filter_pushdown_and_pruning(plans):
-    p = plans("z902_scan_pushdown")
+    p = plans("q902_scan_pushdown")
     # The status filter reaches the parquet reader...
     assert "EqualTo(o_orderstatus,O)" in p, p
     # ...and only the needed columns are read (no o_orderdate etc.).
@@ -42,7 +42,7 @@ def test_q02_filter_pushdown_and_pruning(plans):
 
 
 def test_z04_compound_predicate_pushdown(plans):
-    p = plans("z904_compound_predicate")
+    p = plans("q904_compound_predicate")
     assert "PushedFilters" in p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
     assert "LessThan(l_quantity,24.0)" in p, p
@@ -51,14 +51,14 @@ def test_z04_compound_predicate_pushdown(plans):
 def test_q09_broadcast_hash_join(plans):
     import re
 
-    p = plans("z909_broadcast_join")
+    p = plans("q909_broadcast_join")
     # Two BHJ nodes in the tree (each also appears in the detail section).
     assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2, p
     assert "SortMergeJoin" not in p
 
 
 def test_q25_dim_join_broadcasts(plans):
-    p = plans("z10625_bulkrax_fold")
+    p = plans("q10625_bulkrax_fold")
     assert "BroadcastHashJoin" in p, p
 
 
@@ -99,7 +99,7 @@ def test_q38_take_ordered_and_project(plans):
 
 
 def test_q08_large_join_is_not_broadcast_nested_loop(plans):
-    p = plans("z908_inner_join")
+    p = plans("q908_inner_join")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
@@ -107,7 +107,7 @@ def test_q08_large_join_is_not_broadcast_nested_loop(plans):
 def test_q15_range_join_keeps_equi_key(plans):
     # The equi part (orderkey) must drive the join; the date range is a
     # residual condition, not a nested loop.
-    p = plans("q915_range_join")
+    p = plans("z13915_range_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -134,7 +134,7 @@ def test_q31_single_shuffle_on_dedupe_key(plans):
 
 def test_q19_partial_aggregation(plans):
     # Map-side partial agg before the exchange (two HashAggregate levels).
-    p = plans("z10619_groupby_multi_agg")
+    p = plans("q10619_groupby_multi_agg")
     assert p.count("HashAggregate") >= 2, p
 
 
@@ -169,7 +169,7 @@ def test_x26_funnel_single_shuffle(plans):
 # x23 cross-joins a one-row bounds aggregate with a 5-row type dim to
 # build the gap-fill grid — tiny-by-construction, like x15.
 NESTED_LOOP_WHITELIST = {
-    "q914_cross_join",
+    "z13914_cross_join",
     "z11784_tfidf",
     "z12792_gapfill",
     # x30 cross-joins a one-row totals aggregate back onto the strata
@@ -177,8 +177,8 @@ NESTED_LOOP_WHITELIST = {
     "z12798_mix_reweight",
     # y34/y35 cross-join one-row corpus-stats/total aggregates (same
     # broadcast shape as x30).
-    "q9180_bm25",
-    "q9181_vocab_zipf",
+    "z139180_bm25",
+    "z139181_vocab_zipf",
     # y40 cross-joins the one-row corpus token total (same shape).
     "z11771_unigram_logprob",
     # y48 cross-joins pairs of ONE-ROW count aggregates per FK edge.
@@ -195,36 +195,36 @@ NESTED_LOOP_WHITELIST = {
     "z128249_vocab_overlap",
     # q21 (TPC-H Q22) cross-joins the one-row global-average-balance
     # aggregate onto customer — the canonical scalar-subquery broadcast.
-    "q8321_dormant_customers",
+    "z138321_dormant_customers",
     # q88's verdict join is one-row stats x one-row edge count, and the
     # per-iteration dangling-mass term is a one-row aggregate broadcast
     # cross-joined onto the rank update (r5: replaced the per-round
     # scalar collect).
-    "z117588_pagerank",
+    "q117588_pagerank",
     # q24 cross-joins the (5-row lang model dim x one-row vocab/total
     # aggregates) onto the test token stream — tiny by construction,
     # the z71/x30 broadcast-scalar shape.
     "z118324_naive_bayes",
     # q27 cross-joins the two one-row side-total aggregates onto the
     # 10-row bin join (same shape).
-    "q8327_psi_drift",
+    "z138327_psi_drift",
     # q37's FK-coverage row cross-joins two ONE-ROW count aggregates
     # (checked-total x violation-total — the z191 shape).
-    "z9337_expectations_audit",
+    "q9337_expectations_audit",
     # q39 cross-joins one-row extrema/total aggregates onto the fact
     # stream for integer bin arithmetic (the x30 broadcast-scalar shape).
     "z129539_histogram",
     # q41 cross-joins the k-row (k=8) centroid table onto the point
     # stream — the assignment broadcast every distributed k-means does.
-    "z9341_kmeans_lloyd",
+    "q9341_kmeans_lloyd",
     # q42 cross-joins the one-row max-abs normalization scalar onto the
     # 64-row eigenvector each round (broadcast-scalar shape).
-    "z9342_power_iteration",
+    "q9342_power_iteration",
     # q43 cross-joins the ONE-ROW top-pair argmax onto the vocabulary
     # table each merge round (broadcast-scalar shape).
-    "z9343_bpe_train",
+    "q9343_bpe_train",
     # q45's verdict row is one-row split sizes x one-row leak counts.
-    "z9345_split_leakage",
+    "q9345_split_leakage",
     # q46 cross-joins the one-row total-count aggregate for the
     # quantile denominator (broadcast-scalar shape).
     "z129346_quantile_rank",
@@ -234,13 +234,13 @@ NESTED_LOOP_WHITELIST = {
     "z1210560_rfm_segments",
     # q47 cross-joins the one-row moments/inverse-covariance model onto
     # the fact stream — the broadcast-model scoring shape.
-    "z9347_mahalanobis",
+    "q9347_mahalanobis",
     # y79 cross-joins the one-row basket-count aggregate onto the rule
     # table for the lift denominator (broadcast-scalar shape).
-    "z10554_association_rules",
+    "q10554_association_rules",
     # y88 cross-joins the one-row digit-total aggregate onto the 9-row
     # digit table (broadcast-scalar shape).
-    "z10563_benford_audit",
+    "q10563_benford_audit",
     # y89/y90 cross-join one-row edge-count / min-degree / totals
     # aggregates onto community- or degree-sized tables (same shape).
     "z117564_modularity",
@@ -252,7 +252,7 @@ def test_y31_eval_grams_broadcast(plans):
     """Decontamination's scale contract: the eval n-gram side is broadcast
     (benchmark-sized), so the corpus side streams map-side — the gram
     match must be a BroadcastHashJoin, never a shuffled join on grams."""
-    p = plans("z11775_decontaminate")
+    p = plans("q11775_decontaminate")
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
 
@@ -263,7 +263,7 @@ def test_y36_group_sample_window_group_limit(plans):
     k before rows move."""
     import re
 
-    p = plans("q9182_group_sample")
+    p = plans("z139182_group_sample")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "WindowGroupLimit" in p, p
 
@@ -331,7 +331,7 @@ def test_q70_cumsum_is_distributed(plans):
     """Sequence packing's global running sum must ride the two-phase
     range-partition scheme (z37 rule), never a single-partition window
     over the whole corpus."""
-    p = plans("q11770_sequence_pack")
+    p = plans("z1311770_sequence_pack")
     assert "rangepartitioning" in p, p
     assert "hashpartitioning(__pid" in p, p
 
@@ -340,7 +340,7 @@ def test_y47_profile_is_single_scan(plans):
     """The profiler's contract: ALL columns' aggregates come from ONE
     pass over lineitem (the oracle scans per column; the Spark plan
     must not)."""
-    p = plans("q9190_column_profile")
+    p = plans("z139190_column_profile")
     # one scan NODE: each scan contributes exactly one Location line in
     # the formatted detail section ("Scan parquet" itself prints twice
     # per node — tree + detail)
@@ -360,7 +360,7 @@ def test_q79_composite_plan_shape(plans):
     reach the scans, the filtered customer dimension broadcasts, the
     top-10 is TakeOrdered (no global sort), and revenue aggregates in
     decimal before the final double cast."""
-    p = plans("q9179_top_revenue")
+    p = plans("z139179_top_revenue")
     assert "EqualTo(c_mktsegment,BUILDING)" in p, p
     assert "LessThan(o_orderdate" in p, p
     assert "GreaterThan(l_shipdate" in p, p
@@ -462,21 +462,21 @@ def test_y73_small_qty_audit_shares_shuffle_key(plans):
 # --------------------------------------------------------------------------
 HEAVY_QUERIES = [
     "z12790_corpus_pipeline",
-    "z12785_cluster_dedupe",
-    "z11775_decontaminate",
-    "q11667_embedding_dedupe",
-    "q9186_ivf_embedding_dedupe",
-    "z128301_duplicate_ngram_filter",
+    "q12785_cluster_dedupe",
+    "q11775_decontaminate",
+    "z1311667_embedding_dedupe",
+    "z139186_ivf_embedding_dedupe",
+    "q128301_duplicate_ngram_filter",
     "z11660_minhash_lsh",
     "z12786_ngram_jaccard",
     "z128308_volume_shipping",
-    "z117588_pagerank",
+    "q117588_pagerank",
     # round-5 part-2 heavies: iterative k-means, the BPE merge loop, and
     # the PPJoin-backed split-leakage audit must hold their shapes when
     # automatic broadcasting is off and shuffles are cluster-sized.
-    "z9341_kmeans_lloyd",
-    "z9343_bpe_train",
-    "z9345_split_leakage",
+    "q9341_kmeans_lloyd",
+    "q9343_bpe_train",
+    "q9345_split_leakage",
 ]
 
 # Queries whose one-row-aggregate cross joins are whitelisted above keep
@@ -516,7 +516,7 @@ def test_cluster_shaped_decontaminate_still_broadcasts(spark, sf_dir):
     ONLY way that survives is the explicit broadcast() hint — this test
     fails if the hint is ever dropped in favor of threshold luck."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["z11775_decontaminate"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["q11775_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
 
 
@@ -537,7 +537,7 @@ def test_cluster_shaped_shuffle_partition_count_is_respected(spark, sf_dir):
     exchanges (i.e. our plans don't pin partitioning constants that
     would fight a cluster deployment's sizing)."""
     with _cluster_shaped(spark):
-        p = plan_text(REGISTRY["z10619_groupby_multi_agg"].fn(spark, sf_dir))
+        p = plan_text(REGISTRY["q10619_groupby_multi_agg"].fn(spark, sf_dir))
     assert "200" in p, p
 
 
@@ -564,7 +564,7 @@ def test_q11_exists_is_semi_join_with_pushdown(plans):
 def test_q15_max_joinback_is_hash_join(plans):
     """The Q15-shape scalar-MAX join-back compares exact decimals with an
     EQUI join — broadcast hash, never a nested loop over revenue."""
-    p = plans("q8315_top_supplier")
+    p = plans("z138315_top_supplier")
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
 
@@ -573,7 +573,7 @@ def test_q18_or_implications_reach_both_scans(plans):
     """The Q19-shape disjunction spans both join sides; Catalyst must
     derive each side's implication and push it: the quantity OR-range
     onto lineitem, the brand/size OR onto part."""
-    p = plans("q8318_disjunctive_revenue")
+    p = plans("z138318_disjunctive_revenue")
     assert "GreaterThanOrEqual(l_quantity,1.0)" in p, p
     assert "EqualTo(p_brand,Brand#12)" in p, p
     assert "EqualTo(p_brand,Brand#3)" in p, p
@@ -587,7 +587,7 @@ def test_q17_aggregates_before_joining(plans):
     not over a join."""
     import re
 
-    p = plans("q8317_large_orders")
+    p = plans("z138317_large_orders")
     assert p.count("HashAggregate") >= 2, p
     assert "BroadcastNestedLoopJoin" not in p, p
     # formatted-explain numbers nodes leaf-to-root: the group-by's
@@ -619,7 +619,7 @@ def test_q29_scd2_single_shuffle(plans):
     partitions by user_id, so exactly one plain Exchange may appear."""
     import re
 
-    p = plans("q8329_scd2_history")
+    p = plans("z138329_scd2_history")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert p.count("Window") >= 3, p
 
@@ -629,7 +629,7 @@ def test_q30_merge_is_full_outer_smj(plans):
     never a nested loop, and both sides shuffle exactly once."""
     import re
 
-    p = plans("q8330_merge_upsert")
+    p = plans("z138330_merge_upsert")
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
@@ -641,7 +641,7 @@ def test_q31_cdc_single_shuffle(plans):
     the one user_id exchange (same partition key, compatible sorts)."""
     import re
 
-    p = plans("q8331_cdc_apply")
+    p = plans("z138331_cdc_apply")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
 
 
@@ -651,7 +651,7 @@ def test_q34_attribution_two_shuffles(plans):
     (no self-join node may appear)."""
     import re
 
-    p = plans("q8334_last_touch_attribution")
+    p = plans("z138334_last_touch_attribution")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
     assert "Join" not in p, p
 
@@ -660,7 +660,7 @@ def test_z335_gap_fill_no_nested_loop(plans):
     """Calendar densification joins the exploded per-user calendar back
     to the daily aggregate on (user_id, day) — an equi-join that must
     never degrade to a nested loop or cartesian product."""
-    p = plans("z9335_gap_fill")
+    p = plans("q9335_gap_fill")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
 
@@ -671,7 +671,7 @@ def test_z336_ewma_single_shuffle(plans):
     Python evaluator node)."""
     import re
 
-    p = plans("z9336_ewma")
+    p = plans("q9336_ewma")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "Python" not in p, p
 
@@ -684,7 +684,7 @@ def test_q37_expectations_fold_rules_into_scans(plans):
     table per aggregate branch, never one scan per rule: 6 rules over 2
     tables may not produce 6+ fact scans) and the FK rule must be a
     left-anti join, not a nested loop over the fact."""
-    p = plans("z9337_expectations_audit")
+    p = plans("q9337_expectations_audit")
     assert "LeftAnti" in p, p
     assert p.count("Location: InMemoryFileIndex") <= 5, p
 
@@ -692,7 +692,7 @@ def test_q37_expectations_fold_rules_into_scans(plans):
 def test_q38_drift_is_single_scan_two_groups(plans):
     """The drift monitor reads events ONCE and aggregates by the 2-value
     half flag; per-metric rows come from stack(), not re-scans."""
-    p = plans("z9338_schema_drift")
+    p = plans("q9338_schema_drift")
     assert p.count("Location: InMemoryFileIndex") == 1, p
 
 
@@ -748,7 +748,7 @@ def test_q40_ols_is_one_aggregation(plans):
     wire) and no join of any kind."""
     import re
 
-    p = plans("z9340_ols_normal_eq")
+    p = plans("q9340_ols_normal_eq")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "Join" not in p, p
     assert p.count("HashAggregate") >= 2, p  # map-side partials
@@ -758,7 +758,7 @@ def test_q41_kmeans_assignment_broadcasts_centroids(plans):
     """Assignment must broadcast the k-row centroid table against the
     point stream (never shuffle the points by centroid), and the
     exact-integer distance fold must stay JVM-side (no Python node)."""
-    p = plans("z9341_kmeans_lloyd")
+    p = plans("q9341_kmeans_lloyd")
     assert "BroadcastExchange" in p, p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p, p
@@ -771,7 +771,7 @@ def test_z342_power_iteration_plan_is_linear_in_rounds(plans):
     aggregates, and the matvec fold is codegen (no Python)."""
     import re
 
-    p = plans("z9342_power_iteration")
+    p = plans("q9342_power_iteration")
     assert len(re.findall(r"\(\d+\) HashAggregate", p)) <= 6, p
     assert "Python" not in p, p
 
@@ -785,7 +785,7 @@ def test_z344_feature_hashing_two_aggregations(plans):
     256-value bucket key — exactly two plain exchanges, no join."""
     import re
 
-    p = plans("z9344_feature_hashing")
+    p = plans("q9344_feature_hashing")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
     assert "Join" not in p.replace("BroadcastNestedLoopJoin", ""), p
 
@@ -805,7 +805,7 @@ def test_z347_mahalanobis_no_fact_shuffle(plans):
     TakeOrdered, not a global sort."""
     import re
 
-    p = plans("z9347_mahalanobis")
+    p = plans("q9347_mahalanobis")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
     assert "TakeOrderedAndProject" in p, p
     assert "Exchange rangepartitioning" not in p, p
@@ -815,7 +815,7 @@ def test_q48_als_joins_stay_hashed(plans):
     """The ALS half-step's two joins (ratings build, item-factor attach)
     ride equi keys — broadcast or shuffled hash, never a nested loop —
     and the per-user solve is a partial-agg shuffle on user_id."""
-    p = plans("z9348_als_step")
+    p = plans("q9348_als_step")
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("HashAggregate") >= 2, p
@@ -828,7 +828,7 @@ def test_z349_reconcile_is_fingerprint_smj(plans):
     computed — and classification is one conditional aggregation."""
     import re
 
-    p = plans("z9349_reconcile")
+    p = plans("q9349_reconcile")
     assert "FullOuter" in p, p
     assert "SortMergeJoin" in p, p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 3, p
@@ -903,7 +903,7 @@ def test_cluster_shaped_neardup_build(spark, sf_dir):
 def test_q74_rplsh_bucket_verify_plan_shape(plans):
     import re
 
-    p = plans("q974_rplsh_neardup")
+    p = plans("z13974_rplsh_neardup")
     # Round-8 shape + round-9 hot-bucket salting: candidates are still
     # generated and killed inside the per-bucket Arrow kernel
     # (grouped-map node), and the only shuffles are (1) the tiny

@@ -132,7 +132,7 @@ def test_cluster_dedupe_is_transitive_closure_of_pairs(spark, sf_dir):
     }
     got = {
         (r["doc_id"], r["canonical_id"])
-        for r in REGISTRY["z12785_cluster_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["q12785_cluster_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"] == 1 or r["canonical_id"] != r["doc_id"]
     }
     # every non-root member maps to its component min
@@ -211,7 +211,7 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
     """ivf_topk_approx (nprobe=10/16, sample-trained quantizer) must
     keep recall@5 >= 0.8 against the exact q61 top-k (measured 0.85 at
     sf0.01; the fixture's embeddings are near-uniform, a worst case for
-    IVF). The registered q9185_ivf_topk emits this same comparison as a
+    IVF). The registered z139185_ivf_topk emits this same comparison as a
     driver-checkable verdict; this test checks the raw pair sets."""
     from eprints_to_hyku_data_tool_spark.plans.q_north import ivf_topk_approx
 
@@ -238,7 +238,7 @@ def test_ivf_dedupe_subset_and_recall(spark, sf_dir):
 
     exact = {
         r["vec_id"]
-        for r in REGISTRY["q11667_embedding_dedupe"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z1311667_embedding_dedupe"].fn(spark, sf_dir).collect()
         if r["is_dropped"]
     }
     ivf = {
@@ -309,7 +309,7 @@ def test_cluster_dedupe_uses_verified_pairs_at_sf01(spark):
     want_dropped = {n for n in members if find(n) != n}
     got_dropped = {
         r["doc_id"]
-        for r in REGISTRY["z12785_cluster_dedupe"].fn(spark, sf).collect()
+        for r in REGISTRY["q12785_cluster_dedupe"].fn(spark, sf).collect()
         if r["is_dropped"] == 1
     }
     assert got_dropped == want_dropped and len(want_dropped) > 0
@@ -347,10 +347,10 @@ def test_int8_quantize_reconstruction_bound(spark, sf_dir):
     error <= amax/254 + micro-unit rounding slack (the absmax scheme's
     theoretical bound)."""
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
-        q9173_int8_quantize,
+        z139173_int8_quantize,
     )
 
-    for r in q9173_int8_quantize(spark, sf_dir).collect():
+    for r in z139173_int8_quantize(spark, sf_dir).collect():
         assert r["q_min"] >= -127 and r["q_max"] <= 127, r["vec_id"]
         n_dims = len(r["q_vec"])
         # recon_err_e6 sums per-element |err| in 1e-6 units
@@ -365,19 +365,19 @@ def test_rplsh_pairs_are_subset_of_exact_with_perfect_precision(spark, sf_dir):
     the fixture must be non-trivial (sign-LSH with 16x8 bands — 128
     planes — finds a reasonable share of the exact tau=0.4 pairs)."""
     from eprints_to_hyku_data_tool_spark.plans.q_embed import (
-        q974_rplsh_neardup,
+        z13974_rplsh_neardup,
     )
     from eprints_to_hyku_data_tool_spark.plans.q_joins import (
-        q918_similarity_join,
+        z13918_similarity_join,
     )
 
     lsh = {
         (r["id_a"], r["id_b"])
-        for r in q974_rplsh_neardup(spark, sf_dir).collect()
+        for r in z13974_rplsh_neardup(spark, sf_dir).collect()
     }
     exact = {
         (r["id_a"], r["id_b"])
-        for r in q918_similarity_join(spark, sf_dir).collect()
+        for r in z13918_similarity_join(spark, sf_dir).collect()
     }
     assert lsh <= exact, sorted(lsh - exact)[:5]
     assert len(lsh) > 0
@@ -789,11 +789,11 @@ def test_rplsh_spark_path_invariant_to_verify_block(spark, sf_dir, monkeypatch):
     from eprints_to_hyku_data_tool_spark.plans import q_embed
 
     base = set(
-        map(tuple, q_embed.q974_rplsh_neardup(spark, sf_dir).collect())
+        map(tuple, q_embed.z13974_rplsh_neardup(spark, sf_dir).collect())
     )
     monkeypatch.setattr(q_embed, "_VERIFY_BLOCK", 2)
     tiny = set(
-        map(tuple, q_embed.q974_rplsh_neardup(spark, sf_dir).collect())
+        map(tuple, q_embed.z13974_rplsh_neardup(spark, sf_dir).collect())
     )
     assert base == tiny and len(base) > 0
 
@@ -1021,10 +1021,10 @@ def test_rplsh_derived_config_parity_above_anchor(spark, tmp_path):
     )
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
-    sdf = qs["q974_rplsh_neardup"](spark, str(tmp_path))
+    sdf = qs["z13974_rplsh_neardup"](spark, str(tmp_path))
     from .parity import assert_parity
 
-    assert_parity(sdf, osql["q974_rplsh_neardup"], con, "z874-derived")
+    assert_parity(sdf, osql["z13974_rplsh_neardup"], con, "z874-derived")
     assert sdf.count() > 0
 
 
@@ -1042,7 +1042,7 @@ def test_derive_banding_sql_formula_agrees_with_python():
         derive_banding,
     )
 
-    sql = entry_mod.oracle_sql()["q974_rplsh_neardup"]
+    sql = entry_mod.oracle_sql()["z13974_rplsh_neardup"]
     # lift the params CTE verbatim out of the registered oracle
     start = sql.index("params AS (")
     depth = 0

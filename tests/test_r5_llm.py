@@ -27,7 +27,7 @@ def _plan_text(df) -> str:
 def test_gram_matrix_matches_numpy(spark, sf_dir):
     """The distributed int-partial Gram must equal a single-machine numpy
     X^T X on the SAME 6dp-quantized values, bit for bit."""
-    rows = REGISTRY["q8322_gram_matrix"].fn(spark, sf_dir).collect()
+    rows = REGISTRY["z138322_gram_matrix"].fn(spark, sf_dir).collect()
     emb = np.array(
         [
             r["embedding"]
@@ -48,7 +48,7 @@ def test_gram_matrix_matches_numpy(spark, sf_dir):
 def test_gram_matrix_plan_is_one_pass(spark, sf_dir):
     """One corpus scan, Arrow-batched map stage, one partial-agg shuffle
     keyed (i, j) — no joins, no collects."""
-    p = _plan_text(REGISTRY["q8322_gram_matrix"].fn(spark, sf_dir))
+    p = _plan_text(REGISTRY["z138322_gram_matrix"].fn(spark, sf_dir))
     assert "MapInPandas" in p, p
     assert "Join" not in p, p
     assert "partial_sum" in p or "HashAggregate" in p, p
@@ -135,7 +135,7 @@ def test_knn_prediction_matches_local_vote(spark, sf_dir):
         nbrs.setdefault(r["probe_id"], []).append(emb[r["neighbor_id"]])
     got = {
         r["probe_id"]: (r["label_pred"], r["n_votes"])
-        for r in REGISTRY["q8325_knn_classifier"].fn(spark, sf_dir).collect()
+        for r in REGISTRY["z138325_knn_classifier"].fn(spark, sf_dir).collect()
     }
     assert set(got) == set(nbrs)
     for pid, labels in nbrs.items():
@@ -241,7 +241,7 @@ def test_psi_bins_cover_all_events(spark, sf_dir):
     }
     both = {b for s, b in per if ("ref", b) in per and ("cur", b) in per}
     expected = sum(n for (s, b), n in per.items() if b in both)
-    rows = REGISTRY["q8327_psi_drift"].fn(spark, sf_dir).collect()
+    rows = REGISTRY["z138327_psi_drift"].fn(spark, sf_dir).collect()
     assert {r["bin"] for r in rows} == both
     assert sum(r["n_ref"] + r["n_cur"] for r in rows) == expected
 
@@ -250,7 +250,7 @@ def test_psi_bins_cover_all_events(spark, sf_dir):
 def test_zonemap_decisions_are_sound(spark, sf_dir):
     """can_skip may NEVER be true for a partition that contains a
     matching row — for either predicate class."""
-    rows = REGISTRY["q8328_zonemap_skipping"].fn(spark, sf_dir).collect()
+    rows = REGISTRY["z138328_zonemap_skipping"].fn(spark, sf_dir).collect()
     for r in rows:
         if r["price_can_skip"]:
             assert r["n_price_match"] == 0, r
@@ -263,6 +263,6 @@ def test_zonemap_decisions_are_sound(spark, sf_dir):
 
 
 def test_zonemap_is_single_scan(spark, sf_dir):
-    p = _plan_text(REGISTRY["q8328_zonemap_skipping"].fn(spark, sf_dir))
+    p = _plan_text(REGISTRY["z138328_zonemap_skipping"].fn(spark, sf_dir))
     assert p.count("Location: InMemoryFileIndex") <= 2, p
     assert "Join" not in p, p

@@ -110,10 +110,10 @@ def test_reconcile_count_identities(spark, sf_dir):
     source = match + mismatch + missing, target = match + mismatch +
     extra — nothing double-counted, nothing dropped."""
     from eprints_to_hyku_data_tool_spark.plans.q_r5_pipeline import (
-        z9349_reconcile,
+        q9349_reconcile,
     )
 
-    row = z9349_reconcile(spark, sf_dir).collect()[0]
+    row = q9349_reconcile(spark, sf_dir).collect()[0]
     assert (
         row.n_source
         == row.n_match + row.n_value_mismatch + row.n_missing_in_target
@@ -131,10 +131,10 @@ def test_ewma_is_bounded_by_observations(spark, sf_dir):
     smoothed value must lie within [min, max] of their own series."""
     from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import (
         _events,
-        z9336_ewma,
+        q9336_ewma,
     )
 
-    ew = z9336_ewma(spark, sf_dir)
+    ew = q9336_ewma(spark, sf_dir)
     bounds = (
         _events(spark, sf_dir)
         .groupBy("user_id")
@@ -157,10 +157,10 @@ def test_scd2_ranges_partition_the_history(spark, sf_dir):
     event count — the SCD2 output partitions the history."""
     from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import (
         _events,
-        q8329_scd2_history,
+        z138329_scd2_history,
     )
 
-    scd = q8329_scd2_history(spark, sf_dir)
+    scd = z138329_scd2_history(spark, sf_dir)
     agg = scd.groupBy("user_id").agg(
         F.min("version").alias("vmin"),
         F.max("version").alias("vmax"),

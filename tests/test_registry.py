@@ -88,20 +88,20 @@ def test_priority_tier_fits_driver_window():
 # possible by design; the component is covered by the named test module
 # instead of a registered query.
 SECTION2_MAP = {
-    "Q01": "z901_scan_count", "Q02": "z902_scan_pushdown",
-    "Q03": "z903_project_compute", "Q04": "z904_compound_predicate",
-    "Q05": "z905_in_like_null", "Q06": "z906_distinct",
-    "Q07": "z907_case_when", "Q08": "z908_inner_join",
-    "Q09": "z909_broadcast_join", "Q10": "q910_left_outer_join",
-    "Q11": "q911_full_outer_join", "Q12": "q912_semi_join",
-    "Q13": "q913_anti_join", "Q14": "q914_cross_join",
-    "Q15": "q915_range_join", "Q16": "q916_asof_join",
-    "Q17": "q917_self_join_pairs", "Q18": "q918_similarity_join",
-    "Q19": "z10619_groupby_multi_agg", "Q20": "z10620_global_agg",
-    "Q21": "z10621_count_distinct", "Q22": "z10622_approx_count_distinct",
-    "Q23": "z10623_rollup", "Q24": "z10624_cube", "Q25": "z10625_bulkrax_fold",
-    "Q26": "z11626_pivot", "Q27": "z11627_percentiles", "Q28": "z10628_stats",
-    "Q29": "z10629_conditional_agg", "Q30": "z10630_mixed_distinct",
+    "Q01": "q901_scan_count", "Q02": "q902_scan_pushdown",
+    "Q03": "q903_project_compute", "Q04": "q904_compound_predicate",
+    "Q05": "q905_in_like_null", "Q06": "q906_distinct",
+    "Q07": "q907_case_when", "Q08": "q908_inner_join",
+    "Q09": "q909_broadcast_join", "Q10": "z13910_left_outer_join",
+    "Q11": "z13911_full_outer_join", "Q12": "z13912_semi_join",
+    "Q13": "z13913_anti_join", "Q14": "z13914_cross_join",
+    "Q15": "z13915_range_join", "Q16": "z13916_asof_join",
+    "Q17": "z13917_self_join_pairs", "Q18": "z13918_similarity_join",
+    "Q19": "q10619_groupby_multi_agg", "Q20": "q10620_global_agg",
+    "Q21": "q10621_count_distinct", "Q22": "q10622_approx_count_distinct",
+    "Q23": "q10623_rollup", "Q24": "q10624_cube", "Q25": "q10625_bulkrax_fold",
+    "Q26": "z11626_pivot", "Q27": "z11627_percentiles", "Q28": "q10628_stats",
+    "Q29": "q10629_conditional_agg", "Q30": "z10630_mixed_distinct",
     "Q31": "z10631_keepfirst_dedupe", "Q32": "z10632_topk_per_group",
     "Q33": "z10633_lag_lead", "Q34": "z10634_running_sum",
     "Q35": "z10635_range_frame", "Q36": "z10636_ntile_first_last",

@@ -31,11 +31,11 @@ COPIES = 3
 # scale-sensitive family (graph build+iteration, LSH banding, sketch
 # aggs, PPJoin, winnowing) keeps the opt-in run in minutes.
 HEAVY = [
-    "z117588_pagerank",
+    "q117588_pagerank",
     "z11660_minhash_lsh",
-    "z10622_approx_count_distinct",
+    "q10622_approx_count_distinct",
     "z10658_winnow_containment",
-    "z9345_split_leakage",
+    "q9345_split_leakage",
 ]
 
 

@@ -31,26 +31,26 @@ SF01_DIR = "/root/testdata/sf0.1"
 # sf0.1); the Spark implementations stay sub-quadratic and are verified
 # by dedicated tests (union-find reference, recall/subset properties).
 QUADRATIC_ORACLES = {
-    "z128302_keep_longest_canonical",
-    "z12785_cluster_dedupe",
+    "q128302_keep_longest_canonical",
+    "q12785_cluster_dedupe",
     "z12786_ngram_jaccard",
-    "q11667_embedding_dedupe",
+    "z1311667_embedding_dedupe",
     "z11660_minhash_lsh",
     "z10660_simhash",
-    "q974_rplsh_neardup",
-    "q9186_ivf_embedding_dedupe",
-    "q918_similarity_join",
+    "z13974_rplsh_neardup",
+    "z139186_ivf_embedding_dedupe",
+    "z13918_similarity_join",
     "z12790_corpus_pipeline",
-    "q9185_ivf_topk",
+    "z139185_ivf_topk",
     "z11661_topk_similarity",
     "z10658_winnow_containment",
-    "z128301_duplicate_ngram_filter",
+    "q128301_duplicate_ngram_filter",
     # r5: PQ-ANN verdict and k-NN vote both rerun z61's all-pairs exact
     # oracle; their Spark sides were hand-verified green at sf0.1 and
     # the PQ recall margin (0.98 vs the 0.8 verdict bar) is asserted in
     # tests/test_r5_llm.py.
-    "q8323_pq_ann",
-    "q8325_knn_classifier",
+    "z138323_pq_ann",
+    "z138325_knn_classifier",
 }
 
 SWEEP = sorted(

@@ -18,7 +18,7 @@ def test_sql_equals_dataframe_api(spark, sf_dir):
     register_views(spark, sf_dir)
     cases = {
         # join + agg (Q09 shape)
-        "z909_broadcast_join": """
+        "q909_broadcast_join": """
             SELECT r_name, n_name,
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
                    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)

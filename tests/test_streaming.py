@@ -287,7 +287,7 @@ def test_streaming_ewma_equals_batch(spark, sf_dir, replay_dir):
     """q36's incremental form: replaying the time-ordered chunks through
     the O(1)-state EWMA must land BIT-EXACTLY on the batch ordered
     fold — the multiply-add sequence is identical, so no tolerance."""
-    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import z9336_ewma
+    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import q9336_ewma
 
     name = f"ewma_{uuid.uuid4().hex[:8]}"
     stream = ops.events_stream(spark, _chunks_glob(replay_dir))
@@ -304,7 +304,7 @@ def test_streaming_ewma_equals_batch(spark, sf_dir, replay_dir):
     got = {r["user_id"]: (r["n_events"], r["ewma_u"]) for r in final.collect()}
     want = {
         r["user_id"]: (r["n_events"], r["ewma_u"])
-        for r in z9336_ewma(spark, sf_dir).collect()
+        for r in q9336_ewma(spark, sf_dir).collect()
     }
     assert got == want  # exact float equality, by construction
 
@@ -313,7 +313,7 @@ def test_streaming_cdc_apply_equals_batch(spark, sf_dir, replay_dir):
     """q31's incremental form: per-key keep-last upsert/tombstone state
     replayed over the chunks must equal the batch CDC apply (surviving
     keys, applied ts, value, and op count all exact)."""
-    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import q8331_cdc_apply
+    from eprints_to_hyku_data_tool_spark.plans.q_r5_etl import z138331_cdc_apply
 
     name = f"cdc_{uuid.uuid4().hex[:8]}"
     stream = ops.events_stream(spark, _chunks_glob(replay_dir))
@@ -341,7 +341,7 @@ def test_streaming_cdc_apply_equals_batch(spark, sf_dir, replay_dir):
     got = {r["user_id"]: (r["applied_ts_us"], r["final_value_u"], r["n_ops"])
            for r in final.collect()}
     want = {r["user_id"]: (r["applied_ts_us"], r["final_value_u"], r["n_ops"])
-            for r in q8331_cdc_apply(spark, sf_dir).collect()}
+            for r in z138331_cdc_apply(spark, sf_dir).collect()}
     assert got == want
 
 

@@ -85,7 +85,7 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    q74 = entry_mod.queries()["q974_rplsh_neardup"]
+    q74 = entry_mod.queries()["z13974_rplsh_neardup"]
 
     spark = get_spark(
         app_name="rplsh-exponent",

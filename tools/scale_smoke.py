@@ -39,23 +39,23 @@ sys.path.insert(0, _ROOT)
 # forms), decontamination, IVF, corpus pipeline, profiling, percentile
 # sketches, PPJoin leakage, k-means, BPE.
 HEAVY = [
-    "z117588_pagerank",
+    "q117588_pagerank",
     "z117526_bfs_hops",
-    "z10620_global_agg",
+    "q10620_global_agg",
     "z10658_winnow_containment",
-    "z128301_duplicate_ngram_filter",
-    "q974_rplsh_neardup",
-    "z11775_decontaminate",
-    "q9185_ivf_topk",
+    "q128301_duplicate_ngram_filter",
+    "z13974_rplsh_neardup",
+    "q11775_decontaminate",
+    "z139185_ivf_topk",
     "z12790_corpus_pipeline",
-    "q9190_column_profile",
+    "z139190_column_profile",
     "z117192_approx_percentile",
-    "z9345_split_leakage",
-    "z10554_association_rules",
+    "q9345_split_leakage",
+    "q10554_association_rules",
     "z10660_simhash",
     "z11660_minhash_lsh",
-    "z10622_approx_count_distinct",
-    "z9341_kmeans_lloyd",
+    "q10622_approx_count_distinct",
+    "q9341_kmeans_lloyd",
     "z11556_bpe_encode",
 ]
 
