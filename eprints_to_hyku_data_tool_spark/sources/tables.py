@@ -43,12 +43,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # ns-as-long; fixture is us-precision so div-1000 is exact.
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(ts_type, TimestampNTZType):
-            # to_utc_timestamp(ts, 'UTC') pins the NTZ wall-clock to the
-            # UTC instant REGARDLESS of spark.sql.session.timeZone — a
-            # bare cast('timestamp') interprets it in the session zone,
-            # so a platform-built session (tz = host zone) would shift
-            # every event by hours with no error (code-review r14).
-            df = df.withColumn("ts", F.to_utc_timestamp(F.col("ts"), "UTC"))
+            # Pin the NTZ wall-clock to the UTC instant REGARDLESS of
+            # spark.sql.session.timeZone. NOT to_utc_timestamp(ts,'UTC'):
+            # Spark first implicitly casts NTZ -> TIMESTAMP in the
+            # SESSION zone, after which tz='UTC' is an identity — the
+            # r14 form still shifted every event by hours on any
+            # externally built non-UTC session (advice r14, verified on
+            # 4.1.2: session tz America/New_York, NTZ 12:00 -> 16:00Z
+            # via to_utc_timestamp vs 12:00Z via this expression).
+            # convert_timezone reinterprets the NTZ wall-clock as UTC
+            # and re-renders it in the session zone, so the subsequent
+            # session-zone cast lands on the intended instant.
+            df = df.withColumn(
+                "ts",
+                F.to_timestamp(
+                    F.convert_timezone(
+                        F.lit("UTC"),
+                        F.expr("current_timezone()"),
+                        F.col("ts"),
+                    )
+                ),
+            )
     return df
 
 

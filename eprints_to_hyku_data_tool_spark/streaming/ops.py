@@ -15,7 +15,9 @@ partitioning as the equivalent batch shuffle.
 from __future__ import annotations
 
 # streaming_neardup per-bucket state ceiling (module-level so tests can
-# patch it down to exercise the loud-failure arm).
+# patch it down to exercise the eviction arm). At the cap a bucket
+# drops its OLDEST members (counted in state as n_evicted) rather than
+# raising — see the policy comment inside streaming_neardup.
 NEARDUP_MAX_BUCKET_MEMBERS = 10_000
 
 from pyspark.sql import DataFrame, SparkSession
@@ -321,30 +323,50 @@ def streaming_neardup(stream: DataFrame) -> DataFrame:
     )
 
     out_schema = "id_a bigint, id_b bigint, inter_size int, union_size int"
-    state_schema = "ids array<bigint>, shs array<array<string>>"
+    state_schema = (
+        "ids array<bigint>, shs array<array<string>>, n_evicted bigint"
+    )
 
-    # Per-bucket membership ceiling (code-review r14): a hot bucket
-    # (template/boilerplate docs sharing a band hash) accumulates every
-    # member's full shingle set in ONE state-store value forever
+    # Per-bucket membership ceiling (code-review r14, advice r15): a hot
+    # bucket (template/boilerplate docs sharing a band hash) accumulates
+    # every member's full shingle set in ONE state-store value forever
     # (NoTimeout), each arrival does O(members) intersections, and the
     # whole O(members) value re-serializes per trigger — O(N^2)
-    # cumulative work and an eventually serialization-breaking row.
-    # Fail LOUDLY at the cap with the production remedy instead of
-    # degrading silently; fixture buckets hold a handful of docs.
+    # cumulative work and an eventually serialization-breaking row. At
+    # the cap the bucket EVICTS its oldest members (FIFO = arrival
+    # order) instead of raising: a hot-template corpus degrades to a
+    # member-count dedupe horizon — pairs against evicted members are
+    # missed, which is the same contract as the event-time horizon a
+    # watermark + EventTimeTimeout deployment would choose, just keyed
+    # by recency rank instead of event time. The eviction runs INSIDE
+    # the per-document append loop (advice r15: a cap checked only at
+    # state load lets one hot micro-batch grow the bucket arbitrarily
+    # far past the ceiling, and the oversized state.update can fail on
+    # serialization before the next trigger ever sees it), so both the
+    # stored state AND the per-arrival intersection work are bounded by
+    # the cap throughout. The cumulative eviction count is carried in
+    # state (n_evicted) — on a real cluster the state source
+    # (spark.read.format("statestore")) reads it per bucket, turning
+    # silent degradation into a monitorable metric; the batch-equality
+    # contract holds exactly when every bucket's max(n_evicted) == 0.
     cap = NEARDUP_MAX_BUCKET_MEMBERS
 
     def update(key, pdfs, state: GroupState):
-        ids, shs = state.get if state.exists else ([], [])
-        ids, shs = list(ids), [frozenset(s) for s in shs]
-        if len(ids) > cap:
-            raise ValueError(
-                f"streaming_neardup: band bucket {key} holds "
-                f"{len(ids)} members — past the {cap} "
-                "state ceiling. This corpus needs eviction: add a "
-                "watermark + EventTimeTimeout (expire members outside "
-                "the dedupe horizon) or widen the banding so hot "
-                "templates split across buckets."
-            )
+        from collections import deque
+
+        if state.exists:
+            got_ids, got_shs, n_evicted = state.get
+        else:
+            got_ids, got_shs, n_evicted = [], [], 0
+        ids = deque(int(i) for i in got_ids)
+        shs = deque(frozenset(s) for s in got_shs)
+        n_evicted = int(n_evicted or 0)
+        # Legacy persisted state could predate the ceiling; bound it
+        # before matching so this trigger's work is capped too.
+        while len(ids) > cap:
+            ids.popleft()
+            shs.popleft()
+            n_evicted += 1
         out = {"id_a": [], "id_b": [], "inter_size": [], "union_size": []}
         for pdf in pdfs:
             for doc_id, sh_arr in zip(pdf["doc_id"], pdf["sh"]):
@@ -362,7 +384,11 @@ def streaming_neardup(stream: DataFrame) -> DataFrame:
                         out["union_size"].append(union)
                 ids.append(int(doc_id))
                 shs.append(cur)
-        state.update((ids, [list(s) for s in shs]))
+                if len(ids) > cap:  # one append past cap -> evict one
+                    ids.popleft()
+                    shs.popleft()
+                    n_evicted += 1
+        state.update((list(ids), [list(s) for s in shs], n_evicted))
         yield pd.DataFrame(out).astype(
             {"id_a": "int64", "id_b": "int64",
              "inter_size": "int32", "union_size": "int32"}

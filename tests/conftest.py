@@ -17,7 +17,11 @@ sys.path.insert(0, os.path.join(_ROOT, "tools"))
 # collect()-extracted timestamp would drift by the local offset. The
 # parity gate itself now extracts through Arrow (tz-correct either way),
 # but ad-hoc collect()s in individual tests stay honest only under TZ=UTC.
-os.environ.setdefault("TZ", "UTC")
+# Assigned UNCONDITIONALLY (advice r15): setdefault only covered hosts
+# with TZ unset — a machine exporting TZ=America/... kept its zone
+# through tzset(), silently dropping the defense exactly where it
+# matters. Tests must not inherit the host zone.
+os.environ["TZ"] = "UTC"
 time.tzset()
 
 from eprints_to_hyku_data_tool_spark.session import get_spark  # noqa: E402

@@ -216,3 +216,36 @@ def test_x01b_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         ).explain("formatted")
     p = buf.getvalue()
     assert "PushedFilters" in p and "o_orderstatus" in p.split("PushedFilters")[1].splitlines()[0], p
+
+
+def test_events_ntz_layout_pins_utc_instant_any_session_tz(spark, tmp_path):
+    """load_table's TIMESTAMP_NTZ branch must yield the same absolute
+    instant regardless of spark.sql.session.timeZone (advice r15): the
+    r14 form ``to_utc_timestamp(ts, 'UTC')`` was an identity over the
+    implicit NTZ -> session-zone cast, so an externally built non-UTC
+    session shifted every event by the session offset with no error.
+    Regression arm: write an NTZ events fixture, read it under a
+    non-UTC session zone, and pin the collected epoch."""
+    ntz_dir = str(tmp_path / "sf_ntz")
+    os.makedirs(ntz_dir)
+    spark.sql(
+        "SELECT 1L AS event_id, TIMESTAMP_NTZ '2024-06-01 12:00:00' AS ts"
+    ).write.parquet(f"{ntz_dir}/events.parquet")
+
+    utc_noon = 1717243200  # 2024-06-01T12:00:00Z
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            ev = load_table(spark, ntz_dir, "events")
+            assert ev.schema["ts"].dataType.typeName() == "timestamp", tz
+            got = ev.select(
+                F.unix_timestamp("ts").alias("epoch")
+            ).collect()[0]["epoch"]
+            assert got == utc_noon, (
+                f"session tz {tz}: NTZ 12:00 landed on epoch {got}, "
+                f"expected {utc_noon} (12:00Z) — the wall-clock is not "
+                f"pinned independent of the session zone"
+            )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

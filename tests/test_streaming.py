@@ -1285,16 +1285,62 @@ def test_streaming_ewma_rejects_out_of_order_delivery(spark, tmp_path):
         _run_to_memory(ops.streaming_ewma(stream), name, "update")
 
 
-def test_streaming_neardup_state_ceiling_is_loud(
-    spark, sf_dir, docs_replay_dir, monkeypatch
+def test_streaming_neardup_evicts_oldest_at_cap(
+    spark, sf_dir, docs_replay_dir, monkeypatch, tmp_path
 ):
-    """code-review r14: a hot band bucket accumulates every member's full
-    shingle history in ONE state value (NoTimeout) — unbounded quadratic
-    state. Past the ceiling the operator must fail with the eviction
-    remedy, not degrade silently. Patched down to 0 so the fixture's
-    second trigger trips it."""
-    monkeypatch.setattr(ops, "NEARDUP_MAX_BUCKET_MEMBERS", 0)
+    """advice r15 / verdict r14 stretch: at the per-bucket ceiling the
+    operator must EVICT oldest members (FIFO dedupe horizon) rather than
+    fail the stream, the stored state must stay bounded even when a
+    single hot micro-batch delivers many members (the cap is enforced
+    inside the append loop, not just at state load), and the degradation
+    must be monitorable — the cumulative per-bucket eviction count rides
+    in state where spark.read.format('statestore') reads it. Pairs that
+    survive the horizon are still exact-verified, so the emitted set is
+    a subset of the batch result, never a fabrication."""
+    monkeypatch.setattr(ops, "NEARDUP_MAX_BUCKET_MEMBERS", 1)
     name = f"cap_{uuid.uuid4().hex[:8]}"
+    ck = str(tmp_path / "ck")
     stream = ops.docs_stream(spark, _chunks_glob(docs_replay_dir))
-    with pytest.raises(Exception, match="state ceiling"):
-        _run_to_memory(ops.streaming_neardup(stream), name, "append")
+    q = (
+        ops.streaming_neardup(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    state = (
+        spark.read.format("statestore")
+        .load(ck)
+        .select(
+            F.size("value.groupState.ids").alias("n_members"),
+            F.col("value.groupState.n_evicted").alias("n_evicted"),
+        )
+    )
+    agg = state.agg(
+        F.max("n_members").alias("max_members"),
+        F.sum("n_evicted").alias("total_evicted"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    ).collect()[0]
+    assert agg["n_buckets"] > 0
+    # The ceiling bounds the STORED state (not just the state seen at
+    # batch entry): whole replay arrives in a handful of triggers, so
+    # without the in-loop check buckets would hold far more than 1.
+    assert agg["max_members"] <= 1, agg
+    # The fixture has multi-member buckets, so eviction must have fired
+    # and been counted — silent degradation is the failure mode here.
+    assert agg["total_evicted"] > 0, agg
+
+    got = {
+        (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
+        for r in REGISTRY["z12786_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert len(want) > 0 and got <= want
