@@ -76,7 +76,8 @@ Round-8 rotation (changed-code first): the r7 sweep came back 50/50
 green, so the 50 r7 window names ceded their slots (q## -> z6##,
 suffixes kept; see RENAMES_r8.json). The window was refilled
 changed-code first: the seven names whose kernels changed AFTER the r7
-window was fixed (z13974_rplsh_neardup with the 16x8 banding fix; the six
+window was fixed (q974_rplsh_neardup — its name AT round 8 — with the
+16x8 banding fix; the six
 graph-family names q526/q551/q564/q565/q566/q588 on the rebuilt
 co-purchase graph), then the 26 round-3-era names at the 4-round
 staleness bound (q68..q98 region), then the 18 stalest round-4 names

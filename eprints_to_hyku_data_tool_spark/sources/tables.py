@@ -50,18 +50,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # r14 form still shifted every event by hours on any
             # externally built non-UTC session (advice r14, verified on
             # 4.1.2: session tz America/New_York, NTZ 12:00 -> 16:00Z
-            # via to_utc_timestamp vs 12:00Z via this expression).
-            # convert_timezone reinterprets the NTZ wall-clock as UTC
-            # and re-renders it in the session zone, so the subsequent
-            # session-zone cast lands on the intended instant.
+            # via to_utc_timestamp vs 12:00Z via this expression). And
+            # NOT to_timestamp(convert_timezone('UTC', session, ts)):
+            # that round trip re-renders the instant as a SESSION-zone
+            # wall-clock, which is ambiguous in the DST fall-back hour —
+            # to_timestamp resolves the repeated local hour with the
+            # earlier offset, silently shifting ~1h/year of instants per
+            # DST zone (code-review r15, confirmed: NTZ 2024-11-03
+            # 06:30 under America/New_York -> 05:30Z). make_timestamp
+            # consumes the NTZ FIELDS directly and interprets them in
+            # the named zone, so no local-zone rendering ever happens;
+            # date_part('SECOND') carries the fractional micros.
             df = df.withColumn(
                 "ts",
-                F.to_timestamp(
-                    F.convert_timezone(
-                        F.lit("UTC"),
-                        F.expr("current_timezone()"),
-                        F.col("ts"),
-                    )
+                F.expr(
+                    "make_timestamp(year(ts), month(ts), day(ts), "
+                    "hour(ts), minute(ts), date_part('SECOND', ts), "
+                    "'UTC')"
                 ),
             )
     return df

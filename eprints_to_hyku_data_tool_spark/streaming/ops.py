@@ -360,32 +360,41 @@ def streaming_neardup(stream: DataFrame) -> DataFrame:
             got_ids, got_shs, n_evicted = [], [], 0
         ids = deque(int(i) for i in got_ids)
         shs = deque(frozenset(s) for s in got_shs)
+        member = set(ids)
         n_evicted = int(n_evicted or 0)
         # Legacy persisted state could predate the ceiling; bound it
         # before matching so this trigger's work is capped too.
         while len(ids) > cap:
-            ids.popleft()
+            member.discard(ids.popleft())
             shs.popleft()
             n_evicted += 1
         out = {"id_a": [], "id_b": [], "inter_size": [], "union_size": []}
         for pdf in pdfs:
             for doc_id, sh_arr in zip(pdf["doc_id"], pdf["sh"]):
+                doc_id = int(doc_id)
+                # Re-delivered doc_id (duplicate/corrected upstream
+                # record): keep-first, matching the batch path where
+                # each doc contributes one row. Without this, a second
+                # copy re-emits every qualifying pair into the APPEND
+                # sink and its append evicts a DISTINCT older member at
+                # the cap (code-review r15).
+                if doc_id in member:
+                    continue
                 cur = frozenset(sh_arr)
                 for prev_id, prev_sh in zip(ids, shs):
-                    if prev_id == doc_id:
-                        continue
                     inter = len(cur & prev_sh)
                     union = len(cur) + len(prev_sh) - inter
                     if TAU_DEN * inter >= TAU_NUM * union:
-                        a, b = sorted((int(prev_id), int(doc_id)))
+                        a, b = sorted((prev_id, doc_id))
                         out["id_a"].append(a)
                         out["id_b"].append(b)
                         out["inter_size"].append(inter)
                         out["union_size"].append(union)
-                ids.append(int(doc_id))
+                ids.append(doc_id)
                 shs.append(cur)
+                member.add(doc_id)
                 if len(ids) > cap:  # one append past cap -> evict one
-                    ids.popleft()
+                    member.discard(ids.popleft())
                     shs.popleft()
                     n_evicted += 1
         state.update((list(ids), [list(s) for s in shs], n_evicted))

@@ -228,24 +228,43 @@ def test_events_ntz_layout_pins_utc_instant_any_session_tz(spark, tmp_path):
     non-UTC session zone, and pin the collected epoch."""
     ntz_dir = str(tmp_path / "sf_ntz")
     os.makedirs(ntz_dir)
+    # Three probe instants: plain noon (catches the to_utc_timestamp
+    # identity), a sub-second value (make_timestamp must carry the
+    # fractional SECOND), and 2024-11-03 06:30Z — whose America/New_York
+    # wall-clock 01:30 falls in the DST fall-back REPEATED hour, where
+    # any pin that round-trips through a session-zone rendering (the
+    # first r15 fix attempt, convert_timezone + to_timestamp) resolves
+    # the ambiguity with the earlier offset and lands an hour off
+    # (code-review r15, confirmed by execution).
     spark.sql(
-        "SELECT 1L AS event_id, TIMESTAMP_NTZ '2024-06-01 12:00:00' AS ts"
+        "SELECT * FROM VALUES "
+        "  (1L, TIMESTAMP_NTZ '2024-06-01 12:00:00'), "
+        "  (2L, TIMESTAMP_NTZ '2024-11-03 06:30:00'), "
+        "  (3L, TIMESTAMP_NTZ '2024-06-01 12:00:00.123456') "
+        "AS t(event_id, ts)"
     ).write.parquet(f"{ntz_dir}/events.parquet")
 
-    utc_noon = 1717243200  # 2024-06-01T12:00:00Z
+    want = {
+        1: 1717243200_000000,  # 2024-06-01T12:00:00Z
+        2: 1730615400_000000,  # 2024-11-03T06:30:00Z (ambiguous in NY)
+        3: 1717243200_123456,
+    }
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
             spark.conf.set("spark.sql.session.timeZone", tz)
             ev = load_table(spark, ntz_dir, "events")
             assert ev.schema["ts"].dataType.typeName() == "timestamp", tz
-            got = ev.select(
-                F.unix_timestamp("ts").alias("epoch")
-            ).collect()[0]["epoch"]
-            assert got == utc_noon, (
-                f"session tz {tz}: NTZ 12:00 landed on epoch {got}, "
-                f"expected {utc_noon} (12:00Z) — the wall-clock is not "
-                f"pinned independent of the session zone"
+            got = {
+                r["event_id"]: r["us"]
+                for r in ev.select(
+                    "event_id", F.unix_micros("ts").alias("us")
+                ).collect()
+            }
+            assert got == want, (
+                f"session tz {tz}: NTZ wall-clocks landed on {got}, "
+                f"expected {want} — the pin is not session-zone "
+                f"independent (or drops sub-second precision)"
             )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)

@@ -863,6 +863,79 @@ def test_streaming_neardup_ignores_shingleless_docs(spark, sf_dir, tmp_path):
     assert all(r["id_a"] not in (1, 2) and r["id_b"] not in (1, 2) for r in got)
 
 
+def test_streaming_neardup_redelivered_doc_is_keep_first(spark, tmp_path):
+    """code-review r15: a re-delivered doc_id (duplicate/corrected
+    upstream record) must not re-emit its pair set into the APPEND sink
+    or store a second state copy (whose append would evict a DISTINCT
+    older member at the cap). Keep-first, matching the batch path where
+    each doc contributes exactly one row. Two triggers: the duplicate
+    arrives again in a later micro-batch, against persisted state."""
+    import time as _time
+
+    import pandas as pd
+
+    batch1 = pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            # Identical text: Jaccard 1.0, so the (3, 4) pair collides
+            # in EVERY band — the emitted row count is deterministic
+            # and any re-emission shows up as extra rows.
+            "text": ["a b c d e f g h i j"] * 2,
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [19, 19],
+        }
+    )
+    batch2 = batch1.iloc[[0]]  # doc 3 re-delivered verbatim
+
+    def replay(chunks, tag):
+        src = str(tmp_path / f"chunks_{tag}")
+        for i, chunk in enumerate(chunks):
+            spark.createDataFrame(
+                chunk, schema=ops.DOCS_STREAM_SCHEMA
+            ).coalesce(1).write.parquet(f"{src}/chunk={i}")
+            _time.sleep(1.1)  # distinct mtimes -> deterministic order
+        name = f"nddup_{tag}_{uuid.uuid4().hex[:8]}"
+        ck = str(tmp_path / f"ck_{tag}")
+        stream = ops.docs_stream(
+            spark, f"{src}/chunk=*", max_files_per_trigger=1
+        )
+        q = (
+            ops.streaming_neardup(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        rows = sorted(
+            (r["id_a"], r["id_b"], r["inter_size"], r["union_size"])
+            for r in spark.table(name).collect()
+        )
+        return rows, ck
+
+    base_rows, _ = replay((batch1,), "base")
+    dup_rows, dup_ck = replay((batch1, batch2), "dup")
+
+    # A pair colliding in k bands is emitted once per band (documented
+    # set semantics), so compare MULTISETS against the no-redelivery
+    # baseline: the duplicate trigger must add ZERO rows.
+    assert len(base_rows) > 0 and {r[:2] for r in base_rows} == {(3, 4)}
+    assert dup_rows == base_rows, (len(dup_rows), len(base_rows))
+    # And no bucket stores doc 3 twice.
+    dup_members = (
+        spark.read.format("statestore")
+        .load(dup_ck)
+        .select(F.col("value.groupState.ids").alias("ids"))
+        .filter(F.size("ids") != F.size(F.array_distinct("ids")))
+        .count()
+    )
+    assert dup_members == 0
+
+
 def test_merge_batch_zombie_race_is_idempotent(
     spark, sf_dir, tmp_path, monkeypatch
 ):
