@@ -63,8 +63,20 @@ def canon_value(v) -> str:
         # ('2' int-token vs '2.0' float-token). Oracles must CAST to the
         # type the Spark side returns — the one decimal-emitting oracle
         # (benford expected_p) now casts to DOUBLE.
-        d = v.normalize()
-        return "d:" + format(d, "f")
+        # String-form zero-strip, NOT Decimal.normalize(): normalize()
+        # rounds to the ambient context precision (28 significant
+        # digits by default), so two DECIMAL(38)s agreeing in their
+        # first 28 digits canonicalized IDENTICALLY — a false GREEN on
+        # exactly the wide decimals DuckDB's fetch_arrow_table emits
+        # for SUM(BIGINT) (code-review r15, confirmed by execution).
+        # format(v, 'f') is exact at any precision; stripping trailing
+        # fractional zeros keeps Decimal('1.10') == Decimal('1.1').
+        s = format(v, "f")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        if s in ("-0", ""):
+            s = "0"
+        return "d:" + s
     if isinstance(v, pd.Timestamp):
         if pd.isna(v):
             return "NULL"
@@ -88,7 +100,7 @@ def canon_value(v) -> str:
     if isinstance(v, str):
         # repr-quoted + tagged: injective, and any separator characters a
         # string carries stay inside the quotes, so nested joins below and
-        # the row join in canon_frame cannot be confused by cell content.
+        # the row join in _canon_rows cannot be confused by cell content.
         return "s:" + repr(v)
     # Containers (code-review r14): each family carries its own tag so a
     # struct can never compare equal to an array of its fields (pyspark's
@@ -103,14 +115,7 @@ def canon_value(v) -> str:
     if isinstance(v, tuple) and hasattr(v, "asDict"):  # pyspark Row
         v = v.asDict()
     if isinstance(v, dict):
-        return (
-            "kv:{"
-            + ",".join(
-                f"{canon_value(k)}={canon_value(x)}"
-                for k, x in sorted(v.items(), key=lambda kv: str(kv[0]))
-            )
-            + "}"
-        )
+        return _kv_token(v.items())
     if isinstance(v, (list, tuple, np.ndarray)):
         vals = list(v)
         if vals and all(
@@ -119,25 +124,30 @@ def canon_value(v) -> str:
         ):
             # Arrow's to_pylist shape for MAP values: a list of plain
             # (key, value) 2-tuples. Plain tuples arise from no other
-            # source (structs are dicts/Rows, lists are lists).
-            return canon_value(dict(vals))
+            # source (structs are dicts/Rows, lists are lists). Handled
+            # as PAIRS, never via dict(vals): array-/struct-keyed maps
+            # are legal in both engines and their keys are unhashable
+            # Python values — dict() crashed the gate on identical
+            # results (code-review r15, a false crash-RED).
+            return _kv_token(vals)
         return "a:[" + ",".join(canon_value(x) for x in vals) + "]"
     # Loud, not str(v): an untagged fallback token can collide with every
     # other type's representation (the false-green class).
     raise AssertionError(f"canon_value: unhandled type {type(v)!r}: {v!r}")
 
 
-def canon_frame(df: pd.DataFrame) -> list[str]:
-    cols = sorted(df.columns)
-    df = df[cols]
-    rows = []
-    for row in df.itertuples(index=False, name=None):
-        rows.append("|".join(canon_value(v) for v in row))
-    rows.sort()
-    return rows
+def _kv_token(pairs) -> str:
+    """Shared keyed form for structs and maps: both the dict shape
+    (Spark) and the (key, value) tuple-list shape (Arrow-extracted
+    DuckDB maps) MUST sort entries by the same key — the canonical key
+    token, which is injective and total where raw Python keys need not
+    even be hashable or mutually comparable."""
+    entries = [(canon_value(k), canon_value(x)) for k, x in pairs]
+    entries.sort()
+    return "kv:{" + ",".join(f"{k}={x}" for k, x in entries) + "}"
 
 
-def _canon_rows(cols: list[str], row_iter) -> list[str]:
+def _canon_rows(row_iter) -> list[str]:
     rows = ["|".join(canon_value(v) for v in row) for row in row_iter]
     rows.sort()
     return rows
@@ -161,12 +171,33 @@ def assert_parity(spark_df, oracle_sql: str, duck_con, name: str = "") -> int:
     # driver round.
     sdf = stable.to_pandas()
     try:
+        # (TypeError, ValueError): the multi-column lexsort path raises
+        # TypeError on unfactorizable cells, but the SINGLE-by-column
+        # path uses comparison-based nargsort and raises ValueError for
+        # the very ndarray-cell case this probe names, as do duplicate
+        # column labels — both escaped the old narrow except and
+        # surfaced as raw pandas tracebacks (code-review r15).
         sdf.sort_values(by=sorted(sdf.columns))
-    except TypeError as exc:
+    except (TypeError, ValueError) as exc:
         raise AssertionError(
             f"{name}: output not driver-canonicalizable (pandas sort_values "
             f"failed: {exc}) — serialize complex columns before returning"
         ) from None
+    if len(sdf) <= 1:
+        # sort_values performs ZERO comparisons on a 0/1-row frame, so
+        # the probe above is vacuous there (code-review r15): a 1-row
+        # result with an ndarray/dict cell passed locally and failed
+        # only in a run where the result grew. Check the cells
+        # explicitly at the sizes where sorting can't.
+        for col in sdf.columns:
+            for cell in sdf[col]:
+                if isinstance(cell, (np.ndarray, dict, set)):
+                    raise AssertionError(
+                        f"{name}: output not driver-canonicalizable "
+                        f"(column {col!r} holds a {type(cell).__name__} "
+                        f"cell) — serialize complex columns before "
+                        f"returning"
+                    )
 
     scols = sorted(stable.column_names)
     otable = duck_con.execute(oracle_sql).fetch_arrow_table()
@@ -179,8 +210,8 @@ def assert_parity(spark_df, oracle_sql: str, duck_con, name: str = "") -> int:
     )
     spylists = [stable.column(c).to_pylist() for c in scols]
     opylists = [otable.column(c).to_pylist() for c in ocols]
-    srows = _canon_rows(scols, zip(*spylists) if spylists else iter(()))
-    orows = _canon_rows(ocols, zip(*opylists) if opylists else iter(()))
+    srows = _canon_rows(zip(*spylists) if spylists else iter(()))
+    orows = _canon_rows(zip(*opylists) if opylists else iter(()))
     if srows != orows:
         # Multiset diff, not positional zip (code-review r14): one extra
         # canon-low row used to misalign every later pair, reporting

@@ -107,6 +107,61 @@ def test_canon_datetime_vs_timestamp_agree():
     assert canon_value(d) == canon_value(pd.Timestamp(d))
 
 
+def test_canon_decimal_wide_precision_not_rounded():
+    """code-review r15: Decimal.normalize() rounds to the ambient context
+    precision (28), so two DECIMAL(38)s agreeing in the first 28 digits
+    emitted the SAME token — a false GREEN on the wide decimals DuckDB
+    returns for SUM(BIGINT). The string-form strip is exact."""
+    a = Decimal("12345678901234567890123456789012345678")
+    b = Decimal("12345678901234567890123456789012345679")
+    assert canon_value(a) != canon_value(b)
+    assert canon_value(a) == "d:12345678901234567890123456789012345678"
+    # fractional wide values stay exact too
+    assert canon_value(Decimal("0." + "1" * 38)) != canon_value(
+        Decimal("0." + "1" * 37 + "2")
+    )
+    # and the zero-strip semantics survive the rewrite
+    assert canon_value(Decimal("-0.000")) == canon_value(Decimal("0")) == "d:0"
+    assert canon_value(Decimal("1E+3")) == "d:1000"
+
+
+def test_canon_map_with_unhashable_keys():
+    """code-review r15: array-/struct-keyed maps are legal in both
+    engines; Arrow surfaces them as (key, value) 2-tuples whose keys are
+    unhashable lists — dict(vals) crashed the gate on IDENTICAL results
+    (false crash-RED). Pairs are canonicalized directly."""
+    assert canon_value([([1, 2], 5)]) == "kv:{a:[1,2]=5}"
+    assert canon_value([([1, 2], 5)]) != canon_value([([1, 3], 5)])
+    # dict-shaped and tuple-list-shaped maps still sort entries by the
+    # SAME key (the canonical key token), whatever the raw key order
+    assert canon_value([(10, "x"), (9, "y")]) == canon_value(
+        {9: "y", 10: "x"}
+    )
+
+
+def test_driver_canon_probe_catches_single_row_complex_cells(spark, duck):
+    """code-review r15: sort_values compares nothing on a 1-row frame,
+    so the driver-canon probe was vacuous exactly where a complex cell
+    could hide; and pandas raises ValueError (not TypeError) on the
+    single-by-column ndarray path, escaping the old narrow except. Both
+    arms must now fail as the diagnostic AssertionError."""
+    import pytest as _pytest
+
+    from .parity import assert_parity
+
+    one = spark.sql("SELECT array(1, 2) AS xs")
+    with _pytest.raises(AssertionError, match="driver-canonicalizable"):
+        assert_parity(one, "SELECT [1, 2] AS xs", duck, name="probe1")
+    two = spark.sql("SELECT array(1, 2) AS xs UNION ALL SELECT array(3, 4)")
+    with _pytest.raises(AssertionError, match="driver-canonicalizable"):
+        assert_parity(
+            two,
+            "SELECT [1, 2] AS xs UNION ALL SELECT [3, 4]",
+            duck,
+            name="probe2",
+        )
+
+
 def test_salted_pair_groups_rejects_reserved_columns(spark):
     """salted_pair_groups adds salt/lo/hi (and internals); an input
     already carrying one would be silently overwritten and the
