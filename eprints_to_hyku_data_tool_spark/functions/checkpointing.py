@@ -35,10 +35,24 @@ from pyspark.sql import DataFrame
 _DIR_SET_FOR: dict[str, str] = {}
 
 
-def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+_READ_ENV = object()
+
+
+def materialize(
+    df: DataFrame, eager: bool = True, ckpt_dir=_READ_ENV
+) -> DataFrame:
     """Checkpoint ``df`` eagerly (or lazily), reliable when
-    SPARK_GRAFT_CHECKPOINT_DIR is set, local otherwise."""
-    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    SPARK_GRAFT_CHECKPOINT_DIR is set, local otherwise.
+
+    ``ckpt_dir`` lets a caller pin the target it already resolved:
+    session_memo keys its cache by the directory it read, and a second
+    env read HERE could disagree if another thread repoints the var
+    between the two reads — the entry would then be served under one
+    target while its files live (and get pruned) under another
+    (code-review r15). Pass the resolved value (or None for local) to
+    make key and files agree by construction."""
+    if ckpt_dir is _READ_ENV:
+        ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if not ckpt_dir:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext

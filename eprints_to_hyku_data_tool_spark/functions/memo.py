@@ -53,7 +53,8 @@ def session_memo(
     # per-test tmp-dir pattern) must miss, not serve a DataFrame whose
     # reliable-checkpoint files live in the old — possibly pruned —
     # directory.
-    tgt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") or "<local>"
+    raw_tgt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    tgt = raw_tgt or "<local>"
     with _LOCK:
         # Evict entries from other (stopped) applications or other
         # checkpoint targets: their DataFrames are unusable (or backed
@@ -68,6 +69,11 @@ def session_memo(
         k = (app, tgt, sf_dir, key)
         df = _MEMO.get(k)
         if df is None:
-            df = materialize(build())
+            # Pass the SAME resolved target the key records — a second
+            # env read inside materialize() could disagree under a
+            # concurrent repoint, caching an entry whose backing files
+            # live in another (possibly pruned) directory
+            # (code-review r15).
+            df = materialize(build(), ckpt_dir=raw_tgt)
             _MEMO[k] = df
         return df

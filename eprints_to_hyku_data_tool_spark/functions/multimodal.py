@@ -16,6 +16,18 @@ Design for 100 TB:
   process per partition — never per-row round trips);
 - frame sampling is the one row-multiplying stage and is bounded by
   meta.n_frames.
+
+Arrow batch-size contract (code-review r15): Arrow's binary columns use
+int32 offsets, so ONE batch's payload column is hard-capped at 2 GiB —
+and ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10000)
+bounds RECORDS, not bytes. On the INPUT side callers feeding real media
+must size that conf to their payloads (10000 x >215 KB average blows the
+cap); the session factory cannot know media sizes, so this is a
+documented deployment knob. On the OUTPUT side the payload-emitting
+stages below (resize_images, sample_frames) re-batch BY BYTES
+(_MAX_OUT_BATCH_BYTES per yielded frame) because each yielded DataFrame
+becomes one Arrow record batch and resize can GROW payloads past
+whatever the input batching allowed.
 """
 
 from __future__ import annotations
@@ -154,6 +166,11 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
     if magic not in (b"P5", b"P6"):
         raise ValueError(f"not a binary PNM: {magic!r}")
     w, h, maxval = int(token()), int(token()), int(token())
+    if w <= 0 or h <= 0:
+        # A truncated/corrupt header declaring zero dims would decode to
+        # an EMPTY raster whose mean() is a silent NaN — the faked-result
+        # class this module forbids (code-review r15).
+        raise ValueError(f"corrupt PNM header: {w}x{h} raster")
     if maxval > 255:
         raise ValueError("16-bit PNM not supported")
     idx += 1  # exactly one whitespace byte separates header and raster
@@ -178,6 +195,9 @@ def _parse_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp})")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # Same silent-NaN class as the PNM guard (code-review r15).
+        raise ValueError(f"corrupt BMP header: {w}x{h} raster")
     row_bytes = (w * 3 + 3) & ~3
     a = np.frombuffer(payload, np.uint8, count=row_bytes * h, offset=data_off)
     a = a.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR->RGB
@@ -288,14 +308,39 @@ def decode_images(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, DECODED_SCHEMA)
 
 
+# One yielded DataFrame = one Arrow record batch; binary columns carry
+# int32 offsets (2 GiB hard cap per batch). Flush well below it.
+_MAX_OUT_BATCH_BYTES = 128 << 20
+
+
+def _to_pnm(raster: np.ndarray) -> tuple[bytes, str]:
+    """Serialize a uint8 raster as a self-describing binary PNM payload:
+    P5 for grayscale (h, w), P6 for RGB (h, w, 3) — so a re-decode reads
+    dimensions AND channel count from the file's own header. Storing the
+    raw ``tobytes()`` raster lost the channel axis: an RGB resize output
+    re-decoded as grayscale over one third of its bytes, silently, with
+    a meta.mime still claiming the original format (code-review r15,
+    confirmed by execution on a real P6 fixture)."""
+    if raster.ndim == 3:
+        h, w, _ = raster.shape
+        return b"P6 %d %d 255\n" % (w, h) + raster.tobytes(), "image/x-ppm"
+    h, w = raster.shape
+    return b"P5 %d %d 255\n" % (w, h) + raster.tobytes(), "image/x-pgm"
+
+
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize on the (fake) raster; returns new payloads
-    with updated meta. The resampling math is real numpy — only the
-    decode kernel is stubbed."""
+    """Nearest-neighbor resize; returns new payloads with updated meta.
+    Output payloads are self-describing binary PNM (P5/P6 per the input
+    raster's channel count) with the mime updated to match — see
+    :func:`_to_pnm`. Output batches are re-sliced by BYTES, not records:
+    resize can GROW payloads (out_w*out_h*3 > input), so even an input
+    batching tuned to the source media could overflow Arrow's 2 GiB
+    per-batch binary cap on the way out (code-review r15)."""
 
     def gen(batches):
+        rows = {"doc_id": [], "payload": [], "meta": []}
+        acc = 0
         for pdf in batches:
-            rows = {"doc_id": [], "payload": [], "meta": []}
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
@@ -307,17 +352,24 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                     0, raster.shape[1] - 1
                 )
                 resized = raster[np.ix_(ys, xs)]
+                out_payload, out_mime = _to_pnm(resized)
                 rows["doc_id"].append(doc_id)
-                rows["payload"].append(resized.tobytes())
+                rows["payload"].append(out_payload)
                 rows["meta"].append(
                     {
-                        "mime": meta["mime"],
+                        "mime": out_mime,
                         "width": out_w,
                         "height": out_h,
                         "n_frames": meta["n_frames"],
                         "sample_rate": meta["sample_rate"],
                     }
                 )
+                acc += len(out_payload)
+                if acc >= _MAX_OUT_BATCH_BYTES:
+                    yield pd.DataFrame(rows)
+                    rows = {"doc_id": [], "payload": [], "meta": []}
+                    acc = 0
+        if rows["doc_id"]:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(gen, MEDIA_SCHEMA)
@@ -329,8 +381,15 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     n_frames, the only row multiplier in the media path)."""
 
     def gen(batches):
+        out = {"doc_id": [], "frame_idx": [], "frame": []}
+        acc = 0
+
+        def flush():
+            return pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_idx": "int32"}
+            )
+
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "frame": []}
             for doc_id, payload, meta in zip(
                 pdf["doc_id"], pdf["payload"], pdf["meta"]
             ):
@@ -348,10 +407,19 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                         if idx == n - 1
                         else (idx + 1) * step
                     )
-                    out["frame"].append(payload[idx * step : hi])
-            yield pd.DataFrame(out).astype(
-                {"doc_id": "int64", "frame_idx": "int32"}
-            )
+                    frame = payload[idx * step : hi]
+                    out["frame"].append(frame)
+                    acc += len(frame)
+                # Byte-bounded output batches (module docstring): this
+                # is the row-MULTIPLYING stage, so a record-count bound
+                # alone cannot keep one Arrow batch's binary column
+                # under its int32-offset cap.
+                if acc >= _MAX_OUT_BATCH_BYTES:
+                    yield flush()
+                    out = {"doc_id": [], "frame_idx": [], "frame": []}
+                    acc = 0
+        if out["doc_id"]:
+            yield flush()
 
     return media.mapInPandas(gen, FRAME_SCHEMA)
 

@@ -33,6 +33,28 @@ _INTEGRAL_TYPES = {"byte", "short", "integer", "long"}
 _MAX_PARTITION_ROWS = 2**31 - 1
 
 
+def _pin_partitions(local: DataFrame) -> DataFrame:
+    """Materialize the range-shuffled/ranked subplan ONCE so the offsets
+    aggregate and the final join consume the SAME physical partitioning.
+
+    Without this, correctness rode on Catalyst's exchange reuse
+    (code-review r15): the counts branch and the join branch each embed
+    the repartitionByRange subtree, and with reuse disabled
+    (spark.sql.exchange.reuse=false — a real debugging/AQE-workaround
+    knob) each evaluation runs its OWN RangePartitioner boundary
+    sampling, seeded per RDD — rows land in different __pid partitions
+    on each side and positions come out silently wrong. The checkpoint
+    (lazy — no extra job) pins one RDD, so one set of range boundaries
+    and one partition-id assignment feed both branches; boundaries are
+    baked into that RDD's shuffle dependency, so even a lost-block
+    recompute reproduces them. Cost: one materialization of data a
+    global sort had to shuffle anyway (reliable when
+    SPARK_GRAFT_CHECKPOINT_DIR is set — functions/checkpointing.py)."""
+    from .checkpointing import materialize
+
+    return materialize(local, eager=False)
+
+
 def _check_columns(df: DataFrame, out_col: str, what: str) -> None:
     clash = (_RESERVED | {out_col}) & set(df.columns)
     if clash:
@@ -62,7 +84,9 @@ def with_global_position(
     )
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     w_local = Window.partitionBy("__pid").orderBy(*order_exprs)
-    local = with_pid.withColumn("__rank", F.row_number().over(w_local))
+    local = _pin_partitions(
+        with_pid.withColumn("__rank", F.row_number().over(w_local))
+    )
     counts = (
         local.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -178,9 +202,11 @@ def with_global_cumsum(
         .orderBy(*order_exprs)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = with_pid.withColumn(
-        "__lcum",
-        F.coalesce(F.sum(value_col).over(w_local), F.lit(0)).cast("long"),
+    local = _pin_partitions(
+        with_pid.withColumn(
+            "__lcum",
+            F.coalesce(F.sum(value_col).over(w_local), F.lit(0)).cast("long"),
+        )
     )
     totals = (
         local.groupBy("__pid")

@@ -91,12 +91,25 @@ def similarity_pairs_chunked(
     exact form with no driver-side materialization (VERDICT r2 items 2/3
     replaced the collect+broadcast kernel with this).
 
-    Shape: vectors are hashed into ``n_chunks`` chunks; a broadcast
-    membership table replicates each chunk into the C(C+1)/2 unordered
-    chunk-pairs it participates in; one ``groupBy(pair_id).applyInPandas``
-    task then matmuls chunk_i x chunk_j (or the triangle of chunk_i when
-    i == j). Every unordered row pair meets in EXACTLY one group, so the
-    result is exact with no dedupe pass.
+    Shape: vectors are hashed into ``n_chunks`` chunks; an IN-PLAN
+    ``explode(sequence(0, C-1))`` replicates each row into the C
+    unordered chunk-pairs its chunk participates in; one
+    ``groupBy(pair_id).applyInPandas`` task then matmuls chunk_i x
+    chunk_j (or the triangle of chunk_i when i == j). Every unordered
+    row pair meets in EXACTLY one group, so the result is exact with no
+    dedupe pass. The replication is pure Catalyst — no membership table
+    at all (code-review r15: the old driver-built membership list was
+    O(C^3) Python time and O(C^2) broadcast rows; at the size-driven
+    C for n=1e8 vectors that was ~5 days of driver CPU and a ~600M-row
+    broadcast before any Spark work started — measured cubic at small
+    C). pair_id is a BIGINT: i*C+j overflows int32 past C=46340, i.e.
+    ~1.9e8 rows at the default rows_per_chunk (same review).
+
+    Duplicate keys: every copy of a vec_id hashes to the same chunk, so
+    all copies meet in that chunk's diagonal (i == j) group, where the
+    kernel raises loudly — a duplicated key would otherwise land its
+    pairs on the diagonal's ``ids < ids`` filter and silently vanish
+    from the "exact" result.
 
     ``n_chunks`` is SIZE-DRIVEN by default (code-review r13: a fixed
     default put a quarter of the corpus into one Arrow group past
@@ -107,7 +120,8 @@ def similarity_pairs_chunked(
     O(n^2) work that follows. Pass an explicit n_chunks to skip it.
 
     Scale accounting (the honest version of "exact all-pairs at 100 TB"):
-      - driver memory: O(C^2) membership rows — nothing else;
+      - driver memory: O(1) — the chunk-pair fan-out is an in-plan
+        explode, nothing is built or broadcast from the driver;
       - shuffle: O(n * C * d) bytes (each vector is replicated C times);
       - peak task memory: 2n/C vectors + the (n/C)^2 sims block — the
         size-driven C keeps both constant as n grows; tasks grow as C^2,
@@ -124,25 +138,27 @@ def similarity_pairs_chunked(
         n = emb_df.count()
         n_chunks = max(8, math.ceil(n / rows_per_chunk))
 
-    # chunk id from a hash of the key (stable under repartitioning),
-    # membership: chunk c -> every pair (i, j), i <= j, with c in {i, j}.
-    membership = spark.createDataFrame(
-        [
-            (c, i * n_chunks + j)
-            for c in range(n_chunks)
-            for i in range(n_chunks)
-            for j in range(i, n_chunks)
-            if c in (i, j)
-        ],
-        "chunk int, pair_id int",
-    )
-
+    # chunk id from a hash of the key (stable under repartitioning).
+    # Fan-out: a row in chunk c participates in the C unordered pairs
+    # {(min(c,o), max(c,o)) : o in 0..C-1}; pair (c, c) arises exactly
+    # once (o == c), every cross pair exactly once per side — so each
+    # unordered ROW pair still meets in exactly one group. The explode
+    # is whole-stage-codegen'd; pair_id is BIGINT arithmetic.
+    c_lit = F.lit(n_chunks).cast("bigint")
     tagged = (
         emb_df.select("vec_id", "label", "embedding")
         .withColumn(
             "chunk", F.pmod(F.xxhash64("vec_id"), F.lit(n_chunks)).cast("int")
         )
-        .join(F.broadcast(membership), "chunk")
+        .withColumn(
+            "other", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
+        )
+        .withColumn(
+            "pair_id",
+            F.least("chunk", "other").cast("bigint") * c_lit
+            + F.greatest("chunk", "other").cast("bigint"),
+        )
+        .drop("other")
     )
 
     schema = "id_a bigint, id_b bigint, label_a int, label_b int"
@@ -158,6 +174,18 @@ def similarity_pairs_chunked(
         labels = pdf["label"].to_numpy(dtype=np.int32)
         chunk = pdf["chunk"].to_numpy()
         if i == j:
+            # Loud duplicate-key guard (code-review r15): duplicates of
+            # a vec_id all hash into this diagonal group; their pairs
+            # would fail the ids < ids orientation filter and silently
+            # vanish from the exact result.
+            uniq, counts = np.unique(ids, return_counts=True)
+            if (counts > 1).any():
+                dupes = uniq[counts > 1][:5]
+                raise ValueError(
+                    "similarity_pairs_chunked: duplicate vec_id values "
+                    f"{dupes.tolist()} — exact all-pairs requires a "
+                    "unique key; dedupe the embedding table first"
+                )
             sims = m @ m.T
             ia, ib = np.nonzero(sims >= tau)
             keep = ids[ia] < ids[ib]

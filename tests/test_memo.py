@@ -26,7 +26,7 @@ def _fake_spark(app_id: str):
 def _with_identity_materialize(monkeypatch):
     # materialize() needs a JVM; the memo's contract is only that it is
     # called once per key with the built value.
-    monkeypatch.setattr(memo_mod, "materialize", lambda df: df)
+    monkeypatch.setattr(memo_mod, "materialize", lambda df, **kw: df)
 
 
 def test_same_key_builds_once(monkeypatch):

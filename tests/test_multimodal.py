@@ -45,11 +45,56 @@ def test_decode_features_deterministic(spark, media):
 
 def test_resize_shapes(media):
     resized = mm.resize_images(media, 16, 8)
-    rows = resized.select("meta.width", "meta.height", F.length("payload").alias("n")).distinct().collect()
-    assert {(r["width"], r["height"], r["n"]) for r in rows} == {(16, 8, 128)}
+    # Output payloads are self-describing binary PNM (code-review r15):
+    # P5 header "P5 16 8 255\n" (12 bytes) + the 16x8 grayscale raster.
+    rows = resized.select(
+        "meta.width", "meta.height", "meta.mime",
+        F.length("payload").alias("n"),
+    ).distinct().collect()
+    assert {
+        (r["width"], r["height"], r["mime"], r["n"]) for r in rows
+    } == {(16, 8, "image/x-pgm", 12 + 128)}
     # downstream decode works on resized payloads unchanged
     feats = mm.decode_images(resized)
     assert feats.count() == resized.count()
+
+
+def test_resize_preserves_rgb_channels(spark):
+    """code-review r15 (confirmed by execution): resize stored the raw
+    (h, w, 3) tobytes() raster with channel-less meta and the original
+    mime, so a re-decode read ONE THIRD of an RGB payload as grayscale —
+    mean_pixel silently wrong for every real PPM/BMP input. The payload
+    is now self-describing P6, and the round-tripped mean must equal the
+    resized raster's true mean."""
+    import numpy as np
+
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    ppm = b"P6 4 2 255\n" + rgb.tobytes()
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm), ("image/x-ppm", 4, 2, 1, 0))],
+        mm.MEDIA_SCHEMA,
+    )
+    resized = mm.resize_images(media, 4, 2)  # identity-size resize
+    meta = resized.select("meta.mime").collect()[0]["mime"]
+    assert meta == "image/x-ppm"
+    feat = mm.decode_images(resized).collect()[0]
+    assert feat["mean_pixel"] == float(rgb.mean())
+    assert (feat["width"], feat["height"]) == (4, 2)
+
+
+def test_zero_dim_pnm_raises(spark):
+    """code-review r15: a corrupt header declaring a 0x0 raster decoded
+    to an empty array whose mean() is a silent NaN — the faked-result
+    class the module forbids. The parser must raise instead."""
+    from pyspark.errors.exceptions.captured import PythonException
+
+    bad = b"P5 0 0 255\n"
+    media = spark.createDataFrame(
+        [(1, bytearray(bad), ("image/x-pgm", 0, 0, 1, 0))],
+        mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(PythonException, match="corrupt PNM header"):
+        mm.decode_images(media).collect()
 
 
 def test_frame_sampling_counts(media):

@@ -1316,3 +1316,106 @@ def test_similarity_chunked_size_driven_equals_explicit(spark, sf_dir):
         )
     )
     assert auto == fixed and len(auto) > 0
+
+
+def test_similarity_chunked_rejects_duplicate_vec_ids(spark, sf_dir):
+    """code-review r15: duplicate vec_ids all hash to one chunk, where the
+    diagonal group's ids < ids orientation filter silently DROPPED their
+    pairs from the "exact" result. The kernel must raise instead."""
+    import pytest
+
+    from eprints_to_hyku_data_tool_spark.functions.vectors import (
+        similarity_pairs_chunked,
+    )
+    from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    dirty = emb.union(emb.limit(1))  # one re-ingested row
+    with pytest.raises(Exception, match="duplicate vec_id"):
+        similarity_pairs_chunked(dirty, 0.2, spark, n_chunks=3).collect()
+
+
+def test_similarity_chunked_fanout_is_in_plan(spark, sf_dir):
+    """code-review r15: the chunk-pair membership used to be a
+    driver-built O(C^3) Python list broadcast to every executor — at the
+    size-driven C for 1e8 rows, days of driver CPU before any Spark
+    work. The fan-out must live in the plan (explode over a sequence),
+    leaving NO local-relation scan or broadcast exchange."""
+    import contextlib
+    import io as _io
+
+    from eprints_to_hyku_data_tool_spark.functions.vectors import (
+        similarity_pairs_chunked,
+    )
+    from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    out = similarity_pairs_chunked(emb, 0.2, spark, n_chunks=4)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" not in plan, plan
+    assert "LocalTableScan" not in plan, plan
+    assert "Generate" in plan, plan  # the explode fan-out
+
+
+def test_global_position_correct_without_exchange_reuse(spark, sf_dir):
+    """code-review r15: the offsets aggregate and the final join both
+    embedded the repartitionByRange subtree, so correct positions relied
+    on Catalyst REUSING that exchange — with spark.sql.exchange.reuse
+    disabled (a real debugging/AQE-workaround knob) each side could run
+    its own RangePartitioner sampling and join offsets against the wrong
+    partition populations, silently. The ranked subplan is now pinned
+    once (lazy checkpoint); positions must be exact either way."""
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.functions.ordering import (
+        with_global_cumsum,
+        with_global_position,
+    )
+    from eprints_to_hyku_data_tool_spark.sources.tables import load_table
+
+    prev = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        ).limit(20000)
+        pos = with_global_position(
+            li, [F.col("l_orderkey"), F.col("l_linenumber")]
+        )
+        rows = pos.select("l_orderkey", "l_linenumber", "position").collect()
+        want = sorted(
+            ((r["l_orderkey"], r["l_linenumber"]) for r in rows)
+        )
+        got = [
+            (r["l_orderkey"], r["l_linenumber"])
+            for r in sorted(rows, key=lambda r: r["position"])
+        ]
+        assert got == want
+        assert sorted(r["position"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+
+        # cumsum needs UNIQUE order keys (documented precondition; the
+        # fixture's (l_orderkey, l_linenumber) is not unique), so use a
+        # deterministic synthetic series spread over many partitions.
+        syn = (
+            spark.range(0, 20000)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 7).cast("long").alias("v"),
+            )
+            .repartition(13)
+        )
+        cum = with_global_cumsum(syn, [F.col("k")], "v")
+        crows = cum.collect()
+        running = 0
+        want_cum = {}
+        for r in sorted(crows, key=lambda r: r["k"]):
+            want_cum[r["k"]] = running
+            running += r["v"]
+        assert all(want_cum[r["k"]] == r["cumsum"] for r in crows)
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", prev)
