@@ -141,3 +141,107 @@ def test_code_changed_since_ignores_comment_only_but_flags_code(
 )
 def test_smoke_artifact_is_fresh():
     assert check_smoke_fresh() == []
+
+
+def test_artifacts_check_flags_deleted_and_renamed(monkeypatch):
+    """code-review r15: the old check globbed the working tree, so a
+    deleted or git-mv'd artifact left nothing to find and the check
+    passed vacuously. Every porcelain status on an artifact must flag,
+    including both sides of a rename."""
+    import round_close as rc
+
+    porcelain = (
+        " D BENCH_r14.json\n"
+        "R  SCALE_SMOKE.json -> SMOKE_OLD.json\n"
+        "?? BENCH_r15.json\n"
+        " M eprints_to_hyku_data_tool_spark/functions/graph.py\n"
+    )
+    monkeypatch.setattr(
+        rc, "_git", lambda *a: porcelain if a[0] == "status" else ""
+    )
+    bad = rc.check_artifacts_tracked()
+    flagged = "\n".join(bad)
+    assert "BENCH_r14.json" in flagged
+    assert "SCALE_SMOKE.json" in flagged
+    assert "BENCH_r15.json" in flagged
+    assert "graph.py" not in flagged  # source is another check's job
+
+
+def test_gated_tree_clean_flags_uncommitted_kernel_edit(monkeypatch):
+    """code-review r15: the smoke-staleness check compares committed
+    blobs only; an uncommitted kernel edit must fail the close through
+    the new tree-clean check instead of sailing through."""
+    import round_close as rc
+
+    monkeypatch.setattr(
+        rc,
+        "_git",
+        lambda *a: (
+            " M eprints_to_hyku_data_tool_spark/functions/graph.py\n"
+            if a[0] == "status"
+            else ""
+        ),
+    )
+    monkeypatch.setattr(
+        rc,
+        "smoke_gated_paths",
+        lambda: ["eprints_to_hyku_data_tool_spark/functions"],
+    )
+    bad = rc.check_gated_tree_clean()
+    assert bad and "uncommitted" in bad[0]
+    monkeypatch.setattr(rc, "_git", lambda *a: "")
+    assert rc.check_gated_tree_clean() == []
+
+
+def test_smoke_gate_covers_resolution_layer():
+    """code-review r15: registry.py/__spark_entry__.py decide which
+    callable each HEAVY name resolves to — they must invalidate the
+    smoke like the kernels do."""
+    paths = smoke_gated_paths()
+    assert "eprints_to_hyku_data_tool_spark/plans/registry.py" in paths
+    assert "__spark_entry__.py" in paths
+
+
+def test_rotation_planner_rejects_non_injective_map(monkeypatch, tmp_path):
+    """code-review r15: a corrupt rename map sending two old names to
+    one new name would silently graft the dropped lineage's green
+    history onto the survivor during the freshness replay."""
+    import json as _json
+
+    import rotation_planner as rp
+
+    bad = tmp_path / "RENAMES_r99.json"
+    bad.write_text(_json.dumps({"a_one": "z_same", "b_two": "z_same"}))
+    import glob as _glob
+
+    real_glob = _glob.glob
+    monkeypatch.setattr(
+        rp.glob,
+        "glob",
+        lambda pat: [str(bad)] if "RENAMES" in pat else real_glob(pat),
+    )
+    with pytest.raises(ValueError, match="not injective"):
+        rp.load_rename_inverses()
+
+
+def test_scale_smoke_requires_matching_tier_manifest(monkeypatch, tmp_path):
+    """code-review r15: the smoke's linear bound is 2x --copies, so a
+    stale tier built with fewer copies made the gate vacuous. The smoke
+    must refuse to run without a manifest, and refuse a copies
+    mismatch — both before any Spark work."""
+    import json as _json
+
+    import scale_smoke as sm
+
+    tier = tmp_path / "tier"
+    tier.mkdir()
+    monkeypatch.setattr(
+        "sys.argv", ["scale_smoke.py", "--tier", str(tier), "--copies", "10"]
+    )
+    with pytest.raises(SystemExit, match="tier_manifest"):
+        sm.main()
+    (tier / "tier_manifest.json").write_text(
+        _json.dumps({"copies": 3, "src": "x", "rows": {}})
+    )
+    with pytest.raises(SystemExit, match="copies=3"):
+        sm.main()

@@ -91,6 +91,7 @@ def build_tier(spark, src: str, out: str, copies: int) -> None:
             f"transform distinct and non-identity; got {copies}"
         )
     os.makedirs(out, exist_ok=True)
+    rows: dict[str, int] = {}
     for table, keys in _SHIFTS.items():
         base = spark.read.parquet(os.path.join(src, f"{table}.parquet"))
         if not keys:  # pure dimension: one copy
@@ -123,7 +124,17 @@ def build_tier(spark, src: str, out: str, copies: int) -> None:
             # multi-part: keep the directory, readable by spark.read too
             shutil.move(tmp, dst)
         n = spark.read.parquet(dst).count()
+        rows[table] = n
         print(f"{table}: {n} rows -> {dst}", flush=True)
+    # Manifest: the smoke cross-checks its --copies against the copy
+    # count the tier was ACTUALLY built with (code-review r15: a stale
+    # /tmp/scale10 from a --copies 3 experiment, judged against a
+    # --copies 10 linear bound of 20x, turns the gate vacuous — even a
+    # quadratic scaler passes while the artifact records copies: 10).
+    import json
+
+    with open(os.path.join(out, "tier_manifest.json"), "w") as fh:
+        json.dump({"copies": copies, "src": src, "rows": rows}, fh, indent=1)
 
 
 def main() -> None:

@@ -36,11 +36,29 @@ def _round_of(path: str) -> int:
 
 
 def load_rename_inverses() -> dict[int, dict[str, str]]:
-    """{round K: {new_name: old_name}} for every RENAMES_rK.json."""
+    """{round K: {new_name: old_name}} for every RENAMES_rK.json.
+
+    Loud on a non-injective map (code-review r15): if a corrupt rename
+    file ever mapped two old names onto one new name, the ``{v: k}``
+    inversion would silently keep whichever entry iterates last —
+    grafting the dropped lineage's green history onto the survivor, so
+    the stalest-first replay would credit freshness a query never
+    earned. All 15 maps on disk are injective today; this keeps any
+    future one that isn't from corrupting the replay silently."""
     out: dict[int, dict[str, str]] = {}
     for f in glob.glob(os.path.join(_ROOT, "RENAMES_r*.json")):
         m = json.load(open(f))
-        out[_round_of(f)] = {v: k for k, v in m.items()}
+        inv = {v: k for k, v in m.items()}
+        if len(inv) != len(m):
+            from collections import Counter
+
+            dupes = [v for v, c in Counter(m.values()).items() if c > 1]
+            raise ValueError(
+                f"{os.path.basename(f)} is not injective: new names "
+                f"{sorted(dupes)} each claim multiple old identities — "
+                "the freshness replay cannot attribute their history"
+            )
+        out[_round_of(f)] = inv
     return out
 
 

@@ -69,15 +69,44 @@ def current_round() -> int:
 
 
 def check_artifacts_tracked() -> list[str]:
-    status = _git("status", "--porcelain")
-    dirty = {line[3:].strip() for line in status.splitlines()}
+    """Flag ANY porcelain status on an evidence artifact — modified,
+    untracked, deleted, or renamed. The old form globbed the WORKING
+    TREE and tested membership in the dirty set, so a deleted or
+    git-mv'd artifact left no file for glob to find and the check
+    passed vacuously (code-review r15, verified by deleting
+    BENCH_r14.json live)."""
+    import fnmatch
+
     bad = []
-    for pat in ARTIFACT_GLOBS:
-        for f in glob.glob(os.path.join(_ROOT, pat)):
-            rel = os.path.relpath(f, _ROOT)
-            if rel in dirty:
-                bad.append(f"artifact not committed: {rel}")
+    seen: set[str] = set()
+    for line in _git("status", "--porcelain").splitlines():
+        code, body = line[:2].strip() or "??", line[3:]
+        # Renames carry both sides; flag each.
+        for part in body.split(" -> "):
+            rel = part.strip().strip('"')
+            name = os.path.basename(rel)
+            if rel in seen:
+                continue
+            if any(fnmatch.fnmatch(name, pat) for pat in ARTIFACT_GLOBS):
+                seen.add(rel)
+                bad.append(f"artifact not committed (status {code}): {rel}")
     return bad
+
+
+def check_gated_tree_clean() -> list[str]:
+    """The smoke-staleness check compares COMMITTED blobs only, so an
+    uncommitted edit to smoke-gated source would sail through it — the
+    kernel change would land after the close under the previous round's
+    smoke evidence (code-review r15). The close requires the gated
+    source clean in the working tree."""
+    gated = smoke_gated_paths()
+    out = _git("status", "--porcelain", "--", *gated).strip()
+    if out:
+        return [
+            "smoke-gated source has uncommitted changes (the smoke "
+            f"artifact cannot cover them):\n{out}"
+        ]
+    return []
 
 
 def check_docs_mention_round(n: int) -> list[str]:
@@ -113,6 +142,15 @@ def smoke_gated_paths() -> list[str]:
         paths.add(mod.__file__)
     paths.add(os.path.join(_ROOT, "tools", "make_scale_tier.py"))
     paths.add(os.path.join(_ROOT, "tools", "scale_smoke.py"))
+    # The resolution layer (code-review r15): these decide which
+    # callable each HEAVY name resolves to — a change there can alter
+    # what the smoke measures without touching any gated module.
+    paths.add(
+        os.path.join(
+            _ROOT, "eprints_to_hyku_data_tool_spark", "plans", "registry.py"
+        )
+    )
+    paths.add(os.path.join(_ROOT, "__spark_entry__.py"))
     return sorted(os.path.relpath(p, _ROOT) for p in paths)
 
 
@@ -189,10 +227,15 @@ def check_smoke_fresh() -> list[str]:
     gated = smoke_gated_paths()
     # Commit-time is the cheap first filter; an AST compare then ignores
     # comment/docstring-only touches (the f107ba7-class false positive).
+    # >=, not > (code-review r15): back-to-back automated commits can
+    # share a commit-second with the smoke commit, and a rebase can
+    # even order a gated change EARLIER — the AST compare against
+    # smoke_commit..HEAD is the authority; the epoch test only exists
+    # to skip it cheaply when the gated path is strictly older.
     stale = [
         p
         for p in gated
-        if _last_commit_epoch(p) > smoke_t
+        if _last_commit_epoch(p) >= smoke_t
         and _code_changed_since(smoke_commit, p)
     ]
     if stale:
@@ -211,6 +254,7 @@ def main() -> None:
     n = current_round()
     problems = (
         check_artifacts_tracked()
+        + check_gated_tree_clean()
         + check_docs_mention_round(n)
         + check_smoke_fresh()
     )

@@ -103,13 +103,38 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(_ROOT, "SCALE_SMOKE.json"))
     args = ap.parse_args()
 
-    from eprints_to_hyku_data_tool_spark.session import get_spark
+    # The gate bound is linear in --copies, so --copies must be the copy
+    # count the tier at --tier was ACTUALLY built with: a stale tier
+    # from a smaller --copies experiment would make the bound vacuous
+    # (code-review r15). make_scale_tier.py writes the manifest.
+    manifest_path = os.path.join(args.tier, "tier_manifest.json")
+    if not os.path.exists(manifest_path):
+        raise SystemExit(
+            f"no tier_manifest.json in {args.tier} — regenerate the tier "
+            "with tools/make_scale_tier.py (it records the copy count "
+            "the gate bound depends on)"
+        )
+    manifest = json.load(open(manifest_path))
+    if manifest["copies"] != args.copies:
+        raise SystemExit(
+            f"tier at {args.tier} was built with copies="
+            f"{manifest['copies']} but the smoke was invoked with "
+            f"--copies {args.copies}; the linear bound would be wrong — "
+            "regenerate the tier or fix the flag"
+        )
+
+    from eprints_to_hyku_data_tool_spark.session import get_spark, warm_session
 
     spark = get_spark(
         app_name="scale-smoke",
         cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         driver_memory="48g",
     )
+    # Warm BEFORE the sf0.1 tier (code-review r15): the baseline is the
+    # ratio DENOMINATOR — leaving JVM/Arrow/codegen first-touch cost in
+    # it deflates every ratio and biases the gate toward PASS. Same
+    # shared recipe as bench.py and the adjudicator (session.py).
+    warm_session(spark, args.base)
     print(f"tier sf0.1: {args.base}", flush=True)
     base = _run_tier(spark, args.base)
     print(f"tier {args.copies}x: {args.tier}", flush=True)
@@ -133,12 +158,17 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    # Absolute-form trigger (code-review r15, mirrors the failure gate
+    # below): judging `ratio` only when base >= 0.5 exempted every
+    # sub-half-second baseline from the gate entirely, however
+    # catastrophically it scaled — max(base, 0.5) keeps the noise
+    # immunity (a tiny baseline is judged as if it were 0.5 s) without
+    # the blind spot.
     suspects = sorted(
         n
         for n in base
         if not n.startswith("_build_")
-        and base[n] >= 0.5
-        and big[n] / max(base[n], 1e-9) > args.copies / 2
+        and big[n] > (args.copies / 2) * max(base[n], 0.5)
     )
     memo_assisted = {}
     for name in suspects:
@@ -175,8 +205,7 @@ def main() -> None:
     for name in sorted(base):
         if not name.startswith("_build_"):
             continue
-        ratio = big[name] / max(base[name], 1e-9)
-        if base[name] >= 0.5 and ratio > linear_bound:
+        if big[name] > linear_bound * max(base[name], 0.5):
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from adjudicate import run_build_sessions
 
@@ -201,13 +230,20 @@ def main() -> None:
             rows[name]["memo_assisted_warm_sec"] = memo_assisted[name][
                 "warm_sec"
             ]
-        # Sub-second sf0.1 timings are noise-dominated; require a
-        # meaningful baseline before judging its ratio.
-        if base[name] >= 0.5 and ratio > linear_bound:
+        # Absolute form (code-review r15): sub-second sf0.1 baselines
+        # are noise-dominated, so they are judged AS IF they were 0.5 s
+        # — the old `base >= 0.5 and ratio > bound` exempted them from
+        # the gate entirely (a 0.4 s query blowing up to 90 s at 10x
+        # printed FAILURES: none).
+        if big[name] > linear_bound * max(base[name], 0.5):
             failures.append(name)
     report = {
         "copies": args.copies,
         "linear_bound": linear_bound,
+        "tier_manifest": {
+            "copies": manifest["copies"],
+            "rows": manifest["rows"],
+        },
         "queries": rows,
         "failures": failures,
         "memo_assisted_reruns": memo_assisted,
