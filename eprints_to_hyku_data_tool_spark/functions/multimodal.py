@@ -321,6 +321,20 @@ def _to_pnm(raster: np.ndarray) -> tuple[bytes, str]:
     re-decoded as grayscale over one third of its bytes, silently, with
     a meta.mime still claiming the original format (code-review r15,
     confirmed by execution on a real P6 fixture)."""
+    if raster.dtype != np.uint8 or raster.ndim not in (2, 3) or (
+        raster.ndim == 3 and raster.shape[2] != 3
+    ):
+        # RGBA/16-bit rasters (possible via the PIL dispatch) would
+        # serialize to a P6 whose re-decode reads the right COUNT of
+        # bytes from a larger buffer — silently wrong pixels, the very
+        # class this serializer exists to eliminate (code-review r15,
+        # second pass). Binary PNM is 8-bit gray or 8-bit RGB; anything
+        # else must be converted by the caller, not guessed at here.
+        raise ValueError(
+            f"_to_pnm: cannot represent dtype={raster.dtype} "
+            f"shape={raster.shape} as binary PNM (P5 gray / P6 RGB, "
+            "uint8 only) — convert the raster first"
+        )
     if raster.ndim == 3:
         h, w, _ = raster.shape
         return b"P6 %d %d 255\n" % (w, h) + raster.tobytes(), "image/x-ppm"

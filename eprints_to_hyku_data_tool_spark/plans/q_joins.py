@@ -392,10 +392,12 @@ def z13917_self_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact all-pairs cosine similarity join via the distributed "
     "chunk-pair kernel (functions/vectors.py): vectors hash into C "
-    "chunks, a broadcast membership table fans each chunk into its "
-    "C(C+1)/2 chunk-pairs, and one applyInPandas task matmuls each pair "
-    "— no driver collect anywhere, task memory bounded by 2n/C vectors, "
-    "shuffle O(n*C*d). The fixture's minimum |cos-0.4| margin is >=1e-4 "
+    "chunks, an IN-PLAN explode(sequence(0, C-1)) fans each row into "
+    "the C chunk-pairs its chunk participates in (no driver-built "
+    "membership, no broadcast — code-review r15), and one applyInPandas "
+    "task matmuls each pair — no driver collect anywhere, task memory "
+    "bounded by 2n/C vectors, shuffle O(n*C*d). "
+    "The fixture's minimum |cos-0.4| margin is >=1e-4 "
     "(verified offline), so summation-order ulp noise cannot flip the "
     "tau decision vs the oracle. Exact all-pairs is O(n^2) compute by "
     "definition; the sub-quadratic scale paths are the LSH/IVF families "

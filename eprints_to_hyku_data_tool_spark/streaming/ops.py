@@ -231,6 +231,44 @@ def docs_stream(spark: SparkSession, replay_dir: str, max_files_per_trigger: int
     )
 
 
+def _restore_neardup_bucket(got_ids, got_shs, n_evicted, cap):
+    """Rebuild a neardup bucket's working state from its persisted value:
+    (ids deque, shingle-set deque, membership set, eviction count).
+
+    Deduplicates on restore (code-review r15, second pass): a checkpoint
+    written by the pre-keep-first code can hold a doc_id TWICE — a
+    membership set built as set(ids) would then desync from the deque
+    when the cap-eviction pops one copy (member.discard removes the id
+    while its second copy survives), letting a later redelivery match
+    against the surviving copy and emit a self-pair (X, X) into the
+    append sink. Keep-first here makes the `one entry per doc_id`
+    invariant hold for every state the operator can observe, new or
+    legacy; the matching loop needs no self-pair guard because a
+    processed doc_id is never in the bucket.
+
+    The cap is applied after the dedupe (oldest-first, counted), so a
+    legacy over-cap bucket is bounded before this trigger does any
+    matching work."""
+    from collections import deque
+
+    ids: deque = deque()
+    shs: deque = deque()
+    member: set = set()
+    n_evicted = int(n_evicted or 0)
+    for i, s in zip(got_ids, got_shs):
+        i = int(i)
+        if i in member:
+            continue
+        ids.append(i)
+        shs.append(frozenset(s))
+        member.add(i)
+    while len(ids) > cap:
+        member.discard(ids.popleft())
+        shs.popleft()
+        n_evicted += 1
+    return ids, shs, member, n_evicted
+
+
 def streaming_neardup(stream: DataFrame) -> DataFrame:
     """Streaming near-duplicate detection: the q60/x17 MinHash-LSH family
     as an INCREMENTAL operator — every arriving document is checked
@@ -352,22 +390,13 @@ def streaming_neardup(stream: DataFrame) -> DataFrame:
     cap = NEARDUP_MAX_BUCKET_MEMBERS
 
     def update(key, pdfs, state: GroupState):
-        from collections import deque
-
         if state.exists:
             got_ids, got_shs, n_evicted = state.get
         else:
             got_ids, got_shs, n_evicted = [], [], 0
-        ids = deque(int(i) for i in got_ids)
-        shs = deque(frozenset(s) for s in got_shs)
-        member = set(ids)
-        n_evicted = int(n_evicted or 0)
-        # Legacy persisted state could predate the ceiling; bound it
-        # before matching so this trigger's work is capped too.
-        while len(ids) > cap:
-            member.discard(ids.popleft())
-            shs.popleft()
-            n_evicted += 1
+        ids, shs, member, n_evicted = _restore_neardup_bucket(
+            got_ids, got_shs, n_evicted, cap
+        )
         out = {"id_a": [], "id_b": [], "inter_size": [], "union_size": []}
         for pdf in pdfs:
             for doc_id, sh_arr in zip(pdf["doc_id"], pdf["sh"]):
@@ -565,3 +594,21 @@ def streaming_cdc_apply(stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# The applyInPandasWithState closures above now reference module-level
+# helpers (_restore_neardup_bucket); cloudpickle serializes module-level
+# functions BY REFERENCE, which would require this package on every
+# executor's sys.path. Registering the module for by-value pickling
+# ships the (dependency-free) helpers inside the task closure instead —
+# same treatment as functions/multimodal.py, and it must use Spark's
+# VENDORED cloudpickle (the standalone package's registration is a
+# silent no-op for Spark's pickler).
+import sys as _sys  # noqa: E402
+
+try:
+    from pyspark import cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # pragma: no cover - older pickle layouts
+    pass

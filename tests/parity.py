@@ -191,7 +191,12 @@ def assert_parity(spark_df, oracle_sql: str, duck_con, name: str = "") -> int:
         # explicitly at the sizes where sorting can't.
         for col in sdf.columns:
             for cell in sdf[col]:
-                if isinstance(cell, (np.ndarray, dict, set)):
+                # list/tuple included (code-review r15, second pass):
+                # Arrow surfaces MAP columns to pandas as lists of
+                # (k, v) tuples, which the multi-column lexsort cannot
+                # factorize at >= 2 rows — exactly the size-dependent
+                # flip this explicit check exists to close.
+                if isinstance(cell, (np.ndarray, dict, set, list, tuple)):
                     raise AssertionError(
                         f"{name}: output not driver-canonicalizable "
                         f"(column {col!r} holds a {type(cell).__name__} "

@@ -319,3 +319,18 @@ def test_assert_unique_doc_ids(spark):
     dup = spark.createDataFrame([(1,), (1,)], "doc_id long")
     with pytest.raises(ValueError, match="doc_id collision"):
         mm.assert_unique_doc_ids(dup)
+
+
+def test_to_pnm_rejects_non_rgb_uint8(spark):
+    """code-review r15 (second pass): an RGBA or 16-bit raster (possible
+    via the PIL dispatch) would serialize to a P6 whose re-decode reads
+    w*h*3 bytes from a LARGER buffer — silently wrong pixels. The
+    serializer must refuse anything but uint8 gray/RGB."""
+    import numpy as np
+
+    with pytest.raises(ValueError, match="binary PNM"):
+        mm._to_pnm(np.zeros((2, 2, 4), dtype=np.uint8))  # RGBA
+    with pytest.raises(ValueError, match="binary PNM"):
+        mm._to_pnm(np.zeros((2, 2, 3), dtype=np.uint16))  # 16-bit
+    payload, mime = mm._to_pnm(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert payload.startswith(b"P6") and mime == "image/x-ppm"

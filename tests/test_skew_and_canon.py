@@ -205,3 +205,19 @@ def test_make_group_runner_supplies_pair_filter():
     assert set(zip(diag["i"], diag["j"])) == {(0, 1), (0, 2), (1, 2)}
     legacy = run(pd.DataFrame({"vec_id": [1, 2, 3]}))
     assert len(legacy) == 3
+
+
+def test_driver_canon_probe_catches_single_row_map_cells(spark, duck):
+    """code-review r15 (second pass): Arrow surfaces MAP columns to
+    pandas as lists of (k, v) tuples — a `list`, which the first
+    explicit-cell check missed, reopening the size-dependent vacuity
+    for maps specifically."""
+    import pytest as _pytest
+
+    from .parity import assert_parity
+
+    one = spark.sql("SELECT map('a', 1) AS m, 1 AS k")
+    with _pytest.raises(AssertionError, match="driver-canonicalizable"):
+        assert_parity(
+            one, "SELECT MAP(['a'], [1]) AS m, 1 AS k", duck, name="probe_map"
+        )

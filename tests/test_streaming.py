@@ -1417,3 +1417,20 @@ def test_streaming_neardup_evicts_oldest_at_cap(
         for r in REGISTRY["z12786_ngram_jaccard"].fn(spark, sf_dir).collect()
     }
     assert len(want) > 0 and got <= want
+
+
+def test_restore_neardup_bucket_dedupes_legacy_state():
+    """code-review r15 (second pass): a checkpoint written by the
+    pre-keep-first code can hold a doc_id twice; a membership set built
+    as set(ids) would desync from the deque when the cap pops one copy,
+    letting a redelivery match the surviving copy and emit a SELF-pair.
+    Restore must be keep-first, then apply the cap to the deduped
+    bucket."""
+    ids, shs, member, n_ev = ops._restore_neardup_bucket(
+        [7, 7, 8, 9], [["a"], ["a"], ["b"], ["c"]], 2, cap=2
+    )
+    assert list(ids) == [8, 9] and member == {8, 9}
+    assert list(shs) == [frozenset({"b"}), frozenset({"c"})]
+    # dedupe is NOT an eviction (the doc is still represented); only the
+    # cap pop counts: [7, 8, 9] -> evict 7 -> prior 2 + 1.
+    assert n_ev == 3

@@ -60,7 +60,44 @@ HEAVY = [
 ]
 
 
-def _run_tier(spark, sf_dir: str) -> dict[str, float]:
+def load_tier_manifest(tier: str, copies: int) -> dict:
+    """Load and validate the tier's manifest (shared with
+    tools/scale_spot.py so the two gates cannot drift): the linear
+    bound is derived from --copies, so --copies must equal the copy
+    count the tier was ACTUALLY built with — a stale tier from a
+    smaller experiment would make the bound vacuous (code-review r15).
+    make_scale_tier.py writes the manifest."""
+    manifest_path = os.path.join(tier, "tier_manifest.json")
+    if not os.path.exists(manifest_path):
+        raise SystemExit(
+            f"no tier_manifest.json in {tier} — regenerate the tier "
+            "with tools/make_scale_tier.py (it records the copy count "
+            "the gate bound depends on)"
+        )
+    manifest = json.load(open(manifest_path))
+    if manifest["copies"] != copies:
+        raise SystemExit(
+            f"tier at {tier} was built with copies="
+            f"{manifest['copies']} but the smoke was invoked with "
+            f"--copies {copies}; the linear bound would be wrong — "
+            "regenerate the tier or fix the flag"
+        )
+    return manifest
+
+
+def gate_exceeds(big_s: float, base_s: float, bound: float) -> bool:
+    """The absolute-form gate predicate (code-review r15, shared with
+    tools/scale_spot.py): sub-half-second baselines are judged AS IF
+    they were 0.5 s instead of being exempted from the gate."""
+    return big_s > bound * max(base_s, 0.5)
+
+
+def run_tier(
+    spark, sf_dir: str, names=None, with_grams_build: bool = True
+) -> dict[str, float]:
+    """Time the shared builds + the given registered queries (default:
+    the full HEAVY list) at one tier. Shared with tools/scale_spot.py —
+    one timing harness, one methodology."""
     from eprints_to_hyku_data_tool_spark.functions import copurchase, neardup
 
     import __spark_entry__ as entry_mod
@@ -80,19 +117,23 @@ def _run_tier(spark, sf_dir: str) -> dict[str, float]:
     neardup.components(spark, sf_dir)
     out["_build_neardup_pairs"] = time.perf_counter() - t0
 
-    from eprints_to_hyku_data_tool_spark.functions import grams
+    if with_grams_build:
+        from eprints_to_hyku_data_tool_spark.functions import grams
 
-    t0 = time.perf_counter()
-    grams.doc_grams8(spark, sf_dir)
-    out["_build_doc_grams"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        grams.doc_grams8(spark, sf_dir)
+        out["_build_doc_grams"] = time.perf_counter() - t0
 
-    for name in HEAVY:
+    for name in HEAVY if names is None else names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         out[name] = time.perf_counter() - t0
         print(f"  {name}: {out[name]:.2f}s", flush=True)
     return out
+
+
+_run_tier = run_tier  # internal alias kept for the call sites below
 
 
 def main() -> None:
@@ -103,25 +144,7 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(_ROOT, "SCALE_SMOKE.json"))
     args = ap.parse_args()
 
-    # The gate bound is linear in --copies, so --copies must be the copy
-    # count the tier at --tier was ACTUALLY built with: a stale tier
-    # from a smaller --copies experiment would make the bound vacuous
-    # (code-review r15). make_scale_tier.py writes the manifest.
-    manifest_path = os.path.join(args.tier, "tier_manifest.json")
-    if not os.path.exists(manifest_path):
-        raise SystemExit(
-            f"no tier_manifest.json in {args.tier} — regenerate the tier "
-            "with tools/make_scale_tier.py (it records the copy count "
-            "the gate bound depends on)"
-        )
-    manifest = json.load(open(manifest_path))
-    if manifest["copies"] != args.copies:
-        raise SystemExit(
-            f"tier at {args.tier} was built with copies="
-            f"{manifest['copies']} but the smoke was invoked with "
-            f"--copies {args.copies}; the linear bound would be wrong — "
-            "regenerate the tier or fix the flag"
-        )
+    manifest = load_tier_manifest(args.tier, args.copies)
 
     from eprints_to_hyku_data_tool_spark.session import get_spark, warm_session
 
@@ -168,7 +191,7 @@ def main() -> None:
         n
         for n in base
         if not n.startswith("_build_")
-        and big[n] > (args.copies / 2) * max(base[n], 0.5)
+        and gate_exceeds(big[n], base[n], args.copies / 2)
     )
     memo_assisted = {}
     for name in suspects:
@@ -205,7 +228,7 @@ def main() -> None:
     for name in sorted(base):
         if not name.startswith("_build_"):
             continue
-        if big[name] > linear_bound * max(base[name], 0.5):
+        if gate_exceeds(big[name], base[name], linear_bound):
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from adjudicate import run_build_sessions
 
@@ -235,7 +258,7 @@ def main() -> None:
         # — the old `base >= 0.5 and ratio > bound` exempted them from
         # the gate entirely (a 0.4 s query blowing up to 90 s at 10x
         # printed FAILURES: none).
-        if big[name] > linear_bound * max(base[name], 0.5):
+        if gate_exceeds(big[name], base[name], linear_bound):
             failures.append(name)
     report = {
         "copies": args.copies,

@@ -22,7 +22,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _ROOT)
@@ -32,34 +31,6 @@ SPOT = [
     "z139190_column_profile",
     "z12790_corpus_pipeline",
 ]
-
-
-def _run_tier(spark, sf_dir: str) -> dict[str, float]:
-    from eprints_to_hyku_data_tool_spark.functions import copurchase, neardup
-
-    import __spark_entry__ as entry_mod
-
-    qs = entry_mod.queries()
-    out: dict[str, float] = {}
-
-    t0 = time.perf_counter()
-    copurchase.undirected_edges(spark, sf_dir)
-    copurchase.degrees(spark, sf_dir)
-    copurchase.oriented_edges(spark, sf_dir)
-    copurchase.triangle_node_stats(spark, sf_dir)
-    out["_build_copurchase_graph"] = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    neardup.verified_pairs(spark, sf_dir)
-    neardup.components(spark, sf_dir)
-    out["_build_neardup_pairs"] = time.perf_counter() - t0
-
-    for name in SPOT:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = time.perf_counter() - t0
-        print(f"  {name}: {out[name]:.2f}s", flush=True)
-    return out
 
 
 def main() -> None:
@@ -72,18 +43,12 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    manifest_path = os.path.join(args.tier, "tier_manifest.json")
-    if not os.path.exists(manifest_path):
-        raise SystemExit(
-            f"no tier_manifest.json in {args.tier} — generate the tier "
-            "with tools/make_scale_tier.py first"
-        )
-    manifest = json.load(open(manifest_path))
-    if manifest["copies"] != args.copies:
-        raise SystemExit(
-            f"tier was built with copies={manifest['copies']}, smoke "
-            f"invoked with --copies {args.copies}"
-        )
+    # Shared with the 10x smoke (code-review r15: duplicated gate logic
+    # drifts) — one manifest check, one gate predicate for both tools.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scale_smoke import gate_exceeds, load_tier_manifest, run_tier
+
+    manifest = load_tier_manifest(args.tier, args.copies)
 
     from eprints_to_hyku_data_tool_spark.session import get_spark, warm_session
 
@@ -94,9 +59,9 @@ def main() -> None:
     )
     warm_session(spark, args.base)
     print(f"tier sf0.1: {args.base}", flush=True)
-    base = _run_tier(spark, args.base)
+    base = run_tier(spark, args.base, names=SPOT, with_grams_build=False)
     print(f"tier {args.copies}x: {args.tier}", flush=True)
-    big = _run_tier(spark, args.tier)
+    big = run_tier(spark, args.tier, names=SPOT, with_grams_build=False)
     spark.stop()
 
     linear_bound = 2.0 * args.copies
@@ -107,7 +72,7 @@ def main() -> None:
             "deep_sec": round(big[name], 3),
             "ratio": round(big[name] / max(base[name], 1e-9), 2),
         }
-        if big[name] > linear_bound * max(base[name], 0.5):
+        if gate_exceeds(big[name], base[name], linear_bound):
             failures.append(name)
     report = {
         "copies": args.copies,
