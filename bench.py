@@ -11,6 +11,7 @@ no disk write) — measures scan+compute+shuffle only.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -30,7 +31,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
-        sf = float(sf)
+        sf_f = float(sf)
+        # float('nan')/float('inf') parse fine but json.dumps prints
+        # bare NaN/Infinity — NOT strict JSON, so a spec-compliant
+        # driver parser would reject the whole line for an otherwise
+        # successful run (code-review r15). Keep the string form.
+        if math.isfinite(sf_f):
+            sf = sf_f
     except ValueError:
         pass
 
@@ -255,6 +262,21 @@ def main() -> None:
                     "full list in BENCH_local.json"
                 )
                 line = json.dumps(printed)
+    # gate_notes is unbounded too (code-review r15): in the round where
+    # many rename maps are unreadable AND the coverage guard fires per
+    # gate invocation, the notes alone can blow the driver's ~2000-char
+    # tail — unparseable payload in exactly the broken-gate round the
+    # notes exist to expose. Same rebind-before-mutate rule as above.
+    if len(line) > 1900 and printed.get("gate_notes"):
+        printed["gate_notes"] = list(printed["gate_notes"])
+        full_n = len(printed["gate_notes"])
+        while len(line) > 1900 and printed["gate_notes"]:
+            printed["gate_notes"].pop()
+            printed["gate_notes_note"] = (
+                f"first {len(printed['gate_notes'])} of {full_n}; "
+                "full list in BENCH_local.json"
+            )
+            line = json.dumps(printed)
     print(line)
     root = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(root, "BENCH_local.json"), "w") as fh:
@@ -454,15 +476,30 @@ def regressions_vs_previous(
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     if not benches:
+        # Legitimately silent: round 1 has no previous artifact.
         return {}
     try:
         with open(benches[-1]) as fh:
             prev = json.load(fh)
-    except (OSError, json.JSONDecodeError):
+    except (OSError, json.JSONDecodeError) as exc:
+        # Loud, not a silent {} (code-review r15): a truncated previous
+        # artifact would otherwise read as a CLEAN round — a fully
+        # broken gate with no signal, the exact class gate_notes exists
+        # to expose.
+        GATE_NOTES.append(
+            f"regression gate OFF: previous bench "
+            f"{os.path.basename(benches[-1])} unreadable "
+            f"({type(exc).__name__})"
+        )
         return {}
     if prev.get("sf") != sf:
         parsed = prev.get("parsed")
         if not (isinstance(parsed, dict) and parsed.get("sf") == sf):
+            GATE_NOTES.append(
+                f"regression gate OFF: previous bench "
+                f"{os.path.basename(benches[-1])} recorded "
+                f"sf={prev.get('sf')!r}, this run is sf={sf!r}"
+            )
             return {}
     prev_q = _merge_sidecar(prev, _extract_queries(prev))
     # new -> old maps, newest round first

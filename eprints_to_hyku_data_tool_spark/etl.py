@@ -110,6 +110,19 @@ def unmapped_subjects_report(eprints: DataFrame, subject_map: DataFrame) -> Data
     )
 
 
+def null_main_documents(eprints: DataFrame) -> DataFrame:
+    """Referential-integrity report (code-review r15, the
+    unmapped-subjects pattern applied to files): (eprintid, position)
+    pairs for documents whose ``main`` is null — the entries
+    eprints_to_bulkrax's ``file`` column deliberately drops. EPrints
+    emits main=null for placeholder/derived documents; at import time
+    the operator decides whether those rows need manual attachment."""
+    return eprints.select(
+        "eprintid",
+        F.posexplode(F.coalesce("documents", F.array())).alias("pos", "doc"),
+    ).filter(F.col("doc")["main"].isNull()).select("eprintid", "pos")
+
+
 def eprints_to_bulkrax(eprints: DataFrame, subject_map: DataFrame) -> DataFrame:
     """The flagship domain transform: one Bulkrax CSV row per eprint."""
     resource_type = F.coalesce(
@@ -131,12 +144,20 @@ def eprints_to_bulkrax(eprints: DataFrame, subject_map: DataFrame) -> DataFrame:
             "|",
         ).alias("creator"),
         F.array_join(
-            F.transform(
-                # single-arg lambda: transform's optional second (index)
-                # argument must not reach trim, which would read it as a
-                # trim-characters parameter
-                F.split(F.coalesce("keywords", F.lit("")), ";"),
-                lambda t: F.trim(t),
+            # filter(length > 0) after the trim (code-review r15,
+            # verified): real EPrints keyword strings end with trailing
+            # semicolons or contain ';;' — split() keeps the empty
+            # segments and array_join would emit them as blank keyword
+            # terms ('k1|k2|'), polluting the Hyku facet.
+            F.filter(
+                F.transform(
+                    # single-arg lambda: transform's optional second
+                    # (index) argument must not reach trim, which would
+                    # read it as a trim-characters parameter
+                    F.split(F.coalesce("keywords", F.lit("")), ";"),
+                    lambda t: F.trim(t),
+                ),
+                lambda t: F.length(t) > 0,
             ),
             "|",
         ).alias("keyword"),
@@ -145,7 +166,19 @@ def eprints_to_bulkrax(eprints: DataFrame, subject_map: DataFrame) -> DataFrame:
         F.coalesce("abstract", F.lit("")).alias("abstract"),
         F.coalesce("official_url", F.lit("")).alias("official_url"),
         F.array_join(
-            F.transform(F.coalesce("documents", F.array()), lambda d: d["main"]),
+            # EXPLICIT null filter (code-review r15): array_join drops
+            # null elements anyway, but silently — EPrints emits
+            # main=null for placeholder/derived documents, and relying
+            # on the join's implicit skip hid that files can vanish
+            # from the row. The filter makes the semantics deliberate;
+            # null_main_documents() below is the audit surface (the
+            # unmapped-subjects pattern) for rows that lost files.
+            F.filter(
+                F.transform(
+                    F.coalesce("documents", F.array()), lambda d: d["main"]
+                ),
+                lambda m: m.isNotNull(),
+            ),
             "|",
         ).alias("file"),
     )

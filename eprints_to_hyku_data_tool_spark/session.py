@@ -7,8 +7,12 @@ scale posture depend on (SURVEY.md §4 config block).
   broadcast-join demotion/promotion — the 100 TB posture is "declare the
   plan, let AQE re-plan at shuffle boundaries".
 - Arrow on: vectorized pandas-UDF and toPandas transfer.
-- shuffle.partitions sized to cores for local mode; on a real cluster this
-  would be ~2-3x total cores and AQE coalesces down per-stage.
+- shuffle.partitions sized to cores for local mode; on a real cluster set
+  SPARK_GRAFT_SHUFFLE_PARTITIONS (~2-3x total cores) — that switch also
+  raises AQE's initialPartitionNum above the cap so per-stage coalescing
+  works in both directions, and SPARK_GRAFT_MASTER unpins the local
+  master for spark-submit (both code-review r15: the old docstring
+  claimed a posture the code did not implement).
 """
 
 from __future__ import annotations
@@ -36,10 +40,24 @@ def get_spark(
     would move to ``executor.memory``.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Cluster posture as an EXECUTABLE switch, not a docstring claim
+    # (code-review r15): shuffle.partitions pinned to local cores is a
+    # hard CAP on a real cluster — AQE's coalescePartitions only merges
+    # DOWN from the initial count, so a 10 TB shuffle would land in 32
+    # reduce partitions (~300 GB each) regardless of cluster size.
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS sets the post-shuffle cap (~2-3x
+    # total cores on a cluster) and the AQE initial partition number
+    # rides ABOVE it so per-stage coalescing has room to work in both
+    # directions. SPARK_GRAFT_MASTER overrides the hard-pinned local
+    # master (builder.master() would otherwise silently defeat a
+    # spark-submit --master yarn, running the whole job single-node).
+    shuffle_env = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    shuffle_parts = shuffle_env or str(cpus)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -72,7 +90,22 @@ def get_spark(
         # read at SparkContext creation, so this cannot be applied in
         # tune_session to an externally created session.
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        # Partition-column type inference mangles string partition keys
+        # on read-back (code-review r15, verified: lang='05' returned as
+        # int 5 — leading zero destroyed, joins against the original
+        # string column silently miss). Partition values come back as
+        # the strings the directory names carry; cast explicitly where
+        # a numeric key is wanted.
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     )
+    if shuffle_env is not None:
+        # Cluster switch engaged: give AQE coalescing room ABOVE the cap
+        # (it can only merge down from the initial count). Left unset in
+        # local mode so local plans match the measured baselines.
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(4 * int(shuffle_parts)),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

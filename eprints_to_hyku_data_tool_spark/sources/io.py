@@ -14,7 +14,32 @@ scans single-pass.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def _with_corrupt_col(
+    schema: StructType | str | None, col: str
+) -> StructType | str | None:
+    """Spark captures malformed rows into columnNameOfCorruptRecord ONLY
+    when that column exists in the schema — otherwise the option is a
+    SILENT no-op: malformed rows null-fill and the audit pipeline reads
+    zero corruption on corrupt data (code-review r15, verified). The
+    facade appends the column so 'capture bad rows' means what it says."""
+    if schema is None:
+        # Inference paths add the corrupt column themselves.
+        return None
+    if isinstance(schema, str):
+        names = {
+            f.strip().split()[0].strip("`").lower()
+            for f in schema.split(",")
+            if f.strip()
+        }
+        if col.lower() in names:
+            return schema
+        return f"{schema}, {col} string"
+    if col in schema.names:
+        return schema
+    return StructType(list(schema.fields) + [StructField(col, StringType())])
 
 
 def read_csv(
@@ -57,6 +82,7 @@ def read_csv(
     )
     if corrupt_record_col is not None:
         reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+        schema = _with_corrupt_col(schema, corrupt_record_col)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -69,11 +95,35 @@ def read_json(
     path: str,
     schema: StructType | str | None = None,
     *,
-    multi_line: bool = True,
+    multi_line: bool | None = None,
     encoding: str = "UTF-8",
 ) -> DataFrame:
     """X02: EPrints JSON export — a single top-level array of records
-    (multiLine), nested arrays-of-structs for creators/documents."""
+    (multiLine), nested arrays-of-structs for creators/documents.
+
+    ``multi_line`` defaults to SNIFFED, not True (code-review r15,
+    verified): multiLine=true over JSON-Lines input silently collapses
+    each file to ONE row (Spark parses the first object and discards
+    the rest — a 1M-record JSONL file becomes 1 row with no error, and
+    PERMISSIVE raises nothing). The sniff reads one line through the
+    text source (limit-pushed, any filesystem): a line opening '[' is
+    a top-level array (multiLine); a line that parses as a complete
+    JSON object is JSONL; an object opened but not closed on its first
+    line is a pretty-printed document (multiLine). Pass the flag
+    explicitly to skip the probe job."""
+    if multi_line is None:
+        import json as _json
+
+        first = spark.read.text(path).first()
+        probe = (first["value"] if first is not None else "").strip()
+        if probe.startswith("["):
+            multi_line = True
+        else:
+            try:
+                _json.loads(probe)
+                multi_line = False  # a complete object per line: JSONL
+            except ValueError:
+                multi_line = True
     reader = spark.read.option("multiLine", multi_line).option(
         "encoding", encoding
     )

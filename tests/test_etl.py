@@ -268,3 +268,96 @@ def test_events_ntz_layout_pins_utc_instant_any_session_tz(spark, tmp_path):
             )
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_read_json_sniffs_jsonl_vs_array(spark, tmp_path):
+    """code-review r15 (verified): multiLine=true over JSON-Lines parses
+    ONE object per file and silently discards the rest — a 1M-record
+    JSONL export becomes 1 row with no error. The facade now sniffs the
+    shape when multi_line is not passed."""
+    jl = tmp_path / "recs.jsonl"
+    jl.write_text("\n".join('{"a": %d}' % i for i in range(5)))
+    arr = tmp_path / "recs.json"
+    arr.write_text("[\n" + ",\n".join('{"a": %d}' % i for i in range(5)) + "\n]")
+    assert eio.read_json(spark, str(jl), "a int").count() == 5
+    assert eio.read_json(spark, str(arr), "a int").count() == 5
+    # explicit flag still honored (the old silent-collapse shape)
+    assert eio.read_json(spark, str(jl), "a int", multi_line=True).count() == 1
+
+
+def test_read_csv_corrupt_record_col_actually_captures(spark, tmp_path):
+    """code-review r15 (verified): Spark honors columnNameOfCorruptRecord
+    ONLY when the column exists in the schema — without the facade
+    appending it, the option was a silent no-op and corrupt production
+    rows null-filled with a zero-corruption audit."""
+    p = tmp_path / "rows.csv"
+    p.write_text("a,b\n1,2\nnot_an_int,3\n")
+    df = eio.read_csv(
+        spark, str(p), "a int, b int",
+        multi_line=False, corrupt_record_col="_corrupt",
+    )
+    rows = df.collect()
+    assert "_corrupt" in df.columns
+    bad = [r for r in rows if r["_corrupt"] is not None]
+    assert len(bad) == 1 and "not_an_int" in bad[0]["_corrupt"]
+
+
+def test_partition_keys_round_trip_as_strings(spark, tmp_path):
+    """code-review r15 (verified): partition-column type inference
+    mangles string keys on read-back ('05' -> int 5, leading zero
+    destroyed; joins against the original column silently miss). The
+    session pins inference OFF, so keys come back as the strings the
+    directory names carry."""
+    out = str(tmp_path / "byland")
+    df = spark.createDataFrame([("05", 1), ("fr", 2)], "lang string, v int")
+    eio.write_partitioned_parquet(df, out, ["lang"])
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["lang"] == "string"
+    assert {r["lang"] for r in back.select("lang").collect()} == {"05", "fr"}
+
+
+def test_keyword_and_file_edges(spark, subject_map_df):
+    """code-review r15 (verified): trailing/double delimiters produced
+    empty keyword terms ('k1|k2|'), and a null documents.main silently
+    vanished from the file column with no audit surface."""
+    rows = [
+        {
+            "eprintid": 9001,
+            "title": "T",
+            "type": "article",
+            "date": "2020",
+            "creators": [{"family": "F", "given": "G"}],
+            "subjects": ["QA75"],
+            "keywords": "k1; k2;; ",
+            "abstract": "a",
+            "official_url": None,
+            "documents": [
+                {"main": None, "format": "x"},
+                {"main": "b.pdf", "format": "application/pdf"},
+            ],
+        }
+    ]
+    import json as _json
+
+    df = eio.read_json(
+        spark,
+        _write_tmp_json(rows),
+        schema=etl.EPRINTS_SCHEMA,
+    )
+    out = etl.eprints_to_bulkrax(df, subject_map_df).collect()[0]
+    assert out["keyword"] == "k1|k2"
+    assert out["file"] == "b.pdf"
+    rep = etl.null_main_documents(df).collect()
+    assert [(r["eprintid"], r["pos"]) for r in rep] == [(9001, 0)]
+
+
+def _write_tmp_json(rows):
+    import json as _json
+    import tempfile
+
+    f = tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False, dir=tempfile.gettempdir()
+    )
+    _json.dump(rows, f)
+    f.close()
+    return f.name
