@@ -34,8 +34,9 @@ _MAX_PARTITION_ROWS = 2**31 - 1
 
 
 def _pin_partitions(local: DataFrame) -> DataFrame:
-    """Materialize the range-shuffled/ranked subplan ONCE so the offsets
-    aggregate and the final join consume the SAME physical partitioning.
+    """Pin the range-shuffled/ranked subplan ONCE (persist) so the
+    offsets aggregate and the final join consume the SAME physical
+    partitioning.
 
     Without this, correctness rode on Catalyst's exchange reuse
     (code-review r15): the counts branch and the join branch each embed
@@ -43,16 +44,20 @@ def _pin_partitions(local: DataFrame) -> DataFrame:
     (spark.sql.exchange.reuse=false — a real debugging/AQE-workaround
     knob) each evaluation runs its OWN RangePartitioner boundary
     sampling, seeded per RDD — rows land in different __pid partitions
-    on each side and positions come out silently wrong. The checkpoint
-    (lazy — no extra job) pins one RDD, so one set of range boundaries
-    and one partition-id assignment feed both branches; boundaries are
-    baked into that RDD's shuffle dependency, so even a lost-block
-    recompute reproduces them. Cost: one materialization of data a
-    global sort had to shuffle anyway (reliable when
-    SPARK_GRAFT_CHECKPOINT_DIR is set — functions/checkpointing.py)."""
-    from .checkpointing import materialize
+    on each side and positions come out silently wrong.
 
-    return materialize(local, eager=False)
+    persist(), not a checkpoint: the cache manager canonicalizes both
+    branches onto ONE InMemoryRelation (one underlying RDD, one
+    boundary sampling — verified consistent under reuse=false), lineage
+    survives so an evicted/lost block recomputes through the SAME
+    shuffle dependency (boundaries are fixed at RDD creation — no
+    reliable-checkpoint dir needed for fault tolerance), and the
+    range-partitioning stays VISIBLE in the final plan, which the
+    plan-shape tests assert (a checkpoint's LogicalRDD boundary hid
+    it). Blocks are MEMORY_AND_DISK and freed by the ContextCleaner
+    when the superseded frame is GC'd. Cost: one materialization of
+    data a global sort had to shuffle anyway."""
+    return local.persist()
 
 
 def _check_columns(df: DataFrame, out_col: str, what: str) -> None:
