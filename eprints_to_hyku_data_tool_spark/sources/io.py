@@ -114,6 +114,19 @@ def read_json(
     if multi_line is None:
         import json as _json
 
+        # The probe reads through the TEXT source, which always decodes
+        # UTF-8 (it has no encoding option) — on a UTF-16/other-encoded
+        # file the probe line is mojibake, json.loads fails, and the
+        # sniff would silently land on multiLine=True: the exact
+        # one-row-collapse-over-JSONL failure the sniff exists to
+        # prevent, now keyed to the encoding instead of the shape.
+        # Loud instead (code-review r15, second pass).
+        if encoding.upper().replace("-", "") not in ("UTF8", "USASCII", "ASCII"):
+            raise ValueError(
+                f"read_json cannot sniff multi_line under encoding="
+                f"{encoding!r} (the probe decodes UTF-8 only) — pass "
+                f"multi_line explicitly"
+            )
         first = spark.read.text(path).first()
         probe = (first["value"] if first is not None else "").strip()
         if probe.startswith("["):

@@ -285,6 +285,38 @@ def test_read_json_sniffs_jsonl_vs_array(spark, tmp_path):
     assert eio.read_json(spark, str(jl), "a int", multi_line=True).count() == 1
 
 
+def test_read_json_sniff_refuses_non_utf8(spark, tmp_path):
+    """The sniff's probe decodes UTF-8 only (the text source has no
+    encoding option) — over a UTF-16 JSONL file the probe is mojibake
+    and the sniff would silently pick multiLine=True, the exact
+    one-row-collapse the sniff exists to prevent. Loud instead; the
+    explicit flag keeps working for non-UTF-8 input."""
+    import pytest
+
+    u16 = tmp_path / "recs_u16.jsonl"
+    u16.write_bytes(
+        "\n".join('{"a": %d}' % i for i in range(5)).encode("utf-16")
+    )
+    with pytest.raises(ValueError, match="multi_line explicitly"):
+        eio.read_json(spark, str(u16), "a int", encoding="UTF-16")
+    # the explicit flag keeps working for non-UTF-8 input (multiLine —
+    # Spark itself blacklists BOM'd UTF-16 for line-split JSONL reads)
+    arr16 = tmp_path / "recs_u16.json"
+    arr16.write_bytes(
+        ("[" + ",".join('{"a": %d}' % i for i in range(5)) + "]").encode(
+            "utf-16"
+        )
+    )
+    got = eio.read_json(
+        spark, str(arr16), "a int", multi_line=True, encoding="UTF-16"
+    )
+    assert got.count() == 5
+    # case/hyphen variants of UTF-8 still sniff
+    jl = tmp_path / "recs8.jsonl"
+    jl.write_text('{"a": 1}\n{"a": 2}')
+    assert eio.read_json(spark, str(jl), "a int", encoding="utf-8").count() == 2
+
+
 def test_read_csv_corrupt_record_col_actually_captures(spark, tmp_path):
     """code-review r15 (verified): Spark honors columnNameOfCorruptRecord
     ONLY when the column exists in the schema — without the facade
