@@ -104,6 +104,7 @@ def main() -> None:
         copurchase,
         grams,
         neardup,
+        ordering,
     )
 
     shared_builds = {
@@ -128,6 +129,15 @@ def main() -> None:
     for i, (name, spec) in enumerate(sorted(REGISTRY.items())):
         if gc_every and i and i % gc_every == 0:
             _collect_garbage()
+        # Drop the previous query's ordering pins (persisted sorted
+        # subplans — functions/ordering.py lifecycle): the CacheManager
+        # matches EQUAL plans, so a later query sharing a pinned sort
+        # subtree would read the cache and under-record its standalone
+        # cost, breaking comparability with the pre-pin bench series
+        # (and with the memo accounting, where only _build_* entries
+        # are shared). Safe here: the previous query is fully
+        # materialized to the noop sink.
+        ordering.release_pins()
         t0 = time.perf_counter()
         try:
             df = spec.fn(spark, sf_dir)
@@ -166,6 +176,10 @@ def main() -> None:
             break
         for name in suspects:
             spec = REGISTRY[name]
+            # A suspect re-run against a live ordering pin would time a
+            # cache READ, not the sort — min() would then mask a real
+            # kernel regression with a number measuring nothing.
+            ordering.release_pins()
             t0 = time.perf_counter()
             try:
                 spec.fn(spark, sf_dir).write.format("noop").mode(

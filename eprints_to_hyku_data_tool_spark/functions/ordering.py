@@ -32,6 +32,10 @@ _INTEGRAL_TYPES = {"byte", "short", "integer", "long"}
 # below makes the failure loud and actionable instead.
 _MAX_PARTITION_ROWS = 2**31 - 1
 
+# py4j handles of every live pin (see release_pins). Tiny: one handle
+# per kernel call, never the data.
+_LIVE_PINS: list = []
+
 
 def _pin_partitions(local: DataFrame) -> DataFrame:
     """Pin the range-shuffled/ranked subplan ONCE (persist) so the
@@ -54,10 +58,47 @@ def _pin_partitions(local: DataFrame) -> DataFrame:
     reliable-checkpoint dir needed for fault tolerance), and the
     range-partitioning stays VISIBLE in the final plan, which the
     plan-shape tests assert (a checkpoint's LogicalRDD boundary hid
-    it). Blocks are MEMORY_AND_DISK and freed by the ContextCleaner
-    when the superseded frame is GC'd. Cost: one materialization of
+    it). Blocks are MEMORY_AND_DISK, so a pin larger than executor
+    memory spills rather than OOMs.
+
+    Lifecycle (probed, not assumed — code-review r15 second pass): the
+    CacheManager holds a STRONG reference to the InMemoryRelation, so a
+    pin is NOT freed when the Python frames are GC'd (the ContextCleaner
+    weak-ref path applies to raw-RDD persist/checkpoint, not Dataset
+    cache entries — getPersistentRDDs stays non-empty after gc.collect).
+    Auto-release tied to the result's GC would be WRONG: the common
+    ``with_global_position(df, ...).filter(...)`` drops the intermediate
+    immediately, and an early unpersist on a not-yet-executed derived
+    plan re-opens the reuse=false double-sampling bug above. A batch
+    session therefore accumulates one cached sort per kernel call until
+    session end (clearCache) — bounded and harmless for query-at-a-time
+    use; long-lived services and repeat-measurement harnesses call
+    release_pins() at batch boundaries. Cost: one materialization of
     data a global sort had to shuffle anyway."""
-    return local.persist()
+    pinned = local.persist()
+    _LIVE_PINS.append(pinned._jdf)
+    return pinned
+
+
+def release_pins() -> int:
+    """Unpersist every pin created by this module and return how many.
+
+    Call ONLY at a batch boundary: when no lazy DataFrame derived from
+    an earlier with_global_position/with_global_cumsum result remains
+    un-executed (unpersisting earlier re-opens the exchange-reuse
+    double-sampling hazard _pin_partitions documents — the pin must
+    outlive every plan that embeds it, and only the caller knows when
+    that is). Safe against a stopped session (handles are dropped
+    either way)."""
+    n = 0
+    while _LIVE_PINS:
+        jdf = _LIVE_PINS.pop()
+        try:
+            jdf.unpersist(False)
+            n += 1
+        except Exception:  # session already stopped / handle dead
+            pass
+    return n
 
 
 def _check_columns(df: DataFrame, out_col: str, what: str) -> None:

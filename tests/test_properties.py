@@ -1296,6 +1296,52 @@ def test_global_position_overflow_guard_fires(spark, monkeypatch):
         out.collect()
 
 
+def test_ordering_pin_lifecycle_release(spark):
+    """The persist() pin's probed lifecycle (code-review r15, second
+    pass): the CacheManager holds a STRONG reference, so a pin survives
+    Python GC of every frame that created it — a long-lived session
+    accumulates one cached sort per kernel call — and the explicit
+    batch-boundary release_pins() is what frees it (auto-release on GC
+    would re-open the reuse=false double-sampling hazard on a pending
+    derived plan). Pins the leak, the release, its idempotence, and
+    correctness of a fresh call after release."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.functions import ordering
+
+    ordering.release_pins()  # clean slate (earlier tests may have pinned)
+    jsc = spark.sparkContext._jsc.sc()
+    base_cached = jsc.getPersistentRDDs().size()
+
+    df = spark.range(0, 1000).withColumn("k", F.col("id") % 3)
+    out = ordering.with_global_position(df, [F.col("id")])
+    rows = out.collect()
+    assert [
+        r["position"] for r in sorted(rows, key=lambda r: r["id"])
+    ] == list(range(1, 1001))
+
+    del df, out, rows
+    gc.collect()
+    assert jsc.getPersistentRDDs().size() > base_cached, (
+        "pin should SURVIVE Python GC (CacheManager strong ref) — if "
+        "this starts failing, Spark's cache lifecycle changed and the "
+        "ordering docstring/release contract must be re-derived"
+    )
+    assert ordering.release_pins() >= 1
+    assert ordering.release_pins() == 0  # idempotent; registry drained
+    assert jsc.getPersistentRDDs().size() == base_cached
+
+    out2 = ordering.with_global_position(
+        spark.range(0, 100).select(F.col("id")), [F.col("id")]
+    )
+    assert sorted(r["position"] for r in out2.collect()) == list(
+        range(1, 101)
+    )
+    ordering.release_pins()
+
+
 def test_similarity_chunked_size_driven_equals_explicit(spark, sf_dir):
     """Default (size-driven) n_chunks must produce exactly the explicit
     fixed-chunk pair set — the chunk count is a layout knob, never a
