@@ -1493,20 +1493,13 @@ def test_resolve_cache_bounds_total_group_entries(monkeypatch):
     assert ("t", 3, 0, 0) in ledger._RESOLVE_CACHE  # newest always kept
 
 
-def test_model_based_random_op_sequences(spark, tmp_path):
-    """Model-based check of the delta/checkpoint resolution layer: a
-    seeded random sequence of append / merge / delete_where / restore /
-    expire_history / checkpoint loss / cache clears against an
-    in-Python model of full-snapshot semantics. After every op, the
-    latest snapshot must equal the model; at the end, every KEPT
-    version must time-travel to its recorded model state and latest_txn
-    must equal the model's high water. This is the test the old
-    full-manifest format passed trivially (each version was a file);
-    the resolution walk has to EARN it."""
+def _drive_model_sequence(spark, table_path: str, seed: int, steps: int = 28):
+    """The model-based random-op walk, extracted so extra seeds can run
+    ad hoc (opt-in below) without duplicating the op table."""
     import random
 
-    rng = random.Random(1309)
-    t = str(tmp_path / "t")
+    rng = random.Random(seed)
+    t = table_path
 
     def df_of(rows):
         return spark.createDataFrame(
@@ -1521,7 +1514,7 @@ def test_model_based_random_op_sequences(spark, tmp_path):
     txn_hw = None
     next_key = 100
 
-    for step in range(28):
+    for step in range(steps):
         op = rng.choice(
             ["append", "merge", "delete", "restore", "expire",
              "lose_chk", "clear_cache"]
@@ -1607,6 +1600,38 @@ def test_model_based_random_op_sequences(spark, tmp_path):
         }
         assert got == want, f"time travel to v{v}"
     assert ledger.latest_txn(t, "model") == txn_hw
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check of the delta/checkpoint resolution layer: a
+    seeded random sequence of append / merge / delete_where / restore /
+    expire_history / checkpoint loss / cache clears against an
+    in-Python model of full-snapshot semantics. After every op, the
+    latest snapshot must equal the model; at the end, every KEPT
+    version must time-travel to its recorded model state and latest_txn
+    must equal the model's high water. This is the test the old
+    full-manifest format passed trivially (each version was a file);
+    the resolution walk has to EARN it."""
+    _drive_model_sequence(spark, str(tmp_path / "t"), seed=1309)
+
+
+_FUZZ_SEEDS = [
+    int(s)
+    for s in os.environ.get("SPARK_GRAFT_LEDGER_FUZZ_SEEDS", "").split(",")
+    if s.strip()
+]
+
+
+@pytest.mark.parametrize("seed", _FUZZ_SEEDS or [None])
+def test_model_based_random_op_sequences_extra_seeds(spark, tmp_path, seed):
+    """Opt-in longer fuzz walks over fresh seeds (the r13/r14 lesson:
+    extra ad-hoc seeds on the model tests keep paying):
+    ``SPARK_GRAFT_LEDGER_FUZZ_SEEDS=1,2,3 pytest -k extra_seeds``.
+    40 steps per seed vs the pinned test's 28 — deeper
+    expire/restore/checkpoint-loss interleavings."""
+    if seed is None:
+        pytest.skip("opt-in: set SPARK_GRAFT_LEDGER_FUZZ_SEEDS=1,2,3")
+    _drive_model_sequence(spark, str(tmp_path / f"t{seed}"), seed, steps=40)
 
 
 def test_details_reports_metadata_plane(spark, tmp_path):
@@ -1720,19 +1745,13 @@ def test_cache_key_misses_on_recreated_manifest_same_tick(spark, tmp_path):
     assert k1 != k2
 
 
-def test_model_based_concurrent_writer_interleavings(spark, tmp_path):
-    """Model-based RACING writers (r13 stretch item): two threads each
-    drive a seeded append/merge sequence against the same table with no
-    external coordination. Optimistic concurrency must linearize them
-    into a gapless version history whose per-version states equal an
-    in-Python model replaying each landed commit's effect in version
-    order — append adds thread-unique keys, merge upserts (a shared hot
-    key + a fresh one), so the fold over the LANDED order is the exact
-    oracle regardless of interleaving."""
+def _drive_concurrent_writers(spark, table_path: str, seed_a: int, seed_b: int):
+    """The racing-writers walk, extracted so extra seed pairs can run
+    ad hoc (opt-in below) without duplicating the op table."""
     import random
     import threading
 
-    t = str(tmp_path / "t")
+    t = table_path
 
     def df_of(rows):
         return spark.createDataFrame(
@@ -1767,8 +1786,8 @@ def test_model_based_concurrent_writer_interleavings(spark, tmp_path):
             errors.append(e)
 
     threads = [
-        threading.Thread(target=worker, args=(1401, 1000)),
-        threading.Thread(target=worker, args=(1402, 2000)),
+        threading.Thread(target=worker, args=(seed_a, 1000)),
+        threading.Thread(target=worker, args=(seed_b, 2000)),
     ]
     for th in threads:
         th.start()
@@ -1796,6 +1815,31 @@ def test_model_based_concurrent_writer_interleavings(spark, tmp_path):
             for r in ledger.read(spark, t, version=v).collect()
         }
         assert got_v == snapshots[v], f"time travel to v{v}"
+
+
+def test_model_based_concurrent_writer_interleavings(spark, tmp_path):
+    """Model-based RACING writers (r13 stretch item): two threads each
+    drive a seeded append/merge sequence against the same table with no
+    external coordination. Optimistic concurrency must linearize them
+    into a gapless version history whose per-version states equal an
+    in-Python model replaying each landed commit's effect in version
+    order — append adds thread-unique keys, merge upserts (a shared hot
+    key + a fresh one), so the fold over the LANDED order is the exact
+    oracle regardless of interleaving."""
+    _drive_concurrent_writers(spark, str(tmp_path / "t"), 1401, 1402)
+
+
+@pytest.mark.parametrize("seed", _FUZZ_SEEDS or [None])
+def test_model_based_concurrent_writer_extra_seeds(spark, tmp_path, seed):
+    """Opt-in extra interleavings for the racing-writers model (same
+    env hook as the resolution-layer walk): each seed drives a distinct
+    (seed, seed+5000) thread pair — thread scheduling adds its own
+    nondeterminism on top, so repeats of one seed also explore."""
+    if seed is None:
+        pytest.skip("opt-in: set SPARK_GRAFT_LEDGER_FUZZ_SEEDS=1,2,3")
+    _drive_concurrent_writers(
+        spark, str(tmp_path / f"t{seed}"), seed, seed + 5000
+    )
 
 
 def test_txn_guard_is_atomic_with_the_commit(spark, tmp_path, monkeypatch):
