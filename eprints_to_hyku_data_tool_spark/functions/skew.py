@@ -43,6 +43,20 @@ def salted_join(
     bucket the large side missed — silently wrong counts. Rejected
     loudly here.
     """
+    clash = [
+        side
+        for side, d in (("large", large), ("small", small))
+        if SALT_COL in d.columns
+    ]
+    if clash:
+        # The guard its sibling salted_pair_groups already has: the
+        # withColumn would silently overwrite the caller's column and
+        # the final drop(SALT_COL) removes EVERY column of that name —
+        # the caller's data vanishes from the result without an error.
+        raise ValueError(
+            f"salted_join: input ({', '.join(clash)} side) already "
+            f"carries {SALT_COL!r}; rename it before salting"
+        )
     mode = how.lower().replace("_", "")
     if mode not in {
         "inner", "left", "leftouter", "leftsemi", "leftanti",

@@ -51,6 +51,29 @@ def test_salted_join_accepts_spark_mode_aliases(spark):
         salted_join(large, small, "k", "sk", how="right")
 
 
+def test_salted_join_rejects_salt_column_clash(spark):
+    """code-review r15 (the salted_pair_groups guard applied to its
+    sibling): an input already carrying __salt would be silently
+    overwritten, and the final drop(SALT_COL) removes EVERY column of
+    that name — the caller's data vanishes from the result with no
+    error. Loud on either side instead."""
+    import pytest
+
+    large = spark.createDataFrame(
+        [(1, 9)], "k long, __salt long"
+    )
+    small = spark.createDataFrame([(1,)], "sk long")
+    with pytest.raises(ValueError, match="large.*__salt"):
+        salted_join(large, small, "k", "sk")
+    with pytest.raises(ValueError, match="small.*__salt"):
+        salted_join(
+            small.select(F.col("sk").alias("k")),
+            large.select(F.col("k").alias("sk"), "__salt"),
+            "k",
+            "sk",
+        )
+
+
 def test_top_heavy_keys_shape(spark, sf_dir):
     out = top_heavy_keys(load_table(spark, sf_dir, "events"), "user_id", 3)
     rows = out.collect()
