@@ -333,6 +333,17 @@ def cluster_dedupe(docs: DataFrame, pairs: DataFrame, doc_id: str = "doc_id") ->
     survives per near-dup CLUSTER; every other member is marked dropped.
     Contrast with the greedy pairwise policy (q67): with a~b, b~c but
     a!~c, greedy keeps {a, c} while cluster dedup keeps only {a}."""
+    clash = {"node", "component", "is_dropped"} & set(docs.columns)
+    if clash:
+        # The salted_pair_groups/ordering guard applied here too
+        # (code-review r15): the post-join drop("node", "component")
+        # removes EVERY column of those names — a docs frame already
+        # carrying one would lose it silently (and an existing
+        # is_dropped would be overwritten by withColumn).
+        raise ValueError(
+            f"cluster_dedupe would silently overwrite/drop input "
+            f"column(s) {sorted(clash)}; rename them first"
+        )
     comp = connected_components(pairs)
     return (
         docs.join(comp, docs[doc_id] == comp["node"], "left")

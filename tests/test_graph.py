@@ -95,6 +95,22 @@ def test_cluster_dedupe_on_fixture_neardups(spark, sf_dir):
     assert not any(dropped for d, dropped in out.items() if d not in members)
 
 
+def test_cluster_dedupe_rejects_column_clash(spark):
+    """code-review r15 (the salted_pair_groups guard applied here): the
+    post-join drop('node', 'component') removes EVERY column of those
+    names, so a docs frame already carrying one would lose it silently
+    — and an existing is_dropped would be overwritten. Loud instead."""
+    import pytest
+
+    docs = spark.createDataFrame([(1, 5)], "doc_id long, node long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="node"):
+        cluster_dedupe(docs, pairs)
+    docs2 = spark.createDataFrame([(1, True)], "doc_id long, is_dropped boolean")
+    with pytest.raises(ValueError, match="is_dropped"):
+        cluster_dedupe(docs2, pairs)
+
+
 def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     """y45's distributed PageRank vs an independent dense numpy power
     iteration on the identical edge set: same formula (damping 0.85,
