@@ -179,12 +179,15 @@ def pagerank(
 
     Scale shape (VERDICT r3 item 3): ranks/contribs are O(nodes) tables
     and are NEVER broadcast-hinted — at billion-node scale they cannot
-    fit an executor broadcast. Instead, edges_d is hash-partitioned by
-    src ONCE before the loop (localCheckpoint preserves the
-    partitioning), so every round's ranks join re-shuffles only the
-    node-sized ranks table while the 100-TB edge table stays in place;
-    AQE is still free to promote the join to broadcast when ranks
-    actually fits. localCheckpoint blocks are MEMORY_AND_DISK and are
+    fit an executor broadcast. edges_d is hash-partitioned by src once
+    and checkpointed; NOTE (r15, corrected claim): under AQE the
+    checkpoint's LogicalRDD reports UnknownPartitioning, so each
+    cadence JOB re-shuffles edges_d by src once — exchange reuse
+    dedupes that subtree across the iterations within the job, and AQE
+    promotes the ranks join to a ranks-side broadcast when ranks fits,
+    so the per-iteration marginal stays one node-keyed agg shuffle. A
+    persist() pin that keeps the partitioning visible was measured
+    4-10x slower (see the in-function adjudication note). localCheckpoint blocks are MEMORY_AND_DISK and are
     released by Spark's ContextCleaner once the superseded DataFrames
     are GC'd — DataFrame.unpersist() does NOT free them (it only
     consults the cache manager), so no manual cleanup is attempted
@@ -235,8 +238,9 @@ def pagerank(
     # pseudo-edges (if any) fold into the SAME single shuffle +
     # checkpoint — materializing first and re-checkpointing the union
     # would shuffle and store the full edge table twice (code-review
-    # r6). Hash-partition by src once: the checkpointed partitioning is
-    # what lets every round's src join move only the small ranks side.
+    # r6). Hash-partition by src once per cadence job (exchange reuse
+    # dedupes it across the job's iterations — see the adjudication
+    # note below on why this is a checkpoint, not a persist pin).
     edges_d = edges.join(deg, "src").select("src", "dst", "deg")
     # Dangling nodes (no out-edges) are a property of the static graph:
     # decide ONCE whether the per-iteration mass collection is needed at
@@ -264,6 +268,26 @@ def pagerank(
             F.lit(1).cast("long").alias("deg"),
         )
         edges_d = edges_d.unionByName(pseudo)
+    # Measured r15 adjudication — checkpoint KEPT over a persist() pin.
+    # The r15 before-plan shows the docstring's old claim was wrong:
+    # under AQE a localCheckpoint's LogicalRDD reports
+    # UnknownPartitioning, so each post-checkpoint JOB re-shuffles
+    # edges_d by src once (exchange reuse dedupes the identical subtree
+    # across the iterations inside one job, and AQE then broadcasts the
+    # node-sized ranks side, so per-iteration marginal cost stays one
+    # agg shuffle). A persist() pin does keep partitioning/ordering
+    # visible once eagerly materialized (verified: the SMJ edge leg
+    # plans as a bare InMemoryTableScan, zero Exchange/Sort) — but the
+    # cached relation also exposes REAL size stats while the ranks side
+    # keeps LogicalRDD's unknown-size default, so the static planner
+    # builds the broadcast from the DATA-LINEAR edge side, paying a
+    # full driver-side HashedRelation build per iteration: interleaved
+    # same-session A/B measured the persist form 4-10x SLOWER
+    # (122/39/108 s vs 25/10/29 s, 3 rounds). At cluster scale the
+    # checkpoint form costs one edge-table re-shuffle per cadence job
+    # (3-4 per query); revisit only with a cluster-side measurement
+    # showing that re-shuffle dominating, and pin BOTH loop tables'
+    # stats if so.
     edges_d = materialize(edges_d.repartition("src"))
     # Static zero-contribution rows: unioned under each round's
     # aggregation so every node appears in the result without a second

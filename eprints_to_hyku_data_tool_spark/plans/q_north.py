@@ -696,7 +696,17 @@ def _ivf_centroids(emb: DataFrame, nlist: int, iters: int = 8):
 
 def _nearest_cells_udf(spark, centroids, n_assign: int):
     """Arrow-batched cell assignment: argmin squared-euclidean over the
-    broadcast (nlist x dim) centroid matrix, top-n_assign cells."""
+    broadcast (nlist x dim) centroid matrix, top-n_assign cells.
+
+    Returned marked non-deterministic (it is deterministic in fact):
+    the optimizer otherwise duplicates the evaluation when a derived
+    filter references the result — ivf_topk's join on
+    element_at(cells, 1) planted an isnotnull(element_at(pythonUDF, 1))
+    filter BELOW the projection, so every corpus row paid the centroid
+    matmul twice (two ArrowEvalPython nodes over the same scan in the
+    r15 before-plan). The marker pins a single evaluation; the only
+    optimizations it blocks are reorderings across this (expensive)
+    UDF, which are exactly the ones that duplicated it."""
     bc = spark.sparkContext.broadcast(centroids)
 
     @F.pandas_udf("array<int>")
@@ -713,7 +723,7 @@ def _nearest_cells_udf(spark, centroids, n_assign: int):
         top = _np.argsort(d, axis=1)[:, :n_assign]
         return pd.Series([row.astype("int32").tolist() for row in top])
 
-    return nearest_cells
+    return nearest_cells.asNondeterministic()
 
 
 # --------------------------------------------------------------------------

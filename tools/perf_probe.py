@@ -91,7 +91,23 @@ def main() -> None:
             if name not in build_names:
                 build()
 
+    def _collect_garbage():
+        # Same periodic GC as bench.py: localCheckpoint blocks are only
+        # released after BOTH a python GC (drops py4j refs) and a JVM GC;
+        # without it a long probe list ages the session (block-manager
+        # bloat + heap pressure) and later queries measure the aging, not
+        # the plan (observed: column_profile 28 s late in a 20-query
+        # probe vs 4.4 s fresh).
+        import gc as _gc
+
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     for name in query_names:
+        _collect_garbage()
         spec = REGISTRY[name]
         df = spec.fn(spark, args.sf_dir)
         plan_path = os.path.join(plan_dir, f"{name}_{args.tag}.txt")
