@@ -589,21 +589,28 @@ def z128250_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in _CORR_VARS
     ]
     m = q.agg(*aggs)
-    rows = []
+    # Unpivot the 1-row moment table with ONE explode-of-structs
+    # projection, not a 6-way unionAll of per-pair selects: each union
+    # branch embedded the full scan+agg subtree, so the static plan
+    # carried SIX lineitem scans and six agg pipelines (the r15
+    # before-plan; runtime exchange reuse collapsed most of the data
+    # work but still planned/scheduled six final-agg branches). The
+    # explode form matches the docstring's "one scan, one shuffle"
+    # claim in the plan itself and emits the same 6 (pair, corr) rows.
+    pair_structs = []
     for a, b in _corr_pairs():
         num = (F.col("n") * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
         va = (F.col("n") * F.col(f"s2_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
         vb = (F.col("n") * F.col(f"s2_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
-        rows.append(
-            m.select(
+        pair_structs.append(
+            F.struct(
                 F.lit(f"{a}~{b}").alias("pair"),
                 (num / (F.sqrt(va) * F.sqrt(vb))).alias("corr"),
             )
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return m.select(
+        F.explode(F.array(*pair_structs)).alias("x")
+    ).select("x.pair", "x.corr")
 
 
 # --------------------------------------------------------------------------

@@ -409,10 +409,24 @@ def z118324_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tr_tok = train.select("lang", F.explode("toks").alias("tok"))
     cnt = tr_tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = tr_tok.groupBy("lang").agg(F.count(F.lit(1)).alias("t"))
-    voc = tr_tok.agg(F.count_distinct("tok").alias("v"))
+    # tot/voc/ntr are EXACT integer re-aggregations of the model tables,
+    # not fresh corpus passes (r15, guide §2.4): per-lang token totals =
+    # sum of the (lang, tok) counts, vocabulary = distinct tok over the
+    # count table, training-doc total = sum of the per-lang doc counts
+    # (a NULL lang still forms its own group, so the sum is the full
+    # count). Values are bit-identical. Measured effect (final adaptive
+    # plan, plans/r15): tot's scan+explode+partial-agg pass is gone —
+    # the model side's cnt exchange is additionally reused
+    # (ReusedExchange in the final plan) — so token-level corpus passes
+    # drop 3 -> 2; voc's derivation is collapsed back to a direct
+    # distinct over the raw tokens by RemoveRedundantAggregates
+    # (agg-over-agg with a grouping-subset key), which is exactly the
+    # pre-r15 plan, so it is written in the derived form for intent
+    # but costs the same pass either way.
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
+    voc = cnt.agg(F.count_distinct("tok").alias("v"))
     pri = train.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
-    ntr = train.agg(F.count(F.lit(1)).alias("n"))
+    ntr = pri.agg(F.sum("nd").alias("n"))
 
     # Model table: (lang, t, nd) joined once; voc/ntr are one-row
     # broadcast scalars. The (lang, tok) count model scales with the

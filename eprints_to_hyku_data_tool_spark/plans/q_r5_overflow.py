@@ -447,9 +447,21 @@ _AR_MIN_PAIR = 3  # minimum pair support (absolute basket count)
 )
 def q10554_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-    ).distinct()
+    # The copurchase edges_plan move (r15, guide §2.4): repartition on
+    # basket ALONE before the dedupe, not the (basket, item) pair a
+    # plain distinct() would exchange on — hashpartitioning(basket)
+    # satisfies the dedupe's clustering requirement AND both
+    # self-join legs' (and nb's basket-keyed distinct), so ONE
+    # lineitem shuffle replaces the pair-keyed dedupe exchange plus a
+    # basket re-exchange per join leg. Same row set, same supports.
+    items = (
+        li.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .repartition(F.col("basket"))
+        .dropDuplicates(["basket", "item"])
+    )
     nb = items.agg(F.count_distinct("basket").alias("n_baskets"))
     supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
     a, b = items.alias("a"), items.alias("b")
@@ -800,19 +812,32 @@ def q10558_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
     )
-    pur = (
+    # ONE events-join-signups pass computes both per-user reductions
+    # (r15, guide §2.3 "aggregate before you shuffle" / §2.4): the old
+    # shape ran the ev-x-s join twice — once filtered to purchases for
+    # first-purchase te, once unfiltered for last-seen tl — i.e. two
+    # full events passes and two user-keyed aggregation pipelines. A
+    # conditional MIN folds the purchase filter into the same
+    # aggregate; a user with no qualifying purchase gets NULL te,
+    # exactly what the old LEFT JOIN produced, so subjects' dur/ev are
+    # value-identical and the join becomes a plain inner join on s.
+    reduced = (
         ev.join(s, "user_id")
-        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t0")))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("te"))
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t0")),
+                    F.col("ts"),
+                )
+            ).alias("te"),
+            F.max("ts").alias("tl"),
+        )
     )
-    last_seen = ev.join(s.select("user_id"), "user_id").groupBy(
-        "user_id"
-    ).agg(F.max("ts").alias("tl"))
     is_event = (F.col("user_id") % 5 != 0) & F.col("te").isNotNull()
     subjects = (
-        s.join(pur, "user_id", "left")
-        .join(last_seen, "user_id")
+        s.join(reduced, "user_id")
         .select(
             F.when(
                 is_event,
