@@ -6,12 +6,15 @@ unique sort keys the total order is unique, so positions can be computed
 distributed:
 
 1. range-partition + sort locally on the full key (one shuffle, the same
-   one a global sort needs anyway);
-2. local ranks per physical partition (window keyed by partition id — the
-   data is already colocated, rows of one pid stay together);
-3. per-partition row counts -> cumulative offsets (one tiny aggregate,
-   #partitions rows) broadcast-joined back;
-4. position = offset + local rank.
+   one a global sort needs anyway — and since r15 the ONLY full-data
+   movement: the old per-pid rank window made Catalyst insert a second
+   hashpartitioning(__pid) exchange + re-sort);
+2. local ranks per physical partition from monotonically_increasing_id
+   projected over the sorted rows (a per-row counter in row order;
+   its +1-per-row contiguity is asserted in-plan per partition);
+3. per-partition row counts + min/max id -> cumulative offsets (one tiny
+   aggregate, #partitions rows) broadcast-joined back;
+4. position = offset + (id - partition min id) + 1.
 """
 
 from __future__ import annotations
@@ -23,13 +26,15 @@ from pyspark.sql.window import Window
 # Internal column names these helpers add; an input already carrying one
 # would be silently overwritten and the offsets corrupted (the same
 # failure mode skew.py rejects loudly — code-review r13).
-_RESERVED = {"__pid", "__rank", "__lcum", "__n", "__offset"}
+_RESERVED = {"__pid", "__rank", "__lcum", "__n", "__offset", "__mid", "__m0", "__mn"}
 
 _INTEGRAL_TYPES = {"byte", "short", "integer", "long"}
 
-# row_number() yields IntegerType; a single range partition past 2^31
-# rows overflows it (ANSI: job death; non-ANSI: silent wrap). The guard
-# below makes the failure loud and actionable instead.
+# Cap on rows per range partition. Historically row_number's
+# IntegerType ceiling; the r15 monotonically_increasing_id ranks are
+# long arithmetic but the id's low 33 bits wrap INTO the partition bits
+# past 2^33 rows, so a cap (kept at the stricter 2^31, the documented
+# remedy threshold) still guards correctness loudly.
 _MAX_PARTITION_ROWS = 2**31 - 1
 
 # py4j handles of every live pin (see release_pins). Tiny: one handle
@@ -119,23 +124,44 @@ def with_global_position(
     uniqueness is what makes the total order, and hence the positions,
     well-defined regardless of where range boundaries fall.
 
-    Per-RANGE-PARTITION row counts must stay below 2^31 (row_number is
-    IntegerType); a partition past that raises with a remedy instead of
-    wrapping — raise spark.sql.shuffle.partitions so the range split is
-    finer.
+    Per-RANGE-PARTITION row counts must stay below 2^31; a partition
+    past that raises with a remedy instead of wrapping — raise
+    spark.sql.shuffle.partitions so the range split is finer.
     """
     _check_columns(df, position_col, "with_global_position")
     ranged = df.repartitionByRange(*order_exprs).sortWithinPartitions(
         *order_exprs
     )
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    w_local = Window.partitionBy("__pid").orderBy(*order_exprs)
+    # Local ranks WITHOUT a second full-data exchange (r15): the old
+    # form ranked with row_number() over Window.partitionBy(__pid),
+    # and Catalyst — which cannot know that spark_partition_id() is
+    # trivially "already clustered by itself" — inserted a SECOND
+    # full-data hashpartitioning(__pid) Exchange plus a full re-Sort
+    # above the range shuffle (the r15 before-plan), doubling the
+    # kernel's data movement and falsifying the module docstring's
+    # "one shuffle, the same one a global sort needs anyway". Instead,
+    # project monotonically_increasing_id() over the range-sorted
+    # partitions: within a partition it is a per-row counter assigned
+    # in row (= sorted) order, so local rank = __mid - min(__mid) + 1,
+    # and the per-partition min rides the SAME tiny counts aggregate
+    # the offsets already need — zero extra data movement. The id's
+    # per-partition-contiguity contract (+1 per row) is asserted
+    # in-plan: max(__mid) - min(__mid) == n - 1 per partition, checked
+    # on the same guarded projection as the overflow cap, so a Spark
+    # that ever changed the increment fails loudly instead of emitting
+    # wrong positions.
     local = _pin_partitions(
-        with_pid.withColumn("__rank", F.row_number().over(w_local))
+        ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__mid", F.monotonically_increasing_id()
+        )
     )
     counts = (
         local.groupBy("__pid")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("__mid").alias("__m0"),
+            F.max("__mid").alias("__mn"),
+        )
         .withColumn(
             "__offset",
             F.coalesce(
@@ -148,16 +174,20 @@ def with_global_position(
                 F.lit(0),
             ),
         )
-        .select("__pid", "__offset", "__n")
+        .select("__pid", "__offset", "__n", "__m0", "__mn")
     )
     # LONG, not int: this helper exists precisely for inputs too big for
     # a single-task global sort — an int cast would CAST_OVERFLOW (ANSI)
     # at 2^31 rows, exactly the scale it targets. The per-partition
     # guard rides the SAME projection as the position (a separate
     # assert column would be pruned away as unused).
-    pos = (F.col("__offset") + F.col("__rank")).cast("long")
+    pos = (
+        F.col("__offset") + (F.col("__mid") - F.col("__m0")) + F.lit(1)
+    ).cast("long")
     guarded = F.when(
-        F.col("__n") <= F.lit(_MAX_PARTITION_ROWS), pos
+        (F.col("__n") <= F.lit(_MAX_PARTITION_ROWS))
+        & (F.col("__mn") - F.col("__m0") == F.col("__n") - F.lit(1)),
+        pos,
     ).otherwise(
         F.raise_error(
             F.concat(
@@ -166,7 +196,9 @@ def with_global_position(
                 ),
                 F.col("__n").cast("string"),
                 F.lit(
-                    " rows — past row_number's 2^31 limit; raise "
+                    " rows — past the per-partition position limit (or "
+                    "monotonically_increasing_id lost its +1-per-row "
+                    "contiguity contract); raise "
                     "spark.sql.shuffle.partitions for a finer range split"
                 ),
             )
@@ -175,7 +207,7 @@ def with_global_position(
     return (
         local.join(F.broadcast(counts), "__pid")
         .withColumn(position_col, guarded)
-        .drop("__pid", "__rank", "__offset", "__n")
+        .drop("__pid", "__mid", "__offset", "__n", "__m0", "__mn")
     )
 
 

@@ -432,18 +432,28 @@ def z139189_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def z117192_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # Array-form percentiles (r15): percentile(col, p1) + percentile(
+    # col, p2) as separate aggregates each build a FULL per-group
+    # value buffer (and percentile_approx a full GK sketch) — four
+    # whole-column aggregation buffers for two underlying structures.
+    # The array form evaluates one buffer/sketch at both points with
+    # the identical per-point algorithm, so the values are unchanged;
+    # buffer construction and the shuffled partial-state volume halve.
     agg = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias(
-            "p50_exact"
-        ),
-        F.round(F.expr("percentile(l_extendedprice, 0.95D)"), 4).alias(
-            "p95_exact"
-        ),
-        F.expr("percentile_approx(l_extendedprice, 0.5D, 10000)").alias("a50"),
-        F.expr("percentile_approx(l_extendedprice, 0.95D, 10000)").alias(
-            "a95"
-        ),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5D, 0.95D))"
+        ).alias("pe"),
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)"
+        ).alias("pa"),
         F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        "l_returnflag",
+        F.round(F.element_at("pe", 1), 4).alias("p50_exact"),
+        F.round(F.element_at("pe", 2), 4).alias("p95_exact"),
+        F.element_at("pa", 1).alias("a50"),
+        F.element_at("pa", 2).alias("a95"),
+        "n_lines",
     )
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) <= 0.01 * F.abs(F.col(e))

@@ -143,7 +143,14 @@ def test_q37_global_position_is_distributed(plans):
     # the data flows through a range partitioner + per-partition ranks,
     # not a single-partition global window
     assert "rangepartitioning" in p, p
-    assert "hashpartitioning(__pid" in p, p
+    # r15: local ranks come from monotonically_increasing_id projected
+    # over the range-sorted partitions — the old per-__pid rank window
+    # forced a SECOND full-data hashpartitioning(__pid) exchange plus a
+    # re-sort; the range shuffle must now be the ONLY full-data
+    # exchange (the tiny hashpartitioning(__pid) on the #partitions-row
+    # counts side is the offsets aggregate, not data movement).
+    assert "monotonically_increasing_id" in p, p
+    assert "row_number" not in p, p
 
 
 def test_q57_udf_is_arrow_batched(plans):
@@ -336,15 +343,23 @@ def test_q70_cumsum_is_distributed(plans):
     assert "hashpartitioning(__pid" in p, p
 
 
-def test_y47_profile_is_single_scan(plans):
-    """The profiler's contract: ALL columns' aggregates come from ONE
-    pass over lineitem (the oracle scans per column; the Spark plan
-    must not)."""
+def test_y47_profile_is_column_count_independent(plans):
+    """The profiler's contract (amended r15): the pass count must be
+    COLUMN-COUNT-INDEPENDENT — the oracle scans once per column; the
+    Spark plan takes exactly TWO passes whatever the column count (one
+    plain 5-agg-per-column pass + one distinct-counts pass). The old
+    single mixed aggregate satisfied "one scan" but planned an Expand
+    x(n_distinct_cols + 1) dragging every plain-agg buffer through the
+    expanded rows — measured 2x slower than the split form at sf0.1
+    (4.05 s vs 1.15 + 1.00; see plans/r15)."""
     p = plans("z139190_column_profile")
-    # one scan NODE: each scan contributes exactly one Location line in
-    # the formatted detail section ("Scan parquet" itself prints twice
-    # per node — tree + detail)
-    assert p.count("Location: InMemoryFileIndex") == 1, p
+    # scan NODES: each contributes exactly one Location line in the
+    # formatted detail section ("Scan parquet" itself prints twice per
+    # node — tree + detail)
+    assert p.count("Location: InMemoryFileIndex") == 2, p
+    # and the distinct half must not multiply the plain aggregates
+    # through its Expand: exactly one Expand node, on the distinct side
+    assert p.count("(") and p.count("+- Expand") == 1, p
 
 
 def test_y44_stats_broadcast_back(plans):
