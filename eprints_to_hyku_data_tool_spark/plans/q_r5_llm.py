@@ -594,12 +594,17 @@ def z117526_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.checkpointing import materialize
     from .q_analytics import _copurchase_edges
 
-    # Edge table hash-partitioned by the join key ONCE before the loop
-    # (the q88 discipline — the checkpoint preserves the partitioning),
-    # so each round's frontier join re-shuffles only the frontier side
-    # while the 100-TB edge table stays in place. Iterative lineage
-    # cuts route through materialize(): local on local[*], reliable
-    # under SPARK_GRAFT_CHECKPOINT_DIR (functions/checkpointing.py).
+    # Edge table hash-partitioned by the join key once before the loop.
+    # NOTE (r15, corrected claim): under AQE the checkpoint's LogicalRDD
+    # reports UnknownPartitioning, so each post-checkpoint JOB
+    # re-shuffles the edge table once — exchange reuse dedupes that
+    # identical subtree across the rounds inside one job, and AQE
+    # promotes the frontier join to a frontier-side broadcast when it
+    # fits (see functions/graph.py pagerank's measured adjudication of
+    # a persist() pin — 4-10x slower locally via the stats-flip it
+    # causes; same verdict applies here). Iterative lineage cuts route
+    # through materialize(): local on local[*], reliable under
+    # SPARK_GRAFT_CHECKPOINT_DIR (functions/checkpointing.py).
     edges = materialize(
         _copurchase_edges(spark, sf_dir).repartition("src"), eager=False
     )

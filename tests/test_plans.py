@@ -179,6 +179,10 @@ NESTED_LOOP_WHITELIST = {
     "z13914_cross_join",
     "z11784_tfidf",
     "z12792_gapfill",
+    # y47 (r15): the split profiler broadcast-joins its two ONE-ROW
+    # aggregate halves (plain stats x distinct counts) — the same
+    # one-row-aggregate cross-join shape as x30/y34/y35 below.
+    "z139190_column_profile",
     # x30 cross-joins a one-row totals aggregate back onto the strata
     # counts — broadcast, tiny by construction.
     "z12798_mix_reweight",

@@ -1280,6 +1280,34 @@ def test_ordering_rejects_reserved_and_nonintegral(spark):
         with_global_cumsum(dbl, [F.col("k")], "v")
 
 
+def test_global_position_mid_ranks_under_reuse_off(spark):
+    """r15 kernel rewrite (local ranks from monotonically_increasing_id
+    instead of a per-__pid rank window): positions must stay an exact
+    permutation of 1..n under spark.sql.exchange.reuse=false — the
+    double-evaluation hazard the persist() pin exists for, now with a
+    NONDETERMINISTIC id expression in the pinned projection (the pin's
+    cache canonicalization is what keeps both consumers reading the
+    same materialized ids)."""
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.functions import ordering
+
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = spark.range(0, 5000).withColumn(
+            "k", (F.col("id") * 2654435761) % 1000003
+        )
+        out = ordering.with_global_position(df, [F.col("k"), F.col("id")])
+        rows = out.collect()
+        assert sorted(r["position"] for r in rows) == list(range(1, 5001))
+        by_key = sorted(rows, key=lambda r: (r["k"], r["id"]))
+        assert [r["position"] for r in by_key] == list(range(1, 5001))
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+        ordering.release_pins()
+
+
 def test_global_position_overflow_guard_fires(spark, monkeypatch):
     """The per-range-partition row_number 2^31 guard raises with a
     remedy instead of wrapping; pinned by shrinking the limit so a
