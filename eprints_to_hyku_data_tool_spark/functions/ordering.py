@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 # Internal column names these helpers add; an input already carrying one
@@ -262,7 +263,22 @@ def with_global_cumsum(
     ``value_col`` must be integral — ENFORCED here, not just documented:
     a double input would be truncated per partition independently, so
     the result would silently drift with the partition layout
-    (code-review r13)."""
+    (code-review r13).
+
+    The local pass is ONE ``mapInArrow`` sweep over the range-sorted
+    partitions (r15): the old ``Window.partitionBy(__pid)`` form made
+    Catalyst — which cannot know spark_partition_id() is trivially
+    clustered by itself — insert a SECOND full-data
+    ``hashpartitioning(__pid)`` Exchange plus a full re-Sort above the
+    range shuffle, the same defect the position kernel shed. A running
+    sum is inherently sequential per partition, so no id trick applies;
+    instead the partition's batches flow once through Arrow where the
+    exclusive prefix sum is a vectorized checked cumulative_sum with a
+    scalar carry across batches — zero extra data movement, at the cost
+    of one JVM->Arrow->JVM round trip of exactly ``df``'s columns
+    (callers should project to the needed columns first, as
+    sequence_pack does). Overflow stays loud: the checked kernels raise
+    where the JVM sum would have raised under ANSI."""
     _check_columns(df, cumsum_col, "with_global_cumsum")
     vtype = df.schema[value_col].dataType.typeName()
     if vtype not in _INTEGRAL_TYPES:
@@ -274,18 +290,48 @@ def with_global_cumsum(
     ranged = df.repartitionByRange(*order_exprs).sortWithinPartitions(
         *order_exprs
     )
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_exprs)
-        .rowsBetween(Window.unboundedPreceding, -1)
+    out_schema = StructType(
+        list(ranged.schema.fields)
+        + [
+            StructField("__pid", IntegerType(), nullable=False),
+            StructField("__lcum", LongType(), nullable=False),
+        ]
     )
-    local = _pin_partitions(
-        with_pid.withColumn(
-            "__lcum",
-            F.coalesce(F.sum(value_col).over(w_local), F.lit(0)).cast("long"),
-        )
-    )
+
+    v_idx = ranged.columns.index(value_col)
+
+    def _local_cumsum(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from pyspark import TaskContext
+
+        pid = pa.scalar(TaskContext.get().partitionId(), pa.int32())
+        carry = pa.scalar(0, pa.int64())
+        out_fields = None
+        for batch in batches:
+            if out_fields is None:
+                # Pass-through columns keep the exact Arrow types Spark
+                # handed us; only the two appended fields are new.
+                out_fields = pa.schema(
+                    list(batch.schema)
+                    + [
+                        pa.field("__pid", pa.int32(), nullable=False),
+                        pa.field("__lcum", pa.int64(), nullable=False),
+                    ]
+                )
+            v = pc.fill_null(batch.column(v_idx).cast(pa.int64()), 0)
+            incl = pc.cumulative_sum_checked(v)
+            excl = pc.add_checked(pc.subtract_checked(incl, v), carry)
+            total = pc.sum(v)
+            if total.as_py() is not None:
+                carry = pc.add_checked(carry, total)
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns)
+                + [pa.repeat(pid, batch.num_rows), excl],
+                schema=out_fields,
+            )
+
+    local = _pin_partitions(ranged.mapInArrow(_local_cumsum, out_schema))
     totals = (
         local.groupBy("__pid")
         .agg(F.sum(value_col).cast("long").alias("__n"))

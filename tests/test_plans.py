@@ -341,10 +341,21 @@ def test_fleet_wide_plan_lint(spark, sf_dir):
 def test_q70_cumsum_is_distributed(plans):
     """Sequence packing's global running sum must ride the two-phase
     range-partition scheme (z37 rule), never a single-partition window
-    over the whole corpus."""
+    over the whole corpus. r15: the local exclusive cumsum is ONE
+    mapInArrow sweep over the range-sorted partitions — the old
+    per-__pid window forced a SECOND full-data hashpartitioning(__pid)
+    Exchange + re-Sort above the range shuffle. The range exchange must
+    be the only full-data movement; the surviving hashpartitioning(__pid)
+    exchange is the #partitions-row offsets aggregate, and the single
+    remaining Window node is the offsets prefix sum over that tiny
+    table, never the corpus."""
+    import re
+
     p = plans("z1311770_sequence_pack")
     assert "rangepartitioning" in p, p
-    assert "hashpartitioning(__pid" in p, p
+    assert "MapInArrow" in p, p
+    # exactly one Window NODE (the offsets table), not a data window
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1, p
 
 
 def test_y47_profile_is_column_count_independent(plans):

@@ -342,6 +342,56 @@ def test_global_cumsum_matches_single_partition_window(spark):
     assert got == want
 
 
+def test_global_cumsum_carry_across_arrow_batches_and_nulls(spark):
+    """r15 kernel rewrite (local cumsum as one mapInArrow sweep instead
+    of a per-__pid window): the scalar carry must flow across Arrow
+    batch boundaries within a partition, NULL values must contribute 0
+    without nulling the running sum (the old F.sum-over-window
+    semantics), and the result must stay exact under
+    spark.sql.exchange.reuse=false — the double-boundary-sampling
+    hazard the persist() pin exists for, now with an opaque Python
+    node in the pinned subplan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from eprints_to_hyku_data_tool_spark.functions import ordering
+
+    old_batch = spark.conf.get(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "10000"
+    )
+    old_reuse = spark.conf.get("spark.sql.exchange.reuse", "true")
+    # 64-row batches force many batches per partition (carry exercised);
+    # reuse=false forces each consumer branch to stand alone.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        rows = [
+            (i, None if i % 11 == 0 else (i * 7919) % 13)
+            for i in range(2001)
+        ]
+        df = spark.createDataFrame(rows, "k long, v long").repartition(5)
+        got = {
+            r["k"]: r["c"]
+            for r in ordering.with_global_cumsum(
+                df, [F.col("k")], "v", "c"
+            ).collect()
+        }
+        w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            r["k"]: r["c"]
+            for r in df.withColumn(
+                "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old_batch
+        )
+        spark.conf.set("spark.sql.exchange.reuse", old_reuse)
+        ordering.release_pins()
+
+
 def test_int8_quantize_reconstruction_bound(spark, sf_dir):
     """SQ8 invariants: q in [-127, 127], and per-element reconstruction
     error <= amax/254 + micro-unit rounding slack (the absmax scheme's
