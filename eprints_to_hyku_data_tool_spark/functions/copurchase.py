@@ -110,24 +110,35 @@ def oriented_plan(und: DataFrame, deg: DataFrame) -> DataFrame:
 
 
 def triangles_plan(oriented: DataFrame) -> DataFrame:
-    # Honest shuffle accounting (code-review r14): the SECOND join must
-    # repartition the first join's output by t while every row still
-    # carries nb_s — sum_edges |N+(s)| = sum_s d+(s)^2 array entries,
-    # i.e. the WEDGE TERM does cross the wire, as packed array payloads.
-    # That is the same O(m^1.5) bound as the classic wedge self-join,
-    # but with far better constants: no per-wedge row overhead, shuffle
-    # compression over homogeneous long arrays, and the intersection of
-    # two pre-grouped arrays instead of a second join. Degree
-    # orientation caps |N+| at ~sqrt(2m), which is what keeps the term
-    # civilized. The edge payload is trimmed to (s, t) before joining —
-    # dt is orientation metadata no triangle consumer needs.
-    edges = oriented.select("s", "t")
+    # Honest shuffle accounting (code-review r14): the t-keyed join must
+    # move every wedge row while it still carries nb_s —
+    # sum_edges |N+(s)| = sum_s d+(s)^2 array entries, i.e. the WEDGE
+    # TERM does cross the wire, as packed array payloads. That is the
+    # same O(m^1.5) bound as the classic wedge self-join, but with far
+    # better constants: no per-wedge row overhead, shuffle compression
+    # over homogeneous long arrays, and the intersection of two
+    # pre-grouped arrays instead of a second join. Degree orientation
+    # caps |N+| at ~sqrt(2m), which is what keeps the term civilized.
+    # The edge payload is trimmed to (s, t) before grouping — dt is
+    # orientation metadata no triangle consumer needs.
+    #
+    # r16 (guide §2.4): the old edges ⋈ adj_s join on s is the identity
+    # — exploding nb over the adjacency rows regenerates exactly the
+    # distinct (s, t) edge set with nb_s already attached (collect_list
+    # skips NULL t like the old inner join did; the isnotnull(s) filter
+    # reproduces the old join dropping NULL-s edges). That removes one
+    # full-data Exchange+Sort of the edge set, one SortMergeJoin, and
+    # one scan of the oriented table. The adj_t leg then joins on its
+    # own grouping key (a_t = s), so its aggregation exchange already
+    # satisfies the join's clustering: the only remaining full-data
+    # movement is the inherent wedge-term exchange on t.
+    edges = oriented.select("s", "t").filter(F.col("s").isNotNull())
     adj = edges.groupBy("s").agg(F.collect_list("t").alias("nb"))
-    adj_s = adj.select(F.col("s").alias("a_s"), F.col("nb").alias("nb_s"))
-    adj_t = adj.select(F.col("s").alias("a_t"), F.col("nb").alias("nb_t"))
-    e = edges.join(adj_s, edges.s == adj_s.a_s).join(
-        adj_t, edges.t == adj_t.a_t
+    wedges = adj.select(
+        "s", F.explode("nb").alias("t"), F.col("nb").alias("nb_s")
     )
+    adj_t = adj.select(F.col("s").alias("a_t"), F.col("nb").alias("nb_t"))
+    e = wedges.join(adj_t, wedges.t == adj_t.a_t)
     # Out-neighbor lists are duplicate-free (oriented edges are
     # distinct), so array_intersect is an exact set intersection.
     return e.select(

@@ -900,9 +900,12 @@ def test_cluster_shaped_copurchase_build(spark, sf_dir):
             # und joins deg on u then on v: at worst 2 exchanges per
             # join (both sides) = 4; co-partitioning may save some.
             ("oriented", 4): cp.oriented_plan(und, deg),
-            # adjacency groupBy(s) + edges-side exchange on s (adj side
-            # reuses the agg partitioning) + both sides of the t-join.
-            ("triangles", 4): cp.triangles_plan(oriented),
+            # adjacency groupBy(s) x2 statically (identical subtrees —
+            # runtime exchange reuse dedupes) + the inherent wedge-term
+            # exchange on t; the r16 adjacency-explode rewrite removed
+            # the edges-side s-exchange and its SortMergeJoin outright,
+            # and the adj_t leg joins on its own grouping key.
+            ("triangles", 3): cp.triangles_plan(oriented),
         }
         plans_txt = {k: plan_text(df) for k, df in stages.items()}
     for (label, max_exchanges), p in plans_txt.items():
