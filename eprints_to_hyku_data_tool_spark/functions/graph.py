@@ -29,6 +29,8 @@ test.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -127,10 +129,20 @@ def connected_components(
         _long_or_die(id_a, "connected_components: left").alias("u"),
         _long_or_die(id_b, "connected_components: right").alias("v"),
     ).filter(F.col("u") != F.col("v"))
+    # Piggyback each round's materialization on the convergence action
+    # (r16, VERDICT r15 item 7): a LAZY localCheckpoint makes the
+    # fingerprint aggregation the job that computes AND stores the
+    # round's blocks — one driver action per round instead of an eager
+    # materialize job followed by the agg job, on an iteration whose
+    # per-round cost is mostly stage latency. Reliable checkpoints stay
+    # EAGER: RDD.checkpoint() recomputes the lineage a second time when
+    # writing the checkpoint files unless the data is already persisted,
+    # so a lazy reliable checkpoint would compute every round twice.
+    eager = bool(os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR"))
     # Materialize the input ONCE: the fingerprint action below and the
     # first round's checkpoint would otherwise each re-evaluate the
     # (possibly expensive) upstream pair pipeline.
-    edges = materialize(edges)
+    edges = materialize(edges, eager=eager)
 
     fp = _edge_fingerprint(edges)
     for _ in range(max_rounds):
@@ -141,7 +153,7 @@ def connected_components(
         # per-round plan flat — localCheckpoint on local[*], reliable
         # checkpoint() when SPARK_GRAFT_CHECKPOINT_DIR points at a
         # fault-tolerant store (functions/checkpointing.py).
-        edges = materialize(edges)
+        edges = materialize(edges, eager=eager)
         new_fp = _edge_fingerprint(edges)
         if new_fp == fp:
             break
