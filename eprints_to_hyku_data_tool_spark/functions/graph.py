@@ -297,9 +297,19 @@ def pagerank(
     # same-session A/B measured the persist form 4-10x SLOWER
     # (122/39/108 s vs 25/10/29 s, 3 rounds). At cluster scale the
     # checkpoint form costs one edge-table re-shuffle per cadence job
-    # (3-4 per query); revisit only with a cluster-side measurement
-    # showing that re-shuffle dominating, and pin BOTH loop tables'
-    # stats if so.
+    # (3-4 per query).
+    # r16 CLOSURE of the recorded revisit (VERDICT r15 item 3): the
+    # both-pinned variant (edges persisted + ranks persisted EVERY
+    # round, so the static planner sees both sides' real sizes and
+    # builds the broadcast from the node-sized ranks side) was measured
+    # interleaved at sf0.1 and the 10x tier, in both the default and
+    # the broadcast-disabled (SMJ, 100 TB-shaped) regimes, values
+    # bit-identical: sf0.1 default 15.4 s vs 8.4 s ckpt, sf0.1 SMJ
+    # 16.7 vs 7.6 (the ten per-round persist+count actions swamp the
+    # trivial fixture-scale data); 10x default 19.5 vs 23.9 (pin wins
+    # 1.2x), 10x SMJ 20.6 vs 20.0 (tie). A crossover-dependent 1.2x
+    # that costs 2x at fixture scale does not justify a scale-switched
+    # code path; the checkpoint form stays, permanently.
     edges_d = materialize(edges_d.repartition("src"))
     # Static zero-contribution rows: unioned under each round's
     # aggregation so every node appears in the result without a second

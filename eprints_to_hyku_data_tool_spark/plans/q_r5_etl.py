@@ -311,16 +311,27 @@ def z138331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qualifying step-k event happens STRICTLY AFTER their first "
     "step-(k-1) event (min-forward sequencing, the standard product "
     "funnel, not mere set intersection). Three conditional min-aggs "
-    "chained by user_id equi-joins — every shuffle in the query is on "
-    "the one user_id key, so a cluster co-partitions all stages; the "
-    "event-type filters reach the scans. Output is 3 tiny rows with a "
-    "conversion ratio = one IEEE division of exact counts. At 100 TB "
-    "each stage is a partial-agg (map-side combine) over the filtered "
-    "stream — no window over the full history, no per-user state "
-    "beyond one timestamp.",
+    "chained by user_id equi-joins. r16: the events stream is projected "
+    "to its 3 consumed columns and repartitioned by user_id ONCE — "
+    "every step's filter, aggregate, and join rides that single reused "
+    "exchange (runtime exchange reuse over identical subtrees, the "
+    "association_rules move), so the plan is ONE events scan + ONE "
+    "narrow shuffle instead of six scans. Measured at the 10x tier: "
+    "the per-step pushed event_type filters do NOT prune the scans on "
+    "event-interleaved data (every pass output the full row count), so "
+    "the old 6-scan form paid 6 full passes; if a deployment clusters "
+    "storage by event_type the scan-pruned form becomes competitive "
+    "again. Output is 3 tiny rows with a conversion ratio = one IEEE "
+    "division of exact counts. At 100 TB each stage is a partial-agg "
+    "over the shared partitioning — no window over the full history, "
+    "no per-user state beyond one timestamp.",
 )
 def z138332_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type", "ts_us")
+        .repartition(F.col("user_id"))
+    )
     s1 = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
