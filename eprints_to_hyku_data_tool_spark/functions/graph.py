@@ -231,11 +231,19 @@ def pagerank(
         _long_or_die("src", "pagerank: src").alias("src"),
         _long_or_die("dst", "pagerank: dst").alias("dst"),
     )
-    edges = materialize(edges)
+    # Lazy checkpoints here (r16, local path): nodes.count() is the job
+    # that computes AND stores edges' and nodes' blocks in one pass —
+    # two fewer driver actions than eager materialize + count, same
+    # blocks (a lazy localCheckpoint completes within the first job
+    # that touches the RDD). Reliable checkpoints stay eager: a lazy
+    # reliable checkpoint recomputes lineage when writing files.
+    eager = bool(os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+    edges = materialize(edges, eager=eager)
     nodes = materialize(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        eager=eager,
     )
     n = nodes.count()
     if n == 0:
@@ -261,10 +269,13 @@ def pagerank(
     # Materialized once: it is consumed twice when dangling nodes exist
     # (the emptiness probe and the pseudo-edge projection), and even the
     # dangling-free probe must scan every partition to find nothing, so
-    # the eager checkpoint costs what the old head(1) probe cost while
-    # the second consumer becomes free (ADVICE r6).
+    # the checkpoint costs what the old head(1) probe cost while the
+    # second consumer becomes free (ADVICE r6). Lazy on the local path
+    # (r16): the head(1) probe is the job that completes the
+    # checkpoint, one fewer driver action.
     dangling_nodes = materialize(
-        nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti")
+        nodes.join(deg.select(F.col("src").alias("node")), "node", "left_anti"),
+        eager=eager,
     )
     has_dangling = bool(dangling_nodes.head(1))
     # Sentinel node id for the dangling-mass pseudo-edges: real node ids
@@ -310,7 +321,9 @@ def pagerank(
     # 1.2x), 10x SMJ 20.6 vs 20.0 (tie). A crossover-dependent 1.2x
     # that costs 2x at fixture scale does not justify a scale-switched
     # code path; the checkpoint form stays, permanently.
-    edges_d = materialize(edges_d.repartition("src"))
+    # Lazy on the local path (r16): the first iteration's job completes
+    # the checkpoint; one fewer eager count pass over the edge table.
+    edges_d = materialize(edges_d.repartition("src"), eager=eager)
     # Static zero-contribution rows: unioned under each round's
     # aggregation so every node appears in the result without a second
     # node-keyed join (x + 0.0 == x for non-negative ranks, so the
@@ -367,10 +380,14 @@ def pagerank(
         # Dangling rounds are already materialized above (ranks is a
         # pure projection of the checkpointed contribs). Dangling-free
         # rounds reference ranks ONCE each (linear lineage growth), so
-        # a cadence checkpoint every 4th round merely bounds plan depth
-        # while skipping most eager materialization jobs.
+        # a cadence checkpoint every 4th round merely bounds plan depth.
+        # Lazy on the local path (r16): the lineage cut is immediate
+        # (LogicalRDD), AQE still materializes the shuffle stages at
+        # the checkpoint call, but the eager count pass over the full
+        # node table is skipped per cadence — the consumer's job
+        # completes the checkpoint blocks.
         if not has_dangling and (it % 4 == 3 or it == n_iter - 1):
-            ranks = materialize(ranks)
+            ranks = materialize(ranks, eager=eager)
     return ranks
 
 
