@@ -43,8 +43,20 @@ _LOCK = threading.RLock()
 
 
 def session_memo(
-    spark: SparkSession, sf_dir: str, key: str, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    sf_dir: str,
+    key: str,
+    build: Callable[[], DataFrame],
+    eager: bool = True,
 ) -> DataFrame:
+    """``eager=False`` lets a build CHAIN defer its intermediate
+    materializations to the chain's final (eager) entry: the last
+    phase's one job computes the whole chain, storing blocks at every
+    lazy cut, instead of one count pass per phase (r16 — the copurchase
+    und/deg/oriented ladder). Only meaningful on the local path; under
+    SPARK_GRAFT_CHECKPOINT_DIR the materialize stays eager regardless
+    (a lazy reliable checkpoint recomputes lineage on file write), so
+    the flag quietly strengthens to eager there."""
     import os
 
     app = spark.sparkContext.applicationId
@@ -74,6 +86,8 @@ def session_memo(
             # concurrent repoint, caching an entry whose backing files
             # live in another (possibly pruned) directory
             # (code-review r15).
-            df = materialize(build(), ckpt_dir=raw_tgt)
+            df = materialize(
+                build(), eager=eager or raw_tgt is not None, ckpt_dir=raw_tgt
+            )
             _MEMO[k] = df
         return df

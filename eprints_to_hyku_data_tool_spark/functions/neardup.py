@@ -50,7 +50,10 @@ def verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         return pairs_plan(load_table(spark, sf_dir, "documents"))
 
-    return session_memo(spark, sf_dir, "neardup:pairs", build)
+    # eager=False (r16): the first consumer's job — the components
+    # build's fingerprint action, or a pair-family query's sink —
+    # computes and stores the pair blocks; no separate count pass.
+    return session_memo(spark, sf_dir, "neardup:pairs", build, eager=False)
 
 
 def components(spark: SparkSession, sf_dir: str) -> DataFrame:
