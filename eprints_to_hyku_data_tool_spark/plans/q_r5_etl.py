@@ -312,15 +312,18 @@ def z138331_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "step-(k-1) event (min-forward sequencing, the standard product "
     "funnel, not mere set intersection). Three conditional min-aggs "
     "chained by user_id equi-joins. r16: the events stream is projected "
-    "to its 3 consumed columns and repartitioned by user_id ONCE — "
-    "every step's filter, aggregate, and join rides that single reused "
-    "exchange (runtime exchange reuse over identical subtrees, the "
-    "association_rules move), so the plan is ONE events scan + ONE "
-    "narrow shuffle instead of six scans. Measured at the 10x tier: "
-    "the per-step pushed event_type filters do NOT prune the scans on "
-    "event-interleaved data (every pass output the full row count), so "
-    "the old 6-scan form paid 6 full passes; if a deployment clusters "
-    "storage by event_type the scan-pruned form becomes competitive "
+    "to its 3 consumed columns and repartitioned by user_id before the "
+    "steps. As EXECUTED (verified from the final adaptive plan's scan "
+    "metrics, not assumed): Catalyst pushes each step's event_type "
+    "filter and its column pruning below the repartition, so the "
+    "subtrees stay distinct per step — the win is 6 scans -> 4 "
+    "(runtime exchange reuse dedupes the 2 exact-duplicate subtrees) "
+    "and every step join rides the shared user_id partitioning with "
+    "no further exchange. Measured at the 10x tier: the pushed "
+    "event_type filters do NOT prune scan row counts on "
+    "event-interleaved data (every pass output the full table), which "
+    "is what made the old 6-scan form pay 6 full passes; a deployment "
+    "that clusters storage by event_type would make scan pruning real "
     "again. Output is 3 tiny rows with a conversion ratio = one IEEE "
     "division of exact counts. At 100 TB each stage is a partial-agg "
     "over the shared partitioning — no window over the full history, "
