@@ -170,6 +170,25 @@ def test_x26_funnel_single_shuffle(plans):
     assert len(re.findall(r"\(\d+\) Window", p)) == 3, p
 
 
+def test_q29b_funnel_conversion_shared_partitioning(plans):
+    """The min-forward funnel (r16 shape): the events stream is
+    projected to 3 columns and repartitioned by user_id, and every
+    step's aggregate/join rides that partitioning — the static plan
+    carries exactly one REPARTITION_BY_COL subtree per events
+    reference (6: s1 x3, s2 x2, s3 x1; Catalyst pushes the per-step
+    filters below it, runtime exchange reuse dedupes the exact
+    duplicates), and the step joins add NO further events-side
+    exchange. Dropping the repartition would re-plan the joins onto
+    fresh per-step exchanges; a 7th events scan would mean a step
+    stopped riding the shared subtree."""
+    import re
+
+    p = plans("z138332_funnel_conversion")
+    assert len(re.findall(r"REPARTITION_BY_COL", p)) == 6, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 6, p
+    assert "CartesianProduct" not in p, p
+
+
 # Nested-loop joins that are deliberate and bounded to tiny sides:
 # q14 is the small-dim cartesian operator itself; x15 cross-joins a
 # ONE-ROW corpus-size aggregate.
